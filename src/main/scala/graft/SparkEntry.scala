@@ -1,13 +1,340 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.cdc.CdcApply
+import graft.diff.DataDiff
+import graft.util.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one query per operator from SURVEY.md §2, plus a DuckDB
+  * oracle for every SQL-expressible one. Column names/types are aligned
+  * between the Spark plan and the oracle (computed ints → bigint, decimal
+  * sums → double, timestamps → formatted strings) so the driver's
+  * sort-columns-then-hash compare is exact.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- shared
+
+  /** The derived DMS-style changefeed over `events`: pk=user_id, ordered by
+    * (ts, event_id), Op: signup→I, click→D, else U. The oracle derives the
+    * identical feed in SQL (SURVEY §3). */
+  private def eventsCdc(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn(
+      "Op",
+      when(col("event_type") === "signup", "I")
+        .when(col("event_type") === "click", "D")
+        .otherwise("U"))
+
+  private val cdcSql =
+    """SELECT *,
+      |  CASE WHEN event_type='signup' THEN 'I'
+      |       WHEN event_type='click' THEN 'D' ELSE 'U' END AS op
+      |FROM events""".stripMargin
+
+  /** Deterministically perturbed copy of `orders` — the "target" side for
+    * the diff operators (drop %101 keys, mutate %97 totals, add %103 ghost
+    * rows). Both engines derive it identically. */
+  private def perturbedOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val kept = o
+      .filter(!(col("o_orderkey") % 101 === 0))
+      .withColumn(
+        "o_totalprice",
+        when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+    val ghosts = o
+      .filter(col("o_orderkey") % 103 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+    kept.unionByName(ghosts)
+  }
+
+  private val ordersCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  private val perturbedOrdersSql = {
+    val keptCols = ordersCols.map {
+      case "o_totalprice" =>
+        "CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice"
+      case c => c
+    }.mkString(", ")
+    val ghostCols = ordersCols.map {
+      case "o_orderkey" => "o_orderkey + 1000000 AS o_orderkey"
+      case c => c
+    }.mkString(", ")
+    s"""SELECT $keptCols FROM orders WHERE o_orderkey % 101 <> 0
+       |UNION ALL
+       |SELECT $ghostCols FROM orders WHERE o_orderkey % 103 = 0""".stripMargin
+  }
+
+  // --------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D1: grouped aggregation, decimal-exact sums surfaced as doubles
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(8,2)") - col("l_discount").cast("decimal(8,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // D2: join + agg; dimension side broadcast
+    "q3_join" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_total"))
+    }),
+
+    // D3: top-k per group via window
+    "q_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 3)
+    }),
+
+    // D4: sessionization (30-min gap) — lag + running-sum windows
+    "events_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn(
+          "new_s",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn(
+          "session_id",
+          sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+    }),
+
+    // D5: time-bucketed rollup (batch twin of the streaming agg)
+    "events_window_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    }),
+
+    // A1: CDC replay to final state (single shuffle LWW window)
+    "cdc_apply_latest" -> ((s, dir) => {
+      CdcApply.latestState(
+        eventsCdc(s, dir),
+        pk = Seq("user_id"),
+        ordering = Seq(col("ts"), col("event_id")))
+        .select(
+          col("user_id"),
+          col("event_id").as("last_event_id"),
+          col("value").as("last_value"),
+          col("event_type").as("last_type"))
+    }),
+
+    // A2: upsert a late batch into the replayed early state; must equal a
+    // full replay (CDC merge associativity)
+    "cdc_upsert" -> ((s, dir) => {
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val cdc = eventsCdc(s, dir)
+      val base = CdcApply.latestState(
+        cdc.filter(col("ts") < split), Seq("user_id"), Seq(col("ts"), col("event_id")))
+      val changes = cdc.filter(col("ts") >= split)
+      CdcApply.upsert(base, changes, Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .select(
+          col("user_id"),
+          col("event_id").as("last_event_id"),
+          col("value").as("last_value"),
+          col("event_type").as("last_type"))
+    }),
+
+    // A3: delete application via anti-join (broadcast when small)
+    "cdc_delete" -> ((s, dir) => {
+      val deletes = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_custkey"))
+      CdcApply.applyDeletes(Tables.customer(s, dir), deletes, Seq("c_custkey"))
+    }),
+
+    // A4: full snapshot: LOAD table (customer) + CDC feed updating
+    // c_acctbal / deleting clicked keys, merged in one plan
+    "cdc_snapshot" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val ev = Tables.events(s, dir)
+      val chg = ev.join(cust, ev("user_id") === cust("c_custkey"))
+        .select(
+          cust("c_custkey"),
+          cust("c_name"),
+          cust("c_nationkey"),
+          ev("value").as("c_acctbal"),
+          cust("c_mktsegment"),
+          when(ev("event_type") === "click", "D").otherwise("U").as("Op"),
+          ev("ts"),
+          ev("event_id"))
+      CdcApply.upsert(cust, chg, Seq("c_custkey"), Seq(col("ts"), col("event_id")))
+    }),
+
+    // B1: row-level diff (full-outer join on pk, null-safe compare)
+    "diff_rowlevel" -> ((s, dir) => {
+      DataDiff.rowDiff(Tables.orders(s, dir), perturbedOrders(s, dir), Seq("o_orderkey"))
+    }),
+
+    // B2: chunk-hash compare — map-side hash sums per pk-range chunk
+    "diff_chunk" -> ((s, dir) => {
+      DataDiff.chunkDiff(
+        Tables.orders(s, dir),
+        perturbedOrders(s, dir),
+        floor(col("o_orderkey") / 1000.0).cast("bigint"))
+    }),
+
+    // B3: count-only compare
+    "diff_count" -> ((s, dir) => {
+      DataDiff.countDiff(Tables.orders(s, dir), perturbedOrders(s, dir), "orders")
+    })
+  )
+
+  // --------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s2 AS (
+        |  SELECT user_id, event_id,
+        |         CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM s2 GROUP BY user_id, session_id""".stripMargin,
+
+    "events_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "cdc_apply_latest" ->
+      s"""WITH cdc AS ($cdcSql),
+         |r AS (
+         |  SELECT user_id, event_id, value, event_type, op,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM cdc)
+         |SELECT user_id, event_id AS last_event_id, value AS last_value, event_type AS last_type
+         |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    // upsert(replay(early), late) == replay(all): the oracle is the full replay
+    "cdc_upsert" ->
+      s"""WITH cdc AS ($cdcSql),
+         |r AS (
+         |  SELECT user_id, event_id, value, event_type, op,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM cdc)
+         |SELECT user_id, event_id AS last_event_id, value AS last_value, event_type AS last_type
+         |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    "cdc_delete" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')""".stripMargin,
+
+    "cdc_snapshot" ->
+      """WITH chg AS (
+        |  SELECT e.user_id AS c_custkey, c.c_name, c.c_nationkey,
+        |         e.value AS c_acctbal, c.c_mktsegment,
+        |         CASE WHEN e.event_type = 'click' THEN 'D' ELSE 'U' END AS op,
+        |         row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |  FROM events e JOIN customer c ON c.c_custkey = e.user_id),
+        |last AS (SELECT * FROM chg WHERE rn = 1)
+        |SELECT c.c_custkey, c.c_name, c.c_nationkey,
+        |       COALESCE(l.c_acctbal, c.c_acctbal) AS c_acctbal,
+        |       c.c_mktsegment
+        |FROM customer c LEFT JOIN last l ON c.c_custkey = l.c_custkey
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+
+    "diff_rowlevel" -> {
+      val mism = ordersCols.filterNot(_ == "o_orderkey")
+        .map(c => s"s.$c IS DISTINCT FROM t.$c").mkString(" OR ")
+      s"""WITH tgt AS ($perturbedOrdersSql)
+         |SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+         |  CASE WHEN s.o_orderkey IS NULL THEN 'target_only'
+         |       WHEN t.o_orderkey IS NULL THEN 'source_only'
+         |       WHEN $mism THEN 'mismatch' END AS diff_status
+         |FROM orders s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+         |WHERE s.o_orderkey IS NULL OR t.o_orderkey IS NULL OR $mism""".stripMargin
+    },
+
+    "diff_chunk" -> {
+      val rowHash = graft.text.PortableHash.duckH32(
+        "concat_ws('|', " + ordersCols.map(c => s"CAST($c AS VARCHAR)").mkString(", ") + ")")
+      s"""WITH tgt AS ($perturbedOrdersSql),
+         |sa AS (
+         |  SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS chunk_id,
+         |         count(*) AS src_rows, sum($rowHash) AS sh
+         |  FROM orders GROUP BY 1),
+         |ta AS (
+         |  SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS chunk_id,
+         |         count(*) AS tgt_rows, sum($rowHash) AS th
+         |  FROM tgt GROUP BY 1)
+         |SELECT COALESCE(sa.chunk_id, ta.chunk_id) AS chunk_id,
+         |       CAST(COALESCE(src_rows, 0) AS BIGINT) AS src_rows,
+         |       CAST(COALESCE(tgt_rows, 0) AS BIGINT) AS tgt_rows,
+         |       (src_rows IS NOT DISTINCT FROM tgt_rows AND sh IS NOT DISTINCT FROM th) AS chunks_match
+         |FROM sa FULL OUTER JOIN ta ON sa.chunk_id = ta.chunk_id""".stripMargin
+    },
+
+    "diff_count" ->
+      s"""WITH tgt AS ($perturbedOrdersSql)
+         |SELECT 'orders' AS tbl,
+         |       (SELECT count(*) FROM orders) AS src_rows,
+         |       (SELECT count(*) FROM tgt) AS tgt_rows,
+         |       (SELECT count(*) FROM orders) = (SELECT count(*) FROM tgt) AS counts_match""".stripMargin
+  )
 }

@@ -1,0 +1,98 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed CDC replay — the core semantic of the reference.
+  *
+  * The reference applies a DMS changefeed row-at-a-time against Postgres:
+  * `Op='D'` → DELETE WHERE pk, `Op='U'` → INSERT ... ON CONFLICT (pk) DO
+  * UPDATE, else plain INSERT
+  * (/root/reference/src/postgres/postgres_operator_impl.rs:300-404). The
+  * final state after replaying an ordered feed is therefore
+  * *last-writer-wins per primary key, with a trailing delete removing the
+  * key*.
+  *
+  * Spark-first re-expression: that is ONE window over ONE hash shuffle by
+  * pk — `row_number() over (partition by pk order by seq desc)`, keep the
+  * first row per key, drop keys whose last op is a delete. At 100 TB this
+  * is the minimum possible data movement (every row must meet its key's
+  * other rows once); AQE splits skewed pks. No per-row round trips, no
+  * driver loop, no `.collect()`.
+  */
+object CdcApply {
+
+  /** DMS service columns injected by the migration task; dropped before
+    * landing (reference: postgres_operator_impl.rs:205-210). */
+  val ServiceColumns: Seq[String] = Seq("Op", "_dms_ingestion_timestamp")
+
+  def stripServiceColumns(df: DataFrame): DataFrame =
+    df.drop(ServiceColumns: _*)
+
+  /** Replay an ordered changefeed to its final state.
+    *
+    * @param cdc     changefeed rows carrying the full row image + an op column
+    * @param pk      primary-key columns (composite keys supported, as in the
+    *                reference's comma-joined pk list)
+    * @param ordering columns establishing the feed order (e.g. ingestion
+    *                timestamp, file sequence); later rows win
+    * @param opCol   name of the operation column, values I/U/D
+    */
+  def latestState(
+      cdc: DataFrame,
+      pk: Seq[String],
+      ordering: Seq[Column],
+      opCol: String = "Op"): DataFrame = {
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(ordering.map(_.desc): _*)
+    cdc
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .drop("__rn", opCol)
+  }
+
+  /** Merge a change batch into an existing base state —
+    * INSERT ... ON CONFLICT DO UPDATE + DELETE, set-at-once.
+    *
+    * Semantics: every key present in `changes` takes its last change row
+    * (or disappears, if that last change is a delete); keys untouched by
+    * `changes` keep their base row. Base and changes must share the
+    * non-service schema; `changes` additionally carries `opCol` and
+    * `ordering`.
+    *
+    * Implementation: tag base rows as sequence-zero inserts, union, and
+    * run the same single-shuffle LWW window. Union is narrow (no extra
+    * shuffle) so the whole merge still costs one exchange by pk.
+    */
+  def upsert(
+      base: DataFrame,
+      changes: DataFrame,
+      pk: Seq[String],
+      ordering: Seq[Column],
+      opCol: String = "Op"): DataFrame = {
+    val dataCols = base.columns.filterNot(ServiceColumns.contains)
+    // Types of the ordering expressions, so base rows can carry typed nulls
+    // (union needs identical schemas on both branches).
+    val ordTypes = changes.select(ordering: _*).schema.fields.map(_.dataType)
+    val ordNames = ordTypes.indices.map(i => s"__ord$i")
+    val seqed = changes.select(
+      dataCols.map(col) ++
+        Seq(col(opCol).as("__op"), lit(1).as("__seq")) ++
+        ordering.zip(ordNames).map { case (c, n) => c.as(n) }: _*)
+    val based = base.select(
+      dataCols.map(col) ++
+        Seq(lit("I").as("__op"), lit(0).as("__seq")) ++
+        ordTypes.zip(ordNames).map { case (t, n) => lit(null).cast(t).as(n) }: _*)
+    latestState(
+      based.unionByName(seqed), pk, col("__seq") +: ordNames.map(col), "__op")
+      .drop("__seq" +: ordNames: _*)
+  }
+
+  /** Apply a delete set: remove every base row whose pk appears in
+    * `deleteKeys` (reference: table_query.rs DeleteRows). A left-anti join;
+    * Catalyst broadcasts the delete side when it is small, which is the
+    * common CDC shape (few deletes vs a huge base).
+    */
+  def applyDeletes(base: DataFrame, deleteKeys: DataFrame, pk: Seq[String]): DataFrame =
+    base.join(deleteKeys.select(pk.map(col): _*).distinct(), pk, "left_anti")
+}

@@ -1,0 +1,34 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable deterministic hashes.
+  *
+  * `h32(x)` = the first 8 hex chars of md5(utf8(x)) parsed as an unsigned
+  * 32-bit integer, carried in a LongType. The same value is computable in
+  * any engine with md5 (DuckDB: `cast('0x'||substr(md5(x),1,8) as bigint)`),
+  * which is what makes MinHash/SimHash/fingerprint results verifiable
+  * against an independent oracle, unlike engine-private hashes
+  * (xxhash64 here, ahash in the reference's polars).
+  *
+  * md5 is a codegen'd Catalyst expression, so h32 compositions stay inside
+  * WholeStageCodegen — no UDF in the per-row path.
+  */
+object PortableHash {
+  /** Unsigned 32-bit md5 prefix as LongType. */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash family member per seed (used as the
+    * "permutation" of MinHash). */
+  def h32(seed: Int, c: Column): Column =
+    h32(concat(lit(s"$seed:"), c))
+
+  /** DuckDB SQL fragment computing the identical value. */
+  def duckH32(expr: String): String =
+    s"cast(('0x'||substr(md5($expr),1,8)) as bigint)"
+
+  def duckH32(seed: Int, expr: String): String =
+    duckH32(s"'$seed:'||$expr")
+}

@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf parquet tables, compare with the Verify parquet output
+(sort columns by name, sort rows, compare values)."""
+import json, sys, glob, os
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for q, sql in sorted(oracle.items()):
+    rdir = f"{outdir}/{q}"
+    if not os.path.isdir(rdir):
+        print(f"FAIL {q}: no spark output"); fails += 1; continue
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {q}: oracle error {str(e)[:200]}"); fails += 1; continue
+    try:
+        got = duckdb.sql(f"SELECT * FROM '{rdir}/*.parquet'").df()
+    except Exception as e:
+        print(f"FAIL {q}: spark output unreadable {str(e)[:120]}"); fails += 1; continue
+    exp = exp[sorted(exp.columns)]
+    got = got[sorted(got.columns)]
+    if list(exp.columns) != list(got.columns):
+        print(f"FAIL {q}: columns exp={list(exp.columns)} got={list(got.columns)}"); fails += 1; continue
+    if len(exp) != len(got):
+        print(f"FAIL {q}: rows exp={len(exp)} got={len(got)}"); fails += 1; continue
+    exp = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+    got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    eq = True
+    for c in exp.columns:
+        a, b = exp[c], got[c]
+        if str(a.dtype) != str(b.dtype):
+            print(f"  note {q}.{c}: dtype exp={a.dtype} got={b.dtype}")
+        if not a.astype(str).equals(b.astype(str)):
+            bad = (a.astype(str) != b.astype(str))
+            i = bad.idxmax()
+            print(f"FAIL {q}: col {c} differs at row {i}: exp={a[i]} got={b[i]} ({int(bad.sum())} rows)")
+            eq = False
+            break
+    if eq:
+        print(f"PASS {q} ({len(exp)} rows)")
+    else:
+        fails += 1
+print(f"\n{len(oracle)-fails}/{len(oracle)} pass")
+sys.exit(1 if fails else 0)
