@@ -74,7 +74,10 @@ object SparkEntry {
 
   // --------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ TextEntries.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1: grouped aggregation, decimal-exact sums surfaced as doubles
     "q1_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -216,7 +219,10 @@ object SparkEntry {
 
   // --------------------------------------------------------------- oracles
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ TextEntries.oracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,247 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.{PortableHash, TextOps}
+import graft.util.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup queries (SURVEY §2 E1–E4, E8–E11) and their
+  * DuckDB oracles. Oracle SQL is generated from the same Scala constants
+  * (marker lexicons, seeds, band layout) the Spark operators use, so the
+  * two sides cannot drift.
+  */
+object TextEntries {
+
+  // corpora with injected duplicates, derived identically in both engines:
+  // exact dups (+100000, every 10th doc) and near-dups with a 4-token tail
+  // (+200000, every 17th doc)
+  private def docsDup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+  }
+
+  private def docsNear(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" graft dup tail marker")).as("text")))
+  }
+
+  private def docsAll(s: SparkSession, dir: String): DataFrame =
+    docsDup(s, dir).unionByName(
+      Tables.documents(s, dir).filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" graft dup tail marker")).as("text")))
+
+  private val docsDupSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+  private val docsNearSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 200000, text || ' graft dup tail marker' FROM documents WHERE doc_id % 17 = 0""".stripMargin
+  private val docsAllSql =
+    s"""$docsDupSql
+       |UNION ALL SELECT doc_id + 200000, text || ' graft dup tail marker' FROM documents WHERE doc_id % 17 = 0""".stripMargin
+
+  // ------------------------------------------------ shared SQL fragments
+
+  private val normSql =
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val toksSql = s"string_split($normSql, ' ')"
+  /** shingle list over toks `t` (matches TextOps.shingles w=3). */
+  private val shingleListSql =
+    """CASE WHEN len(t) >= 3
+      |     THEN list_transform(generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2])
+      |     ELSE [array_to_string(t, ' ')] END""".stripMargin
+
+  /** postings CTE body over a corpus CTE named `corpus`. */
+  private val postSql =
+    s"""SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest($shingleListSql) AS s
+       |  FROM (SELECT doc_id, $toksSql AS t FROM corpus))""".stripMargin
+
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+
+  private val StopWords = TextOps.Markers.head._2 // english markers
+
+  // -------------------------------------------------------------- queries
+
+  val Tau: Long = 6000L // jaccard_bp threshold for near-dup pairs
+  val NumPerm = 12
+  val Bands = 4
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E10: token counting — whitespace, BPE-ish regex, normalized
+    "text_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.wsTokenCount(col("text")).as("n_ws_tokens"),
+        TextOps.bpeCount(col("text")).as("n_bpe_units"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_norm_tokens"))
+    }),
+
+    // E9: quality metrics (integer counts + basis-point ratios)
+    "text_quality" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        TextOps.wsTokenCount(t).as("n_tokens"),
+        TextOps.charClassCount(t, "[.,!?;:]").as("n_punct"),
+        TextOps.charClassCount(t, "[0-9]").as("n_digit"),
+        TextOps.markerCount(TextOps.tokens(t), StopWords).as("n_stop"),
+        TextOps.bp(TextOps.charClassCount(t, "[a-zA-Z]"), length(t)).as("alpha_bp"),
+        TextOps.bp(TextOps.markerCount(TextOps.tokens(t), StopWords),
+          TextOps.wsTokenCount(t)).as("stop_bp"))
+    }),
+
+    // E8: language-ID marker scores + argmax prediction
+    "text_langid" -> ((s, dir) => {
+      val scores = TextOps.langScores(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id") +:
+          scores.map { case (l, c) => c.as(s"score_$l") } :+
+          TextOps.langPredict(scores).as("pred_lang"): _*)
+    }),
+
+    // E11: document fingerprints (md5 of normalized + min shingle hash)
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.minShingleHash(col("text")).as("min_shingle_h"))
+    }),
+
+    // E1: exact dedup via fingerprint groupBy
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docsDup(s, dir), "doc_id", "text")),
+
+    // E2: n-gram Jaccard pairs (inverted-index join)
+    "dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docsNear(s, dir), "doc_id", "text", Tau)),
+
+    // E3: MinHash+LSH candidates, exact-verified
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docsNear(s, dir), "doc_id", "text", Tau, NumPerm, Bands)),
+
+    // E4: SimHash pairs, hamming <= 3 with exact banded recall
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docsAll(s, dir), "doc_id", "text"))
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  len(regexp_split_to_array(text, '\\s+')) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpe_units,
+         |  len($toksSql) AS n_norm_tokens
+         |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+         |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         |  len(list_filter($toksSql, x -> x IN (${inList(StopWords)}))) AS n_stop,
+         |  CAST(floor((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) * 10000.0 / length(text)) AS BIGINT) AS alpha_bp,
+         |  CAST(floor(len(list_filter($toksSql, x -> x IN (${inList(StopWords)}))) * 10000.0
+         |       / len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS stop_bp
+         |FROM documents""".stripMargin,
+
+    "text_langid" -> {
+      val scoreExprs = TextOps.Markers.map { case (l, ws) =>
+        s"len(list_filter(t, x -> x IN (${inList(ws)}))) AS score_$l"
+      }.mkString(",\n  ")
+      val langs = TextOps.Markers.map(_._1)
+      val caseExpr = langs.init.zipWithIndex.map { case (l, i) =>
+        val conds = langs.drop(i + 1).map(o => s"score_$l >= score_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ") + s" ELSE '${langs.last}'"
+      s"""SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+         |  CASE $caseExpr END AS pred_lang
+         |FROM (SELECT doc_id, $toksSql AS t,
+         |  $scoreExprs
+         |FROM documents)""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fp,
+         |  list_min(list_transform($shingleListSql, s -> ${PortableHash.duckH32("s")})) AS min_shingle_h
+         |FROM (SELECT doc_id, text, $toksSql AS t FROM documents)""".stripMargin,
+
+    "dedup_exact" ->
+      s"""WITH corpus AS ($docsDupSql)
+         |SELECT md5($normSql) AS fp, min(doc_id) AS keeper_id, count(*) AS n_docs
+         |FROM corpus GROUP BY 1""".stripMargin,
+
+    "dedup_ngram" ->
+      s"""WITH corpus AS ($docsNearSql),
+         |post AS ($postSql),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) AS jaccard_bp
+         |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) >= $Tau""".stripMargin,
+
+    "dedup_minhash" -> {
+      val rows = NumPerm / Bands
+      val sigExprs = (0 until NumPerm).map(i =>
+        s"list_min(list_transform(shl, s -> ${PortableHash.duckH32(s"'$i:'||s")})) AS sig_$i"
+      ).mkString(",\n  ")
+      val bandSelects = (0 until Bands).map { b =>
+        val slice = (0 until rows).map(r => s"sig_${b * rows + r}").mkString("||','||")
+        s"SELECT $b AS band, ${PortableHash.duckH32(slice)} AS bucket, doc_id FROM sigs"
+      }.mkString("\nUNION ALL ")
+      s"""WITH corpus AS ($docsNearSql),
+         |post AS ($postSql),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY 1),
+         |sigs AS (
+         |  SELECT doc_id, $sigExprs
+         |  FROM (SELECT doc_id, $shingleListSql AS shl
+         |        FROM (SELECT doc_id, $toksSql AS t FROM corpus))),
+         |banded AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |vcommon AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS common
+         |  FROM cand c
+         |  JOIN post a ON a.doc_id = c.id_a
+         |  JOIN post b ON b.doc_id = c.id_b AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) AS jaccard_bp
+         |FROM vcommon JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) >= $Tau""".stripMargin
+    },
+
+    "dedup_simhash" -> {
+      def sums(h: String, p: String) = (0 until 32).map(i =>
+        s"sum(CASE WHEN ($h >> $i) % 2 = 1 THEN 1 ELSE -1 END) AS $p$i").mkString(",\n  ")
+      def pack(p: String) = (0 until 32).map(i =>
+        s"(CASE WHEN $p$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH corpus AS ($docsAllSql),
+         |post AS ($postSql),
+         |hs AS (SELECT doc_id, ${PortableHash.duckH32("'hi:'||s")} AS hh,
+         |              ${PortableHash.duckH32("'lo:'||s")} AS hl FROM post),
+         |sums AS (SELECT doc_id,
+         |  ${sums("hh", "hi")},
+         |  ${sums("hl", "lo")}
+         |  FROM hs GROUP BY doc_id),
+         |sh2 AS (SELECT doc_id, ${pack("hi")} AS sim_hi, ${pack("lo")} AS sim_lo FROM sums)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS hamming
+         |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3""".stripMargin
+    }
+  )
+}

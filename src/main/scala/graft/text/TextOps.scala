@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: normalization,
+  * tokenization, shingling, language-ID, quality metrics, fingerprints.
+  *
+  * All are compositions of `org.apache.spark.sql.functions` (codegen'd, no
+  * UDFs) with exact DuckDB-SQL twins (see SparkEntry oracles), so every
+  * operator is verifiable against an independent engine. Ratios are surfaced
+  * as floor'd basis points (integer) — engine-portable, unlike rounded
+  * doubles.
+  */
+object TextOps {
+
+  /** Canonical normalization: lowercase, non-alphanumerics → single space,
+    * trim. DuckDB twin: trim(regexp_replace(lower(x),'[^a-z0-9]+',' ','g')). */
+  def norm(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Tokens of the normalized text (single-space separated after norm). */
+  def tokens(c: Column): Column = split(norm(c), " ")
+
+  /** Whitespace token count on the RAW text. */
+  def wsTokenCount(c: Column): Column = size(split(c, "\\s+")).cast("long")
+
+  /** BPE-ish unit count: runs of word chars or single non-word-non-space. */
+  val BpePattern = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+  def bpeCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpePattern), lit(0))).cast("long")
+
+  /** Word w-shingles over normalized tokens; docs shorter than w collapse to
+    * a single whole-text shingle so every doc has ≥1 feature. */
+  def shingles(c: Column, w: Int = 3): Column = {
+    val t = tokens(c)
+    when(size(t) >= w,
+      transform(
+        sequence(lit(1), size(t) - lit(w - 1)),
+        i => concat_ws(" ", (0 until w).map(k => element_at(t, i + lit(k))): _*)))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** Count of tokens belonging to a marker set. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers))).cast("long")
+
+  /** Language marker lexicons (tiny n-gram-free heuristic profiles). */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est"))
+
+  /** Per-language scores + argmax prediction (tie-break by Markers order). */
+  def langScores(c: Column): Seq[(String, Column)] = {
+    val t = tokens(c)
+    Markers.map { case (lang, words) => lang -> markerCount(t, words) }
+  }
+
+  def langPredict(scores: Seq[(String, Column)]): Column = {
+    // en wins ties vs all; then de vs the rest; etc.
+    val langs = scores.map(_._1)
+    val cols = scores.toMap
+    langs.init.zipWithIndex.foldRight(lit(langs.last)) { case ((lang, i), rest) =>
+      val later = langs.drop(i + 1)
+      when(later.map(o => cols(lang) >= cols(o)).reduce(_ && _), lit(lang))
+        .otherwise(rest)
+    }
+  }
+
+  /** floor(10000 * num / den) as bigint — portable ratio encoding. */
+  def bp(num: Column, den: Column): Column =
+    floor(num * lit(10000.0) / den).cast("long")
+
+  /** Count of chars matching a regex char class, via strip-and-diff. */
+  def charClassCount(c: Column, clazz: String): Column =
+    (length(c) - length(regexp_replace(c, clazz, ""))).cast("long")
+
+  /** Whole-document fingerprint: md5 of the normalized text. */
+  def fingerprint(c: Column): Column = md5(norm(c))
+
+  /** Min portable hash over the doc's shingles (a 1-perm minhash — the
+    * rolling-hash-min document sketch). */
+  def minShingleHash(c: Column, w: Int = 3): Column =
+    array_min(transform(shingles(c, w), s => PortableHash.h32(s)))
+}
