@@ -1,0 +1,115 @@
+package graft
+
+import graft.multimodal.Media
+import graft.similarity.{Knn, VectorOps}
+import graft.util.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity + multimodal queries (SURVEY §2 E5–E7, E12) and
+  * DuckDB oracles. Vector math is integer-quantized (VectorOps) so cosine
+  * scores and LSH buckets are bit-identical across engines.
+  */
+object VectorEntries {
+
+  val Dims = 64
+  val TauBp = 9500L
+  val K = 10
+
+  /** embeddings ∪ exact duplicates of every 10th vector (+100000). */
+  private def embDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    e.unionByName(e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+  }
+
+  private val embDupSql =
+    """SELECT vec_id, embedding FROM embeddings
+      |UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
+
+  // ------------------------------------------------------- oracle helpers
+
+  private val q = VectorOps.duckQuantize("embedding")
+  private def prepSql(corpus: String) =
+    s"""SELECT vec_id, q, ${VectorOps.duckQdot("q", "q")} AS sd,
+       |       ${VectorOps.duckSketch("q")} AS bucket
+       |FROM (SELECT vec_id, $q AS q FROM ($corpus))""".stripMargin
+
+  // -------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E5: embedding near-dup pairs (sketch buckets -> exact cosine verify)
+    "dedup_embed" -> ((s, dir) =>
+      Knn.embeddingDupPairs(embDup(s, dir), "vec_id", "embedding", TauBp, Dims)),
+
+    // E6: brute-force exact top-k (query side broadcast, corpus scanned once)
+    "knn_brute" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Knn.bruteForce(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", K)
+    }),
+
+    // E7: bucketed ANN over the dup-augmented corpus (each query's
+    // duplicate guarantees a same-bucket neighbor)
+    "knn_bucketed" -> ((s, dir) => {
+      val c = embDup(s, dir)
+      val qs = c.filter(col("vec_id") % 10 === 0 && col("vec_id") < 50)
+      Knn.bucketed(c, qs, "vec_id", "embedding", K, Dims)
+    }),
+
+    // E12: multimodal metadata pipeline (binary payloads, mapPartitions
+    // batch "decode" with deterministic stub codec)
+    "mm_meta" -> ((s, dir) => {
+      val media = Media.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
+      Media.extractMeta(media).toDF()
+    })
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_embed" ->
+      s"""WITH prep AS (${prepSql(embDupSql)})
+         |SELECT id_a, id_b, cos_bp FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${VectorOps.duckCosineBp(VectorOps.duckQdot("a.q", "b.q"), "a.sd", "b.sd")} AS cos_bp
+         |  FROM prep a JOIN prep b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE cos_bp >= $TauBp""".stripMargin,
+
+    "knn_brute" ->
+      s"""WITH prep AS (
+         |  SELECT vec_id, q, ${VectorOps.duckQdot("q", "q")} AS sd
+         |  FROM (SELECT vec_id, $q AS q FROM embeddings)),
+         |qs AS (SELECT * FROM prep WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${VectorOps.duckCosineBp(VectorOps.duckQdot("c.q", "qs.q"), "c.sd", "qs.sd")} AS cos_bp
+         |  FROM prep c JOIN qs ON c.vec_id <> qs.vec_id)
+         |SELECT query_id, neighbor_id, rnk, cos_bp FROM (
+         |  SELECT query_id, neighbor_id, cos_bp,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $K""".stripMargin,
+
+    "knn_bucketed" ->
+      s"""WITH prep AS (${prepSql(embDupSql)}),
+         |qs AS (SELECT * FROM prep WHERE vec_id % 10 = 0 AND vec_id < 50),
+         |scored AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${VectorOps.duckCosineBp(VectorOps.duckQdot("c.q", "qs.q"), "c.sd", "qs.sd")} AS cos_bp
+         |  FROM prep c JOIN qs ON c.bucket = qs.bucket AND c.vec_id <> qs.vec_id)
+         |SELECT query_id, neighbor_id, rnk, cos_bp FROM (
+         |  SELECT query_id, neighbor_id, cos_bp,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $K""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id, 'application/octet-stream' AS mime,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  octet_length(encode(text)) % 640 + 1 AS width,
+        |  octet_length(encode(text)) % 480 + 1 AS height,
+        |  octet_length(encode(text)) % 30 + 1 AS frame_count
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `binary` payloads with typed
+  * metadata, processed in distributed batches.
+  *
+  * The Spark-side plumbing is real — binary columns, typed Dataset rows,
+  * `mapPartitions` batch processing (the Scala analogue of `mapInPandas`
+  * batch UDFs), deterministic partitioning — while the actual codec is
+  * STUBBED (no image/audio libraries in this container): `decodeStub`
+  * derives width/height/frame_count deterministically from the payload
+  * bytes, so the pipeline is end-to-end testable and oracle-verifiable.
+  * Swapping in a real decoder changes only the body of `decodeStub`.
+  */
+object Media {
+
+  case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
+  case class MediaMeta(
+      doc_id: Long,
+      mime: String,
+      n_bytes: Long,
+      checksum: String,
+      width: Long,
+      height: Long,
+      frame_count: Long)
+
+  /** Wrap a text corpus as a binary media table (payload = utf8 bytes) —
+    * the test-world stand-in for reading real image/audio blobs. */
+  def asMediaTable(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      lit("application/octet-stream").as("mime"),
+      encode(col(textCol), "UTF-8").as("payload")).as[MediaRow]
+  }
+
+  /** STUB codec: deterministic pseudo-metadata from payload bytes. A real
+    * implementation would hand `rows` (one batch per partition) to an
+    * image/audio library; the batch shape, schema and partitioning are
+    * what this pipeline exercises. */
+  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaMeta] = {
+    val md = MessageDigest.getInstance("MD5") // one instance per partition
+    rows.map { r =>
+      md.reset()
+      val checksum = md.digest(r.payload).map("%02x".format(_)).mkString
+      val n = r.payload.length.toLong
+      MediaMeta(
+        doc_id = r.doc_id,
+        mime = r.mime,
+        n_bytes = n,
+        checksum = checksum,
+        width = n % 640 + 1,
+        height = n % 480 + 1,
+        frame_count = n % 30 + 1)
+    }
+  }
+
+  /** Distributed metadata extraction: batch "decode" per partition. */
+  def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(decodeStub)
+  }
+}

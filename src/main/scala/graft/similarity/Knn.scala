@@ -1,0 +1,87 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns.
+  *
+  * Scale design: the corpus is never self-cross-joined. Brute-force kNN
+  * broadcasts the (small) query set against the distributed corpus — one
+  * scan, no shuffle of the corpus. The bucketed variant assigns each vector
+  * a 16-bit random-hyperplane sketch and joins on the bucket key, so
+  * candidate generation is linear in bucket-pair sizes; at 100 TB the
+  * bucket column also serves as a partition key so lookups prune partitions.
+  */
+object Knn {
+
+  /** Corpus with quantized vectors + exact self-dot. */
+  def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(
+      col(idCol).as("vid"),
+      VectorOps.quantize(col(vecCol)).as("qv"))
+      .withColumn("self_dot", VectorOps.qdot(col("qv"), col("qv")))
+
+  /** Exact top-k cosine neighbors for each query vector (excluding self).
+    * Output: query_id, neighbor_id, rnk, cos_bp. */
+  def bruteForce(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val q = prepared(queries, idCol, vecCol)
+      .select(col("vid").as("qid"), col("qv").as("qqv"), col("self_dot").as("qself"))
+    val scored = c.join(broadcast(q), col("vid") =!= col("qid"))
+      .withColumn("dot", VectorOps.qdot(col("qv"), col("qqv")))
+      .withColumn("cos_bp", VectorOps.cosineBp(col("dot"), col("self_dot"), col("qself")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_bp").desc, col("vid").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("rnk"), col("cos_bp"))
+  }
+
+  /** Sketch-bucketed approximate neighbors: candidates share the 16-bit
+    * hyperplane sketch; exact cosine + top-k within candidates. Trades
+    * recall for a candidate set ~n/2^16 per bucket. */
+  def bucketed(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dims: Int): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+      .withColumn("bucket", VectorOps.sketch(col("qv"), dims))
+    val q = prepared(queries, idCol, vecCol)
+      .withColumn("bucket", VectorOps.sketch(col("qv"), dims))
+      .select(col("vid").as("qid"), col("qv").as("qqv"),
+        col("self_dot").as("qself"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("dot", VectorOps.qdot(col("qv"), col("qqv")))
+      .withColumn("cos_bp", VectorOps.cosineBp(col("dot"), col("self_dot"), col("qself")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_bp").desc, col("vid").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("rnk"), col("cos_bp"))
+  }
+
+  /** Embedding near-dup pairs: sketch-bucket candidates, exact cosine
+    * verify at tauBp. Output: id_a, id_b, cos_bp. */
+  def embeddingDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      tauBp: Long, dims: Int): DataFrame = {
+    val p = prepared(df, idCol, vecCol)
+      .withColumn("bucket", VectorOps.sketch(col("qv"), dims))
+    val l = p.select(col("bucket"), col("vid").as("id_a"),
+      col("qv").as("qa"), col("self_dot").as("da"))
+    val r = p.select(col("bucket"), col("vid").as("id_b"),
+      col("qv").as("qb"), col("self_dot").as("db"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", VectorOps.qdot(col("qa"), col("qb")))
+      .withColumn("cos_bp", VectorOps.cosineBp(col("dot"), col("da"), col("db")))
+      .filter(col("cos_bp") >= tauBp)
+      .select(col("id_a"), col("id_b"), col("cos_bp"))
+      .distinct()
+  }
+}
