@@ -1,0 +1,48 @@
+package graft.pg
+
+import java.sql.DriverManager
+
+import graft.cdc.CdcApply
+import org.apache.spark.sql.DataFrame
+
+/** Landing DataFrames in a live Postgres — the reference's target-DB write
+  * path, distributed. Plain appends ride Spark's built-in JDBC sink
+  * (partition-parallel batched INSERTs); CDC upserts execute the
+  * SqlWriter-generated statements per partition, each executor holding one
+  * connection — the 1000-executor analogue of the reference's pooled
+  * row-at-a-time writes.
+  *
+  * No live database exists in this container, so this class is exercised
+  * only at the statement-generation layer in tests; the execution path is
+  * the thin loop below.
+  */
+object JdbcSink {
+
+  /** Bulk append via Spark's JDBC writer (LOAD-file landing). */
+  def append(df: DataFrame, url: String, schema: String, table: String,
+      user: String, password: String): Unit =
+    CdcApply.stripServiceColumns(df)
+      .write
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", s"$schema.$table")
+      .option("user", user)
+      .option("password", password)
+      .option("batchsize", 10000)
+      .mode("append")
+      .save()
+
+  /** Execute CDC upsert/delete statements per partition (CDC-file landing). */
+  def applyCdc(df: DataFrame, url: String, schema: String, table: String,
+      primaryKeys: Seq[String], user: String, password: String): Unit = {
+    SqlWriter.upsertStatements(df, schema, table, primaryKeys)
+      .foreachPartition { (stmts: Iterator[String]) =>
+        val conn = DriverManager.getConnection(url, user, password)
+        try {
+          val st = conn.createStatement()
+          stmts.foreach(st.execute)
+          st.close()
+        } finally conn.close()
+      }
+  }
+}

@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.time.Instant
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** DMS S3 layout discovery — the reference's S3Operator
+  * (/root/reference/src/s3/s3_operator.rs) over the Hadoop FileSystem API,
+  * so the same code serves s3a://, hdfs:// and file:// URIs.
+  *
+  * Layout: `<prefix>/<database>/<schema>/<table>/<YYYY>/<MM>/<DD>/<file>.parquet`
+  * with full-load files named `LOAD*` and CDC files timestamped. Modes
+  * (s3_operator.rs:11-29):
+  *  - DateAware: LOAD files + CDC files modified in [startDate, stopDate)
+  *  - FullLoadOnly: only LOAD* files
+  *  - AbsolutePath: one explicit file
+  *
+  * LOAD files order first, then CDC files by (modification time, name) —
+  * the replay sequence (the reference rotates LOAD files to the front,
+  * s3_operator.rs:181-188). The listing itself is metadata-only.
+  */
+object DmsFileCatalog {
+
+  sealed trait Mode
+  case class DateAware(startDate: Instant, stopDate: Option[Instant]) extends Mode
+  case object FullLoadOnly extends Mode
+  case class AbsolutePath(path: String) extends Mode
+
+  case class CatalogedFile(path: String, isLoad: Boolean, seq: Long, modifiedMs: Long)
+
+  def isLoadFile(name: String): Boolean = name.contains("LOAD")
+  def isFirstLoadFile(name: String): Boolean = name == "LOAD00000001.parquet" || name == "LOAD00000001"
+
+  def tablePrefix(prefix: String, database: String, schema: String, table: String): String =
+    s"$prefix/$database/$schema/$table"
+
+  /** List and order a table's parquet files per mode. */
+  def listFiles(
+      spark: SparkSession,
+      prefix: String, database: String, schema: String, table: String,
+      mode: Mode): Seq[CatalogedFile] = mode match {
+    case AbsolutePath(p) =>
+      Seq(CatalogedFile(p, isLoadFile(p.split('/').last), 0L, 0L))
+    case m =>
+      val dir = new Path(tablePrefix(prefix, database, schema, table))
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) return Seq.empty
+      val all = listRecursive(fs, dir)
+        .filter(f => f.getPath.getName.endsWith(".parquet") || isLoadFile(f.getPath.getName))
+      val selected = m match {
+        case FullLoadOnly => all.filter(f => isLoadFile(f.getPath.getName))
+        case DateAware(start, stop) =>
+          all.filter { f =>
+            val name = f.getPath.getName
+            val mod = f.getModificationTime
+            isLoadFile(name) ||
+              (mod > start.toEpochMilli && stop.forall(s => mod < s.toEpochMilli))
+          }
+        case AbsolutePath(_) => Seq.empty // unreachable
+      }
+      val ordered = selected.sortBy { f =>
+        // LOAD files first (by name), then CDC files by (mtime, name)
+        val load = isLoadFile(f.getPath.getName)
+        (if (load) 0 else 1, if (load) 0L else f.getModificationTime, f.getPath.getName)
+      }
+      ordered.zipWithIndex.map { case (f, i) =>
+        CatalogedFile(f.getPath.toString, isLoadFile(f.getPath.getName),
+          i.toLong, f.getModificationTime)
+      }
+  }
+
+  private def listRecursive(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val it = fs.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
+  }
+
+  /** Read a cataloged table as one DataFrame, tagging each row with its
+    * file sequence (the CDC replay ordering key) and load/cdc origin —
+    * the inputs CdcApply.latestState / Snapshot need. One scan, no
+    * per-file driver loop. */
+  def readTable(spark: SparkSession, files: Seq[CatalogedFile]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (files.isEmpty) return spark.emptyDataFrame
+    // key by basename: input_file_name() URI normalization varies by
+    // filesystem, but DMS file names (LOAD*, timestamped CDC) are unique
+    // within a table
+    def basename(p: String) = p.split('/').last
+    val seqMap = typedLit(files.map(f => basename(f.path) -> f.seq).toMap)
+    val loadMap = typedLit(files.map(f => basename(f.path) -> f.isLoad).toMap)
+    val nameCol = element_at(split(input_file_name(), "/"), -1)
+    spark.read.parquet(files.map(_.path): _*)
+      .withColumn("_seq", element_at(seqMap, nameCol))
+      .withColumn("_is_load", element_at(loadMap, nameCol))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Continuous CDC apply — the streaming twin of CdcApply.latestState.
+  *
+  * The reference replays CDC files in a batch loop; a live pipeline keeps
+  * table state current as changefeed microbatches arrive. Structured
+  * Streaming expression: group the feed by pk and keep the
+  * latest-by-(ordering) row per key in `flatMapGroupsWithState`, emitting
+  * a (pk, op, row) update whenever the winner changes. State is one row
+  * per key — the minimum for LWW semantics — and is partitioned by pk
+  * across executors, so a 1000-executor cluster holds 1/1000 of the keys
+  * each.
+  */
+object CdcStream {
+
+  case class KeyedChange(pk: String, seq: Long, op: String, payload: String)
+  case class CurrentState(pk: String, seq: Long, op: String, payload: String)
+
+  /** Latest-state maintenance over a stream of KeyedChange. Emits the new
+    * winning row for a key whenever it changes (deletes emit op="D" so a
+    * sink can remove the key). */
+  def latestState(changes: Dataset[KeyedChange]): Dataset[CurrentState] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .groupByKey(_.pk)
+      .flatMapGroupsWithState[CurrentState, CurrentState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (pk: String, rows: Iterator[KeyedChange], state: GroupState[CurrentState]) =>
+          val incoming = rows.maxByOption(_.seq)
+          incoming match {
+            case None => Iterator.empty
+            case Some(top) =>
+              val prev = state.getOption
+              if (prev.forall(_.seq <= top.seq)) {
+                val next = CurrentState(pk, top.seq, top.op, top.payload)
+                state.update(next)
+                Iterator.single(next)
+              } else Iterator.empty
+          }
+      }
+  }
+
+  /** Wrap an events-shaped DataFrame (pk/seq/op/payload columns) into the
+    * typed changefeed. */
+  def asChangefeed(df: DataFrame, pk: String, seq: String, op: String, payload: String): Dataset[KeyedChange] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      col(pk).cast("string").as("pk"),
+      col(seq).cast("long").as("seq"),
+      col(op).cast("string").as("op"),
+      col(payload).cast("string").as("payload")).as[KeyedChange]
+  }
+}
+
+/** Watermarked tumbling-window aggregation over the events stream —
+  * the streaming twin of the `events_window_agg` batch query. */
+object EventAgg {
+  def hourly(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+}

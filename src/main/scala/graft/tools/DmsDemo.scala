@@ -1,0 +1,81 @@
+package graft.tools
+
+import java.nio.file.Files
+import java.time.Instant
+
+import graft.cdc.CdcApply
+import graft.pg.{Ddl, SqlWriter, TypeMapper}
+import graft.sources.DmsFileCatalog
+import graft.sources.DmsFileCatalog.DateAware
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** End-to-end demo of the DMS snapshot pipeline on a synthesized layout:
+  * write LOAD + CDC parquet files in the DMS directory scheme, catalog
+  * them, replay to final state, and emit the Postgres DDL/DML a live sink
+  * would execute. Run: `sbt "runMain graft.tools.DmsDemo"`.
+  */
+object DmsDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // --- synthesize a DMS S3 layout: prefix/db/schema/table/YYYY/MM/DD/
+    val root = Files.createTempDirectory("graft-dms-demo")
+    val tableDir = root.resolve("landing/mydb/public/accounts/2024/02/14")
+    Files.createDirectories(tableDir)
+    def writeFile(name: String, rows: Seq[(Long, String, Double, String)], mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("part")
+      rows.toDF("id", "name", "balance", "Op").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = tableDir.resolve(name)
+      Files.copy(part, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val t0 = Instant.parse("2024-02-14T10:00:00Z").toEpochMilli
+    writeFile("LOAD00000001.parquet",
+      Seq((1L, "alice", 100.0, "I"), (2L, "bob", 50.0, "I"), (3L, "carol", 75.0, "I")), t0)
+    writeFile("20240214-101000.parquet",
+      Seq((2L, "bob", 60.0, "U"), (4L, "dave", 10.0, "I")), t0 + 60000)
+    writeFile("20240214-102000.parquet",
+      Seq((3L, "carol", 0.0, "D"), (2L, "bob", 65.0, "U")), t0 + 120000)
+
+    // --- catalog (DateAware mode, like the reference's default)
+    val files = DmsFileCatalog.listFiles(
+      spark, s"$root/landing", "mydb", "public", "accounts",
+      DateAware(Instant.parse("2024-02-14T09:00:00Z"), None))
+    println(s"[demo] cataloged ${files.size} files:")
+    files.foreach(f => println(s"[demo]   seq=${f.seq} load=${f.isLoad} ${f.path.split('/').last}"))
+
+    // --- replay to final state: one window over one shuffle
+    val table = DmsFileCatalog.readTable(spark, files)
+    val state = CdcApply.latestState(table, Seq("id"), Seq(col("_seq")))
+      .drop("_seq", "_is_load")
+    println("[demo] final state after replay:")
+    state.orderBy("id").collect().foreach(r => println(s"[demo]   $r"))
+
+    // --- the DDL/DML a live Postgres sink would run
+    val ddl = Ddl.createTable("public", "accounts",
+      ListMap(state.schema.fields.map(f => f.name -> TypeMapper.sparkToPg(f.dataType)): _*),
+      Seq("id"))
+    println(s"[demo] DDL: $ddl")
+    val cdcOnly = table.filter(!col("_is_load")).drop("_seq", "_is_load")
+    println("[demo] sample upsert statements (first 3):")
+    SqlWriter.upsertStatements(cdcOnly, "public", "accounts", Seq("id"))
+      .take(3).foreach(s => println(s"[demo]   $s"))
+
+    val ok = state.count() == 3 // alice, bob(65.0), dave; carol deleted
+    println(s"[demo] RESULT: ${if (ok) "OK" else "MISMATCH"}")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

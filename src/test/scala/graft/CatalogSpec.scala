@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.time.Instant
+
+import graft.sources.DmsFileCatalog
+import graft.sources.DmsFileCatalog._
+import org.apache.spark.sql.functions._
+
+/** DMS file catalog over a synthesized on-disk layout (SURVEY §2 A6):
+  * LOAD-first ordering, mode filtering, sequence tagging. */
+class CatalogSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val root: Path = {
+    val dir = Files.createTempDirectory("graft-dms")
+    val tableDir = dir.resolve("prefix/db/public/users/2024/02/14")
+    Files.createDirectories(tableDir)
+    // write three parquet files: one LOAD, two CDC — CDC mtimes ordered
+    def write(name: String, rows: Seq[(Long, String, String)], mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-part")
+      rows.toDF("id", "v", "Op").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = tableDir.resolve(name)
+      Files.copy(part, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val t0 = Instant.parse("2024-02-14T10:00:00Z").toEpochMilli
+    write("LOAD00000001.parquet", Seq((1L, "a", "I"), (2L, "b", "I")), t0)
+    write("20240214-101000000.parquet", Seq((1L, "a2", "U")), t0 + 60000)
+    write("20240214-102000000.parquet", Seq((2L, "-", "D")), t0 + 120000)
+    dir
+  }
+
+  private def list(mode: Mode) =
+    DmsFileCatalog.listFiles(spark, s"$root/prefix", "db", "public", "users", mode)
+
+  test("A6: full-load-only returns just LOAD files") {
+    val files = list(FullLoadOnly)
+    assert(files.map(f => f.path.split('/').last) == Seq("LOAD00000001.parquet"))
+    assert(files.head.isLoad)
+  }
+
+  test("A6: date-aware keeps LOAD + CDC in window, LOAD first") {
+    val start = Instant.parse("2024-02-14T10:00:30Z")
+    val files = list(DateAware(start, None))
+    assert(files.map(_.path.split('/').last) ==
+      Seq("LOAD00000001.parquet", "20240214-101000000.parquet", "20240214-102000000.parquet"))
+    assert(files.map(_.seq) == Seq(0L, 1L, 2L))
+    // stop date excludes the last CDC file
+    val stopped = list(DateAware(start, Some(Instant.parse("2024-02-14T10:01:30Z"))))
+    assert(stopped.map(_.path.split('/').last) ==
+      Seq("LOAD00000001.parquet", "20240214-101000000.parquet"))
+  }
+
+  test("A6: LOAD files always included regardless of window (reference quirk)") {
+    val late = Instant.parse("2024-02-14T10:05:00Z")
+    val files = list(DateAware(late, None))
+    assert(files.exists(_.isLoad))
+    assert(files.count(!_.isLoad) == 0)
+  }
+
+  test("A6: absolute path mode wraps a single file") {
+    val files = list(AbsolutePath("/x/y/LOAD1.parquet"))
+    assert(files.map(_.path) == Seq("/x/y/LOAD1.parquet"))
+    assert(files.head.isLoad)
+  }
+
+  test("A6+A4: readTable tags rows with sequence; replay yields final state") {
+    val start = Instant.parse("2024-02-14T09:00:00Z")
+    val files = list(DateAware(start, None))
+    val df = DmsFileCatalog.readTable(spark, files)
+    assert(df.columns.contains("_seq") && df.columns.contains("_is_load"))
+    val state = graft.cdc.CdcApply.latestState(
+      df, Seq("id"), Seq(col("_seq")))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    // id=1 updated to a2; id=2 deleted by last CDC file
+    assert(state == Map(1L -> "a2"))
+  }
+
+  test("A6: missing table dir lists empty") {
+    assert(DmsFileCatalog.listFiles(
+      spark, s"$root/prefix", "db", "public", "nope", FullLoadOnly).isEmpty)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.cdc.{CdcApply, SchemaGuard}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDC operator semantics on controlled micro-data (SURVEY §2 A1–A3, A5). */
+class CdcSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def feed = Seq(
+    // pk, seq, op, value
+    (1L, 1L, "I", "a"), (1L, 2L, "U", "b"),          // update wins
+    (2L, 1L, "I", "x"), (2L, 2L, "D", "-"),          // deleted key vanishes
+    (3L, 1L, "I", "c"),                              // plain insert
+    (4L, 1L, "I", "d"), (4L, 2L, "D", "-"), (4L, 3L, "I", "e") // delete then re-insert
+  ).toDF("pk", "seq", "Op", "v")
+
+  test("A1: latestState is last-writer-wins with trailing-delete removal") {
+    val out = CdcApply.latestState(feed, Seq("pk"), Seq(col("seq")))
+      .select("pk", "v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "b", 3L -> "c", 4L -> "e"))
+  }
+
+  test("A2: upsert(base, changes) == replay(all)") {
+    val base = CdcApply.latestState(feed.filter($"seq" <= 1), Seq("pk"), Seq(col("seq")))
+    val changes = feed.filter($"seq" > 1)
+    val merged = CdcApply.upsert(base, changes, Seq("pk"), Seq(col("seq")))
+      .select("pk", "v").as[(Long, String)].collect().toMap
+    val full = CdcApply.latestState(feed, Seq("pk"), Seq(col("seq")))
+      .select("pk", "v").as[(Long, String)].collect().toMap
+    assert(merged == full)
+  }
+
+  test("A3: applyDeletes is a pk anti-join") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("pk", "v")
+    val dels = Seq(2L, 9L).toDF("pk")
+    val out = CdcApply.applyDeletes(base, dels, Seq("pk"))
+      .select("pk").as[Long].collect().toSet
+    assert(out == Set(1L, 3L))
+  }
+
+  test("A8: service columns dropped") {
+    val df = Seq((1L, "I", "ts", "x")).toDF("pk", "Op", "_dms_ingestion_timestamp", "v")
+    assert(CdcApply.stripServiceColumns(df).columns.toSeq == Seq("pk", "v"))
+  }
+
+  test("A5: schema guard flags added columns, ignores service columns") {
+    val fileSchema = StructType(Seq(
+      StructField("id", LongType), StructField("newcol", StringType),
+      StructField("Op", StringType),
+      StructField("_dms_ingestion_timestamp", StringType)))
+    val tableCols = Map("id" -> "bigint", "oldcol" -> "string")
+    val d = SchemaGuard.diff(fileSchema, tableCols)
+    assert(d.added == Seq("newcol"))
+    assert(d.dropped == Seq("oldcol"))
+    assert(SchemaGuard.hasBlockingDrift(fileSchema, tableCols))
+    assert(!SchemaGuard.hasBlockingDrift(
+      StructType(Seq(StructField("id", LongType))), tableCols))
+  }
+
+  test("A5: retyped columns reported") {
+    val fileSchema = StructType(Seq(StructField("id", StringType)))
+    val d = SchemaGuard.diff(fileSchema, Map("id" -> "bigint"))
+    assert(d.retyped == Seq(("id", "bigint", "string")))
+  }
+}

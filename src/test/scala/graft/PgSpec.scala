@@ -1,0 +1,88 @@
+package graft
+
+import graft.pg.{Ddl, GeometryType, TypeMapper, ValueRenderer}
+import graft.sources.TableSelector
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.immutable.ListMap
+
+/** Pure-function coverage of the Postgres surface (SURVEY §2 C1–C5, A7).
+  * Expected strings mirror the reference's own unit tests
+  * (/root/reference/src/postgres/table_query.rs tests). */
+class PgSpec extends AnyFunSuite {
+
+  test("C1: create table with composite pk preserves column order") {
+    val cols = ListMap("column1" -> "varchar", "column2" -> "int")
+    assert(Ddl.createTable("schema", "table", cols, Seq("pk1", "pk2")) ==
+      "CREATE TABLE IF NOT EXISTS schema.table (column1 varchar,column2 int,PRIMARY KEY (pk1,pk2))")
+  }
+
+  test("C1: create table without pk drops trailing comma") {
+    val cols = ListMap("c1" -> "text")
+    assert(Ddl.createTable("s", "t", cols, Seq.empty) ==
+      "CREATE TABLE IF NOT EXISTS s.t (c1 text)")
+  }
+
+  test("C1: delete rows by composite pk tuple") {
+    assert(Ddl.deleteRows("s", "t", Seq("a", "b"), Seq("1", "2")) ==
+      "DELETE FROM s.t WHERE (a,b)=(1,2)")
+  }
+
+  test("C1: schema ddl") {
+    assert(Ddl.createSchema("x") == "CREATE SCHEMA IF NOT EXISTS x")
+    assert(Ddl.dropSchema("x") == "DROP SCHEMA IF EXISTS x CASCADE")
+  }
+
+  test("C1: upsert statement shapes (I vs U; conflict clause inside statement)") {
+    val ins = Ddl.upsert("s", "t", Seq("a", "b"), Seq("1", "'x'"), Seq("a"), isUpdate = false)
+    assert(ins == "INSERT INTO s.t (a, b) VALUES (1, 'x');")
+    val up = Ddl.upsert("s", "t", Seq("a", "b"), Seq("1", "'x'"), Seq("a"), isUpdate = true)
+    assert(up == "INSERT INTO s.t (a, b) VALUES (1, 'x') ON CONFLICT (a) DO UPDATE SET a = 1, b = 'x';")
+  }
+
+  test("C2: ARRAY normalizes to text[] (reference behavior)") {
+    assert(TypeMapper.normalizePgType("ARRAY") == "text[]")
+    assert(TypeMapper.normalizePgType("integer") == "integer")
+  }
+
+  test("C2: pg<->spark round trips for common types") {
+    assert(TypeMapper.pgToSpark("bigint") == LongType)
+    assert(TypeMapper.pgToSpark("ARRAY") == ArrayType(StringType))
+    assert(TypeMapper.sparkToPg(DoubleType) == "double precision")
+    assert(TypeMapper.sparkToPg(DecimalType(18, 2)) == "numeric(18,2)")
+    assert(TypeMapper.sparkToPg(ArrayType(LongType)) == "text[]")
+  }
+
+  test("C3: string escaping doubles single quotes") {
+    assert(ValueRenderer.render("it's") == "'it''s'")
+    assert(ValueRenderer.render(null) == "NULL")
+    assert(ValueRenderer.render(java.math.BigDecimal.valueOf(12345, 2)) == "'123.45'")
+  }
+
+  test("C4: multipolygon detected and wrapped, others untouched") {
+    val wkt = "MULTIPOLYGON(((0 0,1 0,1 1,0 0)))"
+    assert(GeometryType(wkt).isGeometry)
+    assert(GeometryType(wkt).format(wkt) == s"ST_GeomFromText('$wkt', 0)")
+    assert(!GeometryType("POLYGONISH(1)").isGeometry)
+    assert(!GeometryType("plain text").isGeometry)
+    // double-quoted prefix is sanitized like the reference
+    assert(ValueRenderer.render(wkt) == s"ST_GeomFromText('$wkt', 0)")
+  }
+
+  test("A7: include wins over exclude; empty lists select all") {
+    val all = Seq("a", "b", "c")
+    assert(TableSelector.select(all, Seq("b"), Seq.empty) == Seq("b"))
+    assert(TableSelector.select(all, Seq.empty, Seq("b")) == Seq("a", "c"))
+    assert(TableSelector.select(all, Seq.empty, Seq.empty) == all)
+    assert(TableSelector.select(all, Seq("a"), Seq("a")) == Seq("a"))
+  }
+
+  test("C1: table filter subqueries match reference SQL") {
+    assert(Ddl.tableFilterSubquery(Seq("t1", "t2"), Seq.empty) ==
+      "AND table_name IN ('t1', 't2')")
+    assert(Ddl.tableFilterSubquery(Seq.empty, Seq("t3")) ==
+      "AND table_name NOT IN ('t3')")
+    assert(Ddl.tableFilterSubquery(Seq.empty, Seq.empty) == "")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.multimodal.Media
+import graft.similarity.{Knn, VectorOps}
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+
+/** ANN recall vs brute force + multimodal pipeline shape (E6, E7, E12). */
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("E7: bucketed ANN results are a subset of brute-force with identical scores") {
+    val dir = sf("sf0.001")
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter($"vec_id" < 20)
+    val brute = Knn.bruteForce(e, qs, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id", $"cos_bp")
+      .as[(Long, Long, Long)].collect().map { case (q, n, c) => (q, n) -> c }.toMap
+    val approx = Knn.bucketed(e, qs, "vec_id", "embedding", 10, 64)
+      .select($"query_id", $"neighbor_id", $"cos_bp")
+      .as[(Long, Long, Long)].collect()
+    // every approx hit must carry the exact same cosine the brute path computed
+    approx.foreach { case (q, n, c) =>
+      assert(brute.get((q, n)).forall(_ == c),
+        s"bucketed pair ($q,$n) scored $c but brute says ${brute.get((q, n))}")
+    }
+  }
+
+  test("E6: brute-force kNN self-excluded, ranked, exactly k rows per query") {
+    val dir = sf("sf0.001")
+    val e = Tables.embeddings(spark, dir)
+    val out = Knn.bruteForce(e, e.filter($"vec_id" < 3), "vec_id", "embedding", 5)
+    val perQuery = out.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(perQuery.values.forall(_ == 5))
+    assert(out.filter($"query_id" === $"neighbor_id").count() == 0)
+    val ranks = out.filter($"query_id" === 0).orderBy($"rnk").select("rnk")
+      .as[Long].collect().toSeq
+    assert(ranks == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("E5 quantization: identical vectors score exactly 10000 or 9999 bp") {
+    val df = Seq((1L, Array(0.1f, 0.2f, 0.3f)), (2L, Array(0.1f, 0.2f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Knn.embeddingDupPairs(df, "vec_id", "embedding", 9500L, 3)
+      .select("cos_bp").as[Long].collect()
+    assert(pairs.length == 1 && pairs.head >= 9999L)
+  }
+
+  test("E12: media pipeline preserves ids and derives deterministic metadata") {
+    val dir = sf("sf0.001")
+    val docs = Tables.documents(spark, dir)
+    val meta = Media.extractMeta(Media.asMediaTable(docs, "doc_id", "text"))
+    assert(meta.count() == docs.count())
+    val row = meta.filter($"doc_id" === 0).head()
+    assert(row.n_bytes > 0)
+    assert(row.checksum.length == 32)
+    assert(row.frame_count == row.n_bytes % 30 + 1)
+    // second run is bit-identical (stub codec is deterministic)
+    val again = Media.extractMeta(Media.asMediaTable(docs, "doc_id", "text"))
+      .filter($"doc_id" === 0).head()
+    assert(again == row)
+  }
+}
