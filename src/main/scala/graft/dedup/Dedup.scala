@@ -30,10 +30,12 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
 
-  /** Distinct (id, shingle) postings for a corpus. */
+  /** Distinct (id, shingle) postings for a corpus. Tokens are materialized
+    * behind a projection boundary before shingling so the tokenizer runs
+    * once per row, not once per element_at (see shinglesFromTokens). */
   private def postings(df: DataFrame, idCol: String, textCol: String, w: Int) =
-    df.select(col(idCol).as("__id"),
-        explode(TextOps.shingles(col(textCol), w)).as("__sh"))
+    df.select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col("__id"), explode(TextOps.shinglesFromTokens(col("__t"), w)).as("__sh"))
       .distinct()
 
   /** All pairs (id_a < id_b) with shingle-set Jaccard ≥ tauBp/10000.
@@ -61,15 +63,24 @@ object Dedup {
       .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
   }
 
-  /** MinHash signatures: numPerm portable seeded hash-mins per doc.
-    * Output: id, sig_0..sig_{numPerm-1}. */
-  def minhashSignatures(
-      df: DataFrame, idCol: String, textCol: String, numPerm: Int, w: Int = 3): DataFrame = {
-    val sh = TextOps.shingles(col(textCol), w)
-    val sigs = (0 until numPerm).map(i =>
-      array_min(transform(sh, s => PortableHash.h32(i, s))).as(s"sig_$i"))
-    df.select(col(idCol).as("__id") +: sigs: _*)
+  /** MinHash signatures from a postings table: ONE pass over (id, shingle)
+    * computes all numPerm seeded hashes, then a single map-side-combined
+    * groupBy takes the mins — the shuffle carries numPerm longs per doc,
+    * never shingles. (A per-doc array-transform formulation re-evaluates
+    * the shingle pipeline once per permutation — 12× the md5 work.) */
+  def minhashSignaturesFromPostings(post: DataFrame, numPerm: Int): DataFrame = {
+    val withH = post.select(
+      col("__id") +:
+        (0 until numPerm).map(i => PortableHash.h32(i, col("__sh")).as(s"__h$i")): _*)
+    withH.groupBy("__id").agg(
+      min(col("__h0")).as("sig_0"),
+      (1 until numPerm).map(i => min(col(s"__h$i")).as(s"sig_$i")): _*)
   }
+
+  /** MinHash signatures for a corpus. Output: __id, sig_0..sig_{numPerm-1}. */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String, numPerm: Int, w: Int = 3): DataFrame =
+    minhashSignaturesFromPostings(postings(df, idCol, textCol, w), numPerm)
 
   /** MinHash+LSH near-dup pairs: banded bucket join → candidate pairs →
     * exact Jaccard verification. Same output schema as ngramJaccardPairs
@@ -85,16 +96,21 @@ object Dedup {
       w: Int = 3): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rows = numPerm / bands
-    val sigs = minhashSignatures(df, idCol, textCol, numPerm, w)
-    // one row per (band, bucketHash, id); bucket = portable hash of the
-    // band's signature slice
-    val banded = (0 until bands).map { b =>
+    // postings computed once and cached: signatures, sizes, and the verify
+    // join all read the same materialization
+    val post = postings(df, idCol, textCol, w).cache()
+    val sigs = minhashSignaturesFromPostings(post, numPerm)
+    // one projection computes every band bucket, then explodes — the
+    // signature pipeline runs once, not once per band
+    val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string"))
-      sigs.select(
-        lit(b).as("band"),
-        PortableHash.h32(concat_ws(",", slice: _*)).as("bucket"),
-        col("__id"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band"),
+        PortableHash.h32(concat_ws(",", slice: _*)).as("bucket"))
+    }
+    val banded = sigs
+      .select(col("__id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("__id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .cache()
     val l = banded.select(col("band"), col("bucket"), col("__id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("__id").as("id_b"))
     val candidates = l.join(r, Seq("band", "bucket"))
@@ -103,7 +119,6 @@ object Dedup {
       .distinct()
     // exact Jaccard verify bounded to the candidate set — the join fans out
     // by candidate postings, not corpus postings²
-    val post = postings(df, idCol, textCol, w).cache()
     val sizes = post.groupBy("__id").agg(count(lit(1)).as("__n"))
     val common = candidates
       .join(post.select(col("__id").as("id_a"), col("__sh")), "id_a")
@@ -143,14 +158,19 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, w: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding only guarantees recall for hamming <= 3")
-    val sh = simhash(df, idCol, textCol, w)
+    val sh = simhash(df, idCol, textCol, w).cache()
     val chunks = Seq(
       shiftright(col("sim_hi"), 16), col("sim_hi") % 65536,
       shiftright(col("sim_lo"), 16), col("sim_lo") % 65536)
-    val banded = chunks.zipWithIndex.map { case (c, i) =>
-      sh.select(lit(i).as("chunk"), c.as("cv"),
+    // single projection + explode: the simhash aggregation runs once, not
+    // once per chunk branch
+    val banded = sh.select(
+      col("id"), col("sim_hi"), col("sim_lo"),
+      explode(array(chunks.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("chunk"), c.as("cv"))
+      }: _*)).as("ch"))
+      .select(col("ch.chunk").as("chunk"), col("ch.cv").as("cv"),
         col("id"), col("sim_hi"), col("sim_lo"))
-    }.reduce(_ unionByName _)
     val l = banded.select(col("chunk"), col("cv"), col("id").as("id_a"),
       col("sim_hi").as("hi_a"), col("sim_lo").as("lo_a"))
     val r = banded.select(col("chunk"), col("cv"), col("id").as("id_b"),

@@ -30,16 +30,24 @@ object TextOps {
   def bpeCount(c: Column): Column =
     size(regexp_extract_all(c, lit(BpePattern), lit(0))).cast("long")
 
-  /** Word w-shingles over normalized tokens; docs shorter than w collapse to
-    * a single whole-text shingle so every doc has ≥1 feature. */
-  def shingles(c: Column, w: Int = 3): Column = {
-    val t = tokens(c)
+  /** Word w-shingles from an already-materialized token ARRAY column.
+    * IMPORTANT: pass a bound column (project `tokens(text)` into its own
+    * column first) — if `t` is the raw tokenization expression, Catalyst
+    * inlines the whole lower+regexp+split pipeline into every element_at
+    * inside the lambda: w re-tokenizations per shingle per row. */
+  def shinglesFromTokens(t: Column, w: Int = 3): Column =
     when(size(t) >= w,
       transform(
         sequence(lit(1), size(t) - lit(w - 1)),
         i => concat_ws(" ", (0 until w).map(k => element_at(t, i + lit(k))): _*)))
       .otherwise(array(concat_ws(" ", t)))
-  }
+
+  /** Word w-shingles over normalized tokens; docs shorter than w collapse to
+    * a single whole-text shingle so every doc has ≥1 feature. Convenience
+    * form for one-shot use — hot paths should project tokens first and use
+    * shinglesFromTokens (see Dedup.postings). */
+  def shingles(c: Column, w: Int = 3): Column =
+    shinglesFromTokens(tokens(c), w)
 
   /** Count of tokens belonging to a marker set. */
   def markerCount(toks: Column, markers: Seq[String]): Column =
