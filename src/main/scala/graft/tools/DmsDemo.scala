@@ -73,7 +73,25 @@ object DmsDemo {
     SqlWriter.upsertStatements(cdcOnly, "public", "accounts", Seq("id"))
       .take(3).foreach(s => println(s"[demo]   $s"))
 
-    val ok = state.count() == 3 // alice, bob(65.0), dave; carol deleted
+    // --- the same flow through the top-level orchestration facade
+    import graft.cdc.CdcOperator
+    import graft.cdc.CdcOperator.SnapshotConfig
+    val cfg = SnapshotConfig(
+      bucketPrefix = s"$root/landing", databaseName = "mydb",
+      mode = DateAware(Instant.parse("2024-02-14T09:00:00Z"), None),
+      pkByTable = Map("accounts" -> Seq("id")))
+    val snap = CdcOperator.snapshot(spark, cfg)
+    println(s"[demo] CdcOperator.snapshot tables: ${snap.map(_.table).mkString(",")}")
+    val facadeState = snap.head.state
+    // validate replayed state against a tampered copy
+    val tampered = facadeState.withColumn("balance",
+      when(col("id") === 1L, lit(999.0)).otherwise(col("balance")))
+    val report = CdcOperator.validate(facadeState, tampered, Seq("id"), "accounts").head()
+    println(s"[demo] validate(tampered): $report")
+
+    val ok = state.count() == 3 && // alice, bob(65.0), dave; carol deleted
+      facadeState.count() == 3 &&
+      report.getAs[Long]("rows_differing") == 1L
     println(s"[demo] RESULT: ${if (ok) "OK" else "MISMATCH"}")
     spark.stop()
     if (!ok) sys.exit(1)

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.time.Instant
+
+import graft.cdc.CdcOperator
+import graft.cdc.CdcOperator.{SnapshotConfig, ValidateConfig}
+import graft.sources.DmsFileCatalog.DateAware
+import org.apache.spark.sql.functions._
+
+/** End-to-end orchestration: multi-table discovery, selection, replay,
+  * validate — the reference's CDCOperator::snapshot/validate loop. */
+class CdcOperatorSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val root: Path = {
+    val dir = Files.createTempDirectory("graft-op")
+    def write(table: String, name: String, rows: Seq[(Long, String, String)], mtime: Long): Unit = {
+      val tdir = dir.resolve(s"landing/mydb/public/$table/2024/02/14")
+      Files.createDirectories(tdir)
+      val tmp = Files.createTempDirectory("p")
+      rows.toDF("id", "v", "Op").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = tdir.resolve(name)
+      Files.copy(part, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val t0 = Instant.parse("2024-02-14T10:00:00Z").toEpochMilli
+    write("users", "LOAD00000001.parquet", Seq((1L, "a", "I"), (2L, "b", "I")), t0)
+    write("users", "20240214-1.parquet", Seq((2L, "b2", "U"), (3L, "c", "I")), t0 + 60000)
+    write("orders", "LOAD00000001.parquet", Seq((10L, "x", "I")), t0)
+    write("skipme", "LOAD00000001.parquet", Seq((99L, "z", "I")), t0)
+    dir
+  }
+
+  private def cfg = SnapshotConfig(
+    bucketPrefix = s"$root/landing",
+    databaseName = "mydb",
+    excludedTables = Seq("skipme"),
+    mode = DateAware(Instant.parse("2024-02-14T09:00:00Z"), None),
+    pkByTable = Map("users" -> Seq("id"), "orders" -> Seq("id")))
+
+  test("discovery honors exclude list and sorts tables") {
+    assert(CdcOperator.discoverTables(spark, cfg) == Seq("orders", "users"))
+  }
+
+  test("snapshot replays every selected table to current state") {
+    val states = CdcOperator.snapshot(spark, cfg).map(s => s.table -> s).toMap
+    assert(states.keySet == Set("orders", "users"))
+    val users = states("users").state.select("id", "v").as[(Long, String)].collect().toMap
+    assert(users == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    assert(!states("users").state.columns.contains("Op"))
+    assert(states("orders").state.count() == 1)
+  }
+
+  test("validate reports counts, chunk mismatches, and differing rows") {
+    val users = CdcOperator.snapshot(spark, cfg)
+      .find(_.table == "users").get.state
+    val target = users.withColumn("v",
+      when($"id" === 2L, lit("tampered")).otherwise($"v"))
+      .filter($"id" =!= 3L)
+    val report = CdcOperator.validate(users, target, Seq("id"), "users").head()
+    assert(report.getAs[Long]("src_rows") == 3L)
+    assert(report.getAs[Long]("tgt_rows") == 2L)
+    assert(!report.getAs[Boolean]("counts_match"))
+    assert(report.getAs[Long]("rows_differing") == 2L) // one mismatch + one source_only
+    assert(report.getAs[Long]("chunks_mismatched") >= 1L)
+  }
+
+  test("validate onlyCount short-circuits to the count compare") {
+    val users = CdcOperator.snapshot(spark, cfg).find(_.table == "users").get.state
+    val report = CdcOperator.validate(users, users, Seq("id"), "users",
+      ValidateConfig(onlyCount = true))
+    assert(report.columns.toSeq == Seq("tbl", "src_rows", "tgt_rows", "counts_match"))
+    assert(report.head().getAs[Boolean]("counts_match"))
+  }
+
+  test("identical tables validate clean") {
+    val users = CdcOperator.snapshot(spark, cfg).find(_.table == "users").get.state
+    val report = CdcOperator.validate(users, users, Seq("id"), "users").head()
+    assert(report.getAs[Boolean]("counts_match"))
+    assert(report.getAs[Long]("chunks_mismatched") == 0L)
+    assert(report.getAs[Long]("rows_differing") == 0L)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.{PortableHash, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Micro-data semantics of the text + dedup operators (E1–E4, E8–E11). */
+class TextDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("h32 matches the md5-prefix reference value") {
+    // md5('abc') = 900150983cd24fb0...; first 8 hex = 0x90015098 = 2416005272
+    val got = Seq("abc").toDF("s").select(PortableHash.h32($"s")).as[Long].head()
+    assert(got == 2416005272L)
+    // seeded variant prefixes "<seed>:"
+    val seeded = Seq("x").toDF("s").select(PortableHash.h32(7, $"s")).as[Long].head()
+    val direct = Seq("7:x").toDF("s").select(PortableHash.h32($"s")).as[Long].head()
+    assert(seeded == direct)
+  }
+
+  test("normalization and shingling") {
+    val sh = Seq("The  quick, BROWN fox!").toDF("t")
+      .select(TextOps.shingles($"t").as("s")).as[Seq[String]].head()
+    assert(sh == Seq("the quick brown", "quick brown fox"))
+    // short docs collapse to a whole-text shingle
+    val short = Seq("only two").toDF("t")
+      .select(TextOps.shingles($"t").as("s")).as[Seq[String]].head()
+    assert(short == Seq("only two"))
+  }
+
+  test("langid argmax tie-breaks in marker order") {
+    // no markers at all -> all scores 0 -> first language wins
+    val pred = Seq("zzz qqq").toDF("text")
+      .select(TextOps.langPredict(TextOps.langScores($"text"))).as[String].head()
+    assert(pred == "en")
+    val de = Seq("der hund und das ist ein").toDF("text")
+      .select(TextOps.langPredict(TextOps.langScores($"text"))).as[String].head()
+    assert(de == "de")
+  }
+
+  test("exact dedup groups normalized variants") {
+    val df = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), (3L, "different")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .select("keeper_id", "n_docs").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram jaccard computes exact basis points") {
+    // a: {x y z, y z w}; b: {x y z, y z q} -> common 1, union 3 -> 3333 bp
+    val df = Seq((1L, "x y z w"), (2L, "x y z q")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", tauBp = 3000)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1L, 2L, 2L, 3333L)))
+    // below threshold -> filtered
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", tauBp = 3400).count() == 0)
+  }
+
+  test("minhash LSH finds exact duplicates with certainty") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "h i j k l m n"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", tauBp = 9999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // identical docs always share every band
+  }
+
+  test("simhash: identical docs at hamming 0, banding returns each pair once") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.count { case (a, b, h) => a == 1L && b == 2L && h == 0L } == 1)
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("quality ratios floor to basis points") {
+    val bp = Seq(("abcde12345", 10L)).toDF("t", "n")
+      .select(TextOps.bp(lit(5L), lit(10L))).as[Long].head()
+    assert(bp == 5000L)
+    assert(Seq(1).toDF("x").select(TextOps.bp(lit(1L), lit(3L))).as[Long].head() == 3333L)
+  }
+}
