@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   * WholeStageCodegen — no UDF in the per-row path.
   */
 object PortableHash {
-  /** Unsigned 32-bit md5 prefix as LongType. */
+  /** Unsigned 32-bit md5 prefix as LongType — via the native codegen'd
+    * H32 expression (graft.functions.H32); semantically equal to
+    * `conv(substring(md5(c),1,8),16,10).cast("long")`. */
   def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.H32(org.apache.spark.sql.GraftBridge.expression(c)))
 
   /** Seeded variant: independent hash family member per seed (used as the
     * "permutation" of MinHash). */

@@ -57,6 +57,39 @@ object Prof {
     time("full simhashPairs") {
       graft.dedup.Dedup.simhashPairs(corpus, "doc_id", "text").count()
     }
+    // minhash stage breakdown
+    val post2 = corpus
+      .select(col("doc_id").as("__id"), TextOps.tokens(col("text")).as("__t"))
+      .select(col("__id"), explode(TextOps.shinglesFromTokens(col("__t"))).as("__sh"))
+      .distinct().cache()
+    time("mh: postings cache") { post2.count() }
+    val sigs = graft.dedup.Dedup.minhashSignaturesFromPostings(post2, 12).cache()
+    time("mh: signatures") { sigs.count() }
+    val bandStructs = (0 until 4).map { b =>
+      val slice = (0 until 3).map(r => col(s"sig_${b * 3 + r}").cast("string"))
+      struct(lit(b).as("band"), PortableHash.h32(concat_ws(",", slice: _*)).as("bucket"))
+    }
+    val banded = sigs.select(col("__id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("__id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")).cache()
+    time("mh: banded cache") { banded.count() }
+    val cand = banded.select(col("band"), col("bucket"), col("__id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("__id").as("id_b")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct().cache()
+    time("mh: candidates") { cand.count() }
+    val sizes = post2.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val common = cand
+      .join(post2.select(col("__id").as("id_a"), col("__sh")), "id_a")
+      .join(post2.select(col("__id").as("id_b"), col("__sh")), Seq("id_b", "__sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    time("mh: verify") {
+      common
+        .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "n_b"), "id_b")
+        .count()
+    }
+    time("mh: full operator fresh") {
+      graft.dedup.Dedup.minhashLshPairs(corpus, "doc_id", "text", 6000L).count()
+    }
     spark.stop()
   }
 }
