@@ -44,11 +44,19 @@ object CdcApply {
       pk: Seq[String],
       ordering: Seq[Column],
       opCol: String = "Op"): DataFrame = {
-    val w = Window.partitionBy(pk.map(col): _*).orderBy(ordering.map(_.desc): _*)
-    cdc
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col(opCol) =!= "D")
-      .drop("__rn", opCol)
+    // max_by(row, ordering) instead of a row_number window: an aggregation
+    // combines map-side, so the shuffle carries ONE candidate row per key
+    // per input partition instead of every CDC row, and no per-key sort is
+    // needed. For high-churn keys (the common CDC shape) this is the
+    // difference between shuffling the changefeed and shuffling the keyspace.
+    val nonPk = cdc.columns.filterNot(c => pk.contains(c) || c == opCol)
+    val payload = struct(col(opCol).as("__op") +: nonPk.map(col): _*)
+    val winner = cdc
+      .groupBy(pk.map(col): _*)
+      .agg(max_by(payload, struct(ordering: _*)).as("__w"))
+    winner
+      .filter(col("__w").getField("__op") =!= "D")
+      .select(pk.map(col) ++ nonPk.map(c => col("__w").getField(c).as(c)): _*)
   }
 
   /** Merge a change batch into an existing base state —
