@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.AsofJoin
+import graft.text.TextOps
+import graft.util.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Additional validation/warehouse operators (SURVEY §2 D7–D9):
+  * as-of join, corpus vocabulary stats, referential-integrity audit. */
+object ExtraEntries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D7: backward as-of join — each purchase event picks up the same
+    // user's most recent prior view (union + carry-forward window, one
+    // shuffle; purchases and views genuinely interleave in time)
+    "asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(struct(col("event_id"), col("value")), col("event_id")).as("w"))
+        .select(col("user_id"), col("ts"),
+          col("w.event_id").as("view_event_id"), col("w.value").as("view_value"))
+      AsofJoin.backward(purchases, views, Seq("user_id"), "ts", "ts",
+        Seq("view_event_id", "view_value"))
+        .select(col("event_id"), col("user_id"),
+          col("value").as("purchase_value"),
+          col("asof_view_event_id"), col("asof_view_value"))
+    }),
+
+    // D8: vocabulary statistics — term frequency + document frequency
+    "text_vocab" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .filter(col("tf") >= 5)
+    }),
+
+    // D9: referential-integrity audit — orphan counts per FK relation
+    // (left-anti joins; parents broadcast when small)
+    "ref_integrity" -> ((s, dir) => {
+      def orphans(child: DataFrame, fk: String, parent: DataFrame, pk: String,
+          label: String): DataFrame =
+        child.join(parent.select(col(pk)), child(fk) === parent(pk), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+          .select(lit(label).as("relation"), col("orphans"))
+      val o = Tables.orders(s, dir); val c = Tables.customer(s, dir)
+      val l = Tables.lineitem(s, dir); val p = Tables.part(s, dir)
+      val e = Tables.events(s, dir)
+      orphans(o, "o_custkey", c, "c_custkey", "orders->customer")
+        .unionByName(orphans(l, "l_orderkey", o, "o_orderkey", "lineitem->orders"))
+        .unionByName(orphans(l, "l_partkey", p, "p_partkey", "lineitem->part"))
+        .unionByName(orphans(e, "user_id", c, "c_custkey", "events->customer"))
+    })
+  )
+
+  private val normToksSql =
+    "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+
+  def oracleSql: Map[String, String] = Map(
+    "asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'view'),
+        |v2 AS (SELECT user_id, ts, event_id AS view_event_id, value AS view_value
+        |       FROM v WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.value AS purchase_value,
+        |       v2.view_event_id AS asof_view_event_id,
+        |       v2.view_value AS asof_view_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN v2 ON p.user_id = v2.user_id AND p.ts >= v2.ts""".stripMargin,
+
+    "text_vocab" ->
+      s"""SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM (SELECT doc_id, unnest($normToksSql) AS tok FROM documents)
+         |GROUP BY tok HAVING count(*) >= 5""".stripMargin,
+
+    "ref_integrity" ->
+      """SELECT 'orders->customer' AS relation, count(*) AS orphans
+        |FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'lineitem->orders', count(*) FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem->part', count(*) FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |UNION ALL
+        |SELECT 'events->customer', count(*) FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)""".stripMargin
+  )
+}

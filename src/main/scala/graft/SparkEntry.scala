@@ -75,7 +75,7 @@ object SparkEntry {
   // --------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ TextEntries.queries ++ VectorEntries.queries
+    coreQueries ++ TextEntries.queries ++ VectorEntries.queries ++ ExtraEntries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1: grouped aggregation, decimal-exact sums surfaced as doubles
@@ -220,7 +220,7 @@ object SparkEntry {
   // --------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ TextEntries.oracleSql ++ VectorEntries.oracleSql
+    coreOracleSql ++ TextEntries.oracleSql ++ VectorEntries.oracleSql ++ ExtraEntries.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->
