@@ -1,0 +1,26 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native functions
+  * for SQL users, so `spark.sql("SELECT graft_h32(text) ...")` works
+  * alongside the Column API.
+  *
+  * Enable via
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_h32"),
+      new ExpressionInfo(
+        classOf[graft.functions.H32].getName, "graft_h32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_h32 takes exactly one argument")
+        graft.functions.H32(args.head)
+      }))
+  }
+}

@@ -24,6 +24,7 @@ object DmsDemo {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -89,9 +90,14 @@ object DmsDemo {
     val report = CdcOperator.validate(facadeState, tampered, Seq("id"), "accounts").head()
     println(s"[demo] validate(tampered): $report")
 
+    // native function through plain SQL (GraftExtensions)
+    val h = spark.sql("SELECT graft_h32('abc') AS h").collect().head.getLong(0)
+    println(s"[demo] SQL graft_h32('abc') = $h")
+
     val ok = state.count() == 3 && // alice, bob(65.0), dave; carol deleted
       facadeState.count() == 3 &&
-      report.getAs[Long]("rows_differing") == 1L
+      report.getAs[Long]("rows_differing") == 1L &&
+      h == 2416005272L
     println(s"[demo] RESULT: ${if (ok) "OK" else "MISMATCH"}")
     spark.stop()
     if (!ok) sys.exit(1)

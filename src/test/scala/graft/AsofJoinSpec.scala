@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.AsofJoin
+import org.apache.spark.sql.functions._
+
+/** Edge semantics of the backward as-of join (D7). */
+class AsofJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 15L, "p3"), (3L, 5L, "p4")
+  ).toDF("k", "t", "name")
+
+  private def right = Seq(
+    (1L, 5L, "a"), (1L, 15L, "b"), (1L, 25L, "c"), (2L, 15L, "d")
+  ).toDF("k", "t", "v")
+
+  test("picks the most recent right row at or before each left time") {
+    val out = AsofJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select($"name", $"asof_v").as[(String, String)].collect().toMap
+    assert(out("p1") == "a")   // t=10 -> right t=5
+    assert(out("p2") == "b")   // t=20 -> right t=15 (not 25: future excluded)
+    assert(out("p3") == "d")   // equal timestamps match (<=)
+    assert(out("p4") == null)  // no earlier right row -> null
+  }
+
+  test("left rows and columns are preserved exactly") {
+    val out = AsofJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"))
+    assert(out.count() == 4)
+    assert(out.columns.toSeq == Seq("k", "t", "name", "asof_v"))
+  }
+
+  test("empty right side yields all-null payloads") {
+    val out = AsofJoin.backward(left, right.limit(0), Seq("k"), "t", "t", Seq("v"))
+    assert(out.filter($"asof_v".isNotNull).count() == 0)
+    assert(out.count() == 4)
+  }
+
+  test("multiple payload columns carried consistently from the same row") {
+    val r2 = Seq((1L, 5L, "a", 100L), (1L, 15L, "b", 200L))
+      .toDF("k", "t", "v", "n")
+    val out = AsofJoin.backward(left.filter($"k" === 1L), r2,
+      Seq("k"), "t", "t", Seq("v", "n"))
+      .select($"name", $"asof_v", $"asof_n").as[(String, String, Long)]
+      .collect().map { case (a, b, c) => a -> ((b, c)) }.toMap
+    assert(out("p1") == ("a", 100L))
+    assert(out("p2") == ("b", 200L))
+  }
+}
