@@ -38,20 +38,15 @@ object Dedup {
       .select(col("__id"), explode(TextOps.shinglesFromTokens(col("__t"), w)).as("__sh"))
       .distinct()
 
-  /** All pairs (id_a < id_b) with shingle-set Jaccard ≥ tauBp/10000.
-    * Output: id_a, id_b, common, n_a, n_b, jaccard_bp. */
-  def ngramJaccardPairs(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      tauBp: Long,
-      w: Int = 3): DataFrame = {
-    val post = postings(df, idCol, textCol, w).cache()
+  /** Exact Jaccard scoring of candidate pairs against full postings:
+    * common counts come from a candidate-bounded join, sizes from the
+    * postings; output filtered at tauBp. */
+  private def verifiedJaccard(
+      candidates: DataFrame, post: DataFrame, tauBp: Long): DataFrame = {
     val sizes = post.groupBy("__id").agg(count(lit(1)).as("__n"))
-    val a = post.select(col("__id").as("id_a"), col("__sh"))
-    val b = post.select(col("__id").as("id_b"), col("__sh"))
-    val common = a.join(b, "__sh")
-      .filter(col("id_a") < col("id_b"))
+    val common = candidates
+      .join(post.select(col("__id").as("id_a"), col("__sh")), "id_a")
+      .join(post.select(col("__id").as("id_b"), col("__sh")), Seq("id_b", "__sh"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common"))
     common
@@ -61,6 +56,56 @@ object Dedup {
         TextOps.bp(col("common"), col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard_bp") >= tauBp)
       .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
+  }
+
+  /** All pairs (id_a < id_b) with shingle-set Jaccard ≥ tauBp/10000.
+    * Output: id_a, id_b, common, n_a, n_b, jaccard_bp.
+    *
+    * `maxDf` caps candidate generation for skewed corpora: shingles
+    * appearing in more than maxDf documents are excluded from the
+    * inverted-index join (a shingle shared by k docs costs k² candidate
+    * rows), but STILL count toward the exact Jaccard of surviving
+    * candidates. Recall trade: a pair whose overlap is exclusively hot
+    * shingles is missed — the standard prefix-filtering compromise.
+    * Default ∞ = exact all-pairs. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tauBp: Long,
+      w: Int = 3,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val post = postings(df, idCol, textCol, w).cache()
+    if (maxDf == Long.MaxValue) {
+      // exact all-pairs: count common shingles directly in the inverted-
+      // index join — one pass, no candidate re-join
+      val sizes = post.groupBy("__id").agg(count(lit(1)).as("__n"))
+      val a = post.select(col("__id").as("id_a"), col("__sh"))
+      val b = post.select(col("__id").as("id_b"), col("__sh"))
+      val common = a.join(b, "__sh")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "n_b"), "id_b")
+        .withColumn("jaccard_bp",
+          TextOps.bp(col("common"), col("n_a") + col("n_b") - col("common")))
+        .filter(col("jaccard_bp") >= tauBp)
+        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
+    } else {
+      // skew-capped: candidates from cool shingles only, exact scores from
+      // full postings
+      val hot = post.groupBy("__sh").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select("__sh")
+      val candPost = post.join(broadcast(hot), Seq("__sh"), "left_anti")
+      val candidates = candPost.select(col("__id").as("id_a"), col("__sh"))
+        .join(candPost.select(col("__id").as("id_b"), col("__sh")), "__sh")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+      verifiedJaccard(candidates, post, tauBp)
+    }
   }
 
   /** MinHash signatures from a postings table: ONE pass over (id, shingle)
@@ -119,19 +164,7 @@ object Dedup {
       .distinct()
     // exact Jaccard verify bounded to the candidate set — the join fans out
     // by candidate postings, not corpus postings²
-    val sizes = post.groupBy("__id").agg(count(lit(1)).as("__n"))
-    val common = candidates
-      .join(post.select(col("__id").as("id_a"), col("__sh")), "id_a")
-      .join(post.select(col("__id").as("id_b"), col("__sh")), Seq("id_b", "__sh"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "n_b"), "id_b")
-      .withColumn("jaccard_bp",
-        TextOps.bp(col("common"), col("n_a") + col("n_b") - col("common")))
-      .filter(col("jaccard_bp") >= tauBp)
-      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
+    verifiedJaccard(candidates, post, tauBp)
   }
 
   /** 64-bit SimHash as two unsigned 32-bit halves (hi, lo) over distinct

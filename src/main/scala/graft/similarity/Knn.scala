@@ -43,16 +43,31 @@ object Knn {
 
   /** Sketch-bucketed approximate neighbors: candidates share the 16-bit
     * hyperplane sketch; exact cosine + top-k within candidates. Trades
-    * recall for a candidate set ~n/2^16 per bucket. */
+    * recall for a candidate set ~n/2^16 per bucket.
+    *
+    * `probes` > 0 turns on multiprobe: each query also searches every
+    * bucket within hamming `probes` of its own sketch (16 extra buckets
+    * per hamming step) — the standard fix for isolated queries landing in
+    * singleton buckets and silently returning nothing. The corpus side is
+    * untouched, so the probe fan-out rides the (broadcast) query side.
+    */
   def bucketed(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, dims: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, dims: Int,
+      probes: Int = 0): DataFrame = {
+    require(probes <= 1, "only hamming<=1 multiprobe supported")
     val c = prepared(corpus, idCol, vecCol)
       .withColumn("bucket", VectorOps.sketch(col("qv"), dims))
-    val q = prepared(queries, idCol, vecCol)
+    val q0 = prepared(queries, idCol, vecCol)
       .withColumn("bucket", VectorOps.sketch(col("qv"), dims))
       .select(col("vid").as("qid"), col("qv").as("qqv"),
         col("self_dot").as("qself"), col("bucket"))
+    val q =
+      if (probes == 0) q0
+      else q0.select(col("qid"), col("qqv"), col("qself"),
+        explode(array(col("bucket") +:
+          (0 until 16).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*))
+          .as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("vid") =!= col("qid"))
       .withColumn("dot", VectorOps.qdot(col("qv"), col("qqv")))

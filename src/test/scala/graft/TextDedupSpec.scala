@@ -75,6 +75,30 @@ class TextDedupSpec extends SparkSpecBase {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("ngram maxDf cap: hot shingles skip candidate generation but still score") {
+    // docs 1,2 share a distinctive shingle; 'a a a' is hot (in all docs)
+    val df = Seq(
+      (1L, "a a a x y z"), (2L, "a a a x y z"), (3L, "a a a q r s"), (4L, "a a a t u v")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(df, "doc_id", "text", tauBp = 9000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text", tauBp = 9000, maxDf = 3)
+      .select("id_a", "id_b", "jaccard_bp").as[(Long, Long, Long)].collect()
+    // the identical pair (1,2) survives the cap, with the SAME exact score
+    assert(uncapped == Set((1L, 2L)))
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(capped.head._3 == 10000L) // hot shingles still counted in Jaccard
+  }
+
+  test("bucketed ANN multiprobe reaches hamming-1 neighbor buckets") {
+    val dir = sf("sf0.001")
+    val e = graft.util.Tables.embeddings(spark, dir)
+    val qs = e.filter($"vec_id" < 20)
+    val noProbe = graft.similarity.Knn.bucketed(e, qs, "vec_id", "embedding", 10, 64).count()
+    val probed = graft.similarity.Knn.bucketed(e, qs, "vec_id", "embedding", 10, 64, probes = 1).count()
+    assert(probed >= noProbe) // strictly more candidate coverage
+  }
+
   test("quality ratios floor to basis points") {
     val bp = Seq(("abcde12345", 10L)).toDF("t", "n")
       .select(TextOps.bp(lit(5L), lit(10L))).as[Long].head()
