@@ -39,6 +39,18 @@ object ExtraEntries {
         .filter(col("tf") >= 5)
     }),
 
+    // D10: exact interpolated quantiles per group (sort-based aggregate);
+    // identical linear interpolation of identical doubles in both engines,
+    // basis-point floored for hash-stable output
+    "q_quantiles" -> ((s, dir) => {
+      def pbp(p: Double, n: String) =
+        floor(expr(s"percentile(value, $p)") * 10000.0).cast("long").as(n)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(pbp(0.25, "p25_bp"), pbp(0.5, "p50_bp"), pbp(0.75, "p75_bp"),
+          count(lit(1)).as("n"))
+    }),
+
     // D9: referential-integrity audit — orphan counts per FK relation
     // (left-anti joins; parents broadcast when small)
     "ref_integrity" -> ((s, dir) => {
@@ -78,6 +90,14 @@ object ExtraEntries {
       s"""SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM (SELECT doc_id, unnest($normToksSql) AS tok FROM documents)
          |GROUP BY tok HAVING count(*) >= 5""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT event_type,
+        |  CAST(floor(quantile_cont(value, 0.25) * 10000.0) AS BIGINT) AS p25_bp,
+        |  CAST(floor(quantile_cont(value, 0.5) * 10000.0) AS BIGINT) AS p50_bp,
+        |  CAST(floor(quantile_cont(value, 0.75) * 10000.0) AS BIGINT) AS p75_bp,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "ref_integrity" ->
       """SELECT 'orders->customer' AS relation, count(*) AS orphans
