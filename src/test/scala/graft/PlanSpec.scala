@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape guards: the properties ExplainAudit verified once, pinned as
+  * tests so optimizer-visible regressions (lost pushdown, vanished
+  * broadcast, surprise shuffles) fail loudly. */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf("sf0.001"))
+      .queryExecution.explainString(FormattedMode)
+
+  test("q1_agg: shipdate filter pushed to the parquet scan, columns pruned") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "scan should not read unused columns")
+  }
+
+  test("q3_join: dimension side broadcast") {
+    assert(plan("q3_join").contains("BroadcastHashJoin"))
+  }
+
+  test("cdc_delete: delete set broadcast anti-join") {
+    val p = plan("cdc_delete")
+    assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("LeftAnti BuildRight"))
+  }
+
+  test("cdc_apply_latest: exactly one exchange (single shuffle by pk)") {
+    val p = plan("cdc_apply_latest")
+    // formatted mode lists each node once in the detail section as "(N) Exchange"
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shuffle, plan had $exchanges")
+  }
+
+  test("diff_rowlevel: full-outer sort-merge join on pk") {
+    assert(plan("diff_rowlevel").contains("SortMergeJoin FullOuter"))
+  }
+
+  test("diff_chunk: partial aggregation before the exchange (hash sums combine map-side)") {
+    val p = plan("diff_chunk")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_"), "expected map-side partial aggregation")
+  }
+
+  test("text queries stay UDF-free") {
+    // higher-order-function lambdas (filter/transform) are expression-level
+    // and legitimately fall out of whole-stage codegen; what must never
+    // appear is an actual UDF node
+    Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q should not contain UDF nodes")
+    }
+    // the lambda-free query keeps full codegen
+    assert(plan("text_tokens").linesIterator.exists(_.contains("* Project")),
+      "text_tokens lost whole-stage codegen")
+  }
+
+  test("driver contract: entry() returns rows; every query has a runnable plan") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every oracle key corresponds to a query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
