@@ -32,15 +32,26 @@ object JdbcSink {
       .mode("append")
       .save()
 
-  /** Execute CDC upsert/delete statements per partition (CDC-file landing). */
+  /** Execute CDC upsert/delete statements per partition (CDC-file landing).
+    * `delayMsPerBatch` throttles writes every `batchSize` statements — the
+    * distributed analogue of the reference's DELAY_INSERT/INSERT_DELAY/
+    * ROWS_PER_DF backpressure knobs (postgres_operator_impl.rs:407-438),
+    * applied per executor rather than on one writer thread. */
   def applyCdc(df: DataFrame, url: String, schema: String, table: String,
-      primaryKeys: Seq[String], user: String, password: String): Unit = {
+      primaryKeys: Seq[String], user: String, password: String,
+      batchSize: Int = 10000, delayMsPerBatch: Long = 0L): Unit = {
     SqlWriter.upsertStatements(df, schema, table, primaryKeys)
       .foreachPartition { (stmts: Iterator[String]) =>
         val conn = DriverManager.getConnection(url, user, password)
         try {
           val st = conn.createStatement()
-          stmts.foreach(st.execute)
+          var n = 0
+          stmts.foreach { s =>
+            st.execute(s)
+            n += 1
+            if (delayMsPerBatch > 0 && n % batchSize == 0)
+              Thread.sleep(delayMsPerBatch)
+          }
           st.close()
         } finally conn.close()
       }

@@ -46,13 +46,23 @@ object Cli {
         System.err.println(s"unknown mode: $other"); sys.exit(2); FullLoadOnly
     }
 
+    // --pk "users=id;lineitem=l_orderkey,l_linenumber" (composite keys by comma)
+    val pkByTable: Map[String, Seq[String]] =
+      opts.get("pk").map(_.split(';').toSeq.flatMap { e =>
+        e.split('=') match {
+          case Array(t, cols) => Some(t -> cols.split(',').toSeq)
+          case _ => System.err.println(s"bad --pk entry: $e"); sys.exit(2); None
+        }
+      }.toMap).getOrElse(Map.empty)
+
     val cfg = SnapshotConfig(
       bucketPrefix = req("bucket-prefix"),
       databaseName = req("database-name"),
       schemaName = opts.getOrElse("database-schema", "public"),
       includedTables = opts.get("included-tables").map(_.split(',').toSeq).getOrElse(Seq.empty),
       excludedTables = opts.get("excluded-tables").map(_.split(',').toSeq).getOrElse(Seq.empty),
-      mode = mode)
+      mode = mode,
+      pkByTable = pkByTable)
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
