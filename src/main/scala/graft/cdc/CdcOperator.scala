@@ -65,7 +65,19 @@ object CdcOperator {
     if (files.isEmpty) return None
     val df = DmsFileCatalog.readTable(spark, files)
     if (df.columns.isEmpty) return None
-    val pk = cfg.pkByTable.getOrElse(table, Seq(df.columns.head))
+    // pk fallback: first DATA column — never a DMS service column or the
+    // catalog's internal tags (the raw frame's first column is often "Op",
+    // which would make LWW replay key on the op code)
+    val internal = CdcApply.ServiceColumns ++ Seq("_seq", "_is_load")
+    val pk = cfg.pkByTable.getOrElse(table, {
+      val guess = df.columns.filterNot(internal.contains).headOption
+      guess match {
+        case Some(c) =>
+          System.err.println(s"[graft] no pk configured for '$table'; guessing '$c'")
+          Seq(c)
+        case None => return None
+      }
+    })
     val hasOp = df.columns.contains("Op")
     val state =
       if (!hasOp) CdcApply.stripServiceColumns(df.drop("_seq", "_is_load"))

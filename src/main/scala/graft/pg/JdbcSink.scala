@@ -33,27 +33,38 @@ object JdbcSink {
       .save()
 
   /** Execute CDC upsert/delete statements per partition (CDC-file landing).
-    * `delayMsPerBatch` throttles writes every `batchSize` statements — the
-    * distributed analogue of the reference's DELAY_INSERT/INSERT_DELAY/
-    * ROWS_PER_DF backpressure knobs (postgres_operator_impl.rs:407-438),
-    * applied per executor rather than on one writer thread. */
+    * Statements accumulate via addBatch/executeBatch in `batchSize` groups;
+    * `delayMsPerBatch` sleeps between batches — the distributed analogue of
+    * the reference's DELAY_INSERT/INSERT_DELAY/ROWS_PER_DF backpressure
+    * knobs (postgres_operator_impl.rs:407-438). The throttle is per TASK
+    * (one per partition): with T concurrent tasks the target sees up to T
+    * parallel streams, so size the delay against
+    * partitions × statements/sec, not a single writer. */
   def applyCdc(df: DataFrame, url: String, schema: String, table: String,
       primaryKeys: Seq[String], user: String, password: String,
       batchSize: Int = 10000, delayMsPerBatch: Long = 0L): Unit = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(delayMsPerBatch >= 0, s"delayMsPerBatch must be >= 0, got $delayMsPerBatch")
     SqlWriter.upsertStatements(df, schema, table, primaryKeys)
       .foreachPartition { (stmts: Iterator[String]) =>
-        val conn = DriverManager.getConnection(url, user, password)
-        try {
-          val st = conn.createStatement()
-          var n = 0
-          stmts.foreach { s =>
-            st.execute(s)
-            n += 1
-            if (delayMsPerBatch > 0 && n % batchSize == 0)
-              Thread.sleep(delayMsPerBatch)
-          }
-          st.close()
-        } finally conn.close()
+        if (stmts.hasNext) { // skip connection setup for empty partitions
+          val conn = DriverManager.getConnection(url, user, password)
+          try {
+            val st = conn.createStatement()
+            var inBatch = 0
+            stmts.foreach { s =>
+              st.addBatch(s)
+              inBatch += 1
+              if (inBatch == batchSize) {
+                st.executeBatch()
+                inBatch = 0
+                if (delayMsPerBatch > 0) Thread.sleep(delayMsPerBatch)
+              }
+            }
+            if (inBatch > 0) st.executeBatch()
+            st.close()
+          } finally conn.close()
+        }
       }
   }
 }

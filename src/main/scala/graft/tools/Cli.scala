@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSession
   *   [--database-schema public] [--included-tables a,b] [--excluded-tables c]
   *   [--mode date-aware|full-load-only|absolute-path] [--start-date ISO]
   *   [--stop-date ISO] [--chunk-size 1000] [--start-position 0]
+  *   [--pk 'users=id;lineitem=l_orderkey,l_linenumber']
   *   [--only-snapshot | --only-datadiff] [--target-parquet dir]"
   * }}}
   *
@@ -27,7 +28,12 @@ import org.apache.spark.sql.SparkSession
 object Cli {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty || args.head != "validate") {
-      System.err.println("usage: Cli validate --bucket-prefix <uri> --database-name <db> [options]")
+      System.err.println(
+        "usage: Cli validate --bucket-prefix <uri> --database-name <db> " +
+          "[--database-schema s] [--included-tables a,b] [--excluded-tables c] " +
+          "[--mode m] [--start-date ISO] [--stop-date ISO] " +
+          "[--pk 'tbl=col1,col2;tbl2=col'] [--chunk-size n] [--start-position n] " +
+          "[--only-snapshot|--only-datadiff] [--target-parquet dir]")
       sys.exit(2)
     }
     val opts = parse(args.tail)
@@ -46,14 +52,13 @@ object Cli {
         System.err.println(s"unknown mode: $other"); sys.exit(2); FullLoadOnly
     }
 
-    // --pk "users=id;lineitem=l_orderkey,l_linenumber" (composite keys by comma)
     val pkByTable: Map[String, Seq[String]] =
-      opts.get("pk").map(_.split(';').toSeq.flatMap { e =>
-        e.split('=') match {
-          case Array(t, cols) => Some(t -> cols.split(',').toSeq)
-          case _ => System.err.println(s"bad --pk entry: $e"); sys.exit(2); None
+      opts.get("pk").map { spec =>
+        Cli.parsePk(spec) match {
+          case Right(m) => m
+          case Left(err) => System.err.println(err); sys.exit(2); Map.empty[String, Seq[String]]
         }
-      }.toMap).getOrElse(Map.empty)
+      }.getOrElse(Map.empty)
 
     val cfg = SnapshotConfig(
       bucketPrefix = req("bucket-prefix"),
@@ -81,6 +86,14 @@ object Cli {
 
     val states = CdcOperator.snapshot(spark, cfg)
     println(s"[cli] tables: ${states.map(_.table).mkString(", ")}")
+    // a --pk entry naming a table that was never discovered is almost
+    // certainly a typo — fail loudly instead of silently replaying on a
+    // guessed key
+    val unknownPk = pkByTable.keySet -- states.map(_.table).toSet
+    if (unknownPk.nonEmpty) {
+      System.err.println(s"--pk names unknown table(s): ${unknownPk.mkString(", ")}")
+      sys.exit(2)
+    }
 
     if (!onlyDatadiff) {
       opts.get("target-parquet").foreach { out =>
@@ -108,6 +121,26 @@ object Cli {
       }
     }
     spark.stop()
+  }
+
+  /** Parse "tbl=col[,col...][;tbl=...]" with whitespace tolerance; every
+    * entry must name a table and at least one non-empty column. */
+  def parsePk(spec: String): Either[String, Map[String, Seq[String]]] = {
+    val entries = spec.split(';').map(_.trim).filter(_.nonEmpty)
+    val parsed = entries.map { e =>
+      e.split('=') match {
+        case Array(t, cols) =>
+          val table = t.trim
+          val cs = cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          if (table.isEmpty || cs.isEmpty) Left(s"bad --pk entry: $e")
+          else Right(table -> cs)
+        case _ => Left(s"bad --pk entry: $e")
+      }
+    }
+    parsed.collectFirst { case Left(err) => err } match {
+      case Some(err) => Left(err)
+      case None => Right(parsed.collect { case Right(kv) => kv }.toMap)
+    }
   }
 
   private def parse(args: Seq[String]): Map[String, String] = {
