@@ -128,7 +128,28 @@ object TextEntries {
 
     // E4: SimHash pairs, hamming <= 3 with exact banded recall
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(docsAll(s, dir), "doc_id", "text"))
+      Dedup.simhashPairs(docsAll(s, dir), "doc_id", "text")),
+
+    // E2b: incremental dedup — the near-dup variants as the incoming batch
+    // screened against the original corpus (cross-side pairs only)
+    "dedup_incremental" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" graft dup tail marker")).as("text"))
+      Dedup.incrementalNgramPairs(corpus, batch, "doc_id", "text", Tau)
+    }),
+
+    // pipeline staple: deterministic train/val/test assignment by portable
+    // hash bucket (stable across runs and engines, no RNG state)
+    "data_split" -> ((s, dir) => {
+      val bucket = graft.text.PortableHash.h32(
+        concat(lit("split:"), col("doc_id").cast("string"))) % 100
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+    })
   )
 
   // -------------------------------------------------------------- oracles
@@ -222,6 +243,36 @@ object TextEntries {
          |  CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) AS jaccard_bp
          |FROM vcommon JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) >= $Tau""".stripMargin
+    },
+
+    "dedup_incremental" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |batch AS (SELECT doc_id + 200000 AS doc_id, text || ' graft dup tail marker' AS text
+         |          FROM documents WHERE doc_id % 17 = 0),
+         |bpost AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, unnest($shingleListSql) AS s
+         |  FROM (SELECT doc_id, $toksSql AS t FROM batch))),
+         |cpost AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, unnest($shingleListSql) AS s
+         |  FROM (SELECT doc_id, $toksSql AS t FROM corpus))),
+         |bsizes AS (SELECT doc_id, count(*) AS n FROM bpost GROUP BY 1),
+         |csizes AS (SELECT doc_id, count(*) AS n FROM cpost GROUP BY 1),
+         |common AS (
+         |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS common
+         |  FROM bpost b JOIN cpost c ON b.s = c.s GROUP BY 1, 2)
+         |SELECT batch_id, corpus_id, common, bs.n AS n_batch, cs.n AS n_corpus,
+         |  CAST(floor(common * 10000.0 / (bs.n + cs.n - common)) AS BIGINT) AS jaccard_bp
+         |FROM common JOIN bsizes bs ON bs.doc_id = batch_id
+         |JOIN csizes cs ON cs.doc_id = corpus_id
+         |WHERE CAST(floor(common * 10000.0 / (bs.n + cs.n - common)) AS BIGINT) >= $Tau""".stripMargin,
+
+    "data_split" -> {
+      val bucket = PortableHash.duckH32("'split:'||CAST(doc_id AS VARCHAR)") + " % 100"
+      s"""SELECT doc_id,
+         |  CASE WHEN $bucket < 80 THEN 'train'
+         |       WHEN $bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
     },
 
     "dedup_simhash" -> {

@@ -167,6 +167,40 @@ object Dedup {
     verifiedJaccard(candidates, post, tauBp)
   }
 
+  /** Incremental dedup: near-dup pairs BETWEEN a new batch and an existing
+    * corpus (never within either side) — the steady-state shape of a
+    * training-data pipeline, where each incoming batch is screened against
+    * everything already ingested. Output: batch_id, corpus_id, common,
+    * n_batch, n_corpus, jaccard_bp.
+    *
+    * The corpus side of the inverted-index join carries only postings whose
+    * shingle also occurs in the batch (semi-join first), so the cost scales
+    * with the BATCH, not the corpus — the property that matters when the
+    * corpus is 100 TB and the batch is a day's crawl. */
+  def incrementalNgramPairs(
+      corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, tauBp: Long, w: Int = 3): DataFrame = {
+    val bPost = postings(batch, idCol, textCol, w).cache()
+    val cPost = postings(corpus, idCol, textCol, w)
+      .join(bPost.select("__sh").distinct(), Seq("__sh"), "left_semi")
+      .cache()
+    val bSizes = postings(batch, idCol, textCol, w)
+      .groupBy("__id").agg(count(lit(1)).as("n_batch"))
+    val cSizes = postings(corpus, idCol, textCol, w)
+      .groupBy("__id").agg(count(lit(1)).as("n_corpus"))
+    val common = bPost.select(col("__id").as("batch_id"), col("__sh"))
+      .join(cPost.select(col("__id").as("corpus_id"), col("__sh")), "__sh")
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(bSizes.withColumnRenamed("__id", "batch_id"), "batch_id")
+      .join(cSizes.withColumnRenamed("__id", "corpus_id"), "corpus_id")
+      .withColumn("jaccard_bp",
+        TextOps.bp(col("common"), col("n_batch") + col("n_corpus") - col("common")))
+      .filter(col("jaccard_bp") >= tauBp)
+      .select("batch_id", "corpus_id", "common", "n_batch", "n_corpus", "jaccard_bp")
+  }
+
   /** 64-bit SimHash as two unsigned 32-bit halves (hi, lo) over distinct
     * shingles. Output: id, sim_hi, sim_lo. */
   def simhash(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
