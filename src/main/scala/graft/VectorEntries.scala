@@ -56,6 +56,21 @@ object VectorEntries {
       Knn.bucketed(c, qs, "vec_id", "embedding", K, Dims)
     }),
 
+    // E7b: IVF coarse-quantizer training — exact integer centroid sums
+    // per label (one map-side-combined aggregation)
+    "emb_centroids" -> ((s, dir) => {
+      Knn.centroidSums(Tables.embeddings(s, dir), "label", "embedding", Dims)
+        .withColumnRenamed("group", "label")
+    }),
+
+    // E7c: IVF assignment — nearest centroid per vector in pure integer
+    // arithmetic (scaled distances), centroids broadcast
+    "emb_ivf_assign" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = Knn.centroidSums(e, "label", "embedding", Dims)
+      Knn.ivfAssign(e, cents, "vec_id", "embedding", Dims)
+    }),
+
     // E12: multimodal metadata pipeline (binary payloads, mapPartitions
     // batch "decode" with deterministic stub codec)
     "mm_meta" -> ((s, dir) => {
@@ -102,6 +117,31 @@ object VectorEntries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id ASC) AS rnk
          |  FROM scored)
          |WHERE rnk <= $K""".stripMargin,
+
+    "emb_centroids" -> {
+      val sums = (0 until Dims).map(i => s"CAST(sum(q[${i + 1}]) AS BIGINT) AS s_$i").mkString(",\n  ")
+      s"""SELECT label, count(*) AS n,
+         |  $sums
+         |FROM (SELECT label, $q AS q FROM embeddings)
+         |GROUP BY label""".stripMargin
+    },
+
+    "emb_ivf_assign" -> {
+      val sums = (0 until Dims).map(i => s"CAST(sum(q[${i + 1}]) AS BIGINT) AS s_$i").mkString(", ")
+      val dist = (0 until Dims)
+        .map(i => s"power(c.n * v.q[${i + 1}] - c.s_$i, 2)").mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, $q AS q FROM embeddings),
+         |c AS (SELECT label, CAST(count(*) AS BIGINT) AS n, $sums
+         |      FROM (SELECT label, $q AS q FROM embeddings) GROUP BY label),
+         |d AS (SELECT v.vec_id, c.label,
+         |        ($dist) / CAST(c.n * c.n AS DOUBLE) AS dist
+         |      FROM v CROSS JOIN c)
+         |SELECT vec_id, label AS cluster FROM (
+         |  SELECT vec_id, label,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, label ASC) AS rk
+         |  FROM d)
+         |WHERE rk = 1""".stripMargin
+    },
 
     "mm_meta" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,

@@ -80,6 +80,44 @@ object Knn {
         col("rnk"), col("cos_bp"))
   }
 
+  /** Per-group centroid SUMS of quantized vectors (exact integers —
+    * dividing by the count happens scaled, see ivfAssign). The coarse-
+    * quantizer training step of an IVF index: one map-side-combined
+    * aggregation over the corpus. Output: group, n, s_0..s_{dims-1}. */
+  def centroidSums(df: DataFrame, groupCol: String, vecCol: String, dims: Int): DataFrame = {
+    val q = VectorOps.quantize(col(vecCol)).as("__q")
+    df.select(col(groupCol).as("group"), q)
+      .groupBy("group")
+      .agg(count(lit(1)).as("n"),
+        (0 until dims).map(i => sum(element_at(col("__q"), i + 1)).as(s"s_$i")): _*)
+  }
+
+  /** Exact nearest-centroid assignment (IVF coarse quantization) without
+    * leaving integer arithmetic: argmin over centroids c of |v - S_c/n_c|²
+    * equals argmin of |n_c·v - S_c|² / n_c², computed entirely in int64 —
+    * no float rounding, so the result is engine-portable. Centroids are
+    * broadcast (there are K of them); the corpus is scanned once.
+    * Output: idCol, cluster (group of nearest centroid). */
+  def ivfAssign(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, dims: Int): DataFrame = {
+    val q = prepared(corpus, idCol, vecCol).select(col("vid"), col("qv"))
+    val joined = q.crossJoin(broadcast(centroids))
+    // scaled squared distance: sum_i (n*q_i - s_i)^2 — then normalize by n²
+    // as a double ONLY for comparison (values differ by >= 1/n² when not
+    // tied, far above double noise at these magnitudes)
+    val dist2 = (0 until dims)
+      .map(i => pow(col("n") * element_at(col("qv"), i + 1) - col(s"s_$i"), 2))
+      .reduce(_ + _) / (col("n") * col("n")).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("__d").asc, col("group").asc)
+    joined
+      .withColumn("__d", dist2)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("vid").as(idCol), col("group").as("cluster"))
+  }
+
   /** Embedding near-dup pairs: sketch-bucket candidates, exact cosine
     * verify at tauBp. Output: id_a, id_b, cos_bp. */
   def embeddingDupPairs(
