@@ -76,6 +76,12 @@ object VectorEntries {
     "mm_meta" -> ((s, dir) => {
       val media = Media.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
       Media.extractMeta(media).toDF()
+    }),
+
+    // E12b: frame sampling + resize — typed fan-out over the media table
+    "mm_frames" -> ((s, dir) => {
+      val media = Media.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
+      Media.sampleFrames(Media.extractMeta(media)).toDF()
     })
   )
 
@@ -150,6 +156,19 @@ object VectorEntries {
         |  octet_length(encode(text)) % 640 + 1 AS width,
         |  octet_length(encode(text)) % 480 + 1 AS height,
         |  octet_length(encode(text)) % 30 + 1 AS frame_count
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, md5(text) AS checksum,
+        |    octet_length(encode(text)) % 640 + 1 AS width,
+        |    octet_length(encode(text)) % 480 + 1 AS height,
+        |    octet_length(encode(text)) % 30 + 1 AS frame_count
+        |  FROM documents)
+        |SELECT doc_id, i AS frame_idx,
+        |  md5(checksum || ':' || i) AS frame_checksum,
+        |  (width + 1) // 2 AS out_width,
+        |  (height + 1) // 2 AS out_height
+        |FROM m, unnest(generate_series(1, frame_count, 7)) AS t(i)""".stripMargin
   )
 }

@@ -67,4 +67,31 @@ object Media {
     import spark.implicits._
     media.mapPartitions(decodeStub)
   }
+
+  case class Frame(
+      doc_id: Long,
+      frame_idx: Long,
+      frame_checksum: String,
+      out_width: Long,
+      out_height: Long)
+
+  /** Frame sampling + resize plumbing: every `step`-th frame of each media
+    * item becomes a row (1, 1+step, ...), carrying a per-frame checksum and
+    * half-resolution output dims. The frame "decode" is the deterministic
+    * stub (checksum-derived); the fan-out, schema, and partition-local
+    * batch shape are the real pipeline. A real codec would replace the
+    * frame synthesis inside the flatMap body only. */
+  def sampleFrames(meta: Dataset[MediaMeta], step: Int = 7): Dataset[Frame] = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.flatMap { m =>
+      val md = MessageDigest.getInstance("MD5")
+      (1L to m.frame_count by step).map { i =>
+        md.reset()
+        val fc = md.digest(s"${m.checksum}:$i".getBytes(StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        Frame(m.doc_id, i, fc, (m.width + 1) / 2, (m.height + 1) / 2)
+      }
+    }
+  }
 }
