@@ -200,13 +200,21 @@ object TextEntries {
          |SELECT md5($normSql) AS fp, min(doc_id) AS keeper_id, count(*) AS n_docs
          |FROM corpus GROUP BY 1""".stripMargin,
 
+    // mirrors the default skew cap: candidates only from shingles with
+    // df <= DefaultMaxDf; exact Jaccard still scored over ALL shingles
     "dedup_ngram" ->
       s"""WITH corpus AS ($docsNearSql),
          |post AS ($postSql),
          |sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY 1),
+         |hot AS (SELECT s FROM post GROUP BY s HAVING count(*) > ${Dedup.DefaultMaxDf}),
+         |cpost AS (SELECT * FROM post WHERE s NOT IN (SELECT s FROM hot)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM cpost a JOIN cpost b ON a.s = b.s AND a.doc_id < b.doc_id),
          |common AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-         |  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  SELECT c.id_a, c.id_b, count(*) AS common
+         |  FROM cand c
+         |  JOIN post a ON a.doc_id = c.id_a
+         |  JOIN post b ON b.doc_id = c.id_b AND b.s = a.s
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b,
          |  CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) AS jaccard_bp
@@ -216,7 +224,7 @@ object TextEntries {
     "dedup_minhash" -> {
       val rows = NumPerm / Bands
       val sigExprs = (0 until NumPerm).map(i =>
-        s"list_min(list_transform(shl, s -> ${PortableHash.duckH32(s"'$i:'||s")})) AS sig_$i"
+        s"list_min(list_transform(shl, s -> ${PortableHash.duckH32Lane(i / 4, i % 4, "s")})) AS sig_$i"
       ).mkString(",\n  ")
       val bandSelects = (0 until Bands).map { b =>
         val slice = (0 until rows).map(r => s"sig_${b * rows + r}").mkString("||','||")
@@ -282,8 +290,8 @@ object TextEntries {
         s"(CASE WHEN $p$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
       s"""WITH corpus AS ($docsAllSql),
          |post AS ($postSql),
-         |hs AS (SELECT doc_id, ${PortableHash.duckH32("'hi:'||s")} AS hh,
-         |              ${PortableHash.duckH32("'lo:'||s")} AS hl FROM post),
+         |hs AS (SELECT doc_id, ${PortableHash.duckH32Lane(0, "s")} AS hh,
+         |              ${PortableHash.duckH32Lane(1, "s")} AS hl FROM post),
          |sums AS (SELECT doc_id,
          |  ${sums("hh", "hi")},
          |  ${sums("hl", "lo")}

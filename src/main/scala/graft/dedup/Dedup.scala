@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default document-frequency cap for n-gram candidate generation: a
+    * shingle in more than this many documents is treated as boilerplate
+    * and skipped during candidate generation (still scored). Bounds the
+    * per-shingle candidate fan-out at maxDf² regardless of corpus skew. */
+  val DefaultMaxDf: Long = 128L
+
   /** Exact dedup on normalized-text fingerprint.
     * Returns (fp, keeper_id = min id, n_docs). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -30,13 +36,19 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
 
-  /** Distinct (id, shingle) postings for a corpus. Tokens are materialized
-    * behind a projection boundary before shingling so the tokenizer runs
-    * once per row, not once per element_at (see shinglesFromTokens). */
-  private def postings(df: DataFrame, idCol: String, textCol: String, w: Int) =
+  /** Raw (id, shingle) postings — duplicates possible when a shingle
+    * repeats within a document. Map-only (scan → tokenize → explode); the
+    * building block that lets callers push filters BEFORE the distinct's
+    * shuffle. Tokens are materialized behind a projection boundary before
+    * shingling so the tokenizer runs once per row, not once per element_at
+    * (see shinglesFromTokens). */
+  private def postingsRaw(df: DataFrame, idCol: String, textCol: String, w: Int) =
     df.select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__t"))
       .select(col("__id"), explode(TextOps.shinglesFromTokens(col("__t"), w)).as("__sh"))
-      .distinct()
+
+  /** Distinct (id, shingle) postings for a corpus. */
+  private def postings(df: DataFrame, idCol: String, textCol: String, w: Int) =
+    postingsRaw(df, idCol, textCol, w).distinct()
 
   /** Exact Jaccard scoring of candidate pairs against full postings:
     * common counts come from a candidate-bounded join, sizes from the
@@ -67,14 +79,18 @@ object Dedup {
     * rows), but STILL count toward the exact Jaccard of surviving
     * candidates. Recall trade: a pair whose overlap is exclusively hot
     * shingles is missed — the standard prefix-filtering compromise.
-    * Default ∞ = exact all-pairs. */
+    *
+    * The cap is the DEFAULT ([[DefaultMaxDf]]): on a skewed corpus one
+    * boilerplate shingle shared by k docs costs k² candidate rows, which
+    * at 100 TB is a job-killing skew bomb. Pass `maxDf = Long.MaxValue`
+    * to opt into exact all-pairs when the corpus is known to be clean. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       tauBp: Long,
       w: Int = 3,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = DefaultMaxDf): DataFrame = {
     val post = postings(df, idCol, textCol, w).cache()
     if (maxDf == Long.MaxValue) {
       // exact all-pairs: count common shingles directly in the inverted-
@@ -94,17 +110,36 @@ object Dedup {
         .filter(col("jaccard_bp") >= tauBp)
         .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
     } else {
-      // skew-capped: candidates from cool shingles only, exact scores from
-      // full postings
+      // skew-capped: candidate pairs AND their cool-shingle overlap come
+      // from one self-join on cool shingles (direct count, no distinct /
+      // re-join pass over the bulk); the exact common then adds the hot-
+      // shingle overlap computed only for surviving pairs — at 100 TB the
+      // quadratic fan-out is bounded by maxDf² per shingle, and the hot
+      // correction touches |candidates| × |hot postings per doc| rows
       val hot = post.groupBy("__sh").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDf).select("__sh")
-      val candPost = post.join(broadcast(hot), Seq("__sh"), "left_anti")
-      val candidates = candPost.select(col("__id").as("id_a"), col("__sh"))
-        .join(candPost.select(col("__id").as("id_b"), col("__sh")), "__sh")
+      val coolPost = post.join(broadcast(hot), Seq("__sh"), "left_anti")
+      val coolCommon = coolPost.select(col("__id").as("id_a"), col("__sh"))
+        .join(coolPost.select(col("__id").as("id_b"), col("__sh")), "__sh")
         .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-      verifiedJaccard(candidates, post, tauBp)
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("common_cool"))
+      val hotPost = post.join(broadcast(hot), Seq("__sh"), "left_semi")
+      val hotCommon = coolCommon.select("id_a", "id_b")
+        .join(hotPost.select(col("__id").as("id_a"), col("__sh")), "id_a")
+        .join(hotPost.select(col("__id").as("id_b"), col("__sh")), Seq("id_b", "__sh"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("common_hot"))
+      val sizes = post.groupBy("__id").agg(count(lit(1)).as("__n"))
+      coolCommon
+        .join(hotCommon, Seq("id_a", "id_b"), "left")
+        .withColumn("common", col("common_cool") + coalesce(col("common_hot"), lit(0L)))
+        .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "n_b"), "id_b")
+        .withColumn("jaccard_bp",
+          TextOps.bp(col("common"), col("n_a") + col("n_b") - col("common")))
+        .filter(col("jaccard_bp") >= tauBp)
+        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
     }
   }
 
@@ -112,11 +147,16 @@ object Dedup {
     * computes all numPerm seeded hashes, then a single map-side-combined
     * groupBy takes the mins — the shuffle carries numPerm longs per doc,
     * never shingles. (A per-doc array-transform formulation re-evaluates
-    * the shingle pipeline once per permutation — 12× the md5 work.) */
+    * the shingle pipeline once per permutation — 12× the md5 work.)
+    *
+    * Permutation i is lane i%4 of md5("(i/4):"+shingle) — four independent
+    * 32-bit hashes per digest, so 12 permutations cost 3 md5s per posting
+    * row instead of 12 (H32's same-input memo makes the lane reads free). */
   def minhashSignaturesFromPostings(post: DataFrame, numPerm: Int): DataFrame = {
     val withH = post.select(
       col("__id") +:
-        (0 until numPerm).map(i => PortableHash.h32(i, col("__sh")).as(s"__h$i")): _*)
+        (0 until numPerm).map(i =>
+          PortableHash.h32Lane(i / 4, i % 4, col("__sh")).as(s"__h$i")): _*)
     withH.groupBy("__id").agg(
       min(col("__h0")).as("sig_0"),
       (1 until numPerm).map(i => min(col(s"__h$i")).as(s"sig_$i")): _*)
@@ -181,17 +221,29 @@ object Dedup {
       corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, tauBp: Long, w: Int = 3): DataFrame = {
     val bPost = postings(batch, idCol, textCol, w).cache()
-    val cPost = postings(corpus, idCol, textCol, w)
-      .join(bPost.select("__sh").distinct(), Seq("__sh"), "left_semi")
+    // corpus side: semi-join BEFORE the distinct, with the (small) batch
+    // shingle set broadcast — the corpus contributes a map-only
+    // scan+tokenize+filter; the only corpus-derived shuffle is over the
+    // batch-matching survivors. (distinct commutes with a filter on __sh.)
+    val cPost = postingsRaw(corpus, idCol, textCol, w)
+      .join(broadcast(bPost.select("__sh").distinct()), Seq("__sh"), "left_semi")
+      .distinct()
       .cache()
-    val bSizes = postings(batch, idCol, textCol, w)
-      .groupBy("__id").agg(count(lit(1)).as("n_batch"))
-    val cSizes = postings(corpus, idCol, textCol, w)
-      .groupBy("__id").agg(count(lit(1)).as("n_corpus"))
+    val bSizes = bPost.groupBy("__id").agg(count(lit(1)).as("n_batch"))
     val common = bPost.select(col("__id").as("batch_id"), col("__sh"))
       .join(cPost.select(col("__id").as("corpus_id"), col("__sh")), "__sh")
       .groupBy("batch_id", "corpus_id")
       .agg(count(lit(1)).as("common"))
+      .cache()
+    // full |shingles(corpus doc)| is needed for exact Jaccard, but only
+    // for CANDIDATE docs: re-shingle just those documents (candidate ids
+    // broadcast into a semi-join that prunes the corpus scan) instead of
+    // aggregating the entire corpus postings per batch
+    val candIds = common.select(col("corpus_id").as(idCol)).distinct()
+    val cSizes = postings(
+      corpus.join(broadcast(candIds), Seq(idCol), "left_semi"),
+      idCol, textCol, w)
+      .groupBy("__id").agg(count(lit(1)).as("n_corpus"))
     common
       .join(bSizes.withColumnRenamed("__id", "batch_id"), "batch_id")
       .join(cSizes.withColumnRenamed("__id", "corpus_id"), "corpus_id")
@@ -202,11 +254,12 @@ object Dedup {
   }
 
   /** 64-bit SimHash as two unsigned 32-bit halves (hi, lo) over distinct
-    * shingles. Output: id, sim_hi, sim_lo. */
+    * shingles — lanes 0 and 1 of ONE md5 per shingle (independent 32-bit
+    * slices; one digest instead of two). Output: id, sim_hi, sim_lo. */
   def simhash(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
     val post = postings(df, idCol, textCol, w)
-      .withColumn("__h_hi", PortableHash.h32(concat(lit("hi:"), col("__sh"))))
-      .withColumn("__h_lo", PortableHash.h32(concat(lit("lo:"), col("__sh"))))
+      .withColumn("__h_hi", PortableHash.h32Lane(0, col("__sh")))
+      .withColumn("__h_lo", PortableHash.h32Lane(1, col("__sh")))
     def bitSums(h: String, prefix: String) = (0 until 32).map(i =>
       sum(when(shiftright(col(h), i) % 2 === 1, 1).otherwise(-1)).as(s"$prefix$i"))
     val sums = post.groupBy(col("__id"))

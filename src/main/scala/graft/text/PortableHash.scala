@@ -28,10 +28,29 @@ object PortableHash {
   def h32(seed: Int, c: Column): Column =
     h32(concat(lit(s"$seed:"), c))
 
+  /** Lane variant: bytes [4*lane, 4*lane+4) of one md5 as an unsigned
+    * 32-bit value — four independent hashes per digest, so k seeded
+    * hashes cost ceil(k/4) md5s instead of k (the MinHash permutation
+    * family uses seed = perm/4, lane = perm%4). */
+  def h32Lane(seed: Int, lane: Int, c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.H32(
+        org.apache.spark.sql.GraftBridge.expression(concat(lit(s"$seed:"), c)), lane))
+
+  def h32Lane(lane: Int, c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.H32(org.apache.spark.sql.GraftBridge.expression(c), lane))
+
   /** DuckDB SQL fragment computing the identical value. */
   def duckH32(expr: String): String =
     s"cast(('0x'||substr(md5($expr),1,8)) as bigint)"
 
   def duckH32(seed: Int, expr: String): String =
     duckH32(s"'$seed:'||$expr")
+
+  def duckH32Lane(seed: Int, lane: Int, expr: String): String =
+    s"cast(('0x'||substr(md5('$seed:'||$expr),${1 + 8 * lane},8)) as bigint)"
+
+  def duckH32Lane(lane: Int, expr: String): String =
+    s"cast(('0x'||substr(md5($expr),${1 + 8 * lane},8)) as bigint)"
 }
