@@ -29,7 +29,10 @@ object DmsFileCatalog {
 
   case class CatalogedFile(path: String, isLoad: Boolean, seq: Long, modifiedMs: Long)
 
-  def isLoadFile(name: String): Boolean = name.contains("LOAD")
+  /** DMS names full-load files `LOAD<seq>.parquet` — key on the basename
+    * PREFIX, so a CDC file that merely contains "LOAD" somewhere in its
+    * name is not misclassified. */
+  def isLoadFile(name: String): Boolean = name.startsWith("LOAD")
   def isFirstLoadFile(name: String): Boolean = name == "LOAD00000001.parquet" || name == "LOAD00000001"
 
   def tablePrefix(prefix: String, database: String, schema: String, table: String): String =
@@ -46,12 +49,22 @@ object DmsFileCatalog {
       val dir = new Path(tablePrefix(prefix, database, schema, table))
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(dir)) return Seq.empty
-      val all = listRecursive(fs, dir)
-        .filter(f => f.getPath.getName.endsWith(".parquet") || isLoadFile(f.getPath.getName))
+      // DateAware never lists the whole table prefix: `YYYY/MM/DD`
+      // partition directories outside [startDate, stopDate] are pruned
+      // BEFORE any listing descends into them — the Hadoop-FS analogue of
+      // the reference's `start_after(start_date_path)` pagination
+      // (s3_operator.rs:147-175), which skips all keys lexicographically
+      // before the start date's path. With years of CDC files the old
+      // full recursive listing is an unbounded driver-side scan.
+      val candidates = (m match {
+        case DateAware(start, stop) => listDatePruned(fs, dir, start, stop)
+        case _ => listRecursive(fs, dir)
+      }).filter(f => f.getPath.getName.endsWith(".parquet") || isLoadFile(f.getPath.getName))
       val selected = m match {
-        case FullLoadOnly => all.filter(f => isLoadFile(f.getPath.getName))
+        case FullLoadOnly => candidates.filter(f => isLoadFile(f.getPath.getName))
         case DateAware(start, stop) =>
-          all.filter { f =>
+          // mtime window stays as the secondary, file-granular check
+          candidates.filter { f =>
             val name = f.getPath.getName
             val mod = f.getModificationTime
             isLoadFile(name) ||
@@ -68,6 +81,58 @@ object DmsFileCatalog {
         CatalogedFile(f.getPath.toString, isLoadFile(f.getPath.getName),
           i.toLong, f.getModificationTime)
       }
+  }
+
+  /** Bounded listing for DateAware mode: walk the table prefix treating
+    * all-digit directory levels as `YYYY` / `YYYY/MM` / `YYYY/MM/DD`
+    * partitions and descend only into those whose date range can
+    * intersect [startDate, stopDate]. Partition-prefix bounds compare as
+    * lexicographic (y, m, d) tuples — an unknown month/day widens to its
+    * extreme, so a prefix is pruned only when provably outside the
+    * window. Files at the table root (DMS drops `LOAD*` there) and
+    * non-numeric subtrees are always listed: pruning never risks losing
+    * a file it can't date from the path alone. */
+  private def listDatePruned(
+      fs: FileSystem, dir: Path,
+      start: Instant, stop: Option[Instant]): Seq[org.apache.hadoop.fs.FileStatus] = {
+    import java.time.{LocalDate, ZoneOffset}
+    val ord = Ordering.Tuple3[Int, Int, Int]
+    val s = LocalDate.ofInstant(start, ZoneOffset.UTC)
+    val startT = (s.getYear, s.getMonthValue, s.getDayOfMonth)
+    val stopT = stop.map { i =>
+      val t = LocalDate.ofInstant(i, ZoneOffset.UTC)
+      (t.getYear, t.getMonthValue, t.getDayOfMonth)
+    }
+    def inWindow(y: Int, m: Option[Int], d: Option[Int]): Boolean = {
+      val hi = (y, m.getOrElse(12), d.getOrElse(31))
+      val lo = (y, m.getOrElse(1), d.getOrElse(1))
+      ord.gteq(hi, startT) && stopT.forall(t => ord.lteq(lo, t))
+    }
+    def num(name: String): Option[Int] =
+      if (name.nonEmpty && name.length <= 4 && name.forall(_.isDigit)) Some(name.toInt)
+      else None
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    val root = fs.listStatus(dir)
+    buf ++= root.filter(_.isFile)
+    for (yDir <- root.filter(_.isDirectory)) num(yDir.getPath.getName) match {
+      case Some(y) if !inWindow(y, None, None) => // pruned: never listed
+      case Some(y) =>
+        val months = fs.listStatus(yDir.getPath)
+        buf ++= months.filter(_.isFile)
+        for (mDir <- months.filter(_.isDirectory)) num(mDir.getPath.getName) match {
+          case Some(mo) if !inWindow(y, Some(mo), None) => // pruned
+          case Some(mo) =>
+            val days = fs.listStatus(mDir.getPath)
+            buf ++= days.filter(_.isFile)
+            for (dDir <- days.filter(_.isDirectory)) num(dDir.getPath.getName) match {
+              case Some(d) if !inWindow(y, Some(mo), Some(d)) => // pruned
+              case _ => buf ++= listRecursive(fs, dDir.getPath)
+            }
+          case None => buf ++= listRecursive(fs, mDir.getPath)
+        }
+      case None => buf ++= listRecursive(fs, yDir.getPath)
+    }
+    buf.toSeq
   }
 
   private def listRecursive(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {

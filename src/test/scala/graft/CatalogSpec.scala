@@ -79,6 +79,36 @@ class CatalogSpec extends SparkSpecBase {
     assert(state == Map(1L -> "a2"))
   }
 
+  test("A6: date partitions before startDate are pruned, never listed") {
+    // an in-window MTIME inside an out-of-window DATE DIR: the old
+    // full-recursive listing would have kept it via the mtime filter; the
+    // date-pruned walk must never descend into 2023/… at all
+    val t0 = Instant.parse("2024-02-14T10:00:00Z").toEpochMilli
+    def write(rel: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-part")
+      Seq((1L, "x", "I")).toDF("id", "v", "Op").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = root.resolve(s"prefix/db/public/pruned/$rel")
+      Files.createDirectories(dest.getParent)
+      Files.copy(part, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    write("2023/01/01/20230101-000000000.parquet", t0 + 60000) // stale dir, fresh mtime
+    write("2024/02/14/20240214-101000000.parquet", t0 + 60000)
+    write("LOAD00000001.parquet", t0) // root LOAD always survives
+    val start = Instant.parse("2024-02-01T00:00:00Z")
+    val names = DmsFileCatalog.listFiles(
+      spark, s"$root/prefix", "db", "public", "pruned", DateAware(start, None))
+      .map(_.path.split('/').last)
+    assert(names == Seq("LOAD00000001.parquet", "20240214-101000000.parquet"))
+  }
+
+  test("A6: isLoadFile keys on the LOAD basename prefix only") {
+    assert(DmsFileCatalog.isLoadFile("LOAD00000001.parquet"))
+    assert(!DmsFileCatalog.isLoadFile("20240214-LOADED.parquet"))
+  }
+
   test("A6: missing table dir lists empty") {
     assert(DmsFileCatalog.listFiles(
       spark, s"$root/prefix", "db", "public", "nope", FullLoadOnly).isEmpty)
