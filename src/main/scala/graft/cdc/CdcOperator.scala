@@ -24,7 +24,13 @@ object CdcOperator {
   /** Mirror of the reference's CLI/payload surface (cdc_operator_payload.rs).
     * `bucketPrefix` is any Hadoop-FS URI prefix (s3a://bucket/prefix,
     * file:/...); Postgres URLs become JDBC coordinates when a live sink is
-    * attached. */
+    * attached.
+    *
+    * Primary-key resolution order per table: explicit `pkByTable` config →
+    * `pkResolver` (wired to `graft.pg.Reflect.pkResolver` when a source
+    * Postgres URL is available — the reference's `get_primary_key` path,
+    * cdc_operator.rs:96-137) → first-data-column guess as a loud last
+    * resort. */
   case class SnapshotConfig(
       bucketPrefix: String,
       databaseName: String,
@@ -32,7 +38,8 @@ object CdcOperator {
       includedTables: Seq[String] = Seq.empty,
       excludedTables: Seq[String] = Seq.empty,
       mode: Mode = FullLoadOnly,
-      pkByTable: Map[String, Seq[String]] = Map.empty)
+      pkByTable: Map[String, Seq[String]] = Map.empty,
+      pkResolver: String => Seq[String] = _ => Seq.empty)
 
   case class ValidateConfig(
       chunkSize: Long = 1000,
@@ -53,6 +60,25 @@ object CdcOperator {
     TableSelector.select(all, cfg.includedTables, cfg.excludedTables)
   }
 
+  /** pk resolution: config → database reflection → first-DATA-column
+    * guess (never a DMS service column or the catalog's internal tags —
+    * the raw frame's first column is often "Op", which would make LWW
+    * replay key on the op code). A wrong pk silently changes replay
+    * semantics, so the guess is the loud last resort; reflected columns
+    * absent from the frame are dropped rather than trusted. None only
+    * when the table has no data columns at all. */
+  def resolvePk(cfg: SnapshotConfig, table: String, columns: Seq[String]): Option[Seq[String]] = {
+    val internal = CdcApply.ServiceColumns ++ Seq("_seq", "_is_load")
+    cfg.pkByTable.get(table).orElse {
+      val reflected = cfg.pkResolver(table).filter(columns.contains)
+      if (reflected.nonEmpty) Some(reflected)
+      else columns.filterNot(internal.contains).headOption.map { c =>
+        System.err.println(s"[graft] no pk configured or reflected for '$table'; guessing '$c'")
+        Seq(c)
+      }
+    }
+  }
+
   /** Replay one table's cataloged files to current state. LOAD rows form
     * the base; CDC rows replay on top in file-sequence order — one plan,
     * one shuffle by pk (CdcApply). */
@@ -65,19 +91,10 @@ object CdcOperator {
     if (files.isEmpty) return None
     val df = DmsFileCatalog.readTable(spark, files)
     if (df.columns.isEmpty) return None
-    // pk fallback: first DATA column — never a DMS service column or the
-    // catalog's internal tags (the raw frame's first column is often "Op",
-    // which would make LWW replay key on the op code)
-    val internal = CdcApply.ServiceColumns ++ Seq("_seq", "_is_load")
-    val pk = cfg.pkByTable.getOrElse(table, {
-      val guess = df.columns.filterNot(internal.contains).headOption
-      guess match {
-        case Some(c) =>
-          System.err.println(s"[graft] no pk configured for '$table'; guessing '$c'")
-          Seq(c)
-        case None => return None
-      }
-    })
+    val pk = resolvePk(cfg, table, df.columns.toSeq) match {
+      case Some(p) => p
+      case None    => return None
+    }
     val hasOp = df.columns.contains("Op")
     val state =
       if (!hasOp) CdcApply.stripServiceColumns(df.drop("_seq", "_is_load"))

@@ -18,9 +18,12 @@ import org.apache.spark.sql.DataFrame
   */
 object JdbcSink {
 
-  /** Bulk append via Spark's JDBC writer (LOAD-file landing). */
+  /** Bulk append via Spark's JDBC writer (LOAD-file landing).
+    * `maxConnections` bounds concurrent writer connections — the
+    * reference's `--max-connections` pool cap (main.rs:61-66) — via the
+    * JDBC writer's numPartitions coalesce. */
   def append(df: DataFrame, url: String, schema: String, table: String,
-      user: String, password: String): Unit =
+      user: String, password: String, maxConnections: Int = 100): Unit =
     CdcApply.stripServiceColumns(df)
       .write
       .format("jdbc")
@@ -29,6 +32,7 @@ object JdbcSink {
       .option("user", user)
       .option("password", password)
       .option("batchsize", 10000)
+      .option("numPartitions", maxConnections)
       .mode("append")
       .save()
 

@@ -4,6 +4,7 @@ import java.time.Instant
 
 import graft.cdc.CdcOperator
 import graft.cdc.CdcOperator.{SnapshotConfig, ValidateConfig}
+import graft.pg.{JdbcSink, PgConfig, Reflect}
 import graft.sources.DmsFileCatalog.{AbsolutePath, DateAware, FullLoadOnly, Mode}
 import org.apache.spark.sql.SparkSession
 
@@ -18,12 +19,22 @@ import org.apache.spark.sql.SparkSession
   *   [--mode date-aware|full-load-only|absolute-path] [--start-date ISO]
   *   [--stop-date ISO] [--chunk-size 1000] [--start-position 0]
   *   [--pk 'users=id;lineitem=l_orderkey,l_linenumber']
+  *   [--source-postgres-url postgres://u:p@h:5432/db]
+  *   [--target-postgres-url postgres://u:p@h:5432/db]
+  *   [--max-connections 100]
+  *   [--accept-invalid-certs-first] [--accept-invalid-certs-second]
   *   [--only-snapshot | --only-datadiff] [--target-parquet dir]"
   * }}}
   *
+  * The pg flags mirror the reference client (main.rs:47-114):
+  * `--source-postgres-url` enables pk/column reflection from the source
+  * database (table_query.rs FindPrimaryKey) so `--pk` becomes optional;
+  * `--target-postgres-url` lands snapshots via JDBC with at most
+  * `--max-connections` parallel writers; the `--accept-invalid-certs-*`
+  * pair disables TLS validation on the first/second URL respectively.
   * Snapshot replays each selected table to current state (written to
-  * `--target-parquet/<table>` when given); datadiff validates replayed
-  * state against the target parquet.
+  * `--target-parquet/<table>` and/or the target database when given);
+  * datadiff validates replayed state against the target parquet.
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -33,6 +44,9 @@ object Cli {
           "[--database-schema s] [--included-tables a,b] [--excluded-tables c] " +
           "[--mode m] [--start-date ISO] [--stop-date ISO] " +
           "[--pk 'tbl=col1,col2;tbl2=col'] [--chunk-size n] [--start-position n] " +
+          "[--source-postgres-url url] [--target-postgres-url url] " +
+          "[--max-connections n] [--accept-invalid-certs-first] " +
+          "[--accept-invalid-certs-second] " +
           "[--only-snapshot|--only-datadiff] [--target-parquet dir]")
       sys.exit(2)
     }
@@ -60,14 +74,23 @@ object Cli {
         }
       }.getOrElse(Map.empty)
 
+    val schemaName = opts.getOrElse("database-schema", "public")
+    val maxConnections = opts.getOrElse("max-connections", "100").toInt
+    val sourcePg = opts.get("source-postgres-url").map(PgConfig(_, schemaName,
+      maxConnections, opts.contains("accept-invalid-certs-first")))
+    val targetPg = opts.get("target-postgres-url").map(PgConfig(_, schemaName,
+      maxConnections, opts.contains("accept-invalid-certs-second")))
+
     val cfg = SnapshotConfig(
       bucketPrefix = req("bucket-prefix"),
       databaseName = req("database-name"),
-      schemaName = opts.getOrElse("database-schema", "public"),
+      schemaName = schemaName,
       includedTables = opts.get("included-tables").map(_.split(',').toSeq).getOrElse(Seq.empty),
       excludedTables = opts.get("excluded-tables").map(_.split(',').toSeq).getOrElse(Seq.empty),
       mode = mode,
-      pkByTable = pkByTable)
+      pkByTable = pkByTable,
+      pkResolver = sourcePg.map(Reflect.pkResolver(_, schemaName))
+        .getOrElse(_ => Seq.empty))
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -96,14 +119,28 @@ object Cli {
     }
 
     if (!onlyDatadiff) {
-      opts.get("target-parquet").foreach { out =>
+      opts.get("target-parquet") match {
+        case Some(out) =>
+          states.foreach { t =>
+            t.state.write.mode("overwrite").parquet(s"$out/${t.table}")
+            // count from the WRITTEN parquet (row-group metadata only) —
+            // t.state.count() here would re-execute the whole replay plan
+            val rows = spark.read.parquet(s"$out/${t.table}").count()
+            println(s"[cli] snapshot ${t.table}: $rows rows -> $out/${t.table}")
+          }
+        case None if targetPg.isEmpty =>
+          states.foreach(t => println(s"[cli] snapshot ${t.table}: ${t.state.count()} rows"))
+        case None =>
+      }
+      targetPg.foreach { pg =>
+        val (url, props) = pg.jdbc
         states.foreach { t =>
-          t.state.write.mode("overwrite").parquet(s"$out/${t.table}")
-          println(s"[cli] snapshot ${t.table}: ${t.state.count()} rows -> $out/${t.table}")
+          JdbcSink.append(t.state, url, pg.schemaName, t.table,
+            props.getProperty("user", ""), props.getProperty("password", ""),
+            maxConnections = pg.maxConnections)
+          println(s"[cli] landed ${t.table} -> ${pg.schemaName}.${t.table}")
         }
       }
-      if (opts.get("target-parquet").isEmpty)
-        states.foreach(t => println(s"[cli] snapshot ${t.table}: ${t.state.count()} rows"))
     }
 
     if (!onlySnapshot) {
@@ -114,7 +151,8 @@ object Cli {
           onlyCount = opts.contains("only-count"))
         states.foreach { t =>
           val target = spark.read.parquet(s"$out/${t.table}")
-          val pk = cfg.pkByTable.getOrElse(t.table, Seq(t.state.columns.head))
+          val pk = CdcOperator.resolvePk(cfg, t.table, t.state.columns.toSeq)
+            .getOrElse(Seq(t.state.columns.head))
           val report = CdcOperator.validate(t.state, target, pk, t.table, vcfg).head()
           println(s"[cli] validate ${t.table}: $report")
         }

@@ -53,6 +53,26 @@ class CdcOperatorSpec extends SparkSpecBase {
     assert(states("orders").state.count() == 1)
   }
 
+  test("pk comes from the resolver when config omits the table") {
+    // users deliberately missing from pkByTable: reflection supplies it.
+    // Wrong-pk replay would keep both versions of id=2; the resolver pk
+    // must produce the same LWW state as explicit config.
+    var asked = List.empty[String]
+    val reflCfg = cfg.copy(
+      pkByTable = Map("orders" -> Seq("id")),
+      pkResolver = t => { asked ::= t; if (t == "users") Seq("id") else Seq.empty })
+    val users = CdcOperator.snapshot(spark, reflCfg).find(_.table == "users").get.state
+    assert(asked.contains("users"))
+    val m = users.select("id", "v").as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("resolver columns absent from the frame fall through to the guess") {
+    assert(CdcOperator.resolvePk(
+      cfg.copy(pkByTable = Map.empty, pkResolver = _ => Seq("not_a_column")),
+      "users", Seq("Op", "id", "v")) == Some(Seq("id")))
+  }
+
   test("validate reports counts, chunk mismatches, and differing rows") {
     val users = CdcOperator.snapshot(spark, cfg)
       .find(_.table == "users").get.state

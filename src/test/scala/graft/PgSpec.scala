@@ -1,6 +1,6 @@
 package graft
 
-import graft.pg.{Ddl, GeometryType, TypeMapper, ValueRenderer}
+import graft.pg.{Ddl, GeometryType, PgConfig, Reflect, TypeMapper, ValueRenderer}
 import graft.sources.TableSelector
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -102,5 +102,43 @@ class PgSpec extends AnyFunSuite {
     assert(Ddl.tableFilterSubquery(Seq.empty, Seq("t3")) ==
       "AND table_name NOT IN ('t3')")
     assert(Ddl.tableFilterSubquery(Seq.empty, Seq.empty) == "")
+  }
+
+  test("A0: Reflect.primaryKey issues the pg_index query and keeps order") {
+    var issued = List.empty[String]
+    val run: Reflect.QueryRunner = sql => {
+      issued ::= sql
+      Seq(Seq("l_orderkey"), Seq("l_linenumber"))
+    }
+    assert(Reflect.primaryKey(run, "public", "lineitem") ==
+      Seq("l_orderkey", "l_linenumber"))
+    val sql = issued.head
+    assert(sql.contains("pg_index") && sql.contains("'public.lineitem'::regclass")
+      && sql.contains("indisprimary"))
+  }
+
+  test("A0: Reflect.tableColumns normalizes ARRAY to text[] (reference behavior)") {
+    val run: Reflect.QueryRunner = sql => {
+      assert(sql.contains("information_schema.columns")
+        && sql.contains("'public'") && sql.contains("'users'"))
+      Seq(Seq("id", "bigint"), Seq("tags", "ARRAY"), Seq("name", "character varying"))
+    }
+    assert(Reflect.tableColumns(run, "public", "users") ==
+      Seq("id" -> "bigint", "tags" -> "text[]", "name" -> "character varying"))
+  }
+
+  test("A0: Reflect.tablesInSchema composes the include/exclude subquery") {
+    var issued = ""
+    val run: Reflect.QueryRunner = sql => { issued = sql; Seq(Seq("a"), Seq("b")) }
+    assert(Reflect.tablesInSchema(run, "public", included = Seq("a", "b")) == Seq("a", "b"))
+    assert(issued.contains("information_schema.tables")
+      && issued.contains("AND table_name IN ('a', 'b')"))
+  }
+
+  test("A0: pkResolver degrades to empty on connection failure, never throws") {
+    // no server listens here; resolver must warn and return empty so the
+    // operator falls through to its guess path instead of crashing
+    val cfg = PgConfig("postgres://u:p@localhost:1/nope")
+    assert(Reflect.pkResolver(cfg, "public")("users") == Seq.empty)
   }
 }
