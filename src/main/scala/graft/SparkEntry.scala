@@ -211,6 +211,16 @@ object SparkEntry {
         floor(col("o_orderkey") / 1000.0).cast("bigint"))
     }),
 
+    // B2b: reference-fidelity positional chunking — chunks are
+    // chunkSize-ROW ranges in pk order and startPosition skips rows
+    // (rust_pgdatadiff payload semantics); global positions computed
+    // without a single-partition window (DataDiff.withOrderedPosition)
+    "diff_chunk_ordered" -> ((s, dir) => {
+      DataDiff.orderedChunkDiff(
+        Tables.orders(s, dir), perturbedOrders(s, dir),
+        Seq("o_orderkey"), chunkSize = 500, startPosition = 100)
+    }),
+
     // B3: count-only compare
     "diff_count" -> ((s, dir) => {
       DataDiff.countDiff(Tables.orders(s, dir), perturbedOrders(s, dir), "orders")
@@ -329,6 +339,33 @@ object SparkEntry {
          |  SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS chunk_id,
          |         count(*) AS tgt_rows, sum($rowHash) AS th
          |  FROM tgt GROUP BY 1)
+         |SELECT COALESCE(sa.chunk_id, ta.chunk_id) AS chunk_id,
+         |       CAST(COALESCE(src_rows, 0) AS BIGINT) AS src_rows,
+         |       CAST(COALESCE(tgt_rows, 0) AS BIGINT) AS tgt_rows,
+         |       (src_rows IS NOT DISTINCT FROM tgt_rows AND sh IS NOT DISTINCT FROM th) AS chunks_match
+         |FROM sa FULL OUTER JOIN ta ON sa.chunk_id = ta.chunk_id""".stripMargin
+    },
+
+    "diff_chunk_ordered" -> {
+      val rowHash = graft.text.PortableHash.duckH32(
+        "concat_ws('|', " + ordersCols.map(c => s"CAST($c AS VARCHAR)").mkString(", ") + ")")
+      s"""WITH tgt AS ($perturbedOrdersSql),
+         |sp AS (
+         |  SELECT $rowHash AS h,
+         |         row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+         |  FROM orders),
+         |tp AS (
+         |  SELECT $rowHash AS h,
+         |         row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+         |  FROM tgt),
+         |sa AS (
+         |  SELECT CAST(floor(pos / 500.0) AS BIGINT) AS chunk_id,
+         |         count(*) AS src_rows, sum(h) AS sh
+         |  FROM sp WHERE pos >= 100 GROUP BY 1),
+         |ta AS (
+         |  SELECT CAST(floor(pos / 500.0) AS BIGINT) AS chunk_id,
+         |         count(*) AS tgt_rows, sum(h) AS th
+         |  FROM tp WHERE pos >= 100 GROUP BY 1)
          |SELECT COALESCE(sa.chunk_id, ta.chunk_id) AS chunk_id,
          |       CAST(COALESCE(src_rows, 0) AS BIGINT) AS src_rows,
          |       CAST(COALESCE(tgt_rows, 0) AS BIGINT) AS tgt_rows,

@@ -41,10 +41,16 @@ object CdcOperator {
       pkByTable: Map[String, Seq[String]] = Map.empty,
       pkResolver: String => Seq[String] = _ => Seq.empty)
 
+  /** `orderedChunks = true` (default) follows the reference exactly:
+    * chunks are `chunkSize`-row ranges in pk order and `startPosition`
+    * skips that many rows (rust_pgdatadiff payload). `false` switches to
+    * hash-range chunking — positions never computed, one shuffle fewer —
+    * for the very largest tables. */
   case class ValidateConfig(
       chunkSize: Long = 1000,
       startPosition: Long = 0,
-      onlyCount: Boolean = false)
+      onlyCount: Boolean = false,
+      orderedChunks: Boolean = true)
 
   case class TableState(table: String, state: DataFrame, files: Seq[CatalogedFile])
 
@@ -125,11 +131,19 @@ object CdcOperator {
       cfg: ValidateConfig = ValidateConfig()): DataFrame = {
     val counts = DataDiff.countDiff(source, target, table)
     if (cfg.onlyCount) return counts
-    // pk-range chunking: hash pk tuple into chunkSize-row-scale ranges
-    val chunkOf = pmod(hash(pk.map(col): _*), lit(1000000)).cast("long") /
-      lit(cfg.chunkSize)
-    val chunks = DataDiff.chunkDiff(source, target, chunkOf.cast("long"))
-      .filter(col("chunk_id") >= cfg.startPosition)
+    val chunks =
+      if (cfg.orderedChunks)
+        // reference semantics: chunkSize ROWS per chunk in pk order,
+        // startPosition skips rows (cdc_operator.rs:247-293)
+        DataDiff.orderedChunkDiff(source, target, pk, cfg.chunkSize, cfg.startPosition)
+      else {
+        // scale option: hash pk tuple into chunkSize-row-scale ranges;
+        // startPosition degrades to a chunk-id floor
+        val chunkOf = pmod(hash(pk.map(col): _*), lit(1000000)).cast("long") /
+          lit(cfg.chunkSize)
+        DataDiff.chunkDiff(source, target, chunkOf.cast("long"))
+          .filter(col("chunk_id") >= cfg.startPosition)
+      }
     val badChunks = chunks.filter(!col("chunks_match"))
       .agg(count(lit(1)).as("chunks_mismatched")).withColumn("tbl", lit(table))
     val rows = DataDiff.rowDiff(source, target, pk)

@@ -75,6 +75,67 @@ object DataDiff {
           .as("chunks_match"))
   }
 
+  /** Exact 0-based global position of each row in pk order, WITHOUT a
+    * single-partition global window: range-repartition + sort by pk (so
+    * partition i's keys all precede partition i+1's), then
+    * `RDD.zipWithIndex` — its per-partition count job and the data job
+    * share ONE shuffle lineage, so the sampled range boundaries are
+    * computed exactly once and the cumulative offsets are consistent by
+    * construction. A pure-DataFrame variant (spark_partition_id + window
+    * + broadcast offsets) is subtly wrong here: the plan is consumed
+    * twice and a re-executed range exchange may re-sample different
+    * boundaries, silently corrupting positions. The RDD hop costs one
+    * row (de)serialization on the validate path only — the price of
+    * keeping the reference's "chunk_size rows from start_position"
+    * semantics computable at 100 TB.
+    */
+  def withOrderedPosition(df: DataFrame, pk: Seq[String], posCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, pk.map(col): _*)
+      .sortWithinPartitions(pk.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(posCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+
+  /** Reference-fidelity chunk compare: chunk N = rows
+    * [N*chunkSize, (N+1)*chunkSize) in pk order, skipping the first
+    * `startPosition` ROWS (rust_pgdatadiff's chunk/start_position payload,
+    * cdc_operator.rs:247-293) — unlike `chunkDiff`'s pk-range chunks,
+    * `start_position` here really means "skip the first N rows" and chunk
+    * count tracks table size. Positions are computed independently per
+    * side, so as in the reference, a single inserted row shifts every
+    * later chunk. */
+  def orderedChunkDiff(
+      source: DataFrame,
+      target: DataFrame,
+      pk: Seq[String],
+      chunkSize: Long,
+      startPosition: Long = 0L): DataFrame = {
+    def sideAgg(df: DataFrame, n: String, h: String) = {
+      val rowHash = PortableHash.h32(concat_ws("|", df.columns.map(c => col(c).cast("string")): _*))
+      withOrderedPosition(df.withColumn("__h", rowHash), pk, "__pos")
+        .filter(col("__pos") >= startPosition)
+        .withColumn("__chunk", floor(col("__pos") / chunkSize.toDouble).cast("long"))
+        .groupBy("__chunk")
+        .agg(count(lit(1)).as(n), sum(col("__h")).as(h))
+    }
+    val s = sideAgg(source, "src_rows", "__sh")
+    val t = sideAgg(target, "tgt_rows", "__th")
+    s.join(t, Seq("__chunk"), "full_outer")
+      .select(
+        col("__chunk").as("chunk_id"),
+        coalesce(col("src_rows"), lit(0L)).as("src_rows"),
+        coalesce(col("tgt_rows"), lit(0L)).as("tgt_rows"),
+        (col("src_rows") <=> col("tgt_rows") && col("__sh") <=> col("__th"))
+          .as("chunks_match"))
+  }
+
   /** Count-only compare (DiffPayload.only_count). */
   def countDiff(source: DataFrame, target: DataFrame, label: String): DataFrame =
     source.agg(count(lit(1)).as("src_rows"))

@@ -95,6 +95,34 @@ class CdcOperatorSpec extends SparkSpecBase {
     assert(report.head().getAs[Boolean]("counts_match"))
   }
 
+  test("B2b: global positions are exact across partitions") {
+    import graft.diff.DataDiff
+    // deliberately unsorted, many partitions: positions must equal the
+    // rank in pk order, 0-based, gap-free — the broadcast-offset path has
+    // to agree with a plain global sort
+    val df = spark.range(0, 1000).select((($"id" * 7919) % 1000).as("k")).repartition(13)
+    val pos = DataDiff.withOrderedPosition(df, Seq("k"), "pos")
+      .select("k", "pos").as[(Long, Long)].collect().sortBy(_._1)
+    assert(pos.map(_._1).toSeq == (0L until 1000L))
+    assert(pos.map(_._2).toSeq == (0L until 1000L)) // k dense → pos == k
+  }
+
+  test("B2b: ordered chunks skip startPosition rows and shift on insert") {
+    import graft.diff.DataDiff
+    val src = spark.range(0, 100).select($"id".as("k"), ($"id" * 2).as("v"))
+    // target inserts one row at the front: every later chunk shifts
+    val tgt = src.unionByName(Seq((-1L, -2L)).toDF("k", "v"))
+    val d = DataDiff.orderedChunkDiff(src, tgt, Seq("k"), chunkSize = 10, startPosition = 20)
+      .collect().map(r => r.getAs[Long]("chunk_id") -> r.getAs[Boolean]("chunks_match")).toMap
+    // positions < 20 skipped on both sides → chunks 0,1 absent
+    assert(!d.contains(0L) && !d.contains(1L))
+    // with the insert, target rows at pos p hold key p-1 → all chunks differ
+    assert(d.keys.min == 2L && d.values.forall(_ == false))
+    // identical sides: all chunks match, count respects the skip
+    val clean = DataDiff.orderedChunkDiff(src, src, Seq("k"), 10, 20).collect()
+    assert(clean.length == 8 && clean.forall(_.getAs[Boolean]("chunks_match")))
+  }
+
   test("identical tables validate clean") {
     val users = CdcOperator.snapshot(spark, cfg).find(_.table == "users").get.state
     val report = CdcOperator.validate(users, users, Seq("id"), "users").head()
