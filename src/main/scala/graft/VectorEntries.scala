@@ -15,6 +15,7 @@ object VectorEntries {
   val Dims = 64
   val TauBp = 9500L
   val K = 10
+  val NProbe = 3
 
   /** embeddings ∪ exact duplicates of every 10th vector (+100000). */
   private def embDup(s: SparkSession, dir: String): DataFrame = {
@@ -69,6 +70,15 @@ object VectorEntries {
       val e = Tables.embeddings(s, dir)
       val cents = Knn.centroidSums(e, "label", "embedding", Dims)
       Knn.ivfAssign(e, cents, "vec_id", "embedding", Dims)
+    }),
+
+    // E7d: IVF search — queries probe their nprobe nearest centroids and
+    // score only those clusters' vectors (the search half of the index)
+    "knn_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = Knn.centroidSums(e, "label", "embedding", Dims)
+      Knn.ivfSearch(e, cents, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", K, Dims, NProbe)
     }),
 
     // E12: multimodal metadata pipeline (binary payloads, mapPartitions
@@ -147,6 +157,34 @@ object VectorEntries {
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, label ASC) AS rk
          |  FROM d)
          |WHERE rk = 1""".stripMargin
+    },
+
+    "knn_ivf" -> {
+      val sums = (0 until Dims).map(i => s"CAST(sum(q[${i + 1}]) AS BIGINT) AS s_$i").mkString(", ")
+      val dist = (0 until Dims)
+        .map(i => s"power(c.n * v.q[${i + 1}] - c.s_$i, 2)").mkString(" + ")
+      s"""WITH v0 AS (SELECT vec_id, $q AS q FROM embeddings),
+         |v AS (SELECT vec_id, q, ${VectorOps.duckQdot("q", "q")} AS sd FROM v0),
+         |c AS (SELECT label, CAST(count(*) AS BIGINT) AS n, $sums
+         |      FROM (SELECT label, $q AS q FROM embeddings) GROUP BY label),
+         |d AS (SELECT v.vec_id, v.q, v.sd, c.label,
+         |        ($dist) / CAST(c.n * c.n AS DOUBLE) AS dist
+         |      FROM v CROSS JOIN c),
+         |ranked AS (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, label ASC) AS rk
+         |  FROM d),
+         |asg AS (SELECT vec_id, q, sd, label AS cluster FROM ranked WHERE rk = 1),
+         |probes AS (SELECT vec_id AS qid, q AS qq, sd AS qsd, label AS cluster
+         |  FROM ranked WHERE vec_id < 5 AND rk <= $NProbe),
+         |scored AS (
+         |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+         |    ${VectorOps.duckCosineBp(VectorOps.duckQdot("a.q", "p.qq"), "a.sd", "p.qsd")} AS cos_bp
+         |  FROM asg a JOIN probes p ON a.cluster = p.cluster AND a.vec_id <> p.qid)
+         |SELECT query_id, neighbor_id, rnk, cos_bp FROM (
+         |  SELECT query_id, neighbor_id, cos_bp,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $K""".stripMargin
     },
 
     "mm_meta" ->

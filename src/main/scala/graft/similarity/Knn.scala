@@ -92,30 +92,67 @@ object Knn {
         (0 until dims).map(i => sum(element_at(col("__q"), i + 1)).as(s"s_$i")): _*)
   }
 
-  /** Exact nearest-centroid assignment (IVF coarse quantization) without
-    * leaving integer arithmetic: argmin over centroids c of |v - S_c/n_c|²
-    * equals argmin of |n_c·v - S_c|² / n_c², computed entirely in int64 —
-    * no float rounding, so the result is engine-portable. Centroids are
-    * broadcast (there are K of them); the corpus is scanned once.
-    * Output: idCol, cluster (group of nearest centroid). */
-  def ivfAssign(
-      corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, dims: Int): DataFrame = {
-    val q = prepared(corpus, idCol, vecCol).select(col("vid"), col("qv"))
-    val joined = q.crossJoin(broadcast(centroids))
-    // scaled squared distance: sum_i (n*q_i - s_i)^2 — then normalize by n²
-    // as a double ONLY for comparison (values differ by >= 1/n² when not
-    // tied, far above double noise at these magnitudes)
-    val dist2 = (0 until dims)
+  /** Scaled squared distance to a centroid given as (n, s_0..s_{dims-1})
+    * sums: argmin over centroids c of |v - S_c/n_c|² equals argmin of
+    * |n_c·v - S_c|² / n_c², computed entirely in int64 — no float
+    * rounding, so the result is engine-portable. The division happens as
+    * a double ONLY for comparison (values differ by >= 1/n² when not
+    * tied, far above double noise at these magnitudes). */
+  private def scaledDist2(dims: Int) =
+    (0 until dims)
       .map(i => pow(col("n") * element_at(col("qv"), i + 1) - col(s"s_$i"), 2))
       .reduce(_ + _) / (col("n") * col("n")).cast("double")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vid")).orderBy(col("__d").asc, col("group").asc)
-    joined
-      .withColumn("__d", dist2)
+
+  /** Rank vectors' centroids by distance, keep the `keep` nearest.
+    * Input must carry vid/qv; centroids are broadcast (K rows). */
+  private def nearestCentroids(p: DataFrame, centroids: DataFrame, dims: Int, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col("vid")).orderBy(col("__d").asc, col("group").asc)
+    p.crossJoin(broadcast(centroids))
+      .withColumn("__d", scaledDist2(dims))
       .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
+      .filter(col("__rk") <= keep)
+  }
+
+  /** Exact nearest-centroid assignment (IVF coarse quantization) in pure
+    * integer arithmetic. Centroids are broadcast (there are K of them);
+    * the corpus is scanned once. Output: idCol, cluster. */
+  def ivfAssign(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, dims: Int): DataFrame =
+    nearestCentroids(
+      prepared(corpus, idCol, vecCol).select(col("vid"), col("qv")),
+      centroids, dims, keep = 1)
       .select(col("vid").as(idCol), col("group").as("cluster"))
+
+  /** Serve kNN from the IVF index (the search half of E7b/E7c): each
+    * query probes its `nprobe` nearest centroids and scores ONLY corpus
+    * vectors assigned to those clusters — the recall/cost dial of a
+    * classical IVF index. Corpus vectors carry their (single) cluster
+    * assignment, so probing several clusters never yields duplicate
+    * candidates. Query probes are broadcast; the corpus is scanned once
+    * with no corpus-side shuffle before the candidate join, and at scale
+    * the assignment is precomputable metadata (ivfAssign output) keyed
+    * for partition pruning by cluster. Output matches bruteForce:
+    * query_id, neighbor_id, rnk, cos_bp. */
+  def ivfSearch(
+      corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dims: Int, nprobe: Int): DataFrame = {
+    val c = nearestCentroids(prepared(corpus, idCol, vecCol), centroids, dims, keep = 1)
+      .select(col("vid"), col("qv"), col("self_dot"), col("group").as("cluster"))
+    val probes = nearestCentroids(
+      prepared(queries, idCol, vecCol), centroids, dims, keep = nprobe)
+      .select(col("vid").as("qid"), col("qv").as("qqv"),
+        col("self_dot").as("qself"), col("group").as("cluster"))
+    val scored = c.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("dot", VectorOps.qdot(col("qv"), col("qqv")))
+      .withColumn("cos_bp", VectorOps.cosineBp(col("dot"), col("self_dot"), col("qself")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_bp").desc, col("vid").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("rnk"), col("cos_bp"))
   }
 
   /** Embedding near-dup pairs: sketch-bucket candidates, exact cosine

@@ -26,6 +26,30 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("E7d: IVF search scores match brute force on shared hits; nprobe=K recovers brute top-k") {
+    val dir = sf("sf0.001")
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter($"vec_id" < 5)
+    val cents = Knn.centroidSums(e, "label", "embedding", 64)
+    val brute = Knn.bruteForce(e, qs, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id", $"cos_bp")
+      .as[(Long, Long, Long)].collect().map { case (q, n, c) => (q, n) -> c }.toMap
+    val ivf = Knn.ivfSearch(e, cents, qs, "vec_id", "embedding", 10, 64, nprobe = 3)
+      .select($"query_id", $"neighbor_id", $"cos_bp")
+      .as[(Long, Long, Long)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, n, c) =>
+      assert(brute.get((q, n)).forall(_ == c),
+        s"ivf pair ($q,$n) scored $c but brute says ${brute.get((q, n))}")
+    }
+    // probing every cluster makes IVF exhaustive: exact brute-force top-k
+    val nClusters = cents.count().toInt
+    val full = Knn.ivfSearch(e, cents, qs, "vec_id", "embedding", 10, 64, nprobe = nClusters)
+      .select($"query_id", $"neighbor_id", $"cos_bp")
+      .as[(Long, Long, Long)].collect().map { case (q, n, c) => (q, n) -> c }.toMap
+    assert(full == brute)
+  }
+
   test("E6: brute-force kNN self-excluded, ranked, exactly k rows per query") {
     val dir = sf("sf0.001")
     val e = Tables.embeddings(spark, dir)
