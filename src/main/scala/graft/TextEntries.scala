@@ -1,7 +1,7 @@
 package graft
 
-import graft.dedup.Dedup
-import graft.text.{PortableHash, TextOps}
+import graft.dedup.{Decontaminate, Dedup}
+import graft.text.{Packing, PortableHash, TextOps}
 import graft.util.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -56,11 +56,12 @@ object TextEntries {
       |     THEN list_transform(generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2])
       |     ELSE [array_to_string(t, ' ')] END""".stripMargin
 
-  /** postings CTE body over a corpus CTE named `corpus`. */
-  private val postSql =
+  /** postings CTE body over a named corpus CTE. */
+  private def postOverSql(cte: String) =
     s"""SELECT DISTINCT doc_id, s FROM (
        |  SELECT doc_id, unnest($shingleListSql) AS s
-       |  FROM (SELECT doc_id, $toksSql AS t FROM corpus))""".stripMargin
+       |  FROM (SELECT doc_id, $toksSql AS t FROM $cte))""".stripMargin
+  private val postSql = postOverSql("corpus")
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
@@ -71,6 +72,7 @@ object TextEntries {
   val Tau: Long = 6000L // jaccard_bp threshold for near-dup pairs
   val NumPerm = 12
   val Bands = 4
+  val PackBudget = 512L // tokens per packed training sequence
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E10: token counting — whitespace, BPE-ish regex, normalized
@@ -138,6 +140,29 @@ object TextEntries {
         .select((col("doc_id") + 200000L).as("doc_id"),
           concat(col("text"), lit(" graft dup tail marker")).as("text"))
       Dedup.incrementalNgramPairs(corpus, batch, "doc_id", "text", Tau)
+    }),
+
+    // E13: sequence packing — concat-then-chunk token-budget bins with a
+    // deterministic-bucket global cumsum (no single-partition window)
+    "text_pack" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_tokens"))
+      Packing.packSequences(d, "doc_id", "n_tokens", PackBudget)
+        .select("doc_id", "n_tokens", "start_tok", "seq_id")
+    }),
+
+    // E14: repetition scoring — share of tokens taken by the most
+    // frequent token (boilerplate/degenerate-page signal)
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text")),
+
+    // E15: benchmark decontamination — corpus docs sharing shingles with
+    // a (broadcast) benchmark set; every corpus doc reported
+    "text_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Decontaminate.overlap(
+        d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text")
     }),
 
     // pipeline staple: deterministic train/val/test assignment by portable
@@ -273,6 +298,40 @@ object TextEntries {
          |FROM common JOIN bsizes bs ON bs.doc_id = batch_id
          |JOIN csizes cs ON cs.doc_id = corpus_id
          |WHERE CAST(floor(common * 10000.0 / (bs.n + cs.n - common)) AS BIGINT) >= $Tau""".stripMargin,
+
+    "text_pack" ->
+      s"""SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok,
+         |  CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $PackBudget.0) AS BIGINT) AS seq_id
+         |FROM (SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+         |      FROM documents)""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |counts AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         |ranked AS (SELECT doc_id, tok, cnt,
+         |    sum(cnt) OVER (PARTITION BY doc_id) AS total,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok ASC) AS rk
+         |  FROM counts)
+         |SELECT doc_id, tok AS top_tok, CAST(cnt AS BIGINT) AS top_cnt,
+         |  CAST(total AS BIGINT) AS n_tokens,
+         |  CAST(floor(cnt * 10000.0 / total) AS BIGINT) AS rep_bp
+         |FROM ranked WHERE rk = 1""".stripMargin,
+
+    "text_decontaminate" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+         |cpost AS (${postOverSql("corpus")}),
+         |bset AS (SELECT DISTINCT s FROM (${postOverSql("bench")})),
+         |hits AS (SELECT cpost.doc_id, count(*) AS n
+         |  FROM cpost JOIN bset ON cpost.s = bset.s GROUP BY 1)
+         |SELECT corpus.doc_id,
+         |  CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_overlap,
+         |  COALESCE(hits.n, 0) > 0 AS contaminated
+         |FROM corpus LEFT JOIN hits ON corpus.doc_id = hits.doc_id""".stripMargin,
 
     "data_split" -> {
       val bucket = PortableHash.duckH32("'split:'||CAST(doc_id AS VARCHAR)") + " % 100"

@@ -47,7 +47,7 @@ object Dedup {
       .select(col("__id"), explode(TextOps.shinglesFromTokens(col("__t"), w)).as("__sh"))
 
   /** Distinct (id, shingle) postings for a corpus. */
-  private def postings(df: DataFrame, idCol: String, textCol: String, w: Int) =
+  private[dedup] def postings(df: DataFrame, idCol: String, textCol: String, w: Int) =
     postingsRaw(df, idCol, textCol, w).distinct()
 
   /** Exact Jaccard scoring of candidate pairs against full postings:

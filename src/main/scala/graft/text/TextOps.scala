@@ -92,4 +92,27 @@ object TextOps {
     * rolling-hash-min document sketch). */
   def minShingleHash(c: Column, w: Int = 3): Column =
     array_min(transform(shingles(c, w), s => PortableHash.h32(s)))
+
+  /** Gopher-style repetition signal: the share of a document's tokens
+    * taken by its single most frequent token (ties broken by the
+    * lexicographically smallest token, so the result is deterministic).
+    * High rep_bp flags boilerplate / degenerate pages. One explode +
+    * two-level aggregation, map-side combined; the per-doc window runs
+    * over per-token COUNTS (vocabulary-sized groups), never raw tokens.
+    * Output: idCol, top_tok, top_cnt, n_tokens, rep_bp. */
+  def repetitionStats(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy("__id", "__tok").agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy("__id").orderBy(col("__cnt").desc, col("__tok").asc)
+    counts
+      .withColumn("__total", sum("__cnt").over(Window.partitionBy("__id")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("__id").as(idCol), col("__tok").as("top_tok"),
+        col("__cnt").as("top_cnt"), col("__total").as("n_tokens"),
+        bp(col("__cnt"), col("__total")).as("rep_bp"))
+  }
 }

@@ -99,6 +99,44 @@ class TextDedupSpec extends SparkSpecBase {
     assert(probed >= noProbe) // strictly more candidate coverage
   }
 
+  test("E13: packing yields a gap-free token stream and budget-aligned bins") {
+    import graft.text.Packing
+    // adversarial order + many partitions: cumulative offsets must be exact
+    val d = spark.range(0, 500)
+      .select((($"id" * 7919) % 500).as("doc_id"), (($"id" % 7) + 1).as("n"))
+      .repartition(11)
+    val out = Packing.packSequences(d, "doc_id", "n", budget = 100)
+      .select($"doc_id", $"n", $"start_tok", $"seq_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // start_tok is the exclusive prefix sum in doc_id order
+    var cum = 0L
+    out.foreach { case (_, n, start, seq) =>
+      assert(start == cum, s"expected $cum got $start")
+      assert(seq == start / 100)
+      cum += n
+    }
+  }
+
+  test("E14: repetition picks the most frequent token, smallest on ties") {
+    val d = Seq((1L, "a b b c"), (2L, "x y")).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(d, "doc_id", "text")
+      .select($"doc_id", $"top_tok", $"top_cnt", $"n_tokens", $"rep_bp")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, "b", 2L, 4L, 5000L), (2L, "x", 1L, 2L, 5000L)))
+  }
+
+  test("E15: decontamination flags shingle overlap with the benchmark, zero rows kept") {
+    import graft.dedup.Decontaminate
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"), // shares "the quick brown" trigram
+      (2L, "completely different words here")).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown cat")).toDF("doc_id", "text")
+    val r = Decontaminate.overlap(corpus, bench, "doc_id", "text")
+      .select($"doc_id", $"n_overlap", $"contaminated")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 1L, true), (2L, 0L, false)))
+  }
+
   test("quality ratios floor to basis points") {
     val bp = Seq(("abcde12345", 10L)).toDF("t", "n")
       .select(TextOps.bp(lit(5L), lit(10L))).as[Long].head()
