@@ -104,13 +104,29 @@ object Knn {
       .reduce(_ + _) / (col("n") * col("n")).cast("double")
 
   /** Rank vectors' centroids by distance, keep the `keep` nearest.
-    * Input must carry vid/qv; centroids are broadcast (K rows). */
+    * Input must carry vid/qv; centroids are broadcast (K rows).
+    *
+    * keep=1 (the corpus-sized assignment path) is an argmin, expressed
+    * as a `min_by` AGGREGATION rather than a window: partial aggregation
+    * collapses the K-way fan-out map-side, so the shuffle carries ~one
+    * row per vector instead of K — the difference between an N-row and a
+    * K·N-row exchange at corpus scale. keep>1 (query-side probing, small
+    * by construction) keeps the window form. Ties break on (dist, group)
+    * ascending in both forms. */
   private def nearestCentroids(p: DataFrame, centroids: DataFrame, dims: Int, keep: Int): DataFrame = {
-    val w = Window.partitionBy(col("vid")).orderBy(col("__d").asc, col("group").asc)
-    p.crossJoin(broadcast(centroids))
-      .withColumn("__d", scaledDist2(dims))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= keep)
+    val joined = p.crossJoin(broadcast(centroids)).withColumn("__d", scaledDist2(dims))
+    if (keep == 1) {
+      val carried = p.columns.filterNot(_ == "vid")
+      val payload = struct(col("group") +: carried.map(col): _*)
+      joined
+        .groupBy("vid")
+        .agg(min_by(payload, struct(col("__d"), col("group"))).as("__best"))
+        .select(col("vid") +: col("__best.group").as("group") +:
+          carried.map(c => col(s"__best.$c").as(c)): _*)
+    } else {
+      val w = Window.partitionBy(col("vid")).orderBy(col("__d").asc, col("group").asc)
+      joined.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= keep)
+    }
   }
 
   /** Exact nearest-centroid assignment (IVF coarse quantization) in pure

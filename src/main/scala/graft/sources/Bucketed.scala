@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table support: pre-shuffle a fact table ONCE at write time so
+  * every later equi-join or aggregation on the bucket key runs
+  * exchange-free. At 100 TB this converts the recurring per-query shuffle
+  * of a big-big join (the single most expensive operation in the plan)
+  * into a one-time layout cost — the Spark-native analogue of co-located
+  * tables. Bucket counts should match between join sides (Spark can
+  * coalesce compatible multiples, but identical counts always co-locate).
+  *
+  * Bucketing rides `saveAsTable` (bucket metadata lives in the catalog —
+  * the session catalog locally, a metastore on a cluster); plain
+  * `.parquet(path)` writes cannot carry it.
+  */
+object Bucketed {
+
+  /** Write `df` as a parquet table bucketed AND sorted by `keys`: joins
+    * co-locate by bucket and skip the sort of a sort-merge join. */
+  def write(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  /** Equi-join two bucketed tables on their shared bucket keys — with
+    * matching bucket layouts this plans with zero Exchange nodes. */
+  def colocatedJoin(
+      spark: SparkSession, left: String, right: String, keys: Seq[String]): DataFrame =
+    spark.table(left).join(spark.table(right), keys)
+}

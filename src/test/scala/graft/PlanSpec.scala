@@ -58,6 +58,35 @@ class PlanSpec extends SparkSpecBase {
       "text_tokens lost whole-stage codegen")
   }
 
+  test("bucketed tables: equi-join and groupBy on the bucket key are exchange-free") {
+    import graft.sources.Bucketed
+    import org.apache.spark.sql.functions._
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val o = graft.util.Tables.orders(spark, sf("sf0.001"))
+      val l = graft.util.Tables.lineitem(spark, sf("sf0.001"))
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      Bucketed.write(o, "b_orders", buckets = 8, keys = Seq("o_orderkey"))
+      Bucketed.write(l, "b_lineitem", buckets = 8, keys = Seq("o_orderkey"))
+      val joined = Bucketed.colocatedJoin(spark, "b_orders", "b_lineitem", Seq("o_orderkey"))
+      val jp = joined.queryExecution.explainString(FormattedMode)
+      assert("\\(\\d+\\) Exchange".r.findAllIn(jp).isEmpty,
+        s"bucketed join should not shuffle:\n$jp")
+      assert(jp.contains("SortMergeJoin"))
+      assert(joined.count() > 0)
+      // aggregation on the bucket key also skips its exchange
+      val agg = spark.table("b_lineitem").groupBy("o_orderkey").agg(sum("l_quantity"))
+      val ap = agg.queryExecution.explainString(FormattedMode)
+      assert("\\(\\d+\\) Exchange".r.findAllIn(ap).isEmpty,
+        s"bucketed agg should not shuffle:\n$ap")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("driver contract: entry() returns rows; every query has a runnable plan") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every oracle key corresponds to a query
