@@ -140,25 +140,18 @@ object Knn {
       centroids, dims, keep = 1)
       .select(col("vid").as(idCol), col("group").as("cluster"))
 
-  /** Serve kNN from the IVF index (the search half of E7b/E7c): each
-    * query probes its `nprobe` nearest centroids and scores ONLY corpus
-    * vectors assigned to those clusters — the recall/cost dial of a
-    * classical IVF index. Corpus vectors carry their (single) cluster
-    * assignment, so probing several clusters never yields duplicate
-    * candidates. Query probes are broadcast; the corpus is scanned once
-    * with no corpus-side shuffle before the candidate join, and at scale
-    * the assignment is precomputable metadata (ivfAssign output) keyed
-    * for partition pruning by cluster. Output matches bruteForce:
-    * query_id, neighbor_id, rnk, cos_bp. */
-  def ivfSearch(
-      corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, dims: Int, nprobe: Int): DataFrame = {
-    val c = nearestCentroids(prepared(corpus, idCol, vecCol), centroids, dims, keep = 1)
-      .select(col("vid"), col("qv"), col("self_dot"), col("group").as("cluster"))
-    val probes = nearestCentroids(
-      prepared(queries, idCol, vecCol), centroids, dims, keep = nprobe)
+  /** nprobe nearest-centroid probes for a query set, ready for the
+    * candidate join: qid, qqv, qself, cluster. */
+  private def queryProbes(
+      queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, dims: Int, nprobe: Int): DataFrame =
+    nearestCentroids(prepared(queries, idCol, vecCol), centroids, dims, keep = nprobe)
       .select(col("vid").as("qid"), col("qv").as("qqv"),
         col("self_dot").as("qself"), col("group").as("cluster"))
+
+  /** Exact-cosine top-k of an assigned corpus (vid, qv, self_dot,
+    * cluster) against broadcast probes. */
+  private def topkAgainstProbes(c: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val scored = c.join(broadcast(probes), Seq("cluster"))
       .filter(col("vid") =!= col("qid"))
       .withColumn("dot", VectorOps.qdot(col("qv"), col("qqv")))
@@ -170,6 +163,47 @@ object Knn {
       .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
         col("rnk"), col("cos_bp"))
   }
+
+  /** Serve kNN from the IVF index (the search half of E7b/E7c): each
+    * query probes its `nprobe` nearest centroids and scores ONLY corpus
+    * vectors assigned to those clusters — the recall/cost dial of a
+    * classical IVF index. Corpus vectors carry their (single) cluster
+    * assignment, so probing several clusters never yields duplicate
+    * candidates. Query probes are broadcast; the corpus is scanned once
+    * with no corpus-side shuffle before the candidate join. For repeated
+    * serving, persist the assignment with [[ivfWriteIndex]] instead of
+    * recomputing it per query batch. Output matches bruteForce:
+    * query_id, neighbor_id, rnk, cos_bp. */
+  def ivfSearch(
+      corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dims: Int, nprobe: Int): DataFrame = {
+    val c = nearestCentroids(prepared(corpus, idCol, vecCol), centroids, dims, keep = 1)
+      .select(col("vid"), col("qv"), col("self_dot"), col("group").as("cluster"))
+    topkAgainstProbes(c, queryProbes(queries, centroids, idCol, vecCol, dims, nprobe), k)
+  }
+
+  /** Materialize the IVF index: quantized corpus vectors + self-dots,
+    * written PARTITIONED BY cluster. A later search touches only its
+    * probed clusters' directories — with K clusters and nprobe probes,
+    * 1/K·nprobe of the index is read, which is the entire point of IVF
+    * at 100 TB. Assignment cost is paid once at build time, not per
+    * query batch. */
+  def ivfWriteIndex(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, dims: Int, path: String): Unit =
+    nearestCentroids(prepared(corpus, idCol, vecCol), centroids, dims, keep = 1)
+      .select(col("vid"), col("qv"), col("self_dot"), col("group").as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** Serve kNN from a persisted [[ivfWriteIndex]] index. The broadcast
+    * probe join's cluster keys drive dynamic partition pruning on the
+    * index scan, so only probed cluster directories are read. */
+  def ivfSearchIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dims: Int, nprobe: Int): DataFrame =
+    topkAgainstProbes(spark.read.parquet(path),
+      queryProbes(queries, centroids, idCol, vecCol, dims, nprobe), k)
 
   /** Embedding near-dup pairs: sketch-bucket candidates, exact cosine
     * verify at tauBp. Output: id_a, id_b, cos_bp. */

@@ -50,6 +50,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(full == brute)
   }
 
+  test("E7e: persisted IVF index serves identical results and prunes to probed clusters") {
+    val dir = sf("sf0.001")
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter($"vec_id" < 5)
+    val cents = Knn.centroidSums(e, "label", "embedding", 64)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Knn.ivfWriteIndex(e, cents, "vec_id", "embedding", 64, idx)
+    val served = Knn.ivfSearchIndex(spark, idx, cents, qs, "vec_id", "embedding", 10, 64, 3)
+    val inline = Knn.ivfSearch(e, cents, qs, "vec_id", "embedding", 10, 64, 3)
+    assert(served.collect().toSet == inline.collect().toSet)
+    // the index scan must carry a DYNAMIC cluster partition filter: only
+    // the probed clusters' directories are read
+    val pf = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+      .linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("dynamicpruningexpression(cluster"),
+      s"index scan should dynamically prune by cluster partition, got: $pf")
+  }
+
   test("E6: brute-force kNN self-excluded, ranked, exactly k rows per query") {
     val dir = sf("sf0.001")
     val e = Tables.embeddings(spark, dir)
