@@ -68,3 +68,53 @@ object EventAgg {
       .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 }
+
+/** Streaming exact dedup — the continuous twin of Dedup.exact for an
+  * ingest pipeline: only the FIRST document carrying each normalized-text
+  * fingerprint passes; later duplicates are dropped across microbatches.
+  *
+  * State is one (16-byte fingerprint → first id) entry per distinct
+  * document, partitioned by fingerprint across executors — the same state
+  * shape a 100 TB ingest needs, since the corpus's distinct fingerprints,
+  * not its raw bytes, bound memory. `mapGroupsWithState` (not
+  * dropDuplicates) so the keeper's id is emitted exactly once and
+  * re-arrivals are observable as drops.
+  */
+object StreamDedup {
+
+  case class FpDoc(fp: String, id: Long)
+  case class Keeper(fp: String, keeper_id: Long)
+
+  /** First-seen winners over a (fingerprint, id) stream. Emits a Keeper
+    * exactly once per new fingerprint; duplicate fingerprints emit
+    * nothing. */
+  def firstSeen(docs: Dataset[FpDoc]): Dataset[Keeper] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[Keeper, Keeper](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (fp: String, rows: Iterator[FpDoc], state: GroupState[Keeper]) =>
+          if (state.exists) Iterator.empty
+          else rows.minByOption(_.id) match {
+            case None => Iterator.empty
+            case Some(first) =>
+              val k = Keeper(fp, first.id)
+              state.update(k)
+              Iterator.single(k)
+          }
+      }
+  }
+
+  /** Wrap a documents-shaped DataFrame into the fingerprinted feed using
+    * the SAME normalization as batch Dedup.exact, so batch and stream
+    * agree on what is a duplicate. */
+  def asFingerprinted(df: DataFrame, idCol: String, textCol: String): Dataset[FpDoc] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      graft.text.TextOps.fingerprint(col(textCol)).as("fp"),
+      col(idCol).cast("long").as("id")).as[FpDoc]
+  }
+}

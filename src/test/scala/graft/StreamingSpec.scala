@@ -36,6 +36,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("E1s: streaming exact dedup emits each fingerprint's first doc once") {
+    import graft.streaming.StreamDedup
+    import graft.streaming.StreamDedup.FpDoc
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FpDoc]
+    val q = StreamDedup.firstSeen(input.toDS())
+      .writeStream.format("memory").queryName("dedup_state")
+      .outputMode("update").start()
+    try {
+      input.addData(FpDoc("f1", 10), FpDoc("f1", 7), FpDoc("f2", 3))
+      q.processAllAvailable()
+      input.addData(FpDoc("f1", 1), FpDoc("f3", 5)) // f1 re-arrival dropped
+      q.processAllAvailable()
+      val rows = spark.table("dedup_state")
+        .as[(String, Long)].collect().toMap
+      // min-id within the first microbatch wins; later arrivals never emit
+      assert(rows == Map("f1" -> 7L, "f2" -> 3L, "f3" -> 5L))
+      assert(spark.table("dedup_state").count() == 3) // exactly once each
+    } finally q.stop()
+  }
+
+  test("E1s: stream fingerprints match batch Dedup.exact normalization") {
+    import graft.streaming.StreamDedup
+    val d = Seq((1L, "Hello, World!"), (2L, "hello   world")).toDF("doc_id", "text")
+    val fps = StreamDedup.asFingerprinted(d, "doc_id", "text")
+      .collect().map(_.fp).distinct
+    assert(fps.length == 1) // same normalized fingerprint → one key
+  }
+
   test("D6: watermarked hourly window agg over a bounded stream") {
     val dir = sf("sf0.001")
     // FileStreamSource wants a directory; stage the single file into one
