@@ -107,7 +107,25 @@ object Cli {
     val onlyDatadiff = opts.contains("only-datadiff")
     val onlySnapshot = opts.contains("only-snapshot")
 
-    val states = CdcOperator.snapshot(spark, cfg)
+    // with a source database, table selection comes from
+    // information_schema as in the reference (get_tables_in_schema);
+    // reflection failure degrades to bucket-prefix discovery
+    val cfgWithTables = sourcePg match {
+      case Some(pg) if cfg.includedTables.isEmpty =>
+        try {
+          val listed = Reflect.tablesInSchema(
+            Reflect.runner(pg), schemaName, excluded = cfg.excludedTables)
+          if (listed.nonEmpty) cfg.copy(includedTables = listed) else cfg
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[cli] table reflection failed (${e.getMessage}); " +
+              "falling back to bucket discovery")
+            cfg
+        }
+      case _ => cfg
+    }
+
+    val states = CdcOperator.snapshot(spark, cfgWithTables)
     println(s"[cli] tables: ${states.map(_.table).mkString(", ")}")
     // a --pk entry naming a table that was never discovered is almost
     // certainly a typo — fail loudly instead of silently replaying on a
