@@ -87,6 +87,39 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("salted skew join equals the plain join and scatters the hot key") {
+    import graft.operators.SkewJoin
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 10k rows of one hot key + a tail of cold keys
+    val big = spark.range(0, 10000).select(
+      when($"id" < 9000, 1L).otherwise($"id").as("k"), $"id".as("payload"))
+    val dim = Seq((1L, "hot"), (9500L, "cold")).toDF("k", "name")
+    val salted = SkewJoin.saltedEquiJoin(big, dim, Seq("k"), salts = 8)
+    val plain = big.join(dim, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "payload", "name").exceptAll(
+      plain.select("k", "payload", "name")).isEmpty)
+    // the hot key's rows really do spread across salt sub-keys
+    val spread = big.withColumn("__salt", pmod(hash(big.columns.map(col): _*), lit(8)))
+      .filter($"k" === 1L).select("__salt").distinct().count()
+    assert(spread == 8, s"hot key used $spread of 8 salts")
+  }
+
+  test("compaction: sized landing bounds records per output file") {
+    import graft.sources.Compaction
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // skewed input partitioning: one fat partition + many empties
+    val df = spark.range(0, 10000).toDF("id").repartition(64)
+    Compaction.landSized(df, out, maxRecordsPerFile = 1000)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val counts = files.map(f => spark.read.parquet(f.getPath).count())
+    assert(counts.sum == 10000L)
+    assert(counts.forall(_ <= 1000L), s"file sizes: ${counts.mkString(",")}")
+    assert(counts.count(_ < 100L) <= 1, "rebalance should not leave tiny files")
+  }
+
   test("driver contract: entry() returns rows; every query has a runnable plan") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every oracle key corresponds to a query
