@@ -22,7 +22,8 @@ import org.apache.spark.sql.SparkSession
   *   [--source-postgres-url postgres://u:p@h:5432/db]
   *   [--target-postgres-url postgres://u:p@h:5432/db]
   *   [--max-connections 100]
-  *   [--accept-invalid-certs-first] [--accept-invalid-certs-second]
+  *   [--accept-invalid-certs-first-db] [--accept-invalid-certs-second-db]
+  *   [--bucket-name b --s3-prefix data/landing/rds  (reference spelling)]
   *   [--only-snapshot | --only-datadiff] [--target-parquet dir]"
   * }}}
   *
@@ -45,14 +46,17 @@ object Cli {
           "[--mode m] [--start-date ISO] [--stop-date ISO] " +
           "[--pk 'tbl=col1,col2;tbl2=col'] [--chunk-size n] [--start-position n] " +
           "[--source-postgres-url url] [--target-postgres-url url] " +
-          "[--max-connections n] [--accept-invalid-certs-first] " +
-          "[--accept-invalid-certs-second] " +
+          "[--max-connections n] [--accept-invalid-certs-first-db] " +
+          "[--accept-invalid-certs-second-db] " +
+          "[--bucket-name b --s3-prefix p  (alternative to --bucket-prefix)] " +
           "[--only-snapshot|--only-datadiff] [--target-parquet dir]")
       sys.exit(2)
     }
     val opts = parse(args.tail)
     def req(k: String): String = opts.getOrElse(k,
       { System.err.println(s"missing required --$k"); sys.exit(2); "" })
+
+    conflictError(opts).foreach { msg => System.err.println(msg); sys.exit(2) }
 
     val mode: Mode = opts.getOrElse("mode", "date-aware") match {
       case "full-load-only" => FullLoadOnly
@@ -77,12 +81,22 @@ object Cli {
     val schemaName = opts.getOrElse("database-schema", "public")
     val maxConnections = opts.getOrElse("max-connections", "100").toInt
     val sourcePg = opts.get("source-postgres-url").map(PgConfig(_, schemaName,
-      maxConnections, opts.contains("accept-invalid-certs-first")))
+      maxConnections, opts.contains("accept-invalid-certs-first-db")))
     val targetPg = opts.get("target-postgres-url").map(PgConfig(_, schemaName,
-      maxConnections, opts.contains("accept-invalid-certs-second")))
+      maxConnections, opts.contains("accept-invalid-certs-second-db")))
+
+    // either graft's single --bucket-prefix URI, or the reference's
+    // --bucket-name + --s3-prefix pair (composed as an s3a:// URI)
+    val bucketPrefix = opts.get("bucket-prefix").orElse {
+      for (b <- opts.get("bucket-name"); p <- opts.get("s3-prefix"))
+        yield s"s3a://$b/${p.stripSuffix("/")}"
+    }.getOrElse {
+      System.err.println("missing --bucket-prefix (or --bucket-name with --s3-prefix)")
+      sys.exit(2); ""
+    }
 
     val cfg = SnapshotConfig(
-      bucketPrefix = req("bucket-prefix"),
+      bucketPrefix = bucketPrefix,
       databaseName = req("database-name"),
       schemaName = schemaName,
       includedTables = opts.get("included-tables").map(_.split(',').toSeq).getOrElse(Seq.empty),
@@ -178,6 +192,14 @@ object Cli {
     }
     spark.stop()
   }
+
+  /** The reference's clap `conflicts_with` rules (main.rs:65-112). */
+  def conflictError(opts: Map[String, String]): Option[String] =
+    Seq(("included-tables", "excluded-tables"), ("only-datadiff", "only-snapshot"))
+      .collectFirst {
+        case (a, b) if opts.contains(a) && opts.contains(b) =>
+          s"--$a conflicts with --$b"
+      }
 
   /** Parse "tbl=col[,col...][;tbl=...]" with whitespace tolerance; every
     * entry must name a table and at least one non-empty column. */

@@ -29,6 +29,13 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.parsePk("users=id;broken").isLeft)
   }
 
+  test("reference conflict rules: include/exclude and datadiff/snapshot") {
+    import graft.tools.Cli
+    assert(Cli.conflictError(Map("included-tables" -> "a", "excluded-tables" -> "b")).isDefined)
+    assert(Cli.conflictError(Map("only-datadiff" -> "true", "only-snapshot" -> "true")).isDefined)
+    assert(Cli.conflictError(Map("included-tables" -> "a", "only-snapshot" -> "true")).isEmpty)
+  }
+
   test("empty segments from trailing semicolons are fine") {
     assert(Cli.parsePk("users=id;") == Right(Map("users" -> Seq("id"))))
   }
