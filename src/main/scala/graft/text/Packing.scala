@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** Output: all input columns + `start_tok` (global 0-based offset of
-    * the doc's first token) and `seq_id` (= start_tok / budget). */
+    * the doc's first token) and `seq_id` (= start_tok / budget).
+    * `idCol` must be unique: tied ordering keys would make the running
+    * sum's per-row split ambiguous. */
   def packSequences(
       df: DataFrame, idCol: String, nTokensCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
