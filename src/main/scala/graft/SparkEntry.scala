@@ -329,7 +329,8 @@ object SparkEntry {
 
     "diff_chunk" -> {
       val rowHash = graft.text.PortableHash.duckH32(
-        "concat_ws('|', " + ordersCols.map(c => s"CAST($c AS VARCHAR)").mkString(", ") + ")")
+        "concat_ws('|', " +
+          ordersCols.map(c => s"COALESCE(CAST($c AS VARCHAR), chr(1)||'NULL')").mkString(", ") + ")")
       s"""WITH tgt AS ($perturbedOrdersSql),
          |sa AS (
          |  SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS chunk_id,
@@ -348,7 +349,8 @@ object SparkEntry {
 
     "diff_chunk_ordered" -> {
       val rowHash = graft.text.PortableHash.duckH32(
-        "concat_ws('|', " + ordersCols.map(c => s"CAST($c AS VARCHAR)").mkString(", ") + ")")
+        "concat_ws('|', " +
+          ordersCols.map(c => s"COALESCE(CAST($c AS VARCHAR), chr(1)||'NULL')").mkString(", ") + ")")
       s"""WITH tgt AS ($perturbedOrdersSql),
          |sp AS (
          |  SELECT $rowHash AS h,

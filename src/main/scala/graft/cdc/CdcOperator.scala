@@ -70,17 +70,26 @@ object CdcOperator {
     * guess (never a DMS service column or the catalog's internal tags —
     * the raw frame's first column is often "Op", which would make LWW
     * replay key on the op code). A wrong pk silently changes replay
-    * semantics, so the guess is the loud last resort; reflected columns
-    * absent from the frame are dropped rather than trusted. None only
-    * when the table has no data columns at all. */
+    * semantics, so the guess is the loud last resort. A reflected pk is
+    * used only when EVERY reflected column exists in the frame: silently
+    * truncating a composite pk to the columns that happen to match (a
+    * case-mismatched column, a dropped column) would LWW-collapse
+    * distinct keys — worse than falling through with a warning. None
+    * only when the table has no data columns at all. */
   def resolvePk(cfg: SnapshotConfig, table: String, columns: Seq[String]): Option[Seq[String]] = {
     val internal = CdcApply.ServiceColumns ++ Seq("_seq", "_is_load")
     cfg.pkByTable.get(table).orElse {
-      val reflected = cfg.pkResolver(table).filter(columns.contains)
-      if (reflected.nonEmpty) Some(reflected)
-      else columns.filterNot(internal.contains).headOption.map { c =>
-        System.err.println(s"[graft] no pk configured or reflected for '$table'; guessing '$c'")
-        Seq(c)
+      val reflected = cfg.pkResolver(table)
+      val missing = reflected.filterNot(columns.contains)
+      if (reflected.nonEmpty && missing.isEmpty) Some(reflected)
+      else {
+        if (missing.nonEmpty)
+          System.err.println(s"[graft] reflected pk for '$table' names column(s) " +
+            s"absent from the files (${missing.mkString(", ")}); ignoring reflection")
+        columns.filterNot(internal.contains).headOption.map { c =>
+          System.err.println(s"[graft] no pk configured or reflected for '$table'; guessing '$c'")
+          Seq(c)
+        }
       }
     }
   }

@@ -236,12 +236,15 @@ object Dedup {
       .agg(count(lit(1)).as("common"))
       .cache()
     // full |shingles(corpus doc)| is needed for exact Jaccard, but only
-    // for CANDIDATE docs: re-shingle just those documents (candidate ids
-    // broadcast into a semi-join that prunes the corpus scan) instead of
-    // aggregating the entire corpus postings per batch
+    // for CANDIDATE docs: re-shingle just those documents (a semi-join on
+    // candidate ids prunes the corpus scan) instead of aggregating the
+    // entire corpus postings per batch. NO broadcast hint: the candidate
+    // set is bounded by the CORPUS (one hot shingle can match most of
+    // it), so forcing a broadcast is an OOM hazard — AQE picks broadcast
+    // itself whenever the set is actually small
     val candIds = common.select(col("corpus_id").as(idCol)).distinct()
     val cSizes = postings(
-      corpus.join(broadcast(candIds), Seq(idCol), "left_semi"),
+      corpus.join(candIds, Seq(idCol), "left_semi"),
       idCol, textCol, w)
       .groupBy("__id").agg(count(lit(1)).as("n_corpus"))
     common

@@ -47,6 +47,15 @@ object DataDiff {
       .select(pk.map(k => col(s"__pk.$k").as(k)) :+ col("__status").as("diff_status"): _*)
   }
 
+  /** Portable whole-row hash. NULLs are encoded with an explicit
+    * sentinel before concat_ws — concat_ws silently SKIPS nulls, so
+    * without it (NULL,'a') and ('a',NULL) hash identically and a real
+    * difference validates clean. DuckDB twin in SparkEntry's diff_chunk
+    * oracles: COALESCE(CAST(c AS VARCHAR), chr(1)||'NULL'). */
+  private def rowHash(columns: Seq[String]) =
+    PortableHash.h32(concat_ws("|",
+      columns.map(c => coalesce(col(c).cast("string"), lit("\u0001NULL"))): _*))
+
   /** Chunked hash compare. Chunks are keyed by a deterministic pk-derived
     * chunk id (pk-range chunking: `chunkOf` maps a row to its chunk), so
     * both sides chunk identically without a global sort. Per chunk we
@@ -58,9 +67,8 @@ object DataDiff {
       target: DataFrame,
       chunkOf: org.apache.spark.sql.Column): DataFrame = {
     def sideAgg(df: DataFrame, n: String, h: String) = {
-      val rowHash = PortableHash.h32(concat_ws("|", df.columns.map(c => col(c).cast("string")): _*))
       df.withColumn("__chunk", chunkOf)
-        .withColumn("__h", rowHash)
+        .withColumn("__h", rowHash(df.columns.toSeq))
         .groupBy("__chunk")
         .agg(count(lit(1)).as(n), sum(col("__h")).as(h))
     }
@@ -118,8 +126,7 @@ object DataDiff {
       chunkSize: Long,
       startPosition: Long = 0L): DataFrame = {
     def sideAgg(df: DataFrame, n: String, h: String) = {
-      val rowHash = PortableHash.h32(concat_ws("|", df.columns.map(c => col(c).cast("string")): _*))
-      withOrderedPosition(df.withColumn("__h", rowHash), pk, "__pos")
+      withOrderedPosition(df.withColumn("__h", rowHash(df.columns.toSeq)), pk, "__pos")
         .filter(col("__pos") >= startPosition)
         .withColumn("__chunk", floor(col("__pos") / chunkSize.toDouble).cast("long"))
         .groupBy("__chunk")

@@ -84,20 +84,29 @@ object DmsFileCatalog {
   }
 
   /** Bounded listing for DateAware mode: walk the table prefix treating
-    * all-digit directory levels as `YYYY` / `YYYY/MM` / `YYYY/MM/DD`
+    * plausible-date directory levels as `YYYY` / `YYYY/MM` / `YYYY/MM/DD`
     * partitions and descend only into those whose date range can
-    * intersect [startDate, stopDate]. Partition-prefix bounds compare as
-    * lexicographic (y, m, d) tuples — an unknown month/day widens to its
-    * extreme, so a prefix is pruned only when provably outside the
-    * window. Files at the table root (DMS drops `LOAD*` there) and
-    * non-numeric subtrees are always listed: pruning never risks losing
-    * a file it can't date from the path alone. */
+    * intersect [startDate - 1 day, stopDate]. Partition-prefix bounds
+    * compare as lexicographic (y, m, d) tuples — an unknown month/day
+    * widens to its extreme, so a prefix is pruned only when provably
+    * outside the window.
+    *
+    * Two deliberate safety margins: (a) the start bound is slackened by
+    * one day because the PATH date (transaction date) and the MTIME the
+    * secondary filter checks come from different clocks — a batch for
+    * 23:59 can be uploaded after midnight, and pruning by exact path
+    * date would silently drop it from the incremental run that owns it;
+    * (b) only plausible date components prune (4-digit year, month 1-12,
+    * day 1-31) — files at the table root, non-numeric subtrees, and
+    * numeric-but-not-a-date subtrees (a `42/` partition) are always
+    * listed, so pruning never loses a file it can't date from the path
+    * alone. */
   private def listDatePruned(
       fs: FileSystem, dir: Path,
       start: Instant, stop: Option[Instant]): Seq[org.apache.hadoop.fs.FileStatus] = {
     import java.time.{LocalDate, ZoneOffset}
     val ord = Ordering.Tuple3[Int, Int, Int]
-    val s = LocalDate.ofInstant(start, ZoneOffset.UTC)
+    val s = LocalDate.ofInstant(start, ZoneOffset.UTC).minusDays(1) // clock-skew slack
     val startT = (s.getYear, s.getMonthValue, s.getDayOfMonth)
     val stopT = stop.map { i =>
       val t = LocalDate.ofInstant(i, ZoneOffset.UTC)
@@ -108,23 +117,27 @@ object DmsFileCatalog {
       val lo = (y, m.getOrElse(1), d.getOrElse(1))
       ord.gteq(hi, startT) && stopT.forall(t => ord.lteq(lo, t))
     }
-    def num(name: String): Option[Int] =
-      if (name.nonEmpty && name.length <= 4 && name.forall(_.isDigit)) Some(name.toInt)
-      else None
+    def num(name: String, lo: Int, hi: Int): Option[Int] =
+      if (name.nonEmpty && name.forall(_.isDigit) && name.length <= 4) {
+        val v = name.toInt
+        if (v >= lo && v <= hi) Some(v) else None
+      } else None
+    def year(name: String) =
+      if (name.length == 4) num(name, 1970, 2999) else None
     val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
     val root = fs.listStatus(dir)
     buf ++= root.filter(_.isFile)
-    for (yDir <- root.filter(_.isDirectory)) num(yDir.getPath.getName) match {
+    for (yDir <- root.filter(_.isDirectory)) year(yDir.getPath.getName) match {
       case Some(y) if !inWindow(y, None, None) => // pruned: never listed
       case Some(y) =>
         val months = fs.listStatus(yDir.getPath)
         buf ++= months.filter(_.isFile)
-        for (mDir <- months.filter(_.isDirectory)) num(mDir.getPath.getName) match {
+        for (mDir <- months.filter(_.isDirectory)) num(mDir.getPath.getName, 1, 12) match {
           case Some(mo) if !inWindow(y, Some(mo), None) => // pruned
           case Some(mo) =>
             val days = fs.listStatus(mDir.getPath)
             buf ++= days.filter(_.isFile)
-            for (dDir <- days.filter(_.isDirectory)) num(dDir.getPath.getName) match {
+            for (dDir <- days.filter(_.isDirectory)) num(dDir.getPath.getName, 1, 31) match {
               case Some(d) if !inWindow(y, Some(mo), Some(d)) => // pruned
               case _ => buf ++= listRecursive(fs, dDir.getPath)
             }

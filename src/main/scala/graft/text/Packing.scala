@@ -31,10 +31,13 @@ object Packing {
   def packSequences(
       df: DataFrame, idCol: String, nTokensCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$idCol must be numeric for value-range bucketing, got ${df.schema(idCol).dataType}")
     val mm = df.agg(
       min(col(idCol)).cast("double").as("lo"),
       max(col(idCol)).cast("double").as("hi")).head()
-    if (mm.isNullAt(0)) return df // empty input: nothing to pack
+    if (mm.isNullAt(0)) // empty input: keep the output contract, zero rows
+      return df.withColumn("start_tok", lit(0L)).withColumn("seq_id", lit(0L))
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val span = math.max(hi - lo, 1e-9)

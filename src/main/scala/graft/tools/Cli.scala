@@ -79,7 +79,9 @@ object Cli {
       }.getOrElse(Map.empty)
 
     val schemaName = opts.getOrElse("database-schema", "public")
-    val maxConnections = opts.getOrElse("max-connections", "100").toInt
+    val maxConnections = opts.getOrElse("max-connections", "100").toIntOption.getOrElse {
+      System.err.println("--max-connections must be an integer"); sys.exit(2); 0
+    }
     val sourcePg = opts.get("source-postgres-url").map(PgConfig(_, schemaName,
       maxConnections, opts.contains("accept-invalid-certs-first-db")))
     val targetPg = opts.get("target-postgres-url").map(PgConfig(_, schemaName,

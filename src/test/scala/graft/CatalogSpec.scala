@@ -104,6 +104,32 @@ class CatalogSpec extends SparkSpecBase {
     assert(names == Seq("LOAD00000001.parquet", "20240214-101000000.parquet"))
   }
 
+  test("A6: prune keeps 1-day path slack and never dates non-date numeric dirs") {
+    val t0 = Instant.parse("2024-02-14T10:00:00Z").toEpochMilli
+    def write(rel: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-part")
+      Seq((1L, "x", "I")).toDF("id", "v", "Op").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = root.resolve(s"prefix/db/public/slack/$rel")
+      Files.createDirectories(dest.getParent)
+      Files.copy(part, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    // path date one day BEFORE startDate, mtime in window: the upload
+    // clock lags the transaction-date path — must survive the prune
+    write("2024/02/13/20240213-235900000.parquet", t0 + 60000)
+    // numeric but not a plausible date: always listed, never misdated
+    write("42/something.parquet", t0 + 60000)
+    // genuinely old: pruned
+    write("2023/11/30/20231130-000000000.parquet", t0 + 60000)
+    val start = Instant.parse("2024-02-14T00:00:00Z")
+    val names = DmsFileCatalog.listFiles(
+      spark, s"$root/prefix", "db", "public", "slack", DateAware(start, None))
+      .map(_.path.split('/').last).toSet
+    assert(names == Set("20240213-235900000.parquet", "something.parquet"))
+  }
+
   test("A6: isLoadFile keys on the LOAD basename prefix only") {
     assert(DmsFileCatalog.isLoadFile("LOAD00000001.parquet"))
     assert(!DmsFileCatalog.isLoadFile("20240214-LOADED.parquet"))

@@ -123,6 +123,19 @@ class CdcOperatorSpec extends SparkSpecBase {
     assert(clean.length == 8 && clean.forall(_.getAs[Boolean]("chunks_match")))
   }
 
+  test("B2: chunk hashes detect null-position swaps (concat_ws null skip)") {
+    import graft.diff.DataDiff
+    val src = Seq((1L, Option("a"), Option.empty[String])).toDF("k", "v1", "v2")
+    val tgt = Seq((1L, Option.empty[String], Option("a"))).toDF("k", "v1", "v2")
+    val d = DataDiff.chunkDiff(src, tgt, lit(0L)).collect()
+    assert(d.length == 1 && !d.head.getAs[Boolean]("chunks_match"),
+      "(NULL,'a') vs ('a',NULL) must not hash-collide")
+    // and a NULL vs the literal sentinel-free string still differs
+    val tgt2 = Seq((1L, Option("NULL"), Option.empty[String])).toDF("k", "v1", "v2")
+    val d2 = DataDiff.chunkDiff(tgt, tgt2, lit(0L)).collect()
+    assert(!d2.head.getAs[Boolean]("chunks_match"))
+  }
+
   test("identical tables validate clean") {
     val users = CdcOperator.snapshot(spark, cfg).find(_.table == "users").get.state
     val report = CdcOperator.validate(users, users, Seq("id"), "users").head()

@@ -117,6 +117,18 @@ class TextDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("E13: packing keeps its output contract on empty input, rejects non-numeric ids") {
+    import graft.text.Packing
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n")
+    val out = Packing.packSequences(empty, "doc_id", "n", 100)
+    assert(out.columns.toSeq == Seq("doc_id", "n", "start_tok", "seq_id"))
+    assert(out.count() == 0)
+    val strIds = Seq(("doc-1", 5L)).toDF("doc_id", "n")
+    intercept[IllegalArgumentException] {
+      Packing.packSequences(strIds, "doc_id", "n", 100)
+    }
+  }
+
   test("E14: repetition picks the most frequent token, smallest on ties") {
     val d = Seq((1L, "a b b c"), (2L, "x y")).toDF("doc_id", "text")
     val r = TextOps.repetitionStats(d, "doc_id", "text")
