@@ -73,6 +73,8 @@ object TextEntries {
   val NumPerm = 12
   val Bands = 4
   val PackBudget = 512L // tokens per packed training sequence
+  val SampleRates = Map("en" -> 4000L, "zh" -> 10000L) // basis points kept
+  val SampleDefaultBp = 7000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E10: token counting — whitespace, BPE-ish regex, normalized
@@ -164,6 +166,13 @@ object TextEntries {
         d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
         "doc_id", "text")
     }),
+
+    // E19: corpus rebalancing — deterministic per-language downsampling
+    // (en kept at 40%, zh boosted to 100%, everything else 70%)
+    "data_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(
+        Tables.documents(s, dir).select("doc_id", "lang", "source"),
+        "doc_id", "lang", SampleRates, SampleDefaultBp)),
 
     // pipeline staple: deterministic train/val/test assignment by portable
     // hash bucket (stable across runs and engines, no RNG state)
@@ -332,6 +341,14 @@ object TextEntries {
          |  CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_overlap,
          |  COALESCE(hits.n, 0) > 0 AS contaminated
          |FROM corpus LEFT JOIN hits ON corpus.doc_id = hits.doc_id""".stripMargin,
+
+    "data_sample" -> {
+      val bucket = PortableHash.duckH32("'samp:'||CAST(doc_id AS VARCHAR)") + " % 10000"
+      val rateCase = SampleRates.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN lang = '$k' THEN $v" }.mkString(" ")
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE $bucket < CASE $rateCase ELSE $SampleDefaultBp END""".stripMargin
+    },
 
     "data_split" -> {
       val bucket = PortableHash.duckH32("'split:'||CAST(doc_id AS VARCHAR)") + " % 100"

@@ -93,6 +93,25 @@ object TextOps {
   def minShingleHash(c: Column, w: Int = 3): Column =
     array_min(transform(shingles(c, w), s => PortableHash.h32(s)))
 
+  /** Deterministic per-stratum downsampling: keep a row iff its portable
+    * hash bucket (over the id, salted) falls below the stratum's rate in
+    * basis points. The standard corpus-rebalancing op (by language /
+    * source / quality tier) without RNG state — reproducible across
+    * runs, engines, and cluster sizes, and a doc keeps or loses its slot
+    * independently of every other doc, so re-running on a grown corpus
+    * never flips earlier decisions. Map-only: no shuffle. */
+  def stratifiedSample(
+      df: org.apache.spark.sql.DataFrame, idCol: String, strataCol: String,
+      ratesBp: Map[String, Long], defaultBp: Long): org.apache.spark.sql.DataFrame = {
+    require((ratesBp.values ++ Seq(defaultBp)).forall(r => r >= 0 && r <= 10000),
+      "rates are basis points in [0, 10000]")
+    val bucket = PortableHash.h32(concat(lit("samp:"), col(idCol).cast("string"))) % 10000
+    val rate = ratesBp.toSeq.sortBy(_._1).foldLeft(lit(defaultBp)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
   /** Gopher-style repetition signal: the share of a document's tokens
     * taken by its single most frequent token (ties broken by the
     * lexicographically smallest token, so the result is deterministic).
