@@ -167,6 +167,26 @@ object TextEntries {
         "doc_id", "text")
     }),
 
+    // E20: the capstone composition — quality filter → exact dedup →
+    // stratified sample → sequence packing, one declarative plan end to
+    // end (what a real ingest run chains; every stage is the operator
+    // checked individually above)
+    "pipeline_e2e" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val dup = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      val q = d.unionByName(dup).filter(col("n_chars") >= 120)
+      val keepers = Dedup.exact(q, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
+      val sampled = TextOps.stratifiedSample(
+        q.join(keepers, "doc_id"), "doc_id", "lang", SampleRates, SampleDefaultBp)
+      Packing.packSequences(
+        sampled.withColumn("n_tokens", TextOps.wsTokenCount(col("text"))),
+        "doc_id", "n_tokens", PackBudget)
+        .select("doc_id", "lang", "n_tokens", "start_tok", "seq_id")
+    }),
+
     // E19: corpus rebalancing — deterministic per-language downsampling
     // (en kept at 40%, zh boosted to 100%, everything else 70%)
     "data_sample" -> ((s, dir) =>
@@ -341,6 +361,28 @@ object TextEntries {
          |  CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_overlap,
          |  COALESCE(hits.n, 0) > 0 AS contaminated
          |FROM corpus LEFT JOIN hits ON corpus.doc_id = hits.doc_id""".stripMargin,
+
+    "pipeline_e2e" -> {
+      val bucket = PortableHash.duckH32("'samp:'||CAST(doc_id AS VARCHAR)") + " % 10000"
+      val rateCase = SampleRates.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN lang = '$k' THEN $v" }.mkString(" ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, lang, n_chars FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text, lang, n_chars
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |q AS (SELECT * FROM corpus WHERE n_chars >= 120),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5($normSql)),
+         |dd AS (SELECT q.* FROM q JOIN keepers USING (doc_id)),
+         |samp AS (SELECT * FROM dd WHERE $bucket < CASE $rateCase ELSE $SampleDefaultBp END),
+         |toks AS (SELECT doc_id, lang,
+         |  len(regexp_split_to_array(text, '\\s+')) AS n_tokens FROM samp)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok,
+         |  CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $PackBudget.0) AS BIGINT) AS seq_id
+         |FROM toks""".stripMargin
+    },
 
     "data_sample" -> {
       val bucket = PortableHash.duckH32("'samp:'||CAST(doc_id AS VARCHAR)") + " % 10000"
