@@ -169,6 +169,17 @@ object Cli {
       targetPg.foreach { pg =>
         val (url, props) = pg.jdbc
         states.foreach { t =>
+          // reference parity: ensure target schema + table exist before
+          // landing (cdc_operator.rs create_schema/create_table), typed
+          // from the replayed frame via TypeMapper with the resolved pk
+          val clean = graft.cdc.CdcApply.stripServiceColumns(t.state)
+          val cols = scala.collection.immutable.ListMap(
+            clean.schema.fields.map(f =>
+              f.name -> graft.pg.TypeMapper.sparkToPg(f.dataType)): _*)
+          val pk = CdcOperator.resolvePk(cfg, t.table, t.state.columns.toSeq)
+            .getOrElse(Seq.empty).filter(cols.contains)
+          pg.runSql(graft.pg.Ddl.createSchema(pg.schemaName))
+          pg.runSql(graft.pg.Ddl.createTable(pg.schemaName, t.table, cols, pk))
           JdbcSink.append(t.state, url, pg.schemaName, t.table,
             props.getProperty("user", ""), props.getProperty("password", ""),
             maxConnections = pg.maxConnections)

@@ -119,6 +119,23 @@ class PgLiveSpec extends SparkSpecBase {
     assert(pgState == Map(1L -> "one", 2L -> "two-v2", 4L -> "four-back"))
   }
 
+  test("C2 live: Spark-schema-derived CREATE TABLE executes for diverse types") {
+    assume(live, "no live postgres")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("amount", DecimalType(12, 2)), StructField("score", DoubleType),
+      StructField("active", BooleanType), StructField("created", TimestampType),
+      StructField("tags", ArrayType(StringType))))
+    val cols = ListMap(schema.fields.map(f =>
+      f.name -> graft.pg.TypeMapper.sparkToPg(f.dataType)): _*)
+    execSql(Seq(Ddl.createTable("graft_it", "typed_t", cols, Seq("id")) + ";"))
+    val reflected = Reflect.tableColumns(psqlRunner, "graft_it", "typed_t").toMap
+    assert(reflected.keySet == schema.fieldNames.toSet)
+    assert(Reflect.primaryKey(psqlRunner, "graft_it", "typed_t") == Seq("id"))
+    assert(reflected("tags") == "text[]")
+  }
+
   test("C5 live: chunked insertStatements land all rows") {
     assume(live, "no live postgres")
     execSql(Seq(Ddl.createTable("graft_it", "bulk_t",
