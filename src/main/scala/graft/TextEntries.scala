@@ -134,6 +134,16 @@ object TextEntries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docsAll(s, dir), "doc_id", "text")),
 
+    // E2d: dedup clustering — near-dup pairs grouped into connected
+    // components, every doc labeled with its canonical keeper (min id)
+    "dedup_components" -> ((s, dir) => {
+      val docs = docsNear(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Tau)
+      Dedup.connectedComponents(
+        pairs.select("id_a", "id_b"), docs.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp").as("component_id"))
+    }),
+
     // E2b: incremental dedup — the near-dup variants as the incoming batch
     // screened against the original corpus (cross-side pairs only)
     "dedup_incremental" -> ((s, dir) => {
@@ -256,7 +266,24 @@ object TextEntries {
 
     // mirrors the default skew cap: candidates only from shingles with
     // df <= DefaultMaxDf; exact Jaccard still scored over ALL shingles
-    "dedup_ngram" ->
+    "dedup_ngram" -> dedupNgramSql,
+
+    // undirected transitive closure of the near-dup pairs: min reachable
+    // id per doc == the converged min-label propagation
+    "dedup_components" ->
+      s"""WITH RECURSIVE e0 AS (SELECT id_a, id_b FROM ($dedupNgramSql)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+         |          UNION SELECT id_b, id_a FROM e0),
+         |nodes AS (SELECT doc_id AS id FROM ($docsNearSql)),
+         |reach(id, anc) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, CAST(min(anc) AS BIGINT) AS component_id
+         |FROM reach GROUP BY id""".stripMargin
+  ) ++ oracleSql2
+
+  private lazy val dedupNgramSql =
       s"""WITH corpus AS ($docsNearSql),
          |post AS ($postSql),
          |sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY 1),
@@ -273,8 +300,9 @@ object TextEntries {
          |SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b,
          |  CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) AS jaccard_bp
          |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) >= $Tau""".stripMargin,
+         |WHERE CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) >= $Tau""".stripMargin
 
+  private def oracleSql2: Map[String, String] = Map(
     "dedup_minhash" -> {
       val rows = NumPerm / Bands
       val sigExprs = (0 until NumPerm).map(i =>

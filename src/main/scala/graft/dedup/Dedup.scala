@@ -256,6 +256,43 @@ object Dedup {
       .select("batch_id", "corpus_id", "common", "n_batch", "n_corpus", "jaccard_bp")
   }
 
+  /** Connected components over near-dup pairs — the grouping step that
+    * turns pairwise evidence (from any of the pair generators above)
+    * into dedup CLUSTERS with a canonical keeper: every doc gets
+    * `comp` = the minimum doc id reachable through the pair graph.
+    * Iterative min-label propagation: each round, every node takes the
+    * min of its own label and its neighbors' labels; converged when no
+    * label changes. Rounds needed = graph diameter (near-dup components
+    * are shallow in practice — pairs chain through shared content);
+    * `maxIter` bounds pathological chains. Each round localCheckpoints
+    * to truncate lineage — on a cluster, point `spark.checkpoint.dir`
+    * at durable storage and swap in `checkpoint` for fault tolerance. */
+  def connectedComponents(
+      pairs: DataFrame, ids: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = ids.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("src"), col("comp").as("ncomp")), "src")
+        .groupBy(col("dst").as("id")).agg(min("ncomp").as("ncomp"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash as two unsigned 32-bit halves (hi, lo) over distinct
     * shingles — lanes 0 and 1 of ONE md5 per shingle (independent 32-bit
     * slices; one digest instead of two). Output: id, sim_hi, sim_lo. */

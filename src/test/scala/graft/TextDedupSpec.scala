@@ -137,6 +137,18 @@ class TextDedupSpec extends SparkSpecBase {
     assert(r == Seq((1L, "b", 2L, 4L, 5000L), (2L, "x", 1L, 2L, 5000L)))
   }
 
+  test("E2d: connected components label chains, singletons, and converge past one hop") {
+    import graft.dedup.Dedup
+    // chain 5-4-3-2-1 (needs >1 propagation round), pair (10,11), singleton 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("id_a", "id_b")
+    val ids = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L)).toDF("id")
+    val comp = Dedup.connectedComponents(pairs, ids)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(20L) == 20L)
+  }
+
   test("E15: decontamination flags shingle overlap with the benchmark, zero rows kept") {
     import graft.dedup.Decontaminate
     val corpus = Seq(
