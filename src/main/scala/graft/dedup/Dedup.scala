@@ -271,25 +271,25 @@ object Dedup {
       pairs: DataFrame, ids: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
-    var labels = ids.select(col("id"), col("id").as("comp")).localCheckpoint()
+      .distinct().localCheckpoint() // pay the (possibly expensive) pair plan ONCE
+    var labels = ids.select(col("id"), col("id").as("comp"))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
       val viaNeighbor = edges
         .join(labels.select(col("id").as("src"), col("comp").as("ncomp")), "src")
         .groupBy(col("dst").as("id")).agg(min("ncomp").as("ncomp"))
+      // carry the previous label through the checkpoint: the convergence
+      // check is then a filter on already-materialized rows, not a join
       val next = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          col("comp").as("__old"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("comp") =!= col("__old")).count()
+      labels = next.drop("__old")
       it += 1
     }
-    edges.unpersist()
     labels
   }
 
