@@ -69,6 +69,61 @@ object EventAgg {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 }
 
+/** Streaming sessionization — the continuous twin of the
+  * `events_sessionize` batch query: events group by user, a session
+  * closes after `gapMin` minutes of EVENT-TIME silence, enforced with
+  * `EventTimeTimeout` against the stream's watermark. Sessions that
+  * close inside a microbatch (a gap between consecutive buffered
+  * events) emit immediately; the trailing open session is held in
+  * state and emitted when the watermark passes its gap deadline.
+  * State per key is one open session (start, end, count) — constant
+  * per active user regardless of stream length.
+  */
+object SessionStream {
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  case class OpenSession(startMs: Long, endMs: Long, n: Long)
+  case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  def sessions(evs: Dataset[Ev], gapMin: Int = 30): Dataset[ClosedSession] = {
+    val spark = evs.sparkSession
+    import spark.implicits._
+    val gapMs = gapMin * 60000L
+    evs
+      .withWatermark("ts", s"$gapMin minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.startMs, s.endMs, s.n))
+          } else {
+            val times = rows.map(_.ts.getTime).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = state.getOption
+            times.foreach { t =>
+              open match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  open = Some(OpenSession(s.startMs, math.max(s.endMs, t), s.n + 1))
+                case Some(s) => // gap inside the batch: close and start anew
+                  closed += ClosedSession(uid, s.startMs, s.endMs, s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+}
+
 /** Streaming exact dedup — the continuous twin of Dedup.exact for an
   * ingest pipeline: only the FIRST document carrying each normalized-text
   * fingerprint passes; later duplicates are dropped across microbatches.

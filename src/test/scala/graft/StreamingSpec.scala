@@ -65,6 +65,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(fps.length == 1) // same normalized fingerprint → one key
   }
 
+  test("D4s: streaming sessions close on in-batch gaps and on watermark timeout") {
+    import graft.streaming.SessionStream
+    import graft.streaming.SessionStream.Ev
+    implicit val sqlCtx = spark.sqlContext
+    // epoch 0 == the stream's initial watermark and would be dropped as
+    // late — base all event times an hour in
+    def ts(min: Long) = new java.sql.Timestamp((min + 60) * 60000L)
+    def ms(min: Long) = (min + 60) * 60000L
+    val input = MemoryStream[Ev]
+    val q = SessionStream.sessions(input.toDS(), gapMin = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two bursts 100 min apart IN ONE BATCH -> first closes now
+      input.addData(Ev(1, ts(0)), Ev(1, ts(10)), Ev(1, ts(110)), Ev(1, ts(115)))
+      q.processAllAvailable()
+      val afterBatch = spark.table("sessions")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(afterBatch == Set((1L, ms(0), ms(10), 2L)))
+      // a much later event for user 2 advances the watermark past
+      // user 1's open-session deadline -> its trailing session emits
+      input.addData(Ev(2, ts(1000)))
+      q.processAllAvailable()
+      input.addData(Ev(2, ts(1001))) // one more batch so the timeout fires
+      q.processAllAvailable()
+      val all = spark.table("sessions")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(all.contains((1L, ms(110), ms(115), 2L)),
+        s"trailing session missing from $all")
+    } finally q.stop()
+  }
+
   test("D6: watermarked hourly window agg over a bounded stream") {
     val dir = sf("sf0.001")
     // FileStreamSource wants a directory; stage the single file into one
