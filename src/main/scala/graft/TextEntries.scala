@@ -197,6 +197,17 @@ object TextEntries {
         .select("doc_id", "lang", "n_tokens", "start_tok", "seq_id")
     }),
 
+    // E21: quality gating — cut the bottom quartile per language by
+    // stop-word ratio (rank-based, integer-exact quantile boundary)
+    "quality_filter" -> ((s, dir) => {
+      val t = col("text")
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextOps.bp(TextOps.markerCount(TextOps.tokens(t), StopWords),
+          TextOps.wsTokenCount(t)).as("stop_bp"))
+      TextOps.quantileFilter(scored, "lang", "stop_bp", "doc_id", 1, 4)
+    }),
+
     // E19: corpus rebalancing — deterministic per-language downsampling
     // (en kept at 40%, zh boosted to 100%, everything else 70%)
     "data_sample" -> ((s, dir) =>
@@ -419,6 +430,19 @@ object TextEntries {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE $bucket < CASE $rateCase ELSE $SampleDefaultBp END""".stripMargin
     },
+
+    "quality_filter" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    CAST(floor(len(list_filter($toksSql, x -> x IN (${inList(StopWords)}))) * 10000.0
+         |         / len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS stop_bp
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, lang, stop_bp,
+         |    row_number() OVER (PARTITION BY lang ORDER BY stop_bp ASC, doc_id ASC) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM scored)
+         |SELECT doc_id, lang, stop_bp FROM ranked WHERE rk * 4 > n * 1""".stripMargin,
 
     "data_split" -> {
       val bucket = PortableHash.duckH32("'split:'||CAST(doc_id AS VARCHAR)") + " % 100"

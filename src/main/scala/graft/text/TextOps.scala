@@ -112,6 +112,28 @@ object TextOps {
     df.filter(bucket < rate)
   }
 
+  /** Per-stratum quantile filter: drop the bottom `dropNum/dropDen`
+    * fraction of rows per stratum by score — the "cut the worst quartile
+    * per language" step of a quality pipeline. Rank-based and
+    * integer-exact (`rank·den > n·num` — no float quantile boundaries,
+    * so results are engine-portable and insensitive to score
+    * distribution). Ties break by `idCol` so the cut is deterministic.
+    * One window over (stratum)-partitioned data — shuffles once by
+    * stratum; at scale a skewed stratum is the caller's salting concern. */
+  def quantileFilter(
+      df: org.apache.spark.sql.DataFrame, strataCol: String, scoreCol: String,
+      idCol: String, dropNum: Int, dropDen: Int): org.apache.spark.sql.DataFrame = {
+    require(dropDen > 0 && dropNum >= 0 && dropNum < dropDen,
+      s"drop fraction must be in [0,1): $dropNum/$dropDen")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol).orderBy(col(scoreCol).asc, col(idCol).asc)
+    val n = Window.partitionBy(strataCol)
+    df.withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(n))
+      .filter(col("__rk") * dropDen > col("__n") * dropNum)
+      .drop("__rk", "__n")
+  }
+
   /** Gopher-style repetition signal: the share of a document's tokens
     * taken by its single most frequent token (ties broken by the
     * lexicographically smallest token, so the result is deterministic).

@@ -129,6 +129,17 @@ class TextDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("E21: quantile filter cuts exactly the bottom fraction per stratum, ties by id") {
+    val d = (1 to 8).map(i => (i.toLong, "a", i.toLong * 10))
+      .++(Seq((100L, "b", 5L), (101L, "b", 5L), (102L, "b", 5L)))
+      .toDF("doc_id", "lang", "score")
+    val kept = TextOps.quantileFilter(d, "lang", "score", "doc_id", 1, 4)
+      .select($"doc_id").as[Long].collect().toSet
+    // drops floor(n/4) per stratum: a (n=8) loses ranks 1-2 = ids 1,2;
+    // b (n=3) floors to 0 dropped, all three tied rows survive
+    assert(kept == Set(3L, 4L, 5L, 6L, 7L, 8L, 100L, 101L, 102L))
+  }
+
   test("E14: repetition picks the most frequent token, smallest on ties") {
     val d = Seq((1L, "a b b c"), (2L, "x y")).toDF("doc_id", "text")
     val r = TextOps.repetitionStats(d, "doc_id", "text")
