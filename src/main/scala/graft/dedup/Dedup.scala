@@ -272,7 +272,13 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint() // pay the (possibly expensive) pair plan ONCE
-    var labels = ids.select(col("id"), col("id").as("comp"))
+    // nodes = ids ∪ pair endpoints: an endpoint missing from `ids` must
+    // still CONDUCT connectivity (and gets an output row), or two docs
+    // joined only through it would silently land in separate components
+    var labels = ids.select(col("id"))
+      .unionByName(edges.select(col("src").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("comp"))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -290,6 +296,9 @@ object Dedup {
       labels = next.drop("__old")
       it += 1
     }
+    if (changed > 0)
+      System.err.println(s"[graft] connectedComponents did NOT converge in $maxIter rounds " +
+        s"($changed labels still changing) — components may be split; raise maxIter")
     labels
   }
 

@@ -106,7 +106,9 @@ object SessionStream {
             times.foreach { t =>
               open match {
                 case Some(s) if t - s.endMs <= gapMs =>
-                  open = Some(OpenSession(s.startMs, math.max(s.endMs, t), s.n + 1))
+                  // out-of-order-but-not-late events may precede the
+                  // session start: extend both ends
+                  open = Some(OpenSession(math.min(s.startMs, t), math.max(s.endMs, t), s.n + 1))
                 case Some(s) => // gap inside the batch: close and start anew
                   closed += ClosedSession(uid, s.startMs, s.endMs, s.n)
                   open = Some(OpenSession(t, t, 1))

@@ -35,8 +35,12 @@ object Packing {
       s"$idCol must be numeric for value-range bucketing, got ${df.schema(idCol).dataType}")
     val mm = df.agg(
       min(col(idCol)).cast("double").as("lo"),
-      max(col(idCol)).cast("double").as("hi")).head()
-    if (mm.isNullAt(0)) // empty input: keep the output contract, zero rows
+      max(col(idCol)).cast("double").as("hi"),
+      count(lit(1)).as("rows"),
+      count(col(idCol)).as("nonNullIds")).head()
+    require(mm.getLong(2) == mm.getLong(3),
+      s"$idCol contains NULLs — ordering is undefined; filter or assign ids first")
+    if (mm.getLong(2) == 0L) // empty input: keep the output contract, zero rows
       return df.withColumn("start_tok", lit(0L)).withColumn("seq_id", lit(0L))
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions

@@ -126,7 +126,10 @@ object TextOps {
     require(dropDen > 0 && dropNum >= 0 && dropNum < dropDen,
       s"drop fraction must be in [0,1): $dropNum/$dropDen")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(strataCol).orderBy(col(scoreCol).asc, col(idCol).asc)
+    // NULLS LAST to match SQL engines' ASC default (Spark's asc is
+    // nulls-first): a NULL score must not silently rank as "worst"
+    val w = Window.partitionBy(strataCol)
+      .orderBy(col(scoreCol).asc_nulls_last, col(idCol).asc)
     val n = Window.partitionBy(strataCol)
     df.withColumn("__rk", row_number().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(n))

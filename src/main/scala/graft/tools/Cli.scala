@@ -168,6 +168,7 @@ object Cli {
       }
       targetPg.foreach { pg =>
         val (url, props) = pg.jdbc
+        pg.runSql(graft.pg.Ddl.createSchema(pg.schemaName))
         states.foreach { t =>
           // reference parity: ensure target schema + table exist before
           // landing (cdc_operator.rs create_schema/create_table), typed
@@ -176,9 +177,16 @@ object Cli {
           val cols = scala.collection.immutable.ListMap(
             clean.schema.fields.map(f =>
               f.name -> graft.pg.TypeMapper.sparkToPg(f.dataType)): _*)
-          val pk = CdcOperator.resolvePk(cfg, t.table, t.state.columns.toSeq)
-            .getOrElse(Seq.empty).filter(cols.contains)
-          pg.runSql(graft.pg.Ddl.createSchema(pg.schemaName))
+          // same no-silent-truncation policy as resolvePk: a pk column
+          // missing from the landed frame voids the constraint LOUDLY
+          val pkFull = CdcOperator.resolvePk(cfg, t.table, t.state.columns.toSeq)
+            .getOrElse(Seq.empty)
+          val pkMissing = pkFull.filterNot(cols.contains)
+          val pk = if (pkMissing.isEmpty) pkFull else {
+            System.err.println(s"[cli] pk column(s) ${pkMissing.mkString(", ")} absent " +
+              s"from landed '${t.table}'; creating table WITHOUT a primary key")
+            Seq.empty
+          }
           pg.runSql(graft.pg.Ddl.createTable(pg.schemaName, t.table, cols, pk))
           JdbcSink.append(t.state, url, pg.schemaName, t.table,
             props.getProperty("user", ""), props.getProperty("password", ""),

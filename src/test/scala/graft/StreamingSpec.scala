@@ -84,6 +84,10 @@ class StreamingSpec extends SparkSpecBase {
       val afterBatch = spark.table("sessions")
         .as[(Long, Long, Long, Long)].collect().toSet
       assert(afterBatch == Set((1L, ms(0), ms(10), 2L)))
+      // an out-of-order (but not late) event EARLIER than the open
+      // session's start must extend the session backward
+      input.addData(Ev(1, ts(108)))
+      q.processAllAvailable()
       // a much later event for user 2 advances the watermark past
       // user 1's open-session deadline -> its trailing session emits
       input.addData(Ev(2, ts(1000)))
@@ -92,7 +96,7 @@ class StreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
       val all = spark.table("sessions")
         .as[(Long, Long, Long, Long)].collect().toSet
-      assert(all.contains((1L, ms(110), ms(115), 2L)),
+      assert(all.contains((1L, ms(108), ms(115), 3L)),
         s"trailing session missing from $all")
     } finally q.stop()
   }

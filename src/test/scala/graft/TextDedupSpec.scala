@@ -138,6 +138,13 @@ class TextDedupSpec extends SparkSpecBase {
     // drops floor(n/4) per stratum: a (n=8) loses ranks 1-2 = ids 1,2;
     // b (n=3) floors to 0 dropped, all three tied rows survive
     assert(kept == Set(3L, 4L, 5L, 6L, 7L, 8L, 100L, 101L, 102L))
+    // NULL scores rank LAST (SQL ASC default), never auto-dropped
+    val withNull = Seq((1L, "a", Option(10L)), (2L, "a", Option(20L)),
+      (3L, "a", Option(30L)), (4L, "a", Option.empty[Long]))
+      .toDF("doc_id", "lang", "score")
+    val keptN = TextOps.quantileFilter(withNull, "lang", "score", "doc_id", 1, 4)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptN == Set(2L, 3L, 4L)) // rank 1 = id 1 (lowest score) dropped
   }
 
   test("E14: repetition picks the most frequent token, smallest on ties") {
@@ -151,13 +158,17 @@ class TextDedupSpec extends SparkSpecBase {
   test("E2d: connected components label chains, singletons, and converge past one hop") {
     import graft.dedup.Dedup
     // chain 5-4-3-2-1 (needs >1 propagation round), pair (10,11), singleton 20
-    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("id_a", "id_b")
-    val ids = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L)).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (30L, 99L), (99L, 31L)).toDF("id_a", "id_b")
+    val ids = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L, 30L, 31L)).toDF("id")
     val comp = Dedup.connectedComponents(pairs, ids)
       .as[(Long, Long)].collect().toMap
     assert(Seq(1L, 2L, 3L, 4L, 5L).forall(comp(_) == 1L))
     assert(comp(10L) == 10L && comp(11L) == 10L)
     assert(comp(20L) == 20L)
+    // an endpoint absent from ids (99) still conducts: 30 and 31 merge,
+    // and the conduit gets an output row (matching the SQL oracle)
+    assert(comp(30L) == 30L && comp(31L) == 30L && comp(99L) == 30L)
   }
 
   test("E15: decontamination flags shingle overlap with the benchmark, zero rows kept") {
