@@ -63,6 +63,15 @@ object TextEntries {
        |  FROM (SELECT doc_id, $toksSql AS t FROM $cte))""".stripMargin
   private val postSql = postOverSql("corpus")
 
+  /** hashed-postings CTE body (mirrors Dedup.hashedPostings: h60 applied
+    * BEFORE the DISTINCT; md5 is identical in both engines so even a
+    * collision — which would merge two shingles on both sides alike —
+    * keeps the compare exact). */
+  private def hashedPostOverSql(cte: String) =
+    s"""SELECT DISTINCT doc_id, ${PortableHash.duckH60("s")} AS s FROM (
+       |  SELECT doc_id, unnest($shingleListSql) AS s
+       |  FROM (SELECT doc_id, $toksSql AS t FROM $cte))""".stripMargin
+
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
   private val StopWords = TextOps.Markers.head._2 // english markers
@@ -296,7 +305,7 @@ object TextEntries {
 
   private lazy val dedupNgramSql =
       s"""WITH corpus AS ($docsNearSql),
-         |post AS ($postSql),
+         |post AS (${hashedPostOverSql("corpus")}),
          |sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY 1),
          |hot AS (SELECT s FROM post GROUP BY s HAVING count(*) > ${Dedup.DefaultMaxDf}),
          |cpost AS (SELECT * FROM post WHERE s NOT IN (SELECT s FROM hot)),
@@ -350,12 +359,8 @@ object TextEntries {
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),
          |batch AS (SELECT doc_id + 200000 AS doc_id, text || ' graft dup tail marker' AS text
          |          FROM documents WHERE doc_id % 17 = 0),
-         |bpost AS (SELECT DISTINCT doc_id, s FROM (
-         |  SELECT doc_id, unnest($shingleListSql) AS s
-         |  FROM (SELECT doc_id, $toksSql AS t FROM batch))),
-         |cpost AS (SELECT DISTINCT doc_id, s FROM (
-         |  SELECT doc_id, unnest($shingleListSql) AS s
-         |  FROM (SELECT doc_id, $toksSql AS t FROM corpus))),
+         |bpost AS (${hashedPostOverSql("batch")}),
+         |cpost AS (${hashedPostOverSql("corpus")}),
          |bsizes AS (SELECT doc_id, count(*) AS n FROM bpost GROUP BY 1),
          |csizes AS (SELECT doc_id, count(*) AS n FROM cpost GROUP BY 1),
          |common AS (

@@ -50,6 +50,19 @@ object Dedup {
   private[dedup] def postings(df: DataFrame, idCol: String, textCol: String, w: Int) =
     postingsRaw(df, idCol, textCol, w).distinct()
 
+  /** Distinct (id, h60(shingle)) postings — the Jaccard-family variant:
+    * every downstream shuffle (distinct, df-count, inverted-index
+    * self-join, per-doc sizes) carries an 8-byte int instead of the
+    * shingle text, which at 100 TB is the difference between shuffling
+    * terabytes of n-gram strings and shuffling their fixed-width keys.
+    * The hash is applied BEFORE the distinct (it commutes: h60 is
+    * deterministic), so even the first shuffle is narrow. MinHash keeps
+    * string postings — its signature lanes hash the shingle text. */
+  private[dedup] def hashedPostings(df: DataFrame, idCol: String, textCol: String, w: Int) =
+    postingsRaw(df, idCol, textCol, w)
+      .select(col("__id"), PortableHash.h60(col("__sh")).as("__sh"))
+      .distinct()
+
   /** Exact Jaccard scoring of candidate pairs against full postings:
     * common counts come from a candidate-bounded join, sizes from the
     * postings; output filtered at tauBp. */
@@ -91,7 +104,7 @@ object Dedup {
       tauBp: Long,
       w: Int = 3,
       maxDf: Long = DefaultMaxDf): DataFrame = {
-    val post = postings(df, idCol, textCol, w).cache()
+    val post = hashedPostings(df, idCol, textCol, w).cache()
     if (maxDf == Long.MaxValue) {
       // exact all-pairs: count common shingles directly in the inverted-
       // index join — one pass, no candidate re-join
@@ -118,6 +131,14 @@ object Dedup {
       // correction touches |candidates| × |hot postings per doc| rows
       val hot = post.groupBy("__sh").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDf).select("__sh")
+      // the cap is recall-affecting when it actually fires: say so ONCE,
+      // loudly, instead of silently dropping hot-shingle-only pairs (the
+      // count reuses the cached postings, so this costs one small agg)
+      val hotCount = hot.count()
+      if (hotCount > 0)
+        System.err.println(s"[graft] ngramJaccardPairs: maxDf=$maxDf excludes $hotCount " +
+          "boilerplate shingle(s) from candidate generation; pairs overlapping ONLY in " +
+          "those shingles are not recalled (pass maxDf=Long.MaxValue for exact all-pairs)")
       val coolPost = post.join(broadcast(hot), Seq("__sh"), "left_anti")
       val coolCommon = coolPost.select(col("__id").as("id_a"), col("__sh"))
         .join(coolPost.select(col("__id").as("id_b"), col("__sh")), "__sh")
@@ -220,12 +241,14 @@ object Dedup {
   def incrementalNgramPairs(
       corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, tauBp: Long, w: Int = 3): DataFrame = {
-    val bPost = postings(batch, idCol, textCol, w).cache()
+    val bPost = hashedPostings(batch, idCol, textCol, w).cache()
     // corpus side: semi-join BEFORE the distinct, with the (small) batch
     // shingle set broadcast — the corpus contributes a map-only
-    // scan+tokenize+filter; the only corpus-derived shuffle is over the
-    // batch-matching survivors. (distinct commutes with a filter on __sh.)
+    // scan+tokenize+hash+filter; the only corpus-derived shuffle is over
+    // the batch-matching survivors. (distinct commutes with a filter on
+    // __sh, and so does the deterministic h60.)
     val cPost = postingsRaw(corpus, idCol, textCol, w)
+      .select(col("__id"), PortableHash.h60(col("__sh")).as("__sh"))
       .join(broadcast(bPost.select("__sh").distinct()), Seq("__sh"), "left_semi")
       .distinct()
       .cache()
@@ -243,7 +266,7 @@ object Dedup {
     // it), so forcing a broadcast is an OOM hazard — AQE picks broadcast
     // itself whenever the set is actually small
     val candIds = common.select(col("corpus_id").as(idCol)).distinct()
-    val cSizes = postings(
+    val cSizes = hashedPostings(
       corpus.join(candIds, Seq(idCol), "left_semi"),
       idCol, textCol, w)
       .groupBy("__id").agg(count(lit(1)).as("n_corpus"))
@@ -260,46 +283,89 @@ object Dedup {
     * turns pairwise evidence (from any of the pair generators above)
     * into dedup CLUSTERS with a canonical keeper: every doc gets
     * `comp` = the minimum doc id reachable through the pair graph.
-    * Iterative min-label propagation: each round, every node takes the
-    * min of its own label and its neighbors' labels; converged when no
-    * label changes. Rounds needed = graph diameter (near-dup components
-    * are shallow in practice — pairs chain through shared content);
-    * `maxIter` bounds pathological chains. Each round localCheckpoints
-    * to truncate lineage — on a cluster, point `spark.checkpoint.dir`
-    * at durable storage and swap in `checkpoint` for fault tolerance. */
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round rewires
+    * every node's larger neighbors (large-star) then its smaller
+    * neighbors (small-star) to the locally-known minimum. Unlike plain
+    * min-label propagation — whose rounds equal the graph DIAMETER and
+    * re-shuffle the full edge set every round — the edge set here
+    * contracts toward a star per component and the round count is
+    * O(log² n) even for path graphs, so one boilerplate ladder chaining
+    * thousands of docs can't force thousands of full-edge shuffles at
+    * corpus scale. At the fixed point the edges ARE the answer: (node,
+    * component-min) stars.
+    *
+    * Throws on non-convergence — downstream dedup keeps/drops documents
+    * based on these labels, so a possibly-split labeling must never be
+    * returned silently. Each round localCheckpoints to truncate lineage —
+    * on a cluster, point `spark.checkpoint.dir` at durable storage and
+    * swap in `checkpoint` for fault tolerance. */
   def connectedComponents(
-      pairs: DataFrame, ids: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().localCheckpoint() // pay the (possibly expensive) pair plan ONCE
+      pairs: DataFrame, ids: DataFrame, maxIter: Int = 30): DataFrame = {
+    // canonical big→small orientation; pay the (possibly expensive) pair
+    // plan ONCE
+    var edges = pairs.select(
+        greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    var converged = edges.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: for every node u, attach each LARGER neighbor v to
+      // min(Γ(u) ∪ {u}) — a window min instead of a groupBy+re-join, so
+      // each star op is ONE pass over the (shrinking) edge set; output
+      // keeps the big→small invariant because the min is ≤ u < v
+      val undirected = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val ls = undirected
+        .withColumn("__mn", least(min(col("dst")).over(wSrc), col("src")))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("__mn").as("dst"))
+        .distinct()
+      // small-star: every node's SMALLER neighbors (all of them, given
+      // the orientation) plus itself collapse onto their common min;
+      // both output branches explode from one windowed pass
+      val next = ls
+        .withColumn("__mn", min(col("dst")).over(wSrc))
+        .select(explode(array(
+          struct(col("src").as("src"), col("__mn").as("dst")),
+          struct(col("dst").as("src"), col("__mn").as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+      edges = next
+      it += 1
+      // fixed-point test in ONE small job on the materialized round: a
+      // big→small edge set is the final star decomposition iff every src
+      // has exactly one target and no src is another edge's dst (then
+      // ls/ss are identities and each star root is its component min) —
+      // detected on the round the stars FORM, not one equality-check
+      // round later
+      val nonStar = next.groupBy("src")
+        .agg(countDistinct(col("dst")).as("__nd"))
+        .filter(col("__nd") > 1).select(col("src"))
+        .unionByName(next.select(col("src"))
+          .intersect(next.select(col("dst").as("src"))))
+      converged = nonStar.isEmpty
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter large-star/small-star rounds — " +
+          "component labels would be unreliable; raise maxIter")
     // nodes = ids ∪ pair endpoints: an endpoint missing from `ids` must
     // still CONDUCT connectivity (and gets an output row), or two docs
     // joined only through it would silently land in separate components
-    var labels = ids.select(col("id"))
+    val starLabels = edges.select(col("src").as("id"), col("dst").as("comp"))
+    ids.select(col("id"))
       .unionByName(edges.select(col("src").as("id")))
+      .unionByName(edges.select(col("dst").as("id")))
       .distinct()
-      .select(col("id"), col("id").as("comp"))
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIter) {
-      val viaNeighbor = edges
-        .join(labels.select(col("id").as("src"), col("comp").as("ncomp")), "src")
-        .groupBy(col("dst").as("id")).agg(min("ncomp").as("ncomp"))
-      // carry the previous label through the checkpoint: the convergence
-      // check is then a filter on already-materialized rows, not a join
-      val next = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          col("comp").as("__old"))
-        .localCheckpoint()
-      changed = next.filter(col("comp") =!= col("__old")).count()
-      labels = next.drop("__old")
-      it += 1
-    }
-    if (changed > 0)
-      System.err.println(s"[graft] connectedComponents did NOT converge in $maxIter rounds " +
-        s"($changed labels still changing) — components may be split; raise maxIter")
-    labels
+      .join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** 64-bit SimHash as two unsigned 32-bit halves (hi, lo) over distinct

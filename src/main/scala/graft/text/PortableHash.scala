@@ -41,9 +41,27 @@ object PortableHash {
     org.apache.spark.sql.GraftBridge.column(
       graft.functions.H32(org.apache.spark.sql.GraftBridge.expression(c), lane))
 
+  /** 60-bit md5 prefix (first 15 hex chars) as LongType — the join-key
+    * hash for shingle postings: collisions are ~n²/2⁶¹ (negligible at
+    * corpus scale, and DETERMINISTIC — both engines compute the same md5,
+    * so the oracle compare stays exact even on a collision), while the
+    * shuffled key shrinks from a ~40-byte string to 8 bytes. 15 hex chars
+    * keep the value below 2⁶⁰, safely inside a signed 64-bit in both
+    * Spark and DuckDB.
+    * Composed from lanes 0 and 1 of ONE native H32 digest (the memo makes
+    * the second lane read free): first 60 bits = lane0 ∥ lane1[31:4] —
+    * identical to parsing the 15-char hex prefix, without materializing
+    * the hex string. */
+  def h60(c: Column): Column =
+    shiftleft(h32Lane(0, c), 28) + shiftright(h32Lane(1, c), 4)
+
   /** DuckDB SQL fragment computing the identical value. */
   def duckH32(expr: String): String =
     s"cast(('0x'||substr(md5($expr),1,8)) as bigint)"
+
+  /** DuckDB twin of [[h60]]. */
+  def duckH60(expr: String): String =
+    s"cast(('0x'||substr(md5($expr),1,15)) as bigint)"
 
   def duckH32(seed: Int, expr: String): String =
     duckH32(s"'$seed:'||$expr")
