@@ -39,7 +39,9 @@ object CdcOperator {
       excludedTables: Seq[String] = Seq.empty,
       mode: Mode = FullLoadOnly,
       pkByTable: Map[String, Seq[String]] = Map.empty,
-      pkResolver: String => Seq[String] = _ => Seq.empty)
+      pkResolver: String => Seq[String] = _ => Seq.empty,
+      columnsByTable: Map[String, Seq[String]] = Map.empty,
+      columnResolver: String => Seq[String] = _ => Seq.empty)
 
   /** `orderedChunks = true` (default) follows the reference exactly:
     * chunks are `chunkSize`-row ranges in pk order and `startPosition`
@@ -106,6 +108,22 @@ object CdcOperator {
     if (files.isEmpty) return None
     val df = DmsFileCatalog.readTable(spark, files)
     if (df.columns.isEmpty) return None
+    // schema-drift guard (reference parity, cdc_operator.rs:171-186): a
+    // file column absent from the source table's column set aborts the
+    // table LOUDLY — replaying it would land data the source can't hold.
+    // The expected set comes from explicit config or live reflection;
+    // with neither, the guard is inert (nothing to compare against).
+    val expectedCols = cfg.columnsByTable.getOrElse(table, cfg.columnResolver(table))
+    if (expectedCols.nonEmpty) {
+      val drifted = SchemaGuard.blockingColumns(
+        df.schema, expectedCols, ignore = Seq("_seq", "_is_load"))
+      if (drifted.nonEmpty) {
+        System.err.println(s"[graft] SCHEMA DRIFT: table '$table' files carry column(s) " +
+          s"${drifted.mkString(", ")} absent from the source table — skipping the table " +
+          "(matching the reference's abort)")
+        return None
+      }
+    }
     val pk = resolvePk(cfg, table, df.columns.toSeq) match {
       case Some(p) => p
       case None    => return None
@@ -130,8 +148,17 @@ object CdcOperator {
 
   /** The reference's `validate` (rust_pgdatadiff): per-table diff of
     * replayed state vs target — counts first, then chunked hashes, then
-    * row-level drill-down, honoring chunkSize/startPosition. Returns one
-    * summary row per table. */
+    * row-level drill-down ONLY into mismatched chunks (the reference
+    * fetches rows per unequal chunk, cdc_operator.rs:247-293). Returns
+    * one summary row per table.
+    *
+    * The chunk report is small (~rows/chunkSize) and is materialized
+    * eagerly so the row-level pass can be gated on it: a clean table
+    * never pays the full-outer pk join — its validate is counts + chunk
+    * hashes, full stop. When chunks DO mismatch, both sides are
+    * broadcast-semi-joined down to the mismatched chunks' pk intervals
+    * (ordered mode) or chunk-hash ids (hash-range mode) before the row
+    * join, so the row-level cost scales with the damage, not the table. */
   def validate(
       source: DataFrame,
       target: DataFrame,
@@ -140,24 +167,46 @@ object CdcOperator {
       cfg: ValidateConfig = ValidateConfig()): DataFrame = {
     val counts = DataDiff.countDiff(source, target, table)
     if (cfg.onlyCount) return counts
-    val chunks =
-      if (cfg.orderedChunks)
+    val pkStruct = struct(pk.map(col): _*)
+    // (chunk report, row-restriction of a side to mismatched chunks)
+    val (chunks, restrict): (DataFrame, DataFrame => DataFrame) =
+      if (cfg.orderedChunks) {
         // reference semantics: chunkSize ROWS per chunk in pk order,
         // startPosition skips rows (cdc_operator.rs:247-293)
-        DataDiff.orderedChunkDiff(source, target, pk, cfg.chunkSize, cfg.startPosition)
-      else {
+        val ch = DataDiff.orderedChunkDiffRanges(
+          source, target, pk, cfg.chunkSize, cfg.startPosition).cache()
+        val badRanges = ch.filter(!col("chunks_match"))
+          .select(col("lo").as("__lo"), col("hi").as("__hi"))
+        (ch, df => df.join(broadcast(badRanges),
+          pkStruct >= col("__lo") && pkStruct <= col("__hi"), "left_semi"))
+      } else {
         // scale option: hash pk tuple into chunkSize-row-scale ranges;
-        // startPosition degrades to a chunk-id floor
-        val chunkOf = pmod(hash(pk.map(col): _*), lit(1000000)).cast("long") /
-          lit(cfg.chunkSize)
-        DataDiff.chunkDiff(source, target, chunkOf.cast("long"))
-          .filter(col("chunk_id") >= cfg.startPosition)
+        // startPosition degrades to a chunk-id floor. Membership in a
+        // mismatched chunk is exact (chunk id is pk-derived), so the
+        // drill-down is a semi-join on the chunk id itself.
+        val chunkOf = (pmod(hash(pk.map(col): _*), lit(1000000)).cast("long") /
+          lit(cfg.chunkSize)).cast("long")
+        val ch = DataDiff.chunkDiff(source, target, chunkOf)
+          .filter(col("chunk_id") >= cfg.startPosition).cache()
+        val badIds = ch.filter(!col("chunks_match"))
+          .select(col("chunk_id").as("__chunk"))
+        (ch, df => df.withColumn("__chunk", chunkOf)
+          .join(broadcast(badIds), Seq("__chunk"), "left_semi")
+          .drop("__chunk"))
       }
     val badChunks = chunks.filter(!col("chunks_match"))
       .agg(count(lit(1)).as("chunks_mismatched")).withColumn("tbl", lit(table))
-    val rows = DataDiff.rowDiff(source, target, pk)
-      .groupBy("diff_status").count()
-      .agg(sum(col("count")).as("rows_differing")).withColumn("tbl", lit(table))
+    // rows only on mismatch: a clean chunk report short-circuits the
+    // row-level join entirely (isEmpty materializes the cached report)
+    val anyBad = !chunks.filter(!col("chunks_match")).isEmpty
+    val rows =
+      if (!anyBad)
+        source.sparkSession.range(1)
+          .select(lit(0L).as("rows_differing"), lit(table).as("tbl"))
+      else
+        DataDiff.rowDiff(restrict(source), restrict(target), pk)
+          .groupBy("diff_status").count()
+          .agg(sum(col("count")).as("rows_differing")).withColumn("tbl", lit(table))
     counts
       .join(badChunks, "tbl")
       .join(rows, "tbl")

@@ -39,4 +39,18 @@ object SchemaGuard {
     * table schema aborts (added columns only). */
   def hasBlockingDrift(fileSchema: StructType, tableColumns: Map[String, String]): Boolean =
     diff(fileSchema, tableColumns).added.nonEmpty
+
+  /** Name-only variant for the snapshot path, where the expected column
+    * set comes from config or information_schema reflection (types are
+    * not part of the reference's go/no-go). Returns the offending
+    * columns: file columns (minus service + caller-ignored columns)
+    * absent from the table. */
+  def blockingColumns(
+      fileSchema: StructType,
+      tableColumns: Seq[String],
+      ignore: Seq[String] = Seq.empty): Seq[String] =
+    fileSchema.fields.map(_.name)
+      .filterNot(c => CdcApply.ServiceColumns.contains(c) || ignore.contains(c))
+      .filterNot(tableColumns.contains)
+      .toSeq
 }

@@ -124,23 +124,44 @@ object DataDiff {
       target: DataFrame,
       pk: Seq[String],
       chunkSize: Long,
+      startPosition: Long = 0L): DataFrame =
+    orderedChunkDiffRanges(source, target, pk, chunkSize, startPosition)
+      .select("chunk_id", "src_rows", "tgt_rows", "chunks_match")
+
+  /** [[orderedChunkDiff]] plus each chunk's per-side pk-interval bounds
+    * (`lo`/`hi`, as pk structs) — the drill-down input: a mismatched
+    * chunk's [lo, hi] interval is what the row-level pass re-reads, so
+    * "rows only on mismatch" (the reference's validate contract) costs a
+    * range-restricted scan instead of a second global sort. The bounds
+    * ride along in the same aggregation — no extra pass. */
+  def orderedChunkDiffRanges(
+      source: DataFrame,
+      target: DataFrame,
+      pk: Seq[String],
+      chunkSize: Long,
       startPosition: Long = 0L): DataFrame = {
-    def sideAgg(df: DataFrame, n: String, h: String) = {
+    def sideAgg(df: DataFrame, n: String, h: String, lo: String, hi: String) = {
       withOrderedPosition(df.withColumn("__h", rowHash(df.columns.toSeq)), pk, "__pos")
         .filter(col("__pos") >= startPosition)
         .withColumn("__chunk", floor(col("__pos") / chunkSize.toDouble).cast("long"))
+        .withColumn("__pk", struct(pk.map(col): _*))
         .groupBy("__chunk")
-        .agg(count(lit(1)).as(n), sum(col("__h")).as(h))
+        .agg(count(lit(1)).as(n), sum(col("__h")).as(h),
+          min(col("__pk")).as(lo), max(col("__pk")).as(hi))
     }
-    val s = sideAgg(source, "src_rows", "__sh")
-    val t = sideAgg(target, "tgt_rows", "__th")
+    val s = sideAgg(source, "src_rows", "__sh", "src_lo", "src_hi")
+    val t = sideAgg(target, "tgt_rows", "__th", "tgt_lo", "tgt_hi")
     s.join(t, Seq("__chunk"), "full_outer")
       .select(
         col("__chunk").as("chunk_id"),
         coalesce(col("src_rows"), lit(0L)).as("src_rows"),
         coalesce(col("tgt_rows"), lit(0L)).as("tgt_rows"),
         (col("src_rows") <=> col("tgt_rows") && col("__sh") <=> col("__th"))
-          .as("chunks_match"))
+          .as("chunks_match"),
+        // least/greatest skip NULLs, so a chunk present on one side only
+        // still yields a usable drill-down interval
+        least(col("src_lo"), col("tgt_lo")).as("lo"),
+        greatest(col("src_hi"), col("tgt_hi")).as("hi"))
   }
 
   /** Count-only compare (DiffPayload.only_count). */

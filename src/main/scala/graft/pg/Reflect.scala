@@ -66,4 +66,21 @@ object Reflect {
           Seq.empty
       }
   }
+
+  /** Column-set resolver for the snapshot path's schema-drift guard
+    * (CdcOperator.SnapshotConfig.columnResolver): the reference compares
+    * the LOAD parquet schema against the source table's
+    * information_schema columns and aborts on drift
+    * (cdc_operator.rs:171-186). Degrades to empty (guard inert) on
+    * reflection failure, same policy as pkResolver. */
+  def columnResolver(cfg: PgConfig, schema: String): String => Seq[String] = {
+    val run = runner(cfg)
+    table =>
+      try tableColumns(run, schema, table).map(_._1)
+      catch {
+        case e: Exception =>
+          System.err.println(s"[graft] column reflection failed for '$schema.$table': ${e.getMessage}")
+          Seq.empty
+      }
+  }
 }

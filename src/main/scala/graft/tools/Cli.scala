@@ -45,6 +45,7 @@ object Cli {
           "[--database-schema s] [--included-tables a,b] [--excluded-tables c] " +
           "[--mode m] [--start-date ISO] [--stop-date ISO] " +
           "[--pk 'tbl=col1,col2;tbl2=col'] [--chunk-size n] [--start-position n] " +
+          "[--hash-chunks] " +
           "[--source-postgres-url url] [--target-postgres-url url] " +
           "[--max-connections n] [--accept-invalid-certs-first-db] " +
           "[--accept-invalid-certs-second-db] " +
@@ -106,6 +107,11 @@ object Cli {
       mode = mode,
       pkByTable = pkByTable,
       pkResolver = sourcePg.map(Reflect.pkResolver(_, schemaName))
+        .getOrElse(_ => Seq.empty),
+      // with a source database, the reference's schema-drift guard gets
+      // its expected column set from information_schema — a drifted
+      // table aborts loudly inside replayTable instead of landing
+      columnResolver = sourcePg.map(Reflect.columnResolver(_, schemaName))
         .getOrElse(_ => Seq.empty))
 
     val spark = SparkSession.builder()
@@ -198,10 +204,14 @@ object Cli {
 
     if (!onlySnapshot) {
       opts.get("target-parquet").foreach { out =>
+        // --hash-chunks opts into the map-only hash-range chunking (the
+        // documented scale option) instead of the reference's pk-ordered
+        // positional chunks
         val vcfg = ValidateConfig(
           chunkSize = opts.getOrElse("chunk-size", "1000").toLong,
           startPosition = opts.getOrElse("start-position", "0").toLong,
-          onlyCount = opts.contains("only-count"))
+          onlyCount = opts.contains("only-count"),
+          orderedChunks = !opts.contains("hash-chunks"))
         states.foreach { t =>
           val target = spark.read.parquet(s"$out/${t.table}")
           val pk = CdcOperator.resolvePk(cfg, t.table, t.state.columns.toSeq)

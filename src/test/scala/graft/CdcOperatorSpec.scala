@@ -73,6 +73,24 @@ class CdcOperatorSpec extends SparkSpecBase {
       "users", Seq("Op", "id", "v")) == Some(Seq("id")))
   }
 
+  test("A5: schema drift aborts the table loudly, clean tables proceed") {
+    // users files carry data columns (id, v); declaring the source table
+    // as (id) only makes 'v' blocking drift → users must be skipped,
+    // orders (declared fully) must proceed — cdc_operator.rs:171-186
+    val guarded = cfg.copy(columnsByTable =
+      Map("users" -> Seq("id"), "orders" -> Seq("id", "v")))
+    assert(CdcOperator.snapshot(spark, guarded).map(_.table) == Seq("orders"))
+    // reflection-supplied column sets drive the same guard
+    val viaResolver = cfg.copy(
+      columnResolver = t => if (t == "users") Seq("id") else Seq("id", "v"))
+    assert(CdcOperator.snapshot(spark, viaResolver).map(_.table) == Seq("orders"))
+    // an exactly-matching column set replays normally (service columns
+    // and catalog internals never count as drift)
+    val ok = cfg.copy(columnsByTable =
+      Map("users" -> Seq("id", "v"), "orders" -> Seq("id", "v")))
+    assert(CdcOperator.snapshot(spark, ok).map(_.table) == Seq("orders", "users"))
+  }
+
   test("validate reports counts, chunk mismatches, and differing rows") {
     val users = CdcOperator.snapshot(spark, cfg)
       .find(_.table == "users").get.state
@@ -138,9 +156,42 @@ class CdcOperatorSpec extends SparkSpecBase {
 
   test("identical tables validate clean") {
     val users = CdcOperator.snapshot(spark, cfg).find(_.table == "users").get.state
-    val report = CdcOperator.validate(users, users, Seq("id"), "users").head()
-    assert(report.getAs[Boolean]("counts_match"))
-    assert(report.getAs[Long]("chunks_mismatched") == 0L)
-    assert(report.getAs[Long]("rows_differing") == 0L)
+    val report = CdcOperator.validate(users, users, Seq("id"), "users")
+    // rows-only-on-mismatch: a clean chunk report must short-circuit the
+    // row-level pass — the report plan never full-outer-joins the tables
+    // row-level (rowDiff's __sv/__tv value structs are its fingerprint)
+    val plan = report.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__sv"), "clean validate must not build the row-level join")
+    val r = report.head()
+    assert(r.getAs[Boolean]("counts_match"))
+    assert(r.getAs[Long]("chunks_mismatched") == 0L)
+    assert(r.getAs[Long]("rows_differing") == 0L)
+  }
+
+  test("gated row drill-down equals the full row diff, both chunk modes") {
+    import graft.diff.DataDiff
+    val src = spark.range(0, 500)
+      .select($"id".as("k"), ($"id" * 3).cast("string").as("v"))
+    // tamper two rows, drop one, add one — damage spread across chunks
+    val tgt = src
+      .withColumn("v", when($"k" === 37L || $"k" === 412L, lit("tampered")).otherwise($"v"))
+      .filter($"k" =!= 250L)
+      .unionByName(Seq((900L, "extra")).toDF("k", "v"))
+    val full = DataDiff.rowDiff(src, tgt, Seq("k")).count()
+    for (ordered <- Seq(true, false)) {
+      val report = CdcOperator.validate(src, tgt, Seq("k"), "t",
+        ValidateConfig(chunkSize = 50, orderedChunks = ordered)).head()
+      assert(report.getAs[Long]("rows_differing") == full,
+        s"orderedChunks=$ordered must find every differing row via mismatched chunks only")
+      assert(report.getAs[Long]("chunks_mismatched") >= 1L)
+    }
+    // and a perturbed report is identical between modes on the users fixture
+    val users = CdcOperator.snapshot(spark, cfg).find(_.table == "users").get.state
+    val target = users.withColumn("v",
+      when($"id" === 2L, lit("tampered")).otherwise($"v")).filter($"id" =!= 3L)
+    val a = CdcOperator.validate(users, target, Seq("id"), "users").head()
+    val b = CdcOperator.validate(users, target, Seq("id"), "users",
+      ValidateConfig(orderedChunks = false)).head()
+    assert(a.getAs[Long]("rows_differing") == b.getAs[Long]("rows_differing"))
   }
 }
