@@ -23,7 +23,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object DmsFileCatalog {
 
   sealed trait Mode
-  case class DateAware(startDate: Instant, stopDate: Option[Instant]) extends Mode
+  /** `startSlackDays` widens the PATH-date pruning bound below
+    * `startDate` (default 1 day of clock skew between path date and
+    * mtime). Operators ingesting late-uploaded historical partitions —
+    * a backfill whose path date is far older than its mtime — must
+    * widen it (or the partition is never listed, regardless of mtime);
+    * the secondary mtime filter still decides file-by-file. */
+  case class DateAware(
+      startDate: Instant, stopDate: Option[Instant],
+      startSlackDays: Int = 1) extends Mode
   case object FullLoadOnly extends Mode
   case class AbsolutePath(path: String) extends Mode
 
@@ -57,12 +65,12 @@ object DmsFileCatalog {
       // before the start date's path. With years of CDC files the old
       // full recursive listing is an unbounded driver-side scan.
       val candidates = (m match {
-        case DateAware(start, stop) => listDatePruned(fs, dir, start, stop)
+        case DateAware(start, stop, slack) => listDatePruned(fs, dir, start, stop, slack)
         case _ => listRecursive(fs, dir)
       }).filter(f => f.getPath.getName.endsWith(".parquet") || isLoadFile(f.getPath.getName))
       val selected = m match {
         case FullLoadOnly => candidates.filter(f => isLoadFile(f.getPath.getName))
-        case DateAware(start, stop) =>
+        case DateAware(start, stop, _) =>
           // mtime window stays as the secondary, file-granular check
           candidates.filter { f =>
             val name = f.getPath.getName
@@ -103,10 +111,12 @@ object DmsFileCatalog {
     * alone. */
   private def listDatePruned(
       fs: FileSystem, dir: Path,
-      start: Instant, stop: Option[Instant]): Seq[org.apache.hadoop.fs.FileStatus] = {
+      start: Instant, stop: Option[Instant],
+      startSlackDays: Int = 1): Seq[org.apache.hadoop.fs.FileStatus] = {
     import java.time.{LocalDate, ZoneOffset}
     val ord = Ordering.Tuple3[Int, Int, Int]
-    val s = LocalDate.ofInstant(start, ZoneOffset.UTC).minusDays(1) // clock-skew slack
+    // clock-skew / backfill slack (DateAware.startSlackDays)
+    val s = LocalDate.ofInstant(start, ZoneOffset.UTC).minusDays(startSlackDays.toLong)
     val startT = (s.getYear, s.getMonthValue, s.getDayOfMonth)
     val stopT = stop.map { i =>
       val t = LocalDate.ofInstant(i, ZoneOffset.UTC)

@@ -57,6 +57,48 @@ object CdcStream {
       col(op).cast("string").as("op"),
       col(payload).cast("string").as("payload")).as[KeyedChange]
   }
+
+  /** Schema-generic latest-state maintenance: the same LWW-per-pk
+    * semantics as [[latestState]], but the state carries the FULL typed
+    * row (`Encoders.row` over the feed's schema) instead of a single
+    * string payload — so a real multi-column table can be landed from a
+    * stream with no column round-trip through text. Emits the complete
+    * winning row whenever a key's winner changes; `Op='D'` rows are
+    * emitted too (the sink's signal to delete the key). State remains
+    * one row per key, hash-partitioned by pk across executors.
+    *
+    * The feed must contain the pk columns, `seqCol` (castable to long)
+    * and `opCol`; all other columns ride along untouched. Parity with
+    * the batch semantics (CdcApply.latestState) is property-tested in
+    * StreamingSpec. */
+  def latestStateRows(
+      changes: DataFrame, pk: Seq[String], seqCol: String, opCol: String): DataFrame = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val schema = changes.schema
+    val seqIdx = schema.fieldIndex(seqCol)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    val ds: Dataset[Row] = changes.as(rowEnc)
+    // \u0001 separator: composite pk ("a","bc") must not collide with ("ab","c")
+    ds.groupByKey(r => pk.map(c => String.valueOf(r.getAs[Any](c))).mkString("\u0001"))
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          def seqOf(r: Row): Long = r.get(seqIdx) match {
+            case l: Long => l
+            case n: Number => n.longValue()
+          }
+          rows.maxByOption(seqOf) match {
+            case None => Iterator.empty
+            case Some(top) =>
+              if (state.getOption.forall(prev => seqOf(prev) <= seqOf(top))) {
+                state.update(top)
+                Iterator.single(top)
+              } else Iterator.empty
+          }
+      }
+  }
 }
 
 /** Watermarked tumbling-window aggregation over the events stream —
@@ -144,21 +186,41 @@ object StreamDedup {
 
   /** First-seen winners over a (fingerprint, id) stream. Emits a Keeper
     * exactly once per new fingerprint; duplicate fingerprints emit
-    * nothing. */
-  def firstSeen(docs: Dataset[FpDoc]): Dataset[Keeper] = {
+    * nothing.
+    *
+    * `stateTtl` bounds state growth for long-running streams: a
+    * fingerprint unseen for the TTL (processing time, re-armed on every
+    * re-arrival) is evicted, so a duplicate arriving AFTER eviction
+    * re-emits — the standard dedup-window compaction trade. With the
+    * default `None`, state holds every distinct fingerprint forever
+    * (exact dedup); run periodic external compaction or accept the
+    * growth. */
+  def firstSeen(
+      docs: Dataset[FpDoc],
+      stateTtl: Option[java.time.Duration] = None): Dataset[Keeper] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs
       .groupByKey(_.fp)
       .flatMapGroupsWithState[Keeper, Keeper](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeoutConf) {
         (fp: String, rows: Iterator[FpDoc], state: GroupState[Keeper]) =>
-          if (state.exists) Iterator.empty
-          else rows.minByOption(_.id) match {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            // duplicate re-arrival: keep the keeper, slide its TTL
+            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            Iterator.empty
+          } else rows.minByOption(_.id) match {
             case None => Iterator.empty
             case Some(first) =>
               val k = Keeper(fp, first.id)
               state.update(k)
+              stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
               Iterator.single(k)
           }
       }

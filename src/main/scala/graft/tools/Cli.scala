@@ -66,7 +66,12 @@ object Cli {
         val start = opts.get("start-date").map(Instant.parse).getOrElse {
           System.err.println("start_date is required for DateAware mode"); sys.exit(2); Instant.EPOCH
         }
-        DateAware(start, opts.get("stop-date").map(Instant.parse))
+        // --start-slack-days widens the path-date pruning bound for
+        // backfilled partitions (default 1 day of clock skew)
+        DateAware(start, opts.get("stop-date").map(Instant.parse),
+          opts.getOrElse("start-slack-days", "1").toIntOption.getOrElse {
+            System.err.println("--start-slack-days must be an integer"); sys.exit(2); 1
+          })
       case other =>
         System.err.println(s"unknown mode: $other"); sys.exit(2); FullLoadOnly
     }

@@ -128,6 +128,13 @@ class CatalogSpec extends SparkSpecBase {
       spark, s"$root/prefix", "db", "public", "slack", DateAware(start, None))
       .map(_.path.split('/').last).toSet
     assert(names == Set("20240213-235900000.parquet", "something.parquet"))
+    // a backfilled partition (path date months old, in-window mtime) is
+    // invisible at the default slack but reachable by widening it
+    val widened = DmsFileCatalog.listFiles(
+      spark, s"$root/prefix", "db", "public", "slack",
+      DateAware(start, None, startSlackDays = 120))
+      .map(_.path.split('/').last).toSet
+    assert(widened.contains("20231130-000000000.parquet"))
   }
 
   test("A6: isLoadFile keys on the LOAD basename prefix only") {

@@ -5,10 +5,79 @@ import graft.streaming.CdcStream.KeyedChange
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+/** Multi-column changefeed row for the schema-generic stream tests
+  * (top-level: MemoryStream needs a stable product encoder). */
+case class McChange(id: Long, seq: Long, Op: String, name: String, amount: Double)
+
 /** Streaming CDC apply + windowed aggregation (SURVEY §2 A9, D6) driven
   * through MemoryStream microbatches. */
 class StreamingSpec extends SparkSpecBase {
   import spark.implicits._
+
+  test("A9: schema-generic latestStateRows lands a multi-column table, parity with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[McChange]
+    val q = CdcStream.latestStateRows(input.toDF(), Seq("id"), "seq", "Op")
+      .writeStream.format("memory").queryName("cdc_rows")
+      .outputMode("update").start()
+    val feed = Seq(
+      McChange(1, 1, "I", "a", 1.0), McChange(2, 1, "I", "x", 5.0),
+      McChange(1, 2, "U", "b", 2.5), McChange(2, 0, "U", "stale", 9.9),
+      McChange(3, 1, "I", "c", 3.0), McChange(3, 2, "D", "-", 0.0))
+    try {
+      input.addData(feed.take(2): _*)
+      q.processAllAvailable()
+      input.addData(feed.drop(2): _*)
+      q.processAllAvailable()
+      // final landed state = last emitted winner per key, deletes removed
+      val streamState = spark.table("cdc_rows")
+        .groupBy("id").agg(max(struct($"seq", $"Op", $"name", $"amount")).as("w"))
+        .filter($"w.Op" =!= "D")
+        .select($"id", $"w.name".as("name"), $"w.amount".as("amount"))
+        .as[(Long, String, Double)].collect().toSet
+      // batch twin over the identical feed
+      val batchState = graft.cdc.CdcApply.latestState(
+          feed.toDF(), Seq("id"), Seq(col("seq")))
+        .select($"id", $"name", $"amount")
+        .as[(Long, String, Double)].collect().toSet
+      assert(streamState == batchState)
+      assert(streamState == Set((1L, "b", 2.5), (2L, "x", 5.0)))
+      // the full row (every column, typed) was carried through state
+      assert(spark.table("cdc_rows").columns.toSeq ==
+        Seq("id", "seq", "Op", "name", "amount"))
+    } finally q.stop()
+  }
+
+  test("E1s: firstSeen with a state TTL dedupes identically within the window") {
+    import graft.streaming.StreamDedup
+    import graft.streaming.StreamDedup.FpDoc
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FpDoc]
+    // generous TTL: nothing expires inside the test — results must match
+    // the untimed operator exactly; the ProcessingTimeTimeout path (arm +
+    // re-arm on re-arrival) is what's being exercised
+    val q = StreamDedup.firstSeen(input.toDS(), Some(java.time.Duration.ofHours(1)))
+      .writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("update").start()
+    // processAllAvailable() HANGS under ProcessingTimeTimeout: timeout
+    // evaluation makes shouldRunAnotherBatch always true, so no-data
+    // batches run forever and the no-new-data signal never fires. Poll
+    // the sink with a deadline instead.
+    def awaitCount(n: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table("dedup_ttl").count() < n && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    }
+    try {
+      input.addData(FpDoc("f1", 10), FpDoc("f1", 7), FpDoc("f2", 3))
+      awaitCount(2)
+      input.addData(FpDoc("f1", 1), FpDoc("f3", 5))
+      awaitCount(3)
+      val rows = spark.table("dedup_ttl").as[(String, Long)].collect().toMap
+      assert(rows == Map("f1" -> 7L, "f2" -> 3L, "f3" -> 5L))
+      assert(spark.table("dedup_ttl").count() == 3)
+    } finally q.stop()
+  }
 
   test("A9: stream latestState keeps LWW state across microbatches") {
     implicit val sqlCtx = spark.sqlContext
