@@ -81,11 +81,13 @@ object VectorEntries {
         "vec_id", "embedding", K, Dims, NProbe)
     }),
 
-    // E12: multimodal metadata pipeline (binary payloads, mapPartitions
-    // batch "decode" with deterministic stub codec)
+    // E12: multimodal metadata — the codec-free column fast path (pure
+    // md5/length expressions, no DeserializeToObject); extractMeta's
+    // mapPartitions twin is the template for true codec calls and is
+    // equality-pinned against this in MediaSpec
     "mm_meta" -> ((s, dir) => {
       val media = Media.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
-      Media.extractMeta(media).toDF()
+      Media.metaColumns(media.toDF())
     }),
 
     // E12b: frame sampling + resize — typed fan-out over the media table

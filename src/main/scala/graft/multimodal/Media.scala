@@ -61,11 +61,32 @@ object Media {
     }
   }
 
-  /** Distributed metadata extraction: batch "decode" per partition. */
+  /** Distributed metadata extraction: batch "decode" per partition.
+    * This is the template for TRUE codec calls — anything that must hand
+    * payload bytes to a native library. Metadata that needs no codec has
+    * the column fast path [[metaColumns]]. */
   def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(decodeStub)
+  }
+
+  /** Column-expression fast path for codec-free metadata: checksum,
+    * byte count and the stub dims are `md5`/`length` compositions that
+    * stay inside WholeStageCodegen — no DeserializeToObject, no object
+    * row materialization (the mapPartitions path pays both). Same
+    * output, plan-pinned in MediaSpec; at 100 TB this is the difference
+    * between a codegen'd scan and (de)serializing every payload into
+    * JVM objects just to hash it. */
+  def metaColumns(media: DataFrame): DataFrame = {
+    val n = length(col("payload")).cast("long")
+    media.select(
+      col("doc_id"), col("mime"),
+      n.as("n_bytes"),
+      md5(col("payload")).as("checksum"),
+      (n % 640 + 1).as("width"),
+      (n % 480 + 1).as("height"),
+      (n % 30 + 1).as("frame_count"))
   }
 
   case class Frame(

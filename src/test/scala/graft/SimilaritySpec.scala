@@ -103,4 +103,21 @@ class SimilaritySpec extends SparkSpecBase {
       .filter($"doc_id" === 0).head()
     assert(again == row)
   }
+
+  test("E12: metaColumns fast path equals the mapPartitions codec path, no object hop") {
+    val dir = sf("sf0.001")
+    val docs = Tables.documents(spark, dir)
+    val media = Media.asMediaTable(docs, "doc_id", "text")
+    val viaColumns = Media.metaColumns(media.toDF())
+    // codegen'd all the way: no DeserializeToObject / mapPartitions in
+    // the fast-path plan (the whole point of the column formulation)
+    val plan = viaColumns.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"),
+      s"fast path must stay inside codegen:\n$plan")
+    // and it computes EXACTLY what the codec-boundary path computes
+    val cols = Seq("doc_id", "mime", "n_bytes", "checksum", "width", "height", "frame_count")
+    val a = viaColumns.select(cols.map(col): _*).collect().toSet
+    val b = Media.extractMeta(media).toDF().select(cols.map(col): _*).collect().toSet
+    assert(a == b)
+  }
 }
