@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derive a larger benchmark corpus from an existing sf directory for
+  * scaling smoke tests (BENCH at sf1): N id-shifted copies of every
+  * table, constructed so per-copy structure is IDENTICAL to the source
+  * and copies never interact:
+  *
+  *  - all entity keys shift by copy*10M consistently across tables, so
+  *    referential joins (orders⋈customer, lineitem⋈part/supplier,
+  *    events.user_id) fan out 10× without orphaning anything;
+  *  - document text gets a per-copy suffix appended to EVERY token —
+  *    within-copy shingle/near-dup structure is preserved exactly, while
+  *    cross-copy shingles never collide (otherwise 10 verbatim copies of
+  *    each doc would add an artificial 45-pair clique per document and
+  *    the dedup queries would measure the construction, not the scale);
+  *  - embeddings rotate circularly by the copy index — norms and
+  *    intra-copy geometry exact, cross-copy cosines uncorrelated;
+  *  - dimension tables (region, nation) stay single-copy, as a real
+  *    scale-up would.
+  *
+  * Bench-only data (no oracle runs at this scale); written under
+  * target/ so it never enters git.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("target/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val Off = 10000000L
+
+    def write(t: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val all = (0 until copies).map(k => f(base, k)).reduce(_ unionByName _)
+      all.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaleup] $t -> $out/$t.parquet (${copies}x)")
+    }
+    def shifted(d: DataFrame, k: Int, keys: String*): DataFrame =
+      keys.foldLeft(d)((acc, c) => acc.withColumn(c, col(c) + lit(k * Off)))
+
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    write("customer")((d, k) => shifted(d, k, "c_custkey"))
+    write("supplier")((d, k) => shifted(d, k, "s_suppkey"))
+    write("part")((d, k) => shifted(d, k, "p_partkey"))
+    write("orders")((d, k) => shifted(d, k, "o_orderkey", "o_custkey"))
+    write("lineitem")((d, k) => shifted(d, k, "l_orderkey", "l_partkey", "l_suppkey"))
+    write("events")((d, k) => shifted(d, k, "event_id", "user_id"))
+    write("documents") { (d, k) =>
+      val s = shifted(d, k, "doc_id")
+      if (k == 0) s
+      else s.withColumn("text",
+        // per-copy token suffix: survives the [a-z0-9] normalization, so
+        // copy k's shingles are disjoint from copy j's
+        regexp_replace(col("text"), "(\\S+)", "$1" + ('a' + (k - 1)).toChar))
+    }
+    write("embeddings") { (d, k) =>
+      val s = shifted(d, k, "vec_id")
+      if (k == 0) s
+      else s.withColumn("embedding",
+        concat(slice(col("embedding"), lit(k + 1), size(col("embedding")) - k),
+          slice(col("embedding"), lit(1), lit(k))))
+    }
+    spark.stop()
+  }
+}
