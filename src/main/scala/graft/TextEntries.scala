@@ -84,6 +84,10 @@ object TextEntries {
   val PackBudget = 512L // tokens per packed training sequence
   val SampleRates = Map("en" -> 4000L, "zh" -> 10000L) // basis points kept
   val SampleDefaultBp = 7000L
+  val SegTokens = 16 // segment size for span-level dedup
+  val MixBudgets = Map("en" -> 5000L) // token budgets per lang (E24)
+  val MixDefaultBudget = 2000L
+  val LmTopK = 3 // continuations kept per prefix (E26)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E10: token counting — whitespace, BPE-ish regex, normalized
@@ -176,6 +180,29 @@ object TextEntries {
     // frequent token (boilerplate/degenerate-page signal)
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text")),
+
+    // E22: within-doc duplicate n-gram share (the Gopher dup-ngram
+    // filter; phrase-loop twin of text_repetition)
+    "text_dupngrams" -> ((s, dir) =>
+      TextOps.dupNgramStats(Tables.documents(s, dir), "doc_id", "text")),
+
+    // E24: token-budget mixture sampling — per-language token budgets
+    // taken in deterministic hash order (the "data mixing" op)
+    "data_mixture" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), TextOps.wsTokenCount(col("text")).as("n_tokens"))
+      TextOps.tokenBudgetSample(d, "doc_id", "lang", "n_tokens", MixBudgets, MixDefaultBudget)
+    }),
+
+    // E25: segment-level dedup with reassembly — repeated spans stripped
+    // corpus-wide, unique remainder of each doc survives
+    "dedup_segments" -> ((s, dir) =>
+      Dedup.dedupSegments(Tables.documents(s, dir), "doc_id", "text", SegTokens)),
+
+    // E26: corpus n-gram LM stats — top-k continuations per 2-token
+    // prefix by trigram count
+    "text_ngram_lm" -> ((s, dir) =>
+      TextOps.ngramTopK(Tables.documents(s, dir), "text", LmTopK)),
 
     // E15: benchmark decontamination — corpus docs sharing shingles with
     // a (broadcast) benchmark set; every corpus doc reported
@@ -393,6 +420,60 @@ object TextEntries {
          |  CAST(total AS BIGINT) AS n_tokens,
          |  CAST(floor(cnt * 10000.0 / total) AS BIGINT) AS rep_bp
          |FROM ranked WHERE rk = 1""".stripMargin,
+
+    "text_dupngrams" ->
+      s"""SELECT doc_id,
+         |  CAST(len(l) AS BIGINT) AS n_ngrams,
+         |  CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
+         |  CAST(floor((len(l) - len(list_distinct(l))) * 10000.0 / len(l)) AS BIGINT) AS dup_bp
+         |FROM (SELECT doc_id, $shingleListSql AS l
+         |      FROM (SELECT doc_id, $toksSql AS t FROM documents))""".stripMargin,
+
+    "data_mixture" -> {
+      val budgetCase = "CASE " + MixBudgets.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN lang = '$k' THEN $v" }
+        .mkString(" ") + s" ELSE $MixDefaultBudget END"
+      s"""SELECT doc_id, lang, n_tokens FROM (
+         |  SELECT doc_id, lang, n_tokens,
+         |    COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_toks,
+         |    $budgetCase AS budget
+         |  FROM (SELECT doc_id, lang,
+         |          CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         |          ${PortableHash.duckH32("'mix:'||CAST(doc_id AS VARCHAR)")} AS h
+         |        FROM documents))
+         |WHERE before_toks < budget""".stripMargin
+    },
+
+    "dedup_segments" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |segs AS (
+         |  SELECT doc_id, u['idx'] AS idx, u['seg'] AS seg FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(0, GREATEST(CAST(ceil(len(t) / $SegTokens.0) AS INT), 1) - 1),
+         |      i -> {'idx': i, 'seg': array_to_string(t[(i*$SegTokens+1):(i*$SegTokens+$SegTokens)], ' ')})) AS u
+         |    FROM toks)),
+         |ranked AS (SELECT doc_id, idx, seg,
+         |    row_number() OVER (PARTITION BY ${PortableHash.duckH60("seg")}
+         |                       ORDER BY doc_id, idx) AS rk
+         |  FROM segs)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_segments,
+         |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COALESCE(string_agg(CASE WHEN rk = 1 THEN seg END, ' ' ORDER BY idx), '') AS clean_text
+         |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    "text_ngram_lm" ->
+      s"""WITH toks AS (SELECT $toksSql AS t FROM documents),
+         |tri AS (SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+         |    i -> {'p': t[i]||' '||t[i+1], 'n': t[i+2]})) AS u FROM toks),
+         |counts AS (SELECT u['p'] AS prefix, u['n'] AS next_tok, count(*) AS cnt
+         |           FROM tri GROUP BY 1, 2),
+         |ranked AS (SELECT prefix, next_tok, CAST(cnt AS BIGINT) AS cnt,
+         |    row_number() OVER (PARTITION BY prefix ORDER BY cnt DESC, next_tok ASC) AS rk
+         |  FROM counts)
+         |SELECT prefix, next_tok, cnt, CAST(rk AS BIGINT) AS rk
+         |FROM ranked WHERE rk <= $LmTopK""".stripMargin,
 
     "text_decontaminate" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),

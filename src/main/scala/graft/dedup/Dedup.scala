@@ -368,6 +368,46 @@ object Dedup {
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
+  /** Segment-level dedup with reassembly — the span-granular op between
+    * whole-doc exact dedup and pair-based near-dup: split every doc into
+    * fixed `segTokens`-token segments, keep only the FIRST occurrence of
+    * each distinct segment corpus-wide (first = smallest (doc, position)),
+    * and rebuild each doc from its surviving segments in order. This is
+    * how repeated boilerplate spans (headers, license blocks, navigation
+    * chrome) are stripped while the unique remainder of each page
+    * survives.
+    *
+    * Scale shape: segments join on their h60 fingerprint — the shuffle
+    * carries (8-byte hash, doc, idx), never segment text, and the keeper
+    * table is one row per DISTINCT segment. Reassembly aggregates each
+    * doc's own segments (array_sort over collect_list), so no global
+    * ordering is needed. Output: idCol, n_segments, n_kept, clean_text
+    * ('' when every segment was boilerplate). */
+  def dedupSegments(
+      df: DataFrame, idCol: String, textCol: String, segTokens: Int = 32): DataFrame = {
+    val nseg = greatest(ceil(size(col("__t")) / lit(segTokens.toDouble)).cast("int"), lit(1))
+    val segs = df
+      .select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col("__id"), posexplode(
+        transform(sequence(lit(0), nseg - 1), i =>
+          concat_ws(" ", slice(col("__t"), i * segTokens + 1, lit(segTokens))))))
+      .select(col("__id"), col("pos").as("__idx"),
+        col("col").as("__seg"), PortableHash.h60(col("col")).as("__h"))
+    val keeper = segs.groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__idx"))).as("__k"))
+    segs.join(keeper, "__h")
+      .withColumn("__keep",
+        col("__id") === col("__k.__id") && col("__idx") === col("__k.__idx"))
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__idx"), col("__seg"))))),
+          s => s.getField("__seg"))).as("clean_text"))
+  }
+
   /** 64-bit SimHash as two unsigned 32-bit halves (hi, lo) over distinct
     * shingles — lanes 0 and 1 of ONE md5 per shingle (independent 32-bit
     * slices; one digest instead of two). Output: id, sim_hi, sim_lo. */

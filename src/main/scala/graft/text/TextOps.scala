@@ -137,6 +137,74 @@ object TextOps {
       .drop("__rk", "__n")
   }
 
+  /** Gopher-style duplicate n-gram share WITHIN a document: the fraction
+    * of a doc's w-shingles that are repeats of an earlier shingle in the
+    * same doc (1 - distinct/total). The companion signal to
+    * [[repetitionStats]] — a page that loops a whole phrase scores high
+    * here even when no single token dominates. Map-only (array ops per
+    * row, no shuffle, stays in codegen). Output: idCol, n_ngrams,
+    * n_distinct, dup_bp. */
+  def dupNgramStats(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      w: Int = 3): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), shinglesFromTokens(col("__t"), w).as("__sh"))
+      .select(col(idCol),
+        size(col("__sh")).cast("long").as("n_ngrams"),
+        size(array_distinct(col("__sh"))).cast("long").as("n_distinct"))
+      .withColumn("dup_bp", bp(col("n_ngrams") - col("n_distinct"), col("n_ngrams")))
+
+  /** Token-budget mixture sampler — the "data mixing" step of a training
+    * pipeline: each stratum (language / source / quality tier) gets a
+    * TOKEN budget, and docs are taken in deterministic salted-hash order
+    * within their stratum until the budget is spent (the doc that
+    * crosses the line is kept — budgets are floors, not ceilings, so a
+    * stratum is never left under-filled by one long doc). Unlike rate-
+    * based [[stratifiedSample]], budgets express the thing mixture specs
+    * actually state: "30B tokens of code, 5B of wiki". Deterministic:
+    * same corpus → same pick, and a doc's position in the hash order
+    * never changes as the corpus grows, so re-mixes only ever extend the
+    * kept prefix per stratum. One window per stratum (shuffle by
+    * stratum); a skewed stratum is bounded by its budget — rows past the
+    * cut are filtered immediately after the running sum. */
+  def tokenBudgetSample(
+      df: org.apache.spark.sql.DataFrame, idCol: String, strataCol: String,
+      tokensCol: String, budgets: Map[String, Long], defaultBudget: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = PortableHash.h32(concat(lit("mix:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(h.asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("__before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .filter(col("__before") < budget)
+      .drop("__before")
+  }
+
+  /** Corpus n-gram LM statistics: top-k continuations per 2-token prefix
+    * by trigram count (ties broken by token order, deterministic). The
+    * building block for n-gram generation scoring / junk detection.
+    * Explode → map-side-combined count → per-prefix window over
+    * COUNT rows (vocabulary-sized groups, never raw positions).
+    * Output: prefix, next_tok, cnt, rk. */
+  def ngramTopK(
+      df: org.apache.spark.sql.DataFrame, textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tri = df.select(tokens(col(textCol)).as("__t"))
+      .select(explode(when(size(col("__t")) >= 3,
+        transform(sequence(lit(1), size(col("__t")) - 2), i =>
+          struct(
+            concat_ws(" ", element_at(col("__t"), i), element_at(col("__t"), i + 1)).as("prefix"),
+            element_at(col("__t"), i + 2).as("next_tok"))))).as("__g"))
+      .select(col("__g.prefix").as("prefix"), col("__g.next_tok").as("next_tok"))
+    val w = Window.partitionBy("prefix").orderBy(col("cnt").desc, col("next_tok").asc)
+    tri.groupBy("prefix", "next_tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Gopher-style repetition signal: the share of a document's tokens
     * taken by its single most frequent token (ties broken by the
     * lexicographically smallest token, so the result is deterministic).

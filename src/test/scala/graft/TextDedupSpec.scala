@@ -183,6 +183,63 @@ class TextDedupSpec extends SparkSpecBase {
     assert(r == Seq((1L, 1L, true), (2L, 0L, false)))
   }
 
+  test("E22: dup-ngram share counts repeated shingles within a doc") {
+    val d = Seq(
+      (1L, "a b c a b c a b c"), // shingles: abc bca cab abc bca cab abc -> 7 total, 3 distinct
+      (2L, "x y z w")).toDF("doc_id", "text") // 2 shingles, both distinct
+    val r = TextOps.dupNgramStats(d, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 7L, 3L, 5714L), (2L, 2L, 2L, 0L)))
+  }
+
+  test("E24: token-budget sampler keeps the deterministic hash-order prefix per stratum") {
+    val docs = (1L to 20L).map(i => (i, if (i <= 10) "en" else "de", 100L))
+      .toDF("doc_id", "lang", "n_tokens")
+    // budget 0 keeps nothing; huge budget keeps everything
+    assert(TextOps.tokenBudgetSample(docs, "doc_id", "lang", "n_tokens",
+      Map.empty, 0L).count() == 0)
+    assert(TextOps.tokenBudgetSample(docs, "doc_id", "lang", "n_tokens",
+      Map.empty, 1000000L).count() == 20)
+    // budget 250 per stratum: exactly 3 docs of 100 tokens each (the doc
+    // crossing the line is kept — budgets are floors)
+    val kept = TextOps.tokenBudgetSample(docs, "doc_id", "lang", "n_tokens",
+      Map.empty, 250L)
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang == Map("en" -> 3L, "de" -> 3L))
+    // deterministic: same pick on re-run, and per-lang budgets bind
+    val again = TextOps.tokenBudgetSample(docs, "doc_id", "lang", "n_tokens",
+      Map("en" -> 100L), 250L)
+    assert(again.filter($"lang" === "en").count() == 1)
+    assert(kept.select("doc_id").as[Long].collect().toSet ==
+      TextOps.tokenBudgetSample(docs, "doc_id", "lang", "n_tokens", Map.empty, 250L)
+        .select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("E25: segment dedup keeps first occurrence corpus-wide and reassembles") {
+    import graft.dedup.Dedup
+    val d = Seq(
+      (1L, "a b c d"),  // segs(2): "a b", "c d"
+      (2L, "a b x y"),  // "a b" dup -> dropped; "x y" kept
+      (3L, "c d a b")). // both dup -> empty doc
+      toDF("doc_id", "text")
+    val r = Dedup.dedupSegments(d, "doc_id", "text", segTokens = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 2L, 0L, "")))
+  }
+
+  test("E26: ngram top-k ranks continuations by count with deterministic ties") {
+    val d = Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // trigrams: (a b->c)x2 [doc1], (b c->a), (c a->b), (a b->d)
+    val r = TextOps.ngramTopK(d, "text", k = 3)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(r == Set(
+      ("a b", "c", 2L, 1L), ("a b", "d", 1L, 2L),
+      ("b c", "a", 1L, 1L), ("c a", "b", 1L, 1L)))
+  }
+
   test("quality ratios floor to basis points") {
     val bp = Seq(("abcde12345", 10L)).toDF("t", "n")
       .select(TextOps.bp(lit(5L), lit(10L))).as[Long].head()
