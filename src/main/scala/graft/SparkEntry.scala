@@ -224,6 +224,16 @@ object SparkEntry {
     // B3: count-only compare
     "diff_count" -> ((s, dir) => {
       DataDiff.countDiff(Tables.orders(s, dir), perturbedOrders(s, dir), "orders")
+    }),
+
+    // A0: the full validate orchestration as one report row — counts,
+    // positional chunk compare, row-level drill-down GATED to mismatched
+    // chunks (rows-on-mismatch). The oracle computes the UNGATED row
+    // diff count, so the hash match also proves the gate loses nothing.
+    "cdc_validate" -> ((s, dir) => {
+      graft.cdc.CdcOperator.validate(
+        Tables.orders(s, dir), perturbedOrders(s, dir), Seq("o_orderkey"),
+        "orders", graft.cdc.CdcOperator.ValidateConfig(chunkSize = 500))
     })
   )
 
@@ -380,6 +390,34 @@ object SparkEntry {
          |SELECT 'orders' AS tbl,
          |       (SELECT count(*) FROM orders) AS src_rows,
          |       (SELECT count(*) FROM tgt) AS tgt_rows,
-         |       (SELECT count(*) FROM orders) = (SELECT count(*) FROM tgt) AS counts_match""".stripMargin
+         |       (SELECT count(*) FROM orders) = (SELECT count(*) FROM tgt) AS counts_match""".stripMargin,
+
+    "cdc_validate" -> {
+      val rowHash = graft.text.PortableHash.duckH32(
+        "concat_ws('|', " +
+          ordersCols.map(c => s"COALESCE(CAST($c AS VARCHAR), chr(1)||'NULL')").mkString(", ") + ")")
+      val mism = ordersCols.filterNot(_ == "o_orderkey")
+        .map(c => s"s.$c IS DISTINCT FROM t.$c").mkString(" OR ")
+      s"""WITH tgt AS ($perturbedOrdersSql),
+         |sp AS (SELECT $rowHash AS h, row_number() OVER (ORDER BY o_orderkey) - 1 AS pos FROM orders),
+         |tp AS (SELECT $rowHash AS h, row_number() OVER (ORDER BY o_orderkey) - 1 AS pos FROM tgt),
+         |sa AS (SELECT CAST(floor(pos / 500.0) AS BIGINT) AS chunk_id,
+         |              count(*) AS src_rows, sum(h) AS sh FROM sp GROUP BY 1),
+         |ta AS (SELECT CAST(floor(pos / 500.0) AS BIGINT) AS chunk_id,
+         |              count(*) AS tgt_rows, sum(h) AS th FROM tp GROUP BY 1),
+         |chunks AS (
+         |  SELECT (src_rows IS NOT DISTINCT FROM tgt_rows AND sh IS NOT DISTINCT FROM th) AS ok
+         |  FROM sa FULL OUTER JOIN ta ON sa.chunk_id = ta.chunk_id),
+         |rd AS (
+         |  SELECT count(*) AS n
+         |  FROM orders s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+         |  WHERE s.o_orderkey IS NULL OR t.o_orderkey IS NULL OR $mism)
+         |SELECT 'orders' AS tbl,
+         |  (SELECT count(*) FROM orders) AS src_rows,
+         |  (SELECT count(*) FROM tgt) AS tgt_rows,
+         |  (SELECT count(*) FROM orders) = (SELECT count(*) FROM tgt) AS counts_match,
+         |  (SELECT count(*) FROM chunks WHERE NOT ok) AS chunks_mismatched,
+         |  (SELECT n FROM rd) AS rows_differing""".stripMargin
+    }
   )
 }

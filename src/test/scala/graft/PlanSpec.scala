@@ -58,6 +58,27 @@ class PlanSpec extends SparkSpecBase {
       "text_tokens lost whole-stage codegen")
   }
 
+  test("E22/E24/E26: new text operators have the intended shuffle shapes") {
+    // dup-ngram share is map-only: array ops per row, zero exchanges
+    val dup = plan("text_dupngrams")
+    assert(!"\\(\\d+\\) Exchange".r.findAllIn(dup).hasNext,
+      "text_dupngrams must not shuffle")
+    // mixture sampling shuffles once (by stratum) for its window
+    val mix = "\\(\\d+\\) Exchange".r.findAllIn(plan("data_mixture")).size
+    assert(mix == 1, s"data_mixture expected 1 shuffle, had $mix")
+    // ngram LM: count aggregation combines map-side before the exchange
+    val lm = plan("text_ngram_lm")
+    assert(lm.contains("partial_count"), "ngram counts must combine map-side")
+    assert(!lm.contains("ScalaUDF") && !lm.contains("BatchEvalPython"))
+  }
+
+  test("E25: segment dedup joins on the h60 fingerprint, not segment text") {
+    val p = plan("dedup_segments")
+    // the keeper join's exchanges hash-partition on the __h hash column
+    assert(p.contains("hashpartitioning(__h"),
+      s"segment join must key on the 8-byte fingerprint, got:\n${p.take(2000)}")
+  }
+
   test("bucketed tables: equi-join and groupBy on the bucket key are exchange-free") {
     import graft.sources.Bucketed
     import org.apache.spark.sql.functions._
