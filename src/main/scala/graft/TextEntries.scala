@@ -387,9 +387,17 @@ object TextEntries {
          |batch AS (SELECT doc_id + 200000 AS doc_id, text || ' graft dup tail marker' AS text
          |          FROM documents WHERE doc_id % 17 = 0),
          |bpost AS (${hashedPostOverSql("batch")}),
-         |cpost AS (${hashedPostOverSql("corpus")}),
+         |-- common joins only batch-matching corpus postings (mirrors the
+         |-- Spark side's string prefilter-then-hash); csizes below counts
+         |-- each candidate doc's FULL shingle set
+         |cpost AS (SELECT DISTINCT doc_id, ${PortableHash.duckH60("s")} AS s FROM (
+         |  SELECT doc_id, unnest($shingleListSql) AS s
+         |  FROM (SELECT doc_id, $toksSql AS t FROM corpus))
+         |  WHERE s IN (SELECT unnest($shingleListSql)
+         |              FROM (SELECT $toksSql AS t FROM batch))),
+         |cfull AS (${hashedPostOverSql("corpus")}),
          |bsizes AS (SELECT doc_id, count(*) AS n FROM bpost GROUP BY 1),
-         |csizes AS (SELECT doc_id, count(*) AS n FROM cpost GROUP BY 1),
+         |csizes AS (SELECT doc_id, count(*) AS n FROM cfull GROUP BY 1),
          |common AS (
          |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS common
          |  FROM bpost b JOIN cpost c ON b.s = c.s GROUP BY 1, 2)

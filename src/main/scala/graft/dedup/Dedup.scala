@@ -242,14 +242,16 @@ object Dedup {
       corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, tauBp: Long, w: Int = 3): DataFrame = {
     val bPost = hashedPostings(batch, idCol, textCol, w).cache()
-    // corpus side: semi-join BEFORE the distinct, with the (small) batch
-    // shingle set broadcast — the corpus contributes a map-only
-    // scan+tokenize+hash+filter; the only corpus-derived shuffle is over
-    // the batch-matching survivors. (distinct commutes with a filter on
-    // __sh, and so does the deterministic h60.)
+    // corpus side: semi-join on the RAW shingle strings BEFORE hashing —
+    // probing a broadcast set is cheaper than md5, so the full corpus
+    // scan pays tokenize+probe only and the (expensive) h60 runs on the
+    // tiny batch-matching survivor set. Then distinct; the only
+    // corpus-derived shuffle is over those survivors. (distinct commutes
+    // with the filter, and the deterministic h60 with both.)
+    val bShingles = postingsRaw(batch, idCol, textCol, w).select("__sh").distinct()
     val cPost = postingsRaw(corpus, idCol, textCol, w)
+      .join(broadcast(bShingles), Seq("__sh"), "left_semi")
       .select(col("__id"), PortableHash.h60(col("__sh")).as("__sh"))
-      .join(broadcast(bPost.select("__sh").distinct()), Seq("__sh"), "left_semi")
       .distinct()
       .cache()
     val bSizes = bPost.groupBy("__id").agg(count(lit(1)).as("n_batch"))

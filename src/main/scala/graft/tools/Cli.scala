@@ -43,7 +43,7 @@ object Cli {
       System.err.println(
         "usage: Cli validate --bucket-prefix <uri> --database-name <db> " +
           "[--database-schema s] [--included-tables a,b] [--excluded-tables c] " +
-          "[--mode m] [--start-date ISO] [--stop-date ISO] " +
+          "[--mode m] [--start-date ISO] [--stop-date ISO] [--start-slack-days n] " +
           "[--pk 'tbl=col1,col2;tbl2=col'] [--chunk-size n] [--start-position n] " +
           "[--hash-chunks] " +
           "[--source-postgres-url url] [--target-postgres-url url] " +
