@@ -164,23 +164,42 @@ object TextOps {
     * actually state: "30B tokens of code, 5B of wiki". Deterministic:
     * same corpus → same pick, and a doc's position in the hash order
     * never changes as the corpus grows, so re-mixes only ever extend the
-    * kept prefix per stratum. One window per stratum (shuffle by
-    * stratum); a skewed stratum is bounded by its budget — rows past the
-    * cut are filtered immediately after the running sum. */
+    * kept prefix per stratum.
+    *
+    * Scale design (same pattern as [[Packing.packSequences]]): the
+    * running sum is NEVER a one-partition-per-stratum window. The hash
+    * order key is uniform over [0, 2³²) BY CONSTRUCTION, so value-range
+    * buckets need no sampling and no min/max pass: per-(stratum, bucket)
+    * cumulative sums run as parallel windows, the #strata × #buckets
+    * bucket totals broadcast back as offsets, and the per-row "tokens
+    * before me" is offset + local cumsum − own tokens. Deterministic
+    * buckets make the double consumption of the bucketed plan safe (the
+    * sampled-range-shuffle trap documented in
+    * DataDiff.withOrderedPosition). */
   def tokenBudgetSample(
       df: org.apache.spark.sql.DataFrame, idCol: String, strataCol: String,
       tokensCol: String, budgets: Map[String, Long], defaultBudget: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = PortableHash.h32(concat(lit("mix:"), col(idCol).cast("string")))
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(h.asc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bucket = floor(h / lit(4294967296.0 / parts)).cast("int")
+    val local = df.withColumn("__h", h).withColumn("__b", bucket)
+      .withColumn("__csum", sum(col(tokensCol)).over(
+        Window.partitionBy(col(strataCol), col("__b"))
+          .orderBy(col("__h").asc, col(idCol).asc)))
+    val offsets = local.groupBy(col(strataCol), col("__b"))
+      .agg(max(col("__csum")).as("__btot"))
+      .withColumn("__off", coalesce(
+        sum(col("__btot")).over(Window.partitionBy(col(strataCol))
+          .orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(strataCol), col("__b"), col("__off"))
     val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
       case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
-    df.withColumn("__before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
-      .filter(col("__before") < budget)
-      .drop("__before")
+    local.join(broadcast(offsets), Seq(strataCol, "__b"))
+      .filter(col("__off") + col("__csum") - col(tokensCol) < budget)
+      .drop("__h", "__b", "__csum", "__off")
   }
 
   /** Corpus n-gram LM statistics: top-k continuations per 2-token prefix

@@ -63,9 +63,14 @@ class PlanSpec extends SparkSpecBase {
     val dup = plan("text_dupngrams")
     assert(!"\\(\\d+\\) Exchange".r.findAllIn(dup).hasNext,
       "text_dupngrams must not shuffle")
-    // mixture sampling shuffles once (by stratum) for its window
-    val mix = "\\(\\d+\\) Exchange".r.findAllIn(plan("data_mixture")).size
-    assert(mix == 1, s"data_mixture expected 1 shuffle, had $mix")
+    // mixture sampling must never run a one-partition-per-stratum
+    // window over the full data: its big window partitions by
+    // (stratum, value-range bucket) — Packing's histogram pattern
+    val mix = plan("data_mixture")
+    assert(mix.contains("hashpartitioning(lang"),
+      "data_mixture window must partition by stratum")
+    assert("hashpartitioning\\(lang[^,]*, __b".r.findFirstIn(mix).isDefined,
+      s"the full-data window must include the __b bucket in its partitioning:\n${mix.take(1500)}")
     // ngram LM: count aggregation combines map-side before the exchange
     val lm = plan("text_ngram_lm")
     assert(lm.contains("partial_count"), "ngram counts must combine map-side")
