@@ -234,6 +234,16 @@ object SparkEntry {
       graft.cdc.CdcOperator.validate(
         Tables.orders(s, dir), perturbedOrders(s, dir), Seq("o_orderkey"),
         "orders", graft.cdc.CdcOperator.ValidateConfig(chunkSize = 500))
+    }),
+
+    // A0 (scale option): the same orchestration with portable-hash
+    // chunking — inserts/deletes shift nothing, so only chunks holding
+    // damaged keys mismatch and the row pass reads just those
+    "cdc_validate_hash" -> ((s, dir) => {
+      graft.cdc.CdcOperator.validate(
+        Tables.orders(s, dir), perturbedOrders(s, dir), Seq("o_orderkey"),
+        "orders", graft.cdc.CdcOperator.ValidateConfig(
+          chunkSize = 500, orderedChunks = false))
     })
   )
 
@@ -405,6 +415,37 @@ object SparkEntry {
          |              count(*) AS src_rows, sum(h) AS sh FROM sp GROUP BY 1),
          |ta AS (SELECT CAST(floor(pos / 500.0) AS BIGINT) AS chunk_id,
          |              count(*) AS tgt_rows, sum(h) AS th FROM tp GROUP BY 1),
+         |chunks AS (
+         |  SELECT (src_rows IS NOT DISTINCT FROM tgt_rows AND sh IS NOT DISTINCT FROM th) AS ok
+         |  FROM sa FULL OUTER JOIN ta ON sa.chunk_id = ta.chunk_id),
+         |rd AS (
+         |  SELECT count(*) AS n
+         |  FROM orders s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+         |  WHERE s.o_orderkey IS NULL OR t.o_orderkey IS NULL OR $mism)
+         |SELECT 'orders' AS tbl,
+         |  (SELECT count(*) FROM orders) AS src_rows,
+         |  (SELECT count(*) FROM tgt) AS tgt_rows,
+         |  (SELECT count(*) FROM orders) = (SELECT count(*) FROM tgt) AS counts_match,
+         |  (SELECT count(*) FROM chunks WHERE NOT ok) AS chunks_mismatched,
+         |  (SELECT n FROM rd) AS rows_differing""".stripMargin
+    },
+
+    "cdc_validate_hash" -> {
+      val rowHash = graft.text.PortableHash.duckH32(
+        "concat_ws('|', " +
+          ordersCols.map(c => s"COALESCE(CAST($c AS VARCHAR), chr(1)||'NULL')").mkString(", ") + ")")
+      val mism = ordersCols.filterNot(_ == "o_orderkey")
+        .map(c => s"s.$c IS DISTINCT FROM t.$c").mkString(" OR ")
+      // portable-hash chunk id: h32 of the pk string, mod 1e6, / 500.
+      // floor, not a bare cast: DuckDB's / yields DOUBLE and its
+      // double→bigint cast ROUNDS where Spark's truncates
+      val chunkOf = s"CAST(floor((${graft.text.PortableHash.duckH32(
+        "COALESCE(CAST(o_orderkey AS VARCHAR), 'NULL')")} % 1000000) / 500.0) AS BIGINT)"
+      s"""WITH tgt AS ($perturbedOrdersSql),
+         |sa AS (SELECT $chunkOf AS chunk_id, count(*) AS src_rows, sum($rowHash) AS sh
+         |       FROM orders GROUP BY 1),
+         |ta AS (SELECT $chunkOf AS chunk_id, count(*) AS tgt_rows, sum($rowHash) AS th
+         |       FROM tgt GROUP BY 1),
          |chunks AS (
          |  SELECT (src_rows IS NOT DISTINCT FROM tgt_rows AND sh IS NOT DISTINCT FROM th) AS ok
          |  FROM sa FULL OUTER JOIN ta ON sa.chunk_id = ta.chunk_id),

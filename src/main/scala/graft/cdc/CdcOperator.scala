@@ -183,9 +183,17 @@ object CdcOperator {
         // scale option: hash pk tuple into chunkSize-row-scale ranges;
         // startPosition degrades to a chunk-id floor. Membership in a
         // mismatched chunk is exact (chunk id is pk-derived), so the
-        // drill-down is a semi-join on the chunk id itself.
-        val chunkOf = (pmod(hash(pk.map(col): _*), lit(1000000)).cast("long") /
-          lit(cfg.chunkSize)).cast("long")
+        // drill-down is a semi-join on the chunk id itself — and unlike
+        // positional chunks, an insert/delete shifts NOTHING, so the
+        // gate prunes to just the damaged chunks. The hash is the
+        // engine-portable h32 (not Spark-private murmur): chunk ids are
+        // reproducible across engines/runs, so a chunk report can be
+        // compared against any other system's. NULL pk parts carry the
+        // same sentinel as row hashes (concat_ws skips nulls silently).
+        val pkStr = concat_ws("|",
+          pk.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
+        val chunkOf = (pmod(graft.text.PortableHash.h32(pkStr), lit(1000000))
+          .cast("long") / lit(cfg.chunkSize)).cast("long")
         val ch = DataDiff.chunkDiff(source, target, chunkOf)
           .filter(col("chunk_id") >= cfg.startPosition).cache()
         val badIds = ch.filter(!col("chunks_match"))
