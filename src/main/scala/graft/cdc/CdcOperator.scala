@@ -165,8 +165,7 @@ object CdcOperator {
       pk: Seq[String],
       table: String,
       cfg: ValidateConfig = ValidateConfig()): DataFrame = {
-    val counts = DataDiff.countDiff(source, target, table)
-    if (cfg.onlyCount) return counts
+    if (cfg.onlyCount) return DataDiff.countDiff(source, target, table)
     val pkStruct = struct(pk.map(col): _*)
     // (chunk report, row-restriction of a side to mismatched chunks)
     val (chunks, restrict): (DataFrame, DataFrame => DataFrame) =
@@ -202,6 +201,17 @@ object CdcOperator {
           .join(broadcast(badIds), Seq("__chunk"), "left_semi")
           .drop("__chunk"))
       }
+    // counts fall out of the (cached) chunk report when no rows were
+    // skipped — no extra scan of either table; with startPosition > 0
+    // the skipped rows are uncounted in chunks, so pay the count agg
+    val counts =
+      if (cfg.startPosition == 0L)
+        chunks.agg(
+          coalesce(sum(col("src_rows")), lit(0L)).as("src_rows"),
+          coalesce(sum(col("tgt_rows")), lit(0L)).as("tgt_rows"))
+          .select(lit(table).as("tbl"), col("src_rows"), col("tgt_rows"),
+            (col("src_rows") === col("tgt_rows")).as("counts_match"))
+      else DataDiff.countDiff(source, target, table)
     val badChunks = chunks.filter(!col("chunks_match"))
       .agg(count(lit(1)).as("chunks_mismatched")).withColumn("tbl", lit(table))
     // rows only on mismatch: a clean chunk report short-circuits the

@@ -171,6 +171,36 @@ class TextDedupSpec extends SparkSpecBase {
     assert(comp(30L) == 30L && comp(31L) == 30L && comp(99L) == 30L)
   }
 
+  test("E2d: components match driver-side union-find on random and path graphs") {
+    import graft.dedup.Dedup
+    val rnd = new scala.util.Random(12345)
+    def check(edges: Seq[(Long, Long)], n: Int): Unit = {
+      // oracle: union-find attaching the larger root under the smaller,
+      // so each tree root IS its component's min label
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), (0L until n.toLong).toDF("id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"CC mismatch on $n nodes / ${edges.length} edges")
+    }
+    // random graphs around the connectivity threshold (many mid-size comps)
+    for (_ <- 1 to 2) {
+      val n = 60
+      check(Seq.fill(55)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }, n)
+    }
+    // a 50-node path — the adversarial diameter case the star algorithm
+    // must crush in O(log^2) rounds (plain propagation needs 50)
+    check((0L until 49L).map(i => (i, i + 1)), 50)
+  }
+
   test("E15: decontamination flags shingle overlap with the benchmark, zero rows kept") {
     import graft.dedup.Decontaminate
     val corpus = Seq(
