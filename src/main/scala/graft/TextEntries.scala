@@ -88,6 +88,7 @@ object TextEntries {
   val MixBudgets = Map("en" -> 5000L) // token budgets per lang (E24)
   val MixDefaultBudget = 2000L
   val LmTopK = 3 // continuations kept per prefix (E26)
+  val KmvK = 64 // KMV sketch size (E27)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E10: token counting — whitespace, BPE-ish regex, normalized
@@ -203,6 +204,17 @@ object TextEntries {
     // prefix by trigram count
     "text_ngram_lm" -> ((s, dir) =>
       TextOps.ngramTopK(Tables.documents(s, dir), "text", LmTopK)),
+
+    // E27: KMV distinct sketch (native TypedImperativeAggregate) next
+    // to the exact count it approximates — deterministic, so the
+    // estimate itself is oracle-checked bit-for-bit
+    "vocab_sketch" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      toks.groupBy("lang").agg(
+        PortableHash.kmvDistinct(PortableHash.h32(col("tok")), KmvK).as("est_distinct"),
+        countDistinct(col("tok")).as("exact_distinct"))
+    }),
 
     // E15: benchmark decontamination — corpus docs sharing shingles with
     // a (broadcast) benchmark set; every corpus doc reported
@@ -482,6 +494,20 @@ object TextEntries {
          |  FROM counts)
          |SELECT prefix, next_tok, cnt, CAST(rk AS BIGINT) AS rk
          |FROM ranked WHERE rk <= $LmTopK""".stripMargin,
+
+    "vocab_sketch" ->
+      s"""WITH toks AS (SELECT lang, unnest($toksSql) AS tok FROM documents),
+         |hashes AS (SELECT DISTINCT lang, ${PortableHash.duckH32("tok")} AS h FROM toks),
+         |ranked AS (SELECT lang, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rk FROM hashes),
+         |agg AS (SELECT lang, max(CASE WHEN rk <= $KmvK THEN h END) AS kth,
+         |               max(rk) AS nd FROM ranked GROUP BY 1),
+         |ex AS (SELECT lang, count(DISTINCT tok) AS exact_distinct FROM toks GROUP BY 1)
+         |SELECT agg.lang,
+         |  CASE WHEN nd < $KmvK THEN nd
+         |       ELSE (${KmvK - 1} * 4294967296) // kth END AS est_distinct,
+         |  ex.exact_distinct
+         |FROM agg JOIN ex ON agg.lang = ex.lang""".stripMargin,
 
     "text_decontaminate" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),

@@ -55,6 +55,16 @@ object PortableHash {
   def h60(c: Column): Column =
     shiftleft(h32Lane(0, c), 28) + shiftright(h32Lane(1, c), 4)
 
+  /** KMV distinct-count sketch aggregate over portable hashes (native
+    * TypedImperativeAggregate, graft.functions.KmvDistinct): shuffles
+    * ≤ k longs per group per map task instead of every value, yet the
+    * integer estimate is engine-reproducible (feed it [[h32]]). */
+  def kmvDistinct(hashed: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.KmvDistinct(
+        org.apache.spark.sql.GraftBridge.expression(hashed), k)
+        .toAggregateExpression())
+
   /** DuckDB SQL fragment computing the identical value. */
   def duckH32(expr: String): String =
     s"cast(('0x'||substr(md5($expr),1,8)) as bigint)"

@@ -25,4 +25,36 @@ class ExtensionsSpec extends SparkSpecBase {
     val viaCol = df.select(graft.text.PortableHash.h32(col("s"))).as[Long].collect().toSeq
     assert(viaSql == viaCol)
   }
+
+  test("E27: KMV sketch — exact under k, bit-exact estimate over k, merge-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.PortableHash
+    // under k distinct hashes: the exact distinct count, duplicates ignored
+    val small = Seq("a", "b", "c", "a", "b").toDF("s")
+    val exact = small.agg(PortableHash.kmvDistinct(PortableHash.h32($"s"), 64))
+      .as[Long].head()
+    assert(exact == 3L)
+    // over k: estimate must equal (k-1)*2^32 / (k-th smallest distinct
+    // hash), computed independently here — and be identical no matter
+    // how the input is partitioned (exercises serialize/merge)
+    val n = 5000
+    val df = (1 to n).map(i => s"v:$i").toDF("s")
+    val hashes = df.select(PortableHash.h32($"s").as("h"))
+      .distinct().as[Long].collect().sorted
+    val expected = 63L * 4294967296L / hashes(63)
+    for (parts <- Seq(1, 7)) {
+      val got = df.repartition(parts)
+        .agg(PortableHash.kmvDistinct(PortableHash.h32($"s"), 64))
+        .as[Long].head()
+      assert(got == expected, s"KMV estimate differs at $parts partitions")
+    }
+    // sanity: the estimate lands in the right ballpark for n=5000
+    assert(expected > n / 2 && expected < n * 2, s"estimate $expected wildly off $n")
+    // grouped: each group sketches independently
+    val grouped = Seq.tabulate(200)(i => (i % 2, s"g:$i")).toDF("g", "s")
+      .groupBy("g").agg(PortableHash.kmvDistinct(PortableHash.h32($"s"), 64).as("e"))
+      .as[(Int, Long)].collect().toMap
+    assert(grouped.size == 2 && grouped.values.forall(_ > 50L))
+  }
 }
