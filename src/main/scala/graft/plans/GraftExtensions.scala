@@ -22,5 +22,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_h32 takes exactly one argument")
         graft.functions.H32(args.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmv_distinct"),
+      new ExpressionInfo(
+        classOf[graft.functions.KmvDistinct].getName, "graft_kmv_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_kmv_distinct(hash_col, k)")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv_distinct k must be an integer literal, got $other")
+        }
+        graft.functions.KmvDistinct(args.head, k).toAggregateExpression()
+      }))
   }
 }

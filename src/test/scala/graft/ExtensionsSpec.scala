@@ -26,6 +26,15 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(viaSql == viaCol)
   }
 
+  test("E27: graft_kmv_distinct callable from SQL") {
+    import spark.implicits._
+    Seq("a", "b", "c", "a").toDF("s").createOrReplaceTempView("kmv_in")
+    val got = spark.sql(
+      "SELECT graft_kmv_distinct(graft_h32(s), 64) AS d FROM kmv_in")
+      .as[Long].head()
+    assert(got == 3L)
+  }
+
   test("E27: KMV sketch — exact under k, bit-exact estimate over k, merge-safe") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
