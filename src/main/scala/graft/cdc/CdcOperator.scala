@@ -176,7 +176,22 @@ object CdcOperator {
           source, target, pk, cfg.chunkSize, cfg.startPosition).cache()
         val badRanges = ch.filter(!col("chunks_match"))
           .select(col("lo").as("__lo"), col("hi").as("__hi"))
-        (ch, df => df.join(broadcast(badRanges),
+        // merge adjacent/overlapping intervals before the (nested-loop)
+        // range join: one early insert shifts EVERY later positional
+        // chunk, so the bad set is typically a few long runs — merging
+        // turns rows×chunks comparisons into rows×runs. Single-partition
+        // window is fine: the frame is chunk-count-sized.
+        val wLo = org.apache.spark.sql.expressions.Window.orderBy("__lo")
+        val merged = badRanges
+          .withColumn("__prevHi",
+            max(col("__hi")).over(wLo.rowsBetween(Long.MinValue, -1)))
+          .withColumn("__grp", sum(
+            when(col("__prevHi").isNull || col("__lo") > col("__prevHi"), 1L)
+              .otherwise(0L)).over(wLo))
+          .groupBy("__grp")
+          .agg(min(col("__lo")).as("__lo"), max(col("__hi")).as("__hi"))
+          .drop("__grp")
+        (ch, df => df.join(broadcast(merged),
           pkStruct >= col("__lo") && pkStruct <= col("__hi"), "left_semi"))
       } else {
         // scale option: hash pk tuple into chunkSize-row-scale ranges;
