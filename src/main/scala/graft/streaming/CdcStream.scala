@@ -88,6 +88,7 @@ object CdcStream {
           def seqOf(r: Row): Long = r.get(seqIdx) match {
             case l: Long => l
             case n: Number => n.longValue()
+            case null => Long.MinValue // a NULL seq loses to everything
           }
           rows.maxByOption(seqOf) match {
             case None => Iterator.empty

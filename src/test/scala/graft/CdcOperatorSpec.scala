@@ -193,5 +193,11 @@ class CdcOperatorSpec extends SparkSpecBase {
     val b = CdcOperator.validate(users, target, Seq("id"), "users",
       ValidateConfig(orderedChunks = false)).head()
     assert(a.getAs[Long]("rows_differing") == b.getAs[Long]("rows_differing"))
+    // startPosition > 0: counts come from the dedicated aggregate (the
+    // chunk report no longer covers skipped rows) and stay FULL-table
+    val skipped = CdcOperator.validate(src, tgt, Seq("k"), "t",
+      ValidateConfig(chunkSize = 50, startPosition = 100)).head()
+    assert(skipped.getAs[Long]("src_rows") == 500L)
+    assert(skipped.getAs[Long]("tgt_rows") == 500L) // 499 kept + 1 ghost
   }
 }
