@@ -136,6 +136,36 @@ class PgLiveSpec extends SparkSpecBase {
     assert(reflected("tags") == "text[]")
   }
 
+  test("A5 live: reflected columns feed the schema-drift guard end-to-end") {
+    assume(live, "no live postgres")
+    import graft.cdc.CdcOperator
+    import graft.cdc.CdcOperator.SnapshotConfig
+    // source table has (id, v); the landing parquet carries an EXTRA
+    // column — the live-reflected column set must abort the table, the
+    // reference's behavior (cdc_operator.rs:171-186)
+    execSql(Seq(Ddl.createTable("graft_it", "guard_t",
+      ListMap("id" -> "bigint", "v" -> "text"), Seq("id")) + ";"))
+    val root = java.nio.file.Files.createTempDirectory("graft-live-guard")
+    def land(table: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tdir = root.resolve(s"landing/db/graft_it/$table/2024/02/14")
+      java.nio.file.Files.createDirectories(tdir)
+      val tmp = java.nio.file.Files.createTempDirectory("p")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, tdir.resolve("LOAD00000001.parquet"))
+    }
+    land("guard_t", Seq((1L, "a", "rogue")).toDF("id", "v", "extra"))
+    land("clean_t", Seq((1L, "a")).toDF("id", "v"))
+    execSql(Seq(Ddl.createTable("graft_it", "clean_t",
+      ListMap("id" -> "bigint", "v" -> "text"), Seq("id")) + ";"))
+    val cfg = SnapshotConfig(
+      bucketPrefix = s"$root/landing", databaseName = "db", schemaName = "graft_it",
+      pkByTable = Map("guard_t" -> Seq("id"), "clean_t" -> Seq("id")),
+      columnResolver = t => Reflect.tableColumns(psqlRunner, "graft_it", t).map(_._1))
+    assert(CdcOperator.snapshot(spark, cfg).map(_.table) == Seq("clean_t"))
+  }
+
   test("C5 live: chunked insertStatements land all rows") {
     assume(live, "no live postgres")
     execSql(Seq(Ddl.createTable("graft_it", "bulk_t",
