@@ -21,9 +21,16 @@ object Decontaminate {
   def overlap(
       corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, w: Int = 3): DataFrame = {
-    val cpost = Dedup.postings(corpus, idCol, textCol, w)
     val bset = Dedup.postings(bench, idCol, textCol, w).select(col("__sh")).distinct()
-    val hits = cpost.join(broadcast(bset), "__sh")
+    // probe the broadcast benchmark set BEFORE any dedup: the corpus
+    // side is a map-only scan+filter, and the distinct (needed because
+    // n_overlap counts DISTINCT shared shingles) shuffles only the
+    // survivors — at 100 TB that is the difference between shuffling
+    // the corpus's entire shingle stream and its benchmark overlap
+    val cpost = Dedup.postingsRaw(corpus, idCol, textCol, w)
+      .join(broadcast(bset), "__sh")
+      .distinct()
+    val hits = cpost
       .groupBy("__id").agg(count(lit(1)).as("n_overlap"))
     corpus.select(col(idCol).as("__id"))
       .join(hits, Seq("__id"), "left")

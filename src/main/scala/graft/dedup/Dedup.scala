@@ -42,7 +42,7 @@ object Dedup {
     * shuffle. Tokens are materialized behind a projection boundary before
     * shingling so the tokenizer runs once per row, not once per element_at
     * (see shinglesFromTokens). */
-  private def postingsRaw(df: DataFrame, idCol: String, textCol: String, w: Int) =
+  private[dedup] def postingsRaw(df: DataFrame, idCol: String, textCol: String, w: Int) =
     df.select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__t"))
       .select(col("__id"), explode(TextOps.shinglesFromTokens(col("__t"), w)).as("__sh"))
 
