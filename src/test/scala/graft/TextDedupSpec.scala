@@ -80,7 +80,10 @@ class TextDedupSpec extends SparkSpecBase {
     val df = Seq(
       (1L, "a a a x y z"), (2L, "a a a x y z"), (3L, "a a a q r s"), (4L, "a a a t u v")
     ).toDF("doc_id", "text")
-    val uncapped = Dedup.ngramJaccardPairs(df, "doc_id", "text", tauBp = 9000)
+    // maxDf = MaxValue exercises the exact all-pairs branch (the default
+    // is the capped branch, which the 'capped' call below pins)
+    val uncapped = Dedup.ngramJaccardPairs(df, "doc_id", "text", tauBp = 9000,
+        maxDf = Long.MaxValue)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text", tauBp = 9000, maxDf = 3)
       .select("id_a", "id_b", "jaccard_bp").as[(Long, Long, Long)].collect()
