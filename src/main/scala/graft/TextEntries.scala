@@ -89,6 +89,8 @@ object TextEntries {
   val MixDefaultBudget = 2000L
   val LmTopK = 3 // continuations kept per prefix (E26)
   val KmvK = 64 // KMV sketch size (E27)
+  val ChunkSize = 32 // tokens per retrieval chunk (E28)
+  val ChunkStride = 24
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E10: token counting — whitespace, BPE-ish regex, normalized
@@ -204,6 +206,12 @@ object TextEntries {
     // prefix by trigram count
     "text_ngram_lm" -> ((s, dir) =>
       TextOps.ngramTopK(Tables.documents(s, dir), "text", LmTopK)),
+
+    // E28: overlapping-window chunking (RAG/serving prep) — 32-token
+    // windows every 24 tokens, clipped tail, map-only
+    "text_chunks" -> ((s, dir) =>
+      TextOps.chunkOverlap(Tables.documents(s, dir), "doc_id", "text",
+        ChunkSize, ChunkStride)),
 
     // E27: KMV distinct sketch (native TypedImperativeAggregate) next
     // to the exact count it approximates — deterministic, so the
@@ -494,6 +502,15 @@ object TextEntries {
          |  FROM counts)
          |SELECT prefix, next_tok, cnt, CAST(rk AS BIGINT) AS rk
          |FROM ranked WHERE rk <= $LmTopK""".stripMargin,
+
+    "text_chunks" ->
+      s"""SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |  array_to_string(t[(i*$ChunkStride+1):(i*$ChunkStride+$ChunkSize)], ' ') AS chunk_text,
+         |  CAST(len(t[(i*$ChunkStride+1):(i*$ChunkStride+$ChunkSize)]) AS BIGINT) AS n_tokens
+         |FROM (SELECT doc_id, t,
+         |        unnest(generate_series(0,
+         |          GREATEST(CAST(ceil((len(t) - $ChunkSize) / $ChunkStride.0) AS INT), 0))) AS i
+         |      FROM (SELECT doc_id, $toksSql AS t FROM documents))""".stripMargin,
 
     "vocab_sketch" ->
       s"""WITH toks AS (SELECT lang, unnest($toksSql) AS tok FROM documents),

@@ -224,6 +224,30 @@ object TextOps {
       .filter(col("rk") <= k)
   }
 
+  /** Overlapping-window chunking — retrieval/serving prep: cut each doc
+    * into `sizeTok`-token windows starting every `stride` tokens
+    * (stride < size ⇒ overlap), last window clipped, short docs emit one
+    * window. Chunk count = ceil(max(len−size,0)/stride)+1, so the final
+    * window always reaches the last token and nothing is emitted past
+    * it. Map-only (array ops + explode, no shuffle). Output: idCol,
+    * chunk_idx, chunk_text, n_tokens. */
+  def chunkOverlap(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      sizeTok: Int = 32, stride: Int = 24): org.apache.spark.sql.DataFrame = {
+    require(stride >= 1 && sizeTok >= stride,
+      s"need 1 <= stride <= size, got size=$sizeTok stride=$stride")
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__n",
+        greatest(ceil((size(col("__t")) - sizeTok) / lit(stride.toDouble)).cast("int"),
+          lit(0)) + 1)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), col("__n") - 1),
+        i => slice(col("__t"), i * stride + 1, lit(sizeTok)))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).cast("long").as("n_tokens"))
+  }
+
   /** Gopher-style repetition signal: the share of a document's tokens
     * taken by its single most frequent token (ties broken by the
     * lexicographically smallest token, so the result is deterministic).

@@ -263,6 +263,17 @@ class TextDedupSpec extends SparkSpecBase {
       (3L, 2L, 0L, "")))
   }
 
+  test("E28: overlapping chunks cover every token, clip the tail, one window for short docs") {
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val r = TextOps.chunkOverlap(d, "doc_id", "text", sizeTok = 4, stride = 2)
+      .as[(Long, Long, String, Long)].collect().sortBy(x => (x._1, x._2)).toSeq
+    assert(r == Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L), (1L, 1L, "t3 t4 t5 t6", 4L),
+      (1L, 2L, "t5 t6 t7 t8", 4L), (1L, 3L, "t7 t8 t9 t10", 4L),
+      (2L, 0L, "a b", 2L)))
+  }
+
   test("E26: ngram top-k ranks continuations by count with deterministic ties") {
     val d = Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
     // trigrams: (a b->c)x2 [doc1], (b c->a), (c a->b), (a b->d)
