@@ -202,8 +202,10 @@ object CdcOperator {
         // gate prunes to just the damaged chunks. The hash is the
         // engine-portable h32 (not Spark-private murmur): chunk ids are
         // reproducible across engines/runs, so a chunk report can be
-        // compared against any other system's. NULL pk parts carry the
-        // same sentinel as row hashes (concat_ws skips nulls silently).
+        // compared against any other system's. NULL pk parts carry a
+        // 'NULL' sentinel (concat_ws skips nulls silently, which would
+        // merge chunks of different-arity NULL tuples); the oracle
+        // mirrors the same literal.
         val pkStr = concat_ws("|",
           pk.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
         val chunkOf = (pmod(graft.text.PortableHash.h32(pkStr), lit(1000000))
