@@ -213,6 +213,11 @@ object TextEntries {
       TextOps.chunkOverlap(Tables.documents(s, dir), "doc_id", "text",
         ChunkSize, ChunkStride)),
 
+    // E29: per-doc top-k distinctive terms (integer tf/df score,
+    // engine-portable ranking)
+    "text_topterms" -> ((s, dir) =>
+      TextOps.topTerms(Tables.documents(s, dir), "doc_id", "text", LmTopK)),
+
     // E27: KMV distinct sketch (native TypedImperativeAggregate) next
     // to the exact count it approximates — deterministic, so the
     // estimate itself is oracle-checked bit-for-bit
@@ -501,6 +506,20 @@ object TextEntries {
          |    row_number() OVER (PARTITION BY prefix ORDER BY cnt DESC, next_tok ASC) AS rk
          |  FROM counts)
          |SELECT prefix, next_tok, cnt, CAST(rk AS BIGINT) AS rk
+         |FROM ranked WHERE rk <= $LmTopK""".stripMargin,
+
+    "text_topterms" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |ranked AS (
+         |  SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+         |    CAST(dfreq.df AS BIGINT) AS df,
+         |    CAST(floor(tf.tf * 10000.0 / dfreq.df) AS BIGINT) AS score_bp,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC) AS rk
+         |  FROM tf JOIN dfreq ON tf.token = dfreq.token)
+         |SELECT doc_id, token, tf, df, score_bp, CAST(rk AS BIGINT) AS rk
          |FROM ranked WHERE rk <= $LmTopK""".stripMargin,
 
     "text_chunks" ->

@@ -224,6 +224,32 @@ object TextOps {
       .filter(col("rk") <= k)
   }
 
+  /** Per-doc top-k DISTINCTIVE terms — tf·idf-shaped keyword extraction
+    * with an integer-portable score: score = tf·10000/df (term frequency
+    * in the doc over document frequency in the corpus), ranked per doc
+    * with deterministic ties (higher tf, then lower df, then token
+    * order). No floating-point idf logs, so the ranking reproduces
+    * bit-for-bit in any engine. Shuffles: one groupBy for per-doc tf,
+    * one for corpus df (both map-side combined), one token-keyed join,
+    * and a per-doc window over COUNT rows. Output: idCol, token, tf, df,
+    * score_bp, rk. */
+  def topTerms(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy("__id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("__id")
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("score_bp", bp(col("tf"), col("df")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("__id").as(idCol), col("token"), col("tf"), col("df"),
+        col("score_bp"), col("rk"))
+  }
+
   /** Overlapping-window chunking — retrieval/serving prep: cut each doc
     * into `sizeTok`-token windows starting every `stride` tokens
     * (stride < size ⇒ overlap), last window clipped, short docs emit one

@@ -274,6 +274,20 @@ class TextDedupSpec extends SparkSpecBase {
       (2L, 0L, "a b", 2L)))
   }
 
+  test("E29: top terms rank by tf then rarity then token, integer score") {
+    val d = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana common common")).toDF("doc_id", "text")
+    // df: apple=1, banana=2, common=2
+    val r = TextOps.topTerms(d, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(r == Set(
+      (1L, "apple", 2L, 1L, 20000L, 1L),  // tf 2, rarest
+      (1L, "banana", 1L, 2L, 5000L, 2L),  // tf-tie with common broken by... df tie too, token order
+      (2L, "common", 2L, 2L, 10000L, 1L),
+      (2L, "banana", 1L, 2L, 5000L, 2L)))
+  }
+
   test("E26: ngram top-k ranks continuations by count with deterministic ties") {
     val d = Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
     // trigrams: (a b->c)x2 [doc1], (b c->a), (c a->b), (a b->d)
