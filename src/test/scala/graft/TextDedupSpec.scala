@@ -274,6 +274,47 @@ class TextDedupSpec extends SparkSpecBase {
       (2L, 0L, "a b", 2L)))
   }
 
+  test("E25: segment dedup invariants hold on random corpora") {
+    import graft.dedup.Dedup
+    val rnd = new scala.util.Random(777)
+    // small vocab + repeated phrases → plenty of cross-doc segment dups
+    val vocab = Vector("red", "blue", "green", "gold")
+    val docs = (1L to 30L).map { i =>
+      (i, Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val r = Dedup.dedupSegments(df, "doc_id", "text", segTokens = 3)
+      .as[(Long, Long, Long, String)].collect()
+    val original = docs.toMap
+    assert(r.length == docs.length) // every doc reports, even fully-deduped
+    // (a) clean text = the doc's own kept segments in order → its token
+    // stream is a subsequence of the original's
+    r.foreach { case (id, nSeg, nKept, clean) =>
+      assert(nKept <= nSeg)
+      val toks = original(id).split(" ").toSeq
+      val keptToks = if (clean.isEmpty) Seq.empty else clean.split(" ").toSeq
+      var idx = 0
+      keptToks.foreach { t =>
+        idx = toks.indexOf(t, idx)
+        assert(idx >= 0, s"doc $id: kept token '$t' breaks subsequence order")
+        idx += 1
+      }
+    }
+    // (b) the kept segments are globally unique: re-running dedup on the
+    // cleaned corpus drops nothing
+    val cleaned = r.toSeq.filter(_._4.nonEmpty).map(x => (x._1, x._4)).toDF("doc_id", "text")
+    val again = Dedup.dedupSegments(cleaned, "doc_id", "text", segTokens = 3)
+      .as[(Long, Long, Long, String)].collect()
+    // note: reassembly can create NEW cross-boundary segments when a doc
+    // lost interior segments, so compare on docs whose text was UNCHANGED
+    val unchanged = r.filter { case (id, nSeg, nKept, clean) =>
+      nSeg == nKept && clean == original(id)
+    }.map(_._1).toSet
+    again.filter(x => unchanged.contains(x._1)).foreach { case (id, nSeg, nKept, _) =>
+      assert(nSeg == nKept, s"doc $id lost segments on an idempotent re-run")
+    }
+  }
+
   test("E29: top terms rank by tf then rarity then token, integer score") {
     val d = Seq(
       (1L, "apple apple banana common"),
