@@ -9,6 +9,19 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// C6 wire transport: the offline cache carries no Postgres JDBC driver
+// (org.postgresql:postgresql resolution fails with "Not found" — see
+// README "JDBC transport status"), but it does already hold a DuckDB JDBC
+// driver jar. Surfacing that EXISTING file on the test classpath (no
+// resolution, no egress) lets JdbcWireSpec run JdbcSink's real
+// DriverManager / addBatch / executeBatch / df.write.jdbc wire path
+// against a live embedded database; production code talks only to
+// java.sql + Spark's JDBC source, so the driver is interchangeable.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  val jars = if (cache.exists) (cache ** "duckdb_jdbc-*.jar").get else Seq.empty
+  jars.take(1).map(Attributed.blank)
+}
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -1,8 +1,10 @@
 package graft.dedup
 
 import graft.text.{PortableHash, TextOps}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Deduplication operators for LLM-corpus pipelines, each designed around
   * its shuffle shape at 100 TB:
@@ -129,16 +131,16 @@ object Dedup {
       // shingle overlap computed only for surviving pairs — at 100 TB the
       // quadratic fan-out is bounded by maxDf² per shingle, and the hot
       // correction touches |candidates| × |hot postings per doc| rows
-      val hot = post.groupBy("__sh").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > maxDf).select("__sh")
-      // the cap is recall-affecting when it actually fires: say so ONCE,
-      // loudly, instead of silently dropping hot-shingle-only pairs (the
-      // count reuses the cached postings, so this costs one small agg)
-      val hotCount = hot.count()
-      if (hotCount > 0)
-        System.err.println(s"[graft] ngramJaccardPairs: maxDf=$maxDf excludes $hotCount " +
-          "boilerplate shingle(s) from candidate generation; pairs overlapping ONLY in " +
-          "those shingles are not recalled (pass maxDf=Long.MaxValue for exact all-pairs)")
+      // the cap is recall-affecting when it actually fires: the hot count
+      // rides the plan as an OBSERVED METRIC and a once-per-session
+      // listener says so loudly when an executed query dropped candidates
+      // — constructing this DataFrame launches zero jobs (an eager count
+      // here would fire a Spark job at plan-construction time, surprising
+      // in a lazy API and serializing an extra job before the main query)
+      val hot = CapNotice.attach(
+        post.groupBy("__sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select("__sh"),
+        maxDf)
       val coolPost = post.join(broadcast(hot), Seq("__sh"), "left_anti")
       val coolCommon = coolPost.select(col("__id").as("id_a"), col("__sh"))
         .join(coolPost.select(col("__id").as("id_b"), col("__sh")), "__sh")
@@ -161,6 +163,38 @@ object Dedup {
           TextOps.bp(col("common"), col("n_a") + col("n_b") - col("common")))
         .filter(col("jaccard_bp") >= tauBp)
         .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
+    }
+  }
+
+  /** Execution-time recall notice for the maxDf cap (see
+    * [[ngramJaccardPairs]]): the hot-shingle count is attached to the plan
+    * as a named observed metric, and a once-per-session
+    * QueryExecutionListener prints the warning when a query that ACTUALLY
+    * EXECUTED dropped candidates. Keeps plan construction lazy — no job
+    * runs until the caller's first action — and costs nothing at scale
+    * (CollectMetrics aggregates ride the existing hot-shingle rows). */
+  private object CapNotice {
+    val Prefix = "graft.ngram.maxdf"
+    private val nextId = new java.util.concurrent.atomic.AtomicLong()
+    private val registered = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+    def attach(hot: DataFrame, maxDf: Long): DataFrame = {
+      val spark = hot.sparkSession
+      if (registered.add(spark))
+        spark.listenerManager.register(new QueryExecutionListener {
+          override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith(Prefix) && row.getAs[Long]("hot_count") > 0L)
+                System.err.println(s"[graft] ngramJaccardPairs: maxDf=${row.getAs[Long]("max_df")} " +
+                  s"excluded ${row.getAs[Long]("hot_count")} boilerplate shingle(s) from candidate " +
+                  "generation; pairs overlapping ONLY in those shingles are not recalled " +
+                  "(pass maxDf=Long.MaxValue for exact all-pairs)")
+            }
+          override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
+        })
+      hot.observe(s"$Prefix.${nextId.incrementAndGet()}",
+        count(lit(1)).as("hot_count"), max(lit(maxDf)).as("max_df"))
     }
   }
 

@@ -57,7 +57,10 @@ object Ddl {
     * upsert statement shape (postgres_operator_impl.rs:352-389). Note the
     * reference appends ON CONFLICT after the statement terminator
     * (`...);` + clause — invalid Postgres); graft emits the clause before
-    * the terminator. */
+    * the terminator. The SET list excludes the conflict-target pk columns:
+    * re-assigning them is a no-op in Postgres (the conflict row already
+    * has those values) and a hard error in engines that forbid writing
+    * constrained columns (DuckDB). All-pk tables degrade to DO NOTHING. */
   def upsert(
       schema: String, table: String,
       columns: Seq[String], values: Seq[String],
@@ -66,8 +69,11 @@ object Ddl {
       s"INSERT INTO $schema.$table (${columns.mkString(", ")}) VALUES (${values.mkString(", ")})"
     if (!isUpdate) s"$base;"
     else {
-      val sets = columns.zip(values).map { case (c, v) => s"$c = $v" }.mkString(", ")
-      s"$base ON CONFLICT (${primaryKeys.mkString(",")}) DO UPDATE SET $sets;"
+      val sets = columns.zip(values)
+        .filterNot { case (c, _) => primaryKeys.contains(c) }
+        .map { case (c, v) => s"$c = $v" }.mkString(", ")
+      val action = if (sets.isEmpty) "DO NOTHING" else s"DO UPDATE SET $sets"
+      s"$base ON CONFLICT (${primaryKeys.mkString(",")}) $action;"
     }
   }
 

@@ -38,7 +38,7 @@ class PgSpec extends AnyFunSuite {
     val ins = Ddl.upsert("s", "t", Seq("a", "b"), Seq("1", "'x'"), Seq("a"), isUpdate = false)
     assert(ins == "INSERT INTO s.t (a, b) VALUES (1, 'x');")
     val up = Ddl.upsert("s", "t", Seq("a", "b"), Seq("1", "'x'"), Seq("a"), isUpdate = true)
-    assert(up == "INSERT INTO s.t (a, b) VALUES (1, 'x') ON CONFLICT (a) DO UPDATE SET a = 1, b = 'x';")
+    assert(up == "INSERT INTO s.t (a, b) VALUES (1, 'x') ON CONFLICT (a) DO UPDATE SET b = 'x';")
   }
 
   test("C2: ARRAY normalizes to text[] (reference behavior)") {

@@ -93,6 +93,24 @@ class TextDedupSpec extends SparkSpecBase {
     assert(capped.head._3 == 10000L) // hot shingles still counted in Jaccard
   }
 
+  test("ngram maxDf cap: constructing the DataFrame launches zero Spark jobs") {
+    val df = Seq(
+      (1L, "a a a x y z"), (2L, "a a a x y z"), (3L, "a a a q r s")
+    ).toDF("doc_id", "text")
+    // any job fired during construction inherits this group; the capped
+    // branch used to run an eager hot.count() here (round-3 verdict #3)
+    spark.sparkContext.setJobGroup("graft-construct-probe", "plan construction must be lazy")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", tauBp = 9000, maxDf = 3)
+    spark.sparkContext.clearJobGroup()
+    val constructionJobs =
+      spark.sparkContext.statusTracker.getJobIdsForGroup("graft-construct-probe")
+    assert(constructionJobs.isEmpty,
+      s"plan construction launched job(s): ${constructionJobs.mkString(",")}")
+    // executing afterwards still yields the capped result (notice fires
+    // via the observed metric at execution time)
+    assert(pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+  }
+
   test("bucketed ANN multiprobe reaches hamming-1 neighbor buckets") {
     val dir = sf("sf0.001")
     val e = graft.util.Tables.embeddings(spark, dir)
