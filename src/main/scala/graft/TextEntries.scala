@@ -170,6 +170,20 @@ object TextEntries {
       Dedup.incrementalNgramPairs(corpus, batch, "doc_id", "text", Tau)
     }),
 
+    // E2b-indexed: the steady-state variant — incremental dedup served
+    // from a PERSISTED bucketed postings+sizes index. Build (the one-time
+    // amortized cost) + serve in one entry; the serve join reads the
+    // corpus postings exchange-free and touches no corpus text
+    // (plan-pinned in PlanSpec). Result must equal dedup_incremental.
+    "dedup_incremental_indexed" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" graft dup tail marker")).as("text"))
+      Dedup.writeNgramIndex(corpus, "doc_id", "text", "graft_inc_idx", buckets = 8)
+      Dedup.incrementalNgramPairsIndexed(s, "graft_inc_idx", batch, "doc_id", "text", Tau)
+    }),
+
     // E13: sequence packing — concat-then-chunk token-budget bins with a
     // deterministic-bucket global cumsum (no single-partition window)
     "text_pack" -> ((s, dir) => {
@@ -377,20 +391,20 @@ object TextEntries {
   private def oracleSql2: Map[String, String] = Map(
     "dedup_minhash" -> {
       val rows = NumPerm / Bands
+      // permutation lanes hash "seed:" + the h60 key's decimal rendering —
+      // mirrors Dedup.minhashSignaturesFromPostings over hashedPostings
+      // (Spark's concat coerces the long to the same decimal string)
       val sigExprs = (0 until NumPerm).map(i =>
-        s"list_min(list_transform(shl, s -> ${PortableHash.duckH32Lane(i / 4, i % 4, "s")})) AS sig_$i"
+        s"min(${PortableHash.duckH32Lane(i / 4, i % 4, "CAST(s AS VARCHAR)")}) AS sig_$i"
       ).mkString(",\n  ")
       val bandSelects = (0 until Bands).map { b =>
         val slice = (0 until rows).map(r => s"sig_${b * rows + r}").mkString("||','||")
         s"SELECT $b AS band, ${PortableHash.duckH32(slice)} AS bucket, doc_id FROM sigs"
       }.mkString("\nUNION ALL ")
       s"""WITH corpus AS ($docsNearSql),
-         |post AS ($postSql),
+         |post AS (${hashedPostOverSql("corpus")}),
          |sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY 1),
-         |sigs AS (
-         |  SELECT doc_id, $sigExprs
-         |  FROM (SELECT doc_id, $shingleListSql AS shl
-         |        FROM (SELECT doc_id, $toksSql AS t FROM corpus))),
+         |sigs AS (SELECT doc_id, $sigExprs FROM post GROUP BY doc_id),
          |banded AS ($bandSelects),
          |cand AS (
          |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -423,6 +437,25 @@ object TextEntries {
          |cfull AS (${hashedPostOverSql("corpus")}),
          |bsizes AS (SELECT doc_id, count(*) AS n FROM bpost GROUP BY 1),
          |csizes AS (SELECT doc_id, count(*) AS n FROM cfull GROUP BY 1),
+         |common AS (
+         |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS common
+         |  FROM bpost b JOIN cpost c ON b.s = c.s GROUP BY 1, 2)
+         |SELECT batch_id, corpus_id, common, bs.n AS n_batch, cs.n AS n_corpus,
+         |  CAST(floor(common * 10000.0 / (bs.n + cs.n - common)) AS BIGINT) AS jaccard_bp
+         |FROM common JOIN bsizes bs ON bs.doc_id = batch_id
+         |JOIN csizes cs ON cs.doc_id = corpus_id
+         |WHERE CAST(floor(common * 10000.0 / (bs.n + cs.n - common)) AS BIGINT) >= $Tau""".stripMargin,
+
+    // the indexed serve path must produce EXACTLY the pairs the direct
+    // operator produces — the oracle is the plain full-postings join
+    "dedup_incremental_indexed" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |batch AS (SELECT doc_id + 200000 AS doc_id, text || ' graft dup tail marker' AS text
+         |          FROM documents WHERE doc_id % 17 = 0),
+         |bpost AS (${hashedPostOverSql("batch")}),
+         |cpost AS (${hashedPostOverSql("corpus")}),
+         |bsizes AS (SELECT doc_id, count(*) AS n FROM bpost GROUP BY 1),
+         |csizes AS (SELECT doc_id, count(*) AS n FROM cpost GROUP BY 1),
          |common AS (
          |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS common
          |  FROM bpost b JOIN cpost c ON b.s = c.s GROUP BY 1, 2)

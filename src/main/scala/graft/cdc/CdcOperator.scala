@@ -146,6 +146,61 @@ object CdcOperator {
   def snapshot(spark: SparkSession, cfg: SnapshotConfig): Seq[TableState] =
     discoverTables(spark, cfg).flatMap(t => replayTable(spark, cfg, t))
 
+  /** Chunks per merge bucket: bad-interval merge windows sort at most
+    * this many CHUNK rows per task (not data rows), whatever the table
+    * size. */
+  private val MergeBucketChunks = 1L << 16
+
+  /** Merge adjacent/overlapping mismatched-chunk pk intervals into runs
+    * before the (nested-loop) range join: one early insert shifts EVERY
+    * later positional chunk, so the bad set is typically a few long runs —
+    * merging turns rows×chunks comparisons into rows×runs.
+    *
+    * Distributed: in POSITIONAL mode the bad set can be ~rows/chunkSize
+    * (a first-row insert damages every chunk), so a single-partition
+    * `Window.orderBy` here would sort a data-scale set in one task at
+    * 100 TB. Instead chunk ids bucket into fixed-width ranges (chunk_id
+    * order == interval order — per-side chunk bounds are position-sorted
+    * and `least`/`greatest` of non-decreasing sequences stay
+    * non-decreasing): run-start detection = per-bucket windowed prefixes
+    * + cross-bucket offsets from a triangular join over the (tiny,
+    * ≤ badChunks/2¹⁶) bucket summaries. Every window is partitioned; the
+    * only unbounded structure left is the bucket-summary join, which is
+    * chunk-count/2¹⁶-sized. */
+  private[graft] def mergedBadIntervals(
+      chunkReport: DataFrame, bucketChunks: Long = MergeBucketChunks): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bad = chunkReport.filter(!col("chunks_match"))
+      .select(col("chunk_id").as("__cid"), col("lo").as("__lo"), col("hi").as("__hi"))
+      .withColumn("__mb", floor(col("__cid") / lit(bucketChunks.toDouble)).cast("long"))
+    val wB = Window.partitionBy("__mb").orderBy("__cid")
+    // prefix max(hi) = local windowed prefix ∨ max over all earlier buckets
+    val bHi = bad.groupBy("__mb").agg(max(col("__hi")).as("__bHi"))
+    val bPrev = bHi.as("a")
+      .join(broadcast(bHi.as("b")), col("b.__mb") < col("a.__mb"), "left")
+      .groupBy(col("a.__mb").as("__mb")).agg(max(col("b.__bHi")).as("__bPrevHi"))
+    val flagged = bad.join(broadcast(bPrev), Seq("__mb"))
+      .withColumn("__lPrevHi",
+        max(col("__hi")).over(wB.rowsBetween(Window.unboundedPreceding, -1)))
+      // greatest skips NULLs: null only for the global first interval
+      .withColumn("__prevHi", greatest(col("__lPrevHi"), col("__bPrevHi")))
+      .withColumn("__isStart",
+        (col("__prevHi").isNull || col("__lo") > col("__prevHi")).cast("long"))
+      .withColumn("__lStarts",
+        sum(col("__isStart")).over(wB.rowsBetween(Window.unboundedPreceding, 0)))
+    // run id = starts before-or-at me, globally: local prefix + bucket offset
+    val bStarts = flagged.groupBy("__mb").agg(sum(col("__isStart")).as("__bs"))
+    val sOff = bStarts.as("a")
+      .join(broadcast(bStarts.as("b")), col("b.__mb") < col("a.__mb"), "left")
+      .groupBy(col("a.__mb").as("__mb"))
+      .agg(coalesce(sum(col("b.__bs")), lit(0L)).as("__sOff"))
+    flagged.join(broadcast(sOff), Seq("__mb"))
+      .withColumn("__grp", col("__sOff") + col("__lStarts"))
+      .groupBy("__grp")
+      .agg(min(col("__lo")).as("__lo"), max(col("__hi")).as("__hi"))
+      .drop("__grp")
+  }
+
   /** The reference's `validate` (rust_pgdatadiff): per-table diff of
     * replayed state vs target — counts first, then chunked hashes, then
     * row-level drill-down ONLY into mismatched chunks (the reference
@@ -174,24 +229,7 @@ object CdcOperator {
         // startPosition skips rows (cdc_operator.rs:247-293)
         val ch = DataDiff.orderedChunkDiffRanges(
           source, target, pk, cfg.chunkSize, cfg.startPosition).cache()
-        val badRanges = ch.filter(!col("chunks_match"))
-          .select(col("lo").as("__lo"), col("hi").as("__hi"))
-        // merge adjacent/overlapping intervals before the (nested-loop)
-        // range join: one early insert shifts EVERY later positional
-        // chunk, so the bad set is typically a few long runs — merging
-        // turns rows×chunks comparisons into rows×runs. Single-partition
-        // window is fine: the frame is chunk-count-sized.
-        val wLo = org.apache.spark.sql.expressions.Window.orderBy("__lo")
-        val merged = badRanges
-          .withColumn("__prevHi",
-            max(col("__hi")).over(wLo.rowsBetween(Long.MinValue, -1)))
-          .withColumn("__grp", sum(
-            when(col("__prevHi").isNull || col("__lo") > col("__prevHi"), 1L)
-              .otherwise(0L)).over(wLo))
-          .groupBy("__grp")
-          .agg(min(col("__lo")).as("__lo"), max(col("__hi")).as("__hi"))
-          .drop("__grp")
-        (ch, df => df.join(broadcast(merged),
+        (ch, df => df.join(broadcast(mergedBadIntervals(ch)),
           pkStruct >= col("__lo") && pkStruct <= col("__hi"), "left_semi"))
       } else {
         // scale option: hash pk tuple into chunkSize-row-scale ranges;

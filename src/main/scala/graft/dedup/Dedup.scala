@@ -58,8 +58,10 @@ object Dedup {
     * shingle text, which at 100 TB is the difference between shuffling
     * terabytes of n-gram strings and shuffling their fixed-width keys.
     * The hash is applied BEFORE the distinct (it commutes: h60 is
-    * deterministic), so even the first shuffle is narrow. MinHash keeps
-    * string postings — its signature lanes hash the shingle text. */
+    * deterministic), so even the first shuffle is narrow. MinHash rides
+    * the same table — its signature lanes hash the h60 key's decimal
+    * rendering instead of the shingle text (mirrored in the oracle), so
+    * no dedup operator ever shuffles shingle strings. */
   private[dedup] def hashedPostings(df: DataFrame, idCol: String, textCol: String, w: Int) =
     postingsRaw(df, idCol, textCol, w)
       .select(col("__id"), PortableHash.h60(col("__sh")).as("__sh"))
@@ -217,10 +219,14 @@ object Dedup {
       (1 until numPerm).map(i => min(col(s"__h$i")).as(s"sig_$i")): _*)
   }
 
-  /** MinHash signatures for a corpus. Output: __id, sig_0..sig_{numPerm-1}. */
+  /** MinHash signatures for a corpus. Output: __id, sig_0..sig_{numPerm-1}.
+    * Signatures are computed over the h60-hashed postings (the permutation
+    * lanes hash "seed:" + the h60 key's decimal digits) — identical
+    * collision behavior to hashing shingle text at corpus scale, with the
+    * upstream shuffles carrying 8-byte keys instead of n-gram strings. */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String, numPerm: Int, w: Int = 3): DataFrame =
-    minhashSignaturesFromPostings(postings(df, idCol, textCol, w), numPerm)
+    minhashSignaturesFromPostings(hashedPostings(df, idCol, textCol, w), numPerm)
 
   /** MinHash+LSH near-dup pairs: banded bucket join → candidate pairs →
     * exact Jaccard verification. Same output schema as ngramJaccardPairs
@@ -237,8 +243,9 @@ object Dedup {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rows = numPerm / bands
     // postings computed once and cached: signatures, sizes, and the verify
-    // join all read the same materialization
-    val post = postings(df, idCol, textCol, w).cache()
+    // join all read the same materialization — h60-keyed, so every shuffle
+    // and the cache itself carry 8-byte ints, never shingle strings
+    val post = hashedPostings(df, idCol, textCol, w).cache()
     val sigs = minhashSignaturesFromPostings(post, numPerm)
     // one projection computes every band bucket, then explodes — the
     // signature pipeline runs once, not once per band
@@ -309,6 +316,63 @@ object Dedup {
     common
       .join(bSizes.withColumnRenamed("__id", "batch_id"), "batch_id")
       .join(cSizes.withColumnRenamed("__id", "corpus_id"), "corpus_id")
+      .withColumn("jaccard_bp",
+        TextOps.bp(col("common"), col("n_batch") + col("n_corpus") - col("common")))
+      .filter(col("jaccard_bp") >= tauBp)
+      .select("batch_id", "corpus_id", "common", "n_batch", "n_corpus", "jaccard_bp")
+  }
+
+  /** Persist a corpus's n-gram dedup index: `<name>_postings` — the
+    * distinct (doc, h60-shingle) postings BUCKETED + sorted by the shingle
+    * hash — and `<name>_sizes` — one (doc, |shingles|) row per doc,
+    * bucketed by doc id. This is the steady-state answer to incremental
+    * dedup's per-batch corpus cost: [[incrementalNgramPairs]] re-reads and
+    * re-tokenizes the ENTIRE corpus on every batch (map-only, but a
+    * 100 TB scan per daily increment); with the index, each batch pays
+    * only its own tokenization plus a join that reads the compact
+    * postings table WITHOUT shuffling it (the bucket layout IS the join
+    * partitioning — only the small batch side moves). Sizes are derived
+    * by reading back the written postings (no second tokenization pass,
+    * no corpus-wide cache).
+    *
+    * Rebuild cadence is the caller's: the index is exact for the corpus
+    * it was built from; after appending accepted batches, rebuild or
+    * union a delta index. */
+  def writeNgramIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      name: String, buckets: Int, w: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    graft.sources.Bucketed.overwrite(
+      hashedPostings(corpus, idCol, textCol, w), s"${name}_postings", buckets, Seq("__sh"))
+    graft.sources.Bucketed.overwrite(
+      spark.table(s"${name}_postings")
+        .groupBy("__id").agg(count(lit(1)).as("__n")),
+      s"${name}_sizes", buckets, Seq("__id"))
+  }
+
+  /** Incremental batch-vs-corpus dedup served from a persisted
+    * [[writeNgramIndex]] index. Same output as [[incrementalNgramPairs]]
+    * (batch_id, corpus_id, common, n_batch, n_corpus, jaccard_bp), but
+    * the corpus side is the bucketed postings table: the inverted-index
+    * join reads it exchange-free (plan-pinned in PlanSpec), full per-doc
+    * sizes come from the persisted sizes table, and NO corpus text is
+    * read, tokenized, or hashed at query time. Per-batch cost = batch
+    * tokenization + one co-partitioned join — the shape that holds when
+    * the corpus is 100 TB and the batch is a day's crawl. */
+  def incrementalNgramPairsIndexed(
+      spark: SparkSession, name: String, batch: DataFrame,
+      idCol: String, textCol: String, tauBp: Long, w: Int = 3): DataFrame = {
+    val cPost = spark.table(s"${name}_postings")
+    val cSizes = spark.table(s"${name}_sizes")
+    val bPost = hashedPostings(batch, idCol, textCol, w).cache()
+    val bSizes = bPost.groupBy("__id").agg(count(lit(1)).as("n_batch"))
+    val common = bPost.select(col("__id").as("batch_id"), col("__sh"))
+      .join(cPost.select(col("__id").as("corpus_id"), col("__sh")), "__sh")
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(bSizes.withColumnRenamed("__id", "batch_id"), "batch_id")
+      .join(cSizes.select(col("__id").as("corpus_id"), col("__n").as("n_corpus")), "corpus_id")
       .withColumn("jaccard_bp",
         TextOps.bp(col("common"), col("n_batch") + col("n_corpus") - col("common")))
       .filter(col("jaccard_bp") >= tauBp)

@@ -26,6 +26,22 @@ object Bucketed {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
+  /** [[write]], robust to a stale on-disk table from an earlier session:
+    * with a non-Hive (in-memory) catalog the table METADATA dies with the
+    * session but its warehouse directory survives, and a fresh session's
+    * saveAsTable then refuses the "new" managed table whose location
+    * already exists. Drop + clear the default location first. */
+  def overwrite(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    write(df, table, buckets, keys)
+  }
+
   /** Equi-join two bucketed tables on their shared bucket keys — with
     * matching bucket layouts this plans with zero Exchange nodes. */
   def colocatedJoin(

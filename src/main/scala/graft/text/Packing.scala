@@ -50,11 +50,14 @@ object Packing {
     val local = df.withColumn("__b", bucket)
       .withColumn("__csum",
         sum(col(nTokensCol)).over(Window.partitionBy("__b").orderBy(col(idCol))))
-    val offsets = local.groupBy("__b").agg(max("__csum").as("__btot"))
-      .withColumn("__off", coalesce(
-        sum("__btot").over(Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("__b"), col("__off"))
+    // exclusive prefix over the ≤`parts` bucket totals via a triangular
+    // self-join (B² ≤ parts² rows): no partition-less window anywhere in
+    // the library, even on config-bounded inputs
+    val btot = local.groupBy("__b").agg(max("__csum").as("__btot"))
+    val offsets = btot.as("a")
+      .join(broadcast(btot.as("b")), col("b.__b") < col("a.__b"), "left")
+      .groupBy(col("a.__b").as("__b"))
+      .agg(coalesce(sum(col("b.__btot")), lit(0L)).as("__off"))
     local.join(broadcast(offsets), "__b")
       .withColumn("start_tok", col("__off") + col("__csum") - col(nTokensCol))
       .withColumn("seq_id", floor(col("start_tok") / budget.toDouble).cast("long"))

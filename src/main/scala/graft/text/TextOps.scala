@@ -118,8 +118,18 @@ object TextOps {
     * integer-exact (`rank·den > n·num` — no float quantile boundaries,
     * so results are engine-portable and insensitive to score
     * distribution). Ties break by `idCol` so the cut is deterministic.
-    * One window over (stratum)-partitioned data — shuffles once by
-    * stratum; at scale a skewed stratum is the caller's salting concern. */
+    *
+    * Scale shape: the rank is NEVER one window partition per stratum (a
+    * 90%-English corpus would sort 90% of itself in a single task).
+    * Instead rank = (rows in the stratum with a strictly smaller score)
+    * + (position among same-score rows by id): the first term is a
+    * cumulative sum over per-(stratum, score) COUNT rows — score-
+    * cardinality-sized, like [[repetitionStats]]'s count windows — and
+    * the second partitions by (stratum, score), so a stratum's rows
+    * spread across as many tasks as it has distinct scores. Degenerate
+    * only if one (stratum, score) pair dominates the corpus — a
+    * constant-score stratum, where no score order exists to thin by
+    * anyway. */
   def quantileFilter(
       df: org.apache.spark.sql.DataFrame, strataCol: String, scoreCol: String,
       idCol: String, dropNum: Int, dropDen: Int): org.apache.spark.sql.DataFrame = {
@@ -128,13 +138,21 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     // NULLS LAST to match SQL engines' ASC default (Spark's asc is
     // nulls-first): a NULL score must not silently rank as "worst"
-    val w = Window.partitionBy(strataCol)
-      .orderBy(col(scoreCol).asc_nulls_last, col(idCol).asc)
-    val n = Window.partitionBy(strataCol)
-    df.withColumn("__rk", row_number().over(w).cast("long"))
-      .withColumn("__n", count(lit(1)).over(n))
-      .filter(col("__rk") * dropDen > col("__n") * dropNum)
-      .drop("__rk", "__n")
+    val gcounts = df.groupBy(col(strataCol).as("__st"), col(scoreCol).as("__sc"))
+      .agg(count(lit(1)).as("__gc"))
+    val wCum = Window.partitionBy("__st").orderBy(col("__sc").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = gcounts
+      .withColumn("__before", coalesce(sum(col("__gc")).over(wCum), lit(0L)))
+      .withColumn("__n", sum(col("__gc")).over(Window.partitionBy("__st")))
+      .select("__st", "__sc", "__before", "__n")
+    val wLocal = Window.partitionBy(col(strataCol), col(scoreCol)).orderBy(col(idCol).asc)
+    // null-safe join keys: a NULL score (or stratum) forms its own rank
+    // group and must still find its count row
+    df.withColumn("__lrk", row_number().over(wLocal).cast("long"))
+      .join(cum, col(strataCol) <=> col("__st") && col(scoreCol) <=> col("__sc"))
+      .filter((col("__before") + col("__lrk")) * dropDen > col("__n") * dropNum)
+      .drop("__lrk", "__st", "__sc", "__before", "__n")
   }
 
   /** Gopher-style duplicate n-gram share WITHIN a document: the fraction

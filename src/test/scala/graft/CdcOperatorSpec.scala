@@ -105,6 +105,41 @@ class CdcOperatorSpec extends SparkSpecBase {
     assert(report.getAs[Long]("chunks_mismatched") >= 1L)
   }
 
+  test("interval merge is distributed: runs span merge buckets, windows partitioned") {
+    // synthetic chunk report, bucketChunks=2 so runs cross bucket borders:
+    // chunks 0-2 chain ([1,5]∪[4,8]∪[8,9] — the 1↔2 link crosses the
+    // bucket-0/bucket-1 boundary), 3-4 chain, 6 is clean and breaks nothing
+    def pkS(v: Long) = struct(lit(v).as("id"))
+    val report = Seq(
+      (0L, false, 1L, 5L), (1L, false, 4L, 8L), (2L, false, 8L, 9L),
+      (3L, false, 11L, 12L), (4L, false, 12L, 20L), (6L, true, 30L, 40L))
+      .toDF("chunk_id", "chunks_match", "l", "h")
+      .select($"chunk_id", $"chunks_match",
+        struct($"l".as("id")).as("lo"), struct($"h".as("id")).as("hi"))
+    val merged = CdcOperator.mergedBadIntervals(report, bucketChunks = 2L)
+    val runs = merged.select($"__lo.id", $"__hi.id").as[(Long, Long)].collect().toSet
+    assert(runs == Set((1L, 9L), (11L, 20L)))
+    // scale pin: no partition-less window anywhere in the merge plan
+    val windows = merged.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "interval merge planned a partition-less window")
+  }
+
+  test("validate plan contains no partition-less window (ordered mode)") {
+    val users = CdcOperator.snapshot(spark, cfg).find(_.table == "users").get.state
+    val target = users.withColumn("v",
+      when($"id" === 2L, lit("tampered")).otherwise($"v"))
+    val report = CdcOperator.validate(users, target, Seq("id"), "users")
+    val windows = report.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "validate planned a partition-less window")
+    assert(report.head().getAs[Long]("rows_differing") == 1L) // still correct end-to-end
+  }
+
   test("validate onlyCount short-circuits to the count compare") {
     val users = CdcOperator.snapshot(spark, cfg).find(_.table == "users").get.state
     val report = CdcOperator.validate(users, users, Seq("id"), "users",

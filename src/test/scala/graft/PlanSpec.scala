@@ -113,6 +113,71 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_incremental_indexed: index read bucketed + exchange-free, no corpus text") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    val corpus = graft.util.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    Dedup.writeNgramIndex(corpus, "doc_id", "text", "graft_pin_idx", buckets = 4)
+    val batch = corpus.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" graft dup tail marker")).as("text"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // concrete physical tree
+    // force the sort-merge regime: at 100 TB neither side of the postings
+    // join broadcasts, and THAT is the plan whose corpus side must not
+    // shuffle (at test scale Spark would broadcast the batch and bypass
+    // bucketing entirely because it has no benefit there)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val serve = Dedup.incrementalNgramPairsIndexed(
+        spark, "graft_pin_idx", batch, "doc_id", "text", 6000L)
+      val plan = serve.queryExecution.executedPlan
+      def isIdx(f: FileSourceScanExec) =
+        f.tableIdentifier.exists(_.table.startsWith("graft_pin_idx"))
+      val idxScans = plan.collect { case f: FileSourceScanExec if isIdx(f) => f }
+      assert(idxScans.nonEmpty, "serve plan reads the persisted index tables")
+      assert(idxScans.forall(_.bucketedScan), "index must be read as a bucketed scan")
+      // the bucket layout IS the join partitioning: between an index scan
+      // and the first join that consumes it there must be NO shuffle —
+      // only the (small) batch side moves. (Shuffles ABOVE the join are
+      // fine: they move the candidate-sized join result, not the index.)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+      var shuffledBeforeJoin = false
+      def openIdx(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => isIdx(f)
+        case _: SortMergeJoinExec | _: BroadcastHashJoinExec |
+             _: ShuffledHashJoinExec | _: BroadcastNestedLoopJoinExec =>
+          p.children.foreach(openIdx); false // join absorbs the scan
+        case e: ShuffleExchangeExec =>
+          val o = e.children.exists(openIdx)
+          if (o) shuffledBeforeJoin = true
+          o
+        case _ => p.children.map(openIdx).exists(identity)
+      }
+      openIdx(plan)
+      assert(!shuffledBeforeJoin, "corpus index was shuffled before its join")
+      // no corpus re-tokenization: the only text-bearing scan is the batch
+      val textScans = plan.collect {
+        case f: FileSourceScanExec if f.output.exists(_.name == "text") => f
+      }
+      assert(textScans.size <= 1, "corpus text re-scanned at serve time")
+      // and the indexed result is the direct operator's result exactly
+      val direct = Dedup.incrementalNgramPairs(
+        corpus, batch, "doc_id", "text", 6000L).collect().map(_.toSeq).toSet
+      assert(serve.collect().map(_.toSeq).toSet == direct)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_pin_idx_postings")
+      spark.sql("DROP TABLE IF EXISTS graft_pin_idx_sizes")
+    }
+  }
+
   test("salted skew join equals the plain join and scatters the hot key") {
     import graft.operators.SkewJoin
     import org.apache.spark.sql.functions._

@@ -168,6 +168,28 @@ class TextDedupSpec extends SparkSpecBase {
     assert(keptN == Set(2L, 3L, 4L)) // rank 1 = id 1 (lowest score) dropped
   }
 
+  test("E21: quantile filter on a skewed stratum — partitioned windows only, exact cut") {
+    // 'en' dominates 90/100 rows (the skew case round-3 verdict #4 flags):
+    // the cut must stay exact AND the plan must contain no partition-less
+    // window (previously the whole stratum sorted in one window task)
+    val rows = (1 to 90).map(i => (i.toLong, "en", (i % 9).toLong)) ++
+      (91 to 100).map(i => (i.toLong, "de", (i % 5).toLong))
+    val d = rows.toDF("doc_id", "lang", "score")
+    val out = TextOps.quantileFilter(d, "lang", "score", "doc_id", 1, 4)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "quantileFilter planned a partition-less (single-task) window")
+    // oracle: driver-side rank over (score, id) per stratum
+    val expected = rows.groupBy(_._2).flatMap { case (_, g) =>
+      val sorted = g.sortBy(r => (r._3, r._1))
+      sorted.zipWithIndex.collect { case ((id, _, _), i) if (i + 1) * 4 > g.size => id }
+    }.toSet
+    assert(out.select($"doc_id").as[Long].collect().toSet == expected)
+  }
+
   test("E14: repetition picks the most frequent token, smallest on ties") {
     val d = Seq((1L, "a b b c"), (2L, "x y")).toDF("doc_id", "text")
     val r = TextOps.repetitionStats(d, "doc_id", "text")
