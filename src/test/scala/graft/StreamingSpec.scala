@@ -48,6 +48,72 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("A9: checkpointed file-to-file CDC apply survives a kill/restart") {
+    // End-to-end durability: readStream(parquet) → latestStateRows →
+    // per-batch parquet landing, checkpointed, killed, RESTARTED.
+    // foreachBatch is the landing path because an Update-mode stateful
+    // operator cannot use the append-only file sink directly; per-batch
+    // appends are idempotent under the final LWW read, which is exactly
+    // how a real lake landing tolerates batch replay after recovery.
+    // State runs on RocksDB — the provider a cluster deployment uses when
+    // keyed state exceeds executor heap (spark.sql.streaming.stateStore
+    // .providerClass=...state.RocksDBStateStoreProvider); checkpoint
+    // recovery must restore it bit-for-bit.
+    val root = java.nio.file.Files.createTempDirectory("graft-durable")
+    val (srcDir, ckpt, outDir) =
+      (s"$root/src", s"$root/ckpt", s"$root/out")
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // key 1's phase-2 update is STALE (seq 3 < restored seq 5): only a
+    // restart that actually recovers phase-1 state suppresses it
+    val feed1 = Seq(
+      McChange(1, 5, "I", "one-v5", 1.0), McChange(2, 1, "I", "two-v1", 2.0),
+      McChange(3, 1, "I", "three-v1", 3.0))
+    val feed2 = Seq(
+      McChange(1, 3, "U", "one-stale", 9.9), McChange(2, 2, "U", "two-v2", 2.5),
+      McChange(4, 1, "I", "four-v1", 4.0), McChange(3, 2, "D", "-", 0.0))
+    def start() = {
+      val changes = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[McChange].schema)
+        .parquet(srcDir)
+      CdcStream.latestStateRows(changes, Seq("id"), "seq", "Op")
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+    }
+    try {
+      feed1.toDF().write.mode("append").parquet(srcDir)
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop() // kill after phase 1
+      feed2.toDF().write.mode("append").parquet(srcDir)
+      val q2 = start() // resume from the same checkpoint
+      try q2.processAllAvailable() finally q2.stop()
+      val landed = spark.read.parquet(outDir)
+        .groupBy("id").agg(max(struct($"seq", $"Op", $"name", $"amount")).as("w"))
+        .filter($"w.Op" =!= "D")
+        .select($"id", $"w.name".as("name"))
+        .as[(Long, String)].collect().toSet
+      // batch-replay oracle over the full feed
+      val oracle = graft.cdc.CdcApply.latestState(
+          (feed1 ++ feed2).toDF(), Seq("id"), Seq(col("seq")))
+        .select($"id", $"name").as[(Long, String)].collect().toSet
+      assert(landed == oracle)
+      assert(landed == Set((1L, "one-v5"), (2L, "two-v2"), (4L, "four-v1")),
+        "restart lost or corrupted recovered state")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("E1s: firstSeen with a state TTL dedupes identically within the window") {
     import graft.streaming.StreamDedup
     import graft.streaming.StreamDedup.FpDoc
