@@ -88,6 +88,9 @@ object TextEntries {
   val MixBudgets = Map("en" -> 5000L) // token budgets per lang (E24)
   val MixDefaultBudget = 2000L
   val LmTopK = 3 // continuations kept per prefix (E26)
+  // deterministic PII spikes for E30 (appended by doc_id residue, both engines)
+  val PiiSpikeA = " contact a.user+tag@example-site.org or 10.20.30.44"
+  val PiiSpikeB = " call +1 555-123-4567 now"
   val KmvK = 64 // KMV sketch size (E27)
   val ChunkSize = 32 // tokens per retrieval chunk (E28)
   val ChunkStride = 24
@@ -242,6 +245,24 @@ object TextEntries {
         PortableHash.kmvDistinct(PortableHash.h32(col("tok")), KmvK).as("est_distinct"),
         countDistinct(col("tok")).as("exact_distinct"))
     }),
+
+    // E30: PII redaction — emails/IPs/phones scrubbed to typed sentinels
+    // with per-class audit counts; PII spiked into the synthetic corpus
+    // deterministically (mirrored in the oracle) so the patterns really
+    // fire at every scale
+    "text_redact" -> ((s, dir) =>
+      TextOps.redactPii(
+        Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0, lit(PiiSpikeA))
+              .when(col("doc_id") % 11 === 0, lit(PiiSpikeB))
+              .otherwise(lit(""))).as("text")),
+        "doc_id", "text")),
+
+    // E31: corpus-novelty score — share of a doc's distinct shingles
+    // appearing in no other doc (corpus-scope complement of E22)
+    "text_novelty" -> ((s, dir) =>
+      TextOps.noveltyStats(Tables.documents(s, dir), "doc_id", "text")),
 
     // E15: benchmark decontamination — corpus docs sharing shingles with
     // a (broadcast) benchmark set; every corpus doc reported
@@ -577,6 +598,36 @@ object TextEntries {
          |       ELSE (${KmvK - 1} * 4294967296) // kth END AS est_distinct,
          |  ex.exact_distinct
          |FROM agg JOIN ex ON agg.lang = ex.lang""".stripMargin,
+
+    "text_redact" -> {
+      // patterns interpolate from the SAME PiiPatterns constants the Spark
+      // operator uses; DuckDB standard strings keep backslashes literal
+      val Seq(email, ip, phone) = TextOps.PiiPatterns.map(_._2)
+      val Seq(emailR, ipR, phoneR) = TextOps.PiiPatterns.map(_._3)
+      s"""WITH spiked AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN '${PiiSpikeA.replace("'", "''")}'
+         |         WHEN doc_id % 11 = 0 THEN '${PiiSpikeB.replace("'", "''")}'
+         |         ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '$emailR', 'g'), '$ip', '$ipR', 'g'), '$phone', '$phoneR', 'g') AS clean_text,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone
+         |FROM spiked""".stripMargin
+    },
+
+    "text_novelty" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |post AS (${hashedPostOverSql("corpus")}),
+         |dfreq AS (SELECT s, count(*) AS df FROM post GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(floor(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS novel_bp
+         |FROM post JOIN dfreq USING (s) GROUP BY doc_id""".stripMargin,
 
     "text_decontaminate" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),

@@ -292,6 +292,59 @@ object TextOps {
         size(col("col")).cast("long").as("n_tokens"))
   }
 
+  /** PII redaction patterns, ordered: each is valid and IDENTICAL in
+    * meaning under both Java regex (Spark) and RE2 (DuckDB) — no
+    * backreferences, no lookaround — so redaction is oracle-verifiable.
+    * Email strictly first: its local part would otherwise be eaten as a
+    * phone-ish digit run. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+?\\d[\\d\\- ]{7,}\\d", "<PHONE>"))
+
+  /** PII scrubbing — the redaction pass every shareable training corpus
+    * needs: emails, IPv4s and phone-shaped digit runs are replaced with
+    * typed sentinels, with a per-class match count for audit. Map-only
+    * (regexp_replace chains inside codegen, no shuffle); patterns apply
+    * in [[PiiPatterns]] order on both engines, so the oracle reproduces
+    * the exact output text. Output: idCol, clean_text, n_email, n_ip,
+    * n_phone. */
+  def redactPii(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long").as(s"n_$name")
+    }
+    val cleaned = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    df.select(col(idCol) +: cleaned.as("clean_text") +: counts: _*)
+  }
+
+  /** Corpus-novelty score: the share of a doc's distinct w-shingles that
+    * appear in NO other document — high novel_bp separates unique content
+    * (or unique gibberish) from boilerplate that shares its phrasing
+    * corpus-wide. The complement of [[dupNgramStats]] (within-doc) at
+    * corpus scope. Shuffle shape: distinct postings on h60 keys, a
+    * map-side-combined df count, one join of postings to the
+    * vocabulary-sized count table, one per-doc agg — never all-pairs.
+    * Output: idCol, n_shingles, n_novel, novel_bp. */
+  def noveltyStats(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      w: Int = 3): org.apache.spark.sql.DataFrame = {
+    val post = df
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .select(col("__id"), explode(shinglesFromTokens(col("__t"), w)).as("__s"))
+      .select(col("__id"), PortableHash.h60(col("__s")).as("__sh"))
+      .distinct()
+    val dfreq = post.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    post.join(dfreq, "__sh")
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novel_bp", bp(col("n_novel"), col("n_shingles")))
+  }
+
   /** Gopher-style repetition signal: the share of a document's tokens
     * taken by its single most frequent token (ties broken by the
     * lexicographically smallest token, so the result is deterministic).

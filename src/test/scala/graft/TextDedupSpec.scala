@@ -379,6 +379,34 @@ class TextDedupSpec extends SparkSpecBase {
       ("b c", "a", 1L, 1L), ("c a", "b", 1L, 1L)))
   }
 
+  test("E30: PII redaction scrubs emails/IPs/phones with audit counts") {
+    val d = Seq(
+      (1L, "mail me at jo.doe+x@some-host.io or jo@b.co today"),
+      (2L, "server 10.0.0.1 talks to 192.168.255.3"),
+      (3L, "call +1 555-123-4567 maybe"),
+      (4L, "nothing sensitive here")).toDF("doc_id", "text")
+    val r = TextOps.redactPii(d, "doc_id", "text")
+      .select($"doc_id", $"clean_text", $"n_email", $"n_ip", $"n_phone")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, "mail me at <EMAIL> or <EMAIL> today", 2L, 0L, 0L)))
+    assert(r(1) == ((2L, "server <IP> talks to <IP>", 0L, 2L, 0L)))
+    assert(r(2)._2 == "call <PHONE> maybe" && r(2)._5 == 1L)
+    assert(r(3) == ((4L, "nothing sensitive here", 0L, 0L, 0L)))
+  }
+
+  test("E31: novelty = share of shingles unique to the doc corpus-wide") {
+    val d = Seq(
+      (1L, "a b c d e"),   // shares 'a b c'..'c d e' with doc 2
+      (2L, "a b c d e"),   // identical: zero novel
+      (3L, "p q r s t")).toDF("doc_id", "text") // fully novel
+    val r = TextOps.noveltyStats(d, "doc_id", "text")
+      .select($"doc_id", $"n_shingles", $"n_novel", $"novel_bp")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 3L, 0L, 0L)))
+    assert(r(1) == ((2L, 3L, 0L, 0L)))
+    assert(r(2) == ((3L, 3L, 3L, 10000L)))
+  }
+
   test("quality ratios floor to basis points") {
     val bp = Seq(("abcde12345", 10L)).toDF("t", "n")
       .select(TextOps.bp(lit(5L), lit(10L))).as[Long].head()
