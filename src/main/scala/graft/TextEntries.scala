@@ -187,6 +187,21 @@ object TextEntries {
       Dedup.incrementalNgramPairsIndexed(s, "graft_inc_idx", batch, "doc_id", "text", Tau)
     }),
 
+    // E3-indexed: incremental MinHash+LSH from the same persisted index —
+    // corpus banded buckets derived from the stored h60 postings (no text
+    // touched at build OR serve), batch candidates verified exactly
+    // against the stored postings
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" graft dup tail marker")).as("text"))
+      Dedup.writeNgramIndex(corpus, "doc_id", "text", "graft_mh_idx", buckets = 8)
+      Dedup.writeMinhashIndex(s, "graft_mh_idx", buckets = 8, NumPerm, Bands)
+      Dedup.minhashLshPairsIndexed(s, "graft_mh_idx", batch, "doc_id", "text",
+        Tau, NumPerm, Bands)
+    }),
+
     // E13: sequence packing — concat-then-chunk token-budget bins with a
     // deterministic-bucket global cumsum (no single-partition window)
     "text_pack" -> ((s, dir) => {
@@ -409,24 +424,31 @@ object TextEntries {
          |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) >= $Tau""".stripMargin
 
+  /** MinHash signature min-exprs over a postings CTE exposing (doc_id, s):
+    * permutation lanes hash "seed:" + the h60 key's decimal rendering —
+    * mirrors Dedup.minhashSignaturesFromPostings over hashedPostings
+    * (Spark's concat coerces the long to the same decimal string). */
+  private lazy val mhSigExprs: String = (0 until NumPerm).map(i =>
+    s"min(${PortableHash.duckH32Lane(i / 4, i % 4, "CAST(s AS VARCHAR)")}) AS sig_$i"
+  ).mkString(",\n  ")
+
+  /** Banded (band, bucket, doc_id) rows from a signature CTE (mirrors
+    * Dedup.bandedBuckets — build and serve must share the layout). */
+  private def mhBandSelects(sigsCte: String): String = {
+    val rows = NumPerm / Bands
+    (0 until Bands).map { b =>
+      val slice = (0 until rows).map(r => s"sig_${b * rows + r}").mkString("||','||")
+      s"SELECT $b AS band, ${PortableHash.duckH32(slice)} AS bucket, doc_id FROM $sigsCte"
+    }.mkString("\nUNION ALL ")
+  }
+
   private def oracleSql2: Map[String, String] = Map(
     "dedup_minhash" -> {
-      val rows = NumPerm / Bands
-      // permutation lanes hash "seed:" + the h60 key's decimal rendering —
-      // mirrors Dedup.minhashSignaturesFromPostings over hashedPostings
-      // (Spark's concat coerces the long to the same decimal string)
-      val sigExprs = (0 until NumPerm).map(i =>
-        s"min(${PortableHash.duckH32Lane(i / 4, i % 4, "CAST(s AS VARCHAR)")}) AS sig_$i"
-      ).mkString(",\n  ")
-      val bandSelects = (0 until Bands).map { b =>
-        val slice = (0 until rows).map(r => s"sig_${b * rows + r}").mkString("||','||")
-        s"SELECT $b AS band, ${PortableHash.duckH32(slice)} AS bucket, doc_id FROM sigs"
-      }.mkString("\nUNION ALL ")
       s"""WITH corpus AS ($docsNearSql),
          |post AS (${hashedPostOverSql("corpus")}),
          |sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY 1),
-         |sigs AS (SELECT doc_id, $sigExprs FROM post GROUP BY doc_id),
-         |banded AS ($bandSelects),
+         |sigs AS (SELECT doc_id, $mhSigExprs FROM post GROUP BY doc_id),
+         |banded AS (${mhBandSelects("sigs")}),
          |cand AS (
          |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
          |  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
@@ -464,6 +486,34 @@ object TextEntries {
          |SELECT batch_id, corpus_id, common, bs.n AS n_batch, cs.n AS n_corpus,
          |  CAST(floor(common * 10000.0 / (bs.n + cs.n - common)) AS BIGINT) AS jaccard_bp
          |FROM common JOIN bsizes bs ON bs.doc_id = batch_id
+         |JOIN csizes cs ON cs.doc_id = corpus_id
+         |WHERE CAST(floor(common * 10000.0 / (bs.n + cs.n - common)) AS BIGINT) >= $Tau""".stripMargin,
+
+    // cross-side LSH: batch bands vs corpus bands, exact verify on the
+    // full postings — mirrors the persisted-index serve path exactly
+    "dedup_minhash_incremental" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |batch AS (SELECT doc_id + 200000 AS doc_id, text || ' graft dup tail marker' AS text
+         |          FROM documents WHERE doc_id % 17 = 0),
+         |cpost AS (${hashedPostOverSql("corpus")}),
+         |bpost AS (${hashedPostOverSql("batch")}),
+         |csigs AS (SELECT doc_id, $mhSigExprs FROM cpost GROUP BY doc_id),
+         |bsigs AS (SELECT doc_id, $mhSigExprs FROM bpost GROUP BY doc_id),
+         |cbanded AS (${mhBandSelects("csigs")}),
+         |bbanded AS (${mhBandSelects("bsigs")}),
+         |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |  FROM bbanded b JOIN cbanded c ON b.band = c.band AND b.bucket = c.bucket),
+         |vcommon AS (
+         |  SELECT cand.batch_id, cand.corpus_id, count(*) AS common
+         |  FROM cand
+         |  JOIN bpost bp ON bp.doc_id = cand.batch_id
+         |  JOIN cpost cp ON cp.doc_id = cand.corpus_id AND cp.s = bp.s
+         |  GROUP BY 1, 2),
+         |bsizes AS (SELECT doc_id, count(*) AS n FROM bpost GROUP BY 1),
+         |csizes AS (SELECT doc_id, count(*) AS n FROM cpost GROUP BY 1)
+         |SELECT batch_id, corpus_id, common, bs.n AS n_batch, cs.n AS n_corpus,
+         |  CAST(floor(common * 10000.0 / (bs.n + cs.n - common)) AS BIGINT) AS jaccard_bp
+         |FROM vcommon JOIN bsizes bs ON bs.doc_id = batch_id
          |JOIN csizes cs ON cs.doc_id = corpus_id
          |WHERE CAST(floor(common * 10000.0 / (bs.n + cs.n - common)) AS BIGINT) >= $Tau""".stripMargin,
 

@@ -151,6 +151,46 @@ object CdcOperator {
     * size. */
   private val MergeBucketChunks = 1L << 16
 
+  /** Bad-chunk count up to which interval merging runs on the driver
+    * (bounded collect from the already-cached chunk report): localized
+    * damage — the common case — costs ZERO extra Spark stages, and the
+    * merged intervals become a literal local relation that both side
+    * restrictions reuse for free. Above this, the fully distributed
+    * [[mergedBadIntervals]] takes over (the early-insert case where most
+    * chunks shift). */
+  private val MergeCollectLimit = 4096
+
+  /** Driver-side fast path: merge runs of ADJACENT bad chunk ids. Both
+    * `lo` and `hi` are non-decreasing in chunk_id (per-side bounds are
+    * position-sorted; least/greatest of non-decreasing sequences stay
+    * non-decreasing), so a run's envelope is simply (first lo, last hi) —
+    * pure chunk-id arithmetic, no pk value comparisons, no type
+    * assumptions. Value-overlapping but non-adjacent intervals stay
+    * unmerged, which only costs a few more broadcast ranges — never
+    * correctness. Returns None when the bad set exceeds `limit`. */
+  private def mergedOnDriver(
+      chunkReport: DataFrame, limit: Int): Option[DataFrame] = {
+    val bad = chunkReport.filter(!col("chunks_match"))
+      .select(col("chunk_id"), col("lo"), col("hi"))
+      .orderBy("chunk_id").limit(limit + 1).collect()
+    if (bad.length > limit) return None
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+    var prevId = Long.MinValue
+    bad.foreach { r =>
+      val id = r.getLong(0)
+      if (runs.nonEmpty && id == prevId + 1) runs.last(1) = r.get(2) // extend: hi := last hi
+      else runs += Array[Any](r.get(1), r.get(2))
+      prevId = id
+    }
+    val spark = chunkReport.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__lo", chunkReport.schema("lo").dataType),
+      org.apache.spark.sql.types.StructField("__hi", chunkReport.schema("hi").dataType)))
+    import scala.jdk.CollectionConverters._
+    Some(spark.createDataFrame(
+      runs.map(a => org.apache.spark.sql.Row(a(0), a(1))).asJava, schema))
+  }
+
   /** Merge adjacent/overlapping mismatched-chunk pk intervals into runs
     * before the (nested-loop) range join: one early insert shifts EVERY
     * later positional chunk, so the bad set is typically a few long runs —
@@ -229,7 +269,11 @@ object CdcOperator {
         // startPosition skips rows (cdc_operator.rs:247-293)
         val ch = DataDiff.orderedChunkDiffRanges(
           source, target, pk, cfg.chunkSize, cfg.startPosition).cache()
-        (ch, df => df.join(broadcast(mergedBadIntervals(ch)),
+        // evaluated once, on first use (i.e. only when chunks DID
+        // mismatch), then shared by both side restrictions
+        lazy val merged = mergedOnDriver(ch, MergeCollectLimit.toInt)
+          .getOrElse(mergedBadIntervals(ch))
+        (ch, df => df.join(broadcast(merged),
           pkStruct >= col("__lo") && pkStruct <= col("__hi"), "left_semi"))
       } else {
         // scale option: hash pk tuple into chunkSize-row-scale ranges;

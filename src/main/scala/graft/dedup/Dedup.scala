@@ -241,23 +241,12 @@ object Dedup {
       bands: Int = 4,
       w: Int = 3): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
-    val rows = numPerm / bands
     // postings computed once and cached: signatures, sizes, and the verify
     // join all read the same materialization — h60-keyed, so every shuffle
     // and the cache itself carry 8-byte ints, never shingle strings
     val post = hashedPostings(df, idCol, textCol, w).cache()
-    val sigs = minhashSignaturesFromPostings(post, numPerm)
-    // one projection computes every band bucket, then explodes — the
-    // signature pipeline runs once, not once per band
-    val bandStructs = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string"))
-      struct(lit(b).as("band"),
-        PortableHash.h32(concat_ws(",", slice: _*)).as("bucket"))
-    }
-    val banded = sigs
-      .select(col("__id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("__id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .cache()
+    val banded = bandedBuckets(
+      minhashSignaturesFromPostings(post, numPerm), numPerm, bands).cache()
     val l = banded.select(col("band"), col("bucket"), col("__id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("__id").as("id_b"))
     val candidates = l.join(r, Seq("band", "bucket"))
@@ -267,6 +256,81 @@ object Dedup {
     // exact Jaccard verify bounded to the candidate set — the join fans out
     // by candidate postings, not corpus postings²
     verifiedJaccard(candidates, post, tauBp)
+  }
+
+  /** Persist the corpus's banded MinHash buckets next to a
+    * [[writeNgramIndex]] index — derived FROM the postings table, so no
+    * corpus text is touched: signatures hash the already-stored h60 keys.
+    * Written as `<name>_minhash` (band, bucket, id), bucketed by the LSH
+    * bucket value, so the serve-side candidate join reads it
+    * exchange-free like the postings. */
+  def writeMinhashIndex(
+      spark: SparkSession, name: String, buckets: Int,
+      numPerm: Int = 12, bands: Int = 4): Unit =
+    graft.sources.Bucketed.overwrite(
+      bandedBuckets(
+        minhashSignaturesFromPostings(spark.table(s"${name}_postings"), numPerm),
+        numPerm, bands),
+      s"${name}_minhash", buckets, Seq("bucket"))
+
+  /** Incremental MinHash+LSH dedup served from a persisted index: batch
+    * docs band-join the stored corpus buckets (cross-side candidates
+    * only), then exact Jaccard verification runs against the stored
+    * postings, bounded to the candidate set. Per-batch cost = batch
+    * signatures + two co-partitioned joins; the corpus contributes only
+    * its (constant-width) bucket rows and the candidate docs' postings —
+    * nothing is re-tokenized, re-hashed, or re-signed. Output matches
+    * [[incrementalNgramPairs]]: batch_id, corpus_id, common, n_batch,
+    * n_corpus, jaccard_bp — with LSH recall bounding which pairs surface
+    * (same trade as [[minhashLshPairs]] vs exact all-pairs). */
+  def minhashLshPairsIndexed(
+      spark: SparkSession, name: String, batch: DataFrame,
+      idCol: String, textCol: String, tauBp: Long,
+      numPerm: Int = 12, bands: Int = 4, w: Int = 3): DataFrame = {
+    val bPost = hashedPostings(batch, idCol, textCol, w).cache()
+    val bBanded = bandedBuckets(
+      minhashSignaturesFromPostings(bPost, numPerm), numPerm, bands)
+    val cBanded = spark.table(s"${name}_minhash")
+    val candidates = bBanded.select(col("band"), col("bucket"), col("__id").as("batch_id"))
+      .join(cBanded.select(col("band"), col("bucket"), col("__id").as("corpus_id")),
+        Seq("band", "bucket"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+    // exact verify bounded to candidates: fan by candidate × batch
+    // postings, then probe the stored corpus postings on (corpus_id, __sh)
+    val common = candidates
+      .join(bPost.select(col("__id").as("batch_id"), col("__sh")), "batch_id")
+      .join(spark.table(s"${name}_postings")
+        .select(col("__id").as("corpus_id"), col("__sh")), Seq("corpus_id", "__sh"))
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("common"))
+    val bSizes = bPost.groupBy("__id").agg(count(lit(1)).as("n_batch"))
+    common
+      .join(bSizes.withColumnRenamed("__id", "batch_id"), "batch_id")
+      .join(spark.table(s"${name}_sizes")
+        .select(col("__id").as("corpus_id"), col("__n").as("n_corpus")), "corpus_id")
+      .withColumn("jaccard_bp",
+        TextOps.bp(col("common"), col("n_batch") + col("n_corpus") - col("common")))
+      .filter(col("jaccard_bp") >= tauBp)
+      .select("batch_id", "corpus_id", "common", "n_batch", "n_corpus", "jaccard_bp")
+  }
+
+  /** (band, bucket, __id) rows from a signature table — one projection
+    * computes every band bucket, then explodes, so the signature pipeline
+    * runs once, not once per band. Shared by the self-join LSH, the index
+    * writer, and the indexed serve path: build and serve MUST agree on
+    * the band layout or buckets never collide. */
+  private def bandedBuckets(sigs: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rows = numPerm / bands
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string"))
+      struct(lit(b).as("band"),
+        PortableHash.h32(concat_ws(",", slice: _*)).as("bucket"))
+    }
+    sigs
+      .select(col("__id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("__id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** Incremental dedup: near-dup pairs BETWEEN a new batch and an existing

@@ -66,6 +66,26 @@ class TextDedupSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L))) // identical docs always share every band
   }
 
+  test("E3: indexed incremental minhash finds cross-side dups from the stored index") {
+    val corpus = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a b c d e f g"), (11L, "z y x w v u t")).toDF("doc_id", "text")
+    Dedup.writeNgramIndex(corpus, "doc_id", "text", "graft_mh_t", buckets = 4)
+    Dedup.writeMinhashIndex(spark, "graft_mh_t", buckets = 4)
+    try {
+      val pairs = Dedup.minhashLshPairsIndexed(
+        spark, "graft_mh_t", batch, "doc_id", "text", tauBp = 9999)
+        .select($"batch_id", $"corpus_id", $"jaccard_bp")
+        .as[(Long, Long, Long)].collect().toSet
+      // the identical doc surfaces (identical sigs share every band);
+      // the unrelated batch doc matches nothing
+      assert(pairs == Set((10L, 1L, 10000L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_mh_t_postings")
+      spark.sql("DROP TABLE IF EXISTS graft_mh_t_sizes")
+      spark.sql("DROP TABLE IF EXISTS graft_mh_t_minhash")
+    }
+  }
+
   test("simhash: identical docs at hamming 0, banding returns each pair once") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z"))
       .toDF("doc_id", "text")
