@@ -166,9 +166,13 @@ object CdcOperator {
     * non-decreasing), so a run's envelope is simply (first lo, last hi) —
     * pure chunk-id arithmetic, no pk value comparisons, no type
     * assumptions. Value-overlapping but non-adjacent intervals stay
-    * unmerged, which only costs a few more broadcast ranges — never
-    * correctness. Returns None when the bad set exceeds `limit`. */
-  private def mergedOnDriver(
+    * unmerged (a few more broadcast ranges), and a merged run's envelope
+    * may cover pk GAP points between its chunks — a sound superset:
+    * restriction applies the same predicate to both sides, so no pk pair
+    * is split and rows equal on both sides add nothing to the diff
+    * (property-tested against the distributed merge in CdcPropertySpec).
+    * Returns None when the bad set exceeds `limit`. */
+  private[graft] def mergedOnDriver(
       chunkReport: DataFrame, limit: Int): Option[DataFrame] = {
     val bad = chunkReport.filter(!col("chunks_match"))
       .select(col("chunk_id"), col("lo"), col("hi"))

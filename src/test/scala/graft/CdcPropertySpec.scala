@@ -86,6 +86,49 @@ class CdcPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("A0 property: driver fast-path merge and distributed merge cover identical keys") {
+    // random monotone chunk reports (lo/hi non-decreasing in chunk_id, as
+    // orderedChunkDiffRanges guarantees), random bad subsets: the two
+    // merge strategies produce different RUN sets (adjacent-id vs
+    // value-overlap) but must cover EXACTLY the same pk points — that is
+    // the semi-join contract the drill-down relies on
+    val rnd = new Random(11)
+    for (trial <- 1 to 10) {
+      val n = 5 + rnd.nextInt(20)
+      var lo = 0L; var hi = 0L
+      val rows = (0L until n).map { cid =>
+        lo = lo + rnd.nextInt(6)
+        hi = math.max(hi + rnd.nextInt(6), lo)
+        (cid, rnd.nextBoolean(), lo, hi)
+      }
+      val report = rows.toDF("chunk_id", "ok", "l", "h")
+        .select($"chunk_id", (!$"ok").as("chunks_match"),
+          struct($"l".as("k")).as("lo"), struct($"h".as("k")).as("hi"))
+      val driver = graft.cdc.CdcOperator.mergedOnDriver(report, 10000).get
+        .select($"__lo.k", $"__hi.k").as[(Long, Long)].collect()
+      val dist = graft.cdc.CdcOperator.mergedBadIntervals(report, bucketChunks = 4L)
+        .select($"__lo.k", $"__hi.k").as[(Long, Long)].collect()
+      val bad = rows.filter(_._2).map(r => (r._3, r._4))
+      def covered(ivs: Seq[(Long, Long)], p: Long) = ivs.exists(i => p >= i._1 && p <= i._2)
+      (0L to (hi + 2)).foreach { p =>
+        val want = covered(bad, p)
+        // distributed (value-overlap) merge covers EXACTLY the bad union;
+        // the driver (adjacent-id) merge may additionally cover gap
+        // points BETWEEN merged adjacent chunks — a sound superset (both
+        // sides restrict with the same predicate, so no pair is split
+        // and equal rows add nothing to the diff) but never less
+        assert(covered(dist.toSeq, p) == want, s"trial $trial: distributed coverage differs at $p")
+        if (want) assert(covered(driver.toSeq, p), s"trial $trial: driver lost coverage at $p")
+        if (covered(driver.toSeq, p) && !want) {
+          // any extra point must be bracketed by bad coverage on both
+          // sides (it lies inside a merged run's envelope)
+          assert(bad.exists(_._1 <= p) && bad.exists(_._2 >= p),
+            s"trial $trial: driver covered $p outside the bad envelope")
+        }
+      }
+    }
+  }
+
   test("B1 property: rowDiff(x, x) is empty; statuses mirror on swap") {
     val rnd = new Random(5)
     val feed = randomFeed(rnd, 60)

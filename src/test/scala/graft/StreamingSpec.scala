@@ -9,6 +9,9 @@ import org.apache.spark.sql.functions._
   * (top-level: MemoryStream needs a stable product encoder). */
 case class McChange(id: Long, seq: Long, Op: String, name: String, amount: Double)
 
+/** Document row for the continuous-ingest screening test. */
+case class IngestDoc(doc_id: Long, text: String)
+
 /** Streaming CDC apply + windowed aggregation (SURVEY §2 A9, D6) driven
   * through MemoryStream microbatches. */
 class StreamingSpec extends SparkSpecBase {
@@ -111,6 +114,46 @@ class StreamingSpec extends SparkSpecBase {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
+    }
+  }
+
+  test("E2b-idx: continuous ingest screens each microbatch against the persisted index") {
+    // the steady-state pipeline end to end: corpus indexed ONCE, then a
+    // stream of incoming docs is near-dup-screened per microbatch via the
+    // exchange-free indexed join, survivors landed — streaming + index
+    // composed exactly as a production ingest would chain them
+    import graft.dedup.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog end"),
+      (2L, "pack my box with five dozen liquor jugs done")).toDF("doc_id", "text")
+    Dedup.writeNgramIndex(corpus, "doc_id", "text", "graft_ingest_idx", buckets = 4)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ingest").toString + "/out"
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestDoc]
+    val q = input.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dup = Dedup.incrementalNgramPairsIndexed(
+          spark, "graft_ingest_idx", batch, "doc_id", "text", tauBp = 6000L)
+          .select(col("batch_id").as("doc_id")).distinct()
+        batch.join(dup, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      input.addData(
+        IngestDoc(10L, "the quick brown fox jumps over the lazy dog end extra"), // near-dup of 1
+        IngestDoc(11L, "completely novel sentence about unrelated subject matter"))
+      q.processAllAvailable()
+      input.addData(
+        IngestDoc(12L, "pack my box with five dozen liquor jugs done"), // exact dup of 2
+        IngestDoc(13L, "another genuinely fresh document with new content words"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+      assert(landed == Set(11L, 13L), "screening must drop 10 (near-dup) and 12 (exact dup)")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_ingest_idx_postings")
+      spark.sql("DROP TABLE IF EXISTS graft_ingest_idx_sizes")
     }
   }
 
