@@ -57,15 +57,13 @@ object Dedup {
     * self-join, per-doc sizes) carries an 8-byte int instead of the
     * shingle text, which at 100 TB is the difference between shuffling
     * terabytes of n-gram strings and shuffling their fixed-width keys.
-    * The hash is applied BEFORE the distinct (it commutes: h60 is
-    * deterministic), so even the first shuffle is narrow. MinHash rides
-    * the same table — its signature lanes hash the h60 key's decimal
-    * rendering instead of the shingle text (mirrored in the oracle), so
-    * no dedup operator ever shuffles shingle strings. */
+    * Delegates to the canonical [[TextOps.hashedShinglePostings]] so the
+    * whole dedup family and noveltyStats share ONE pipeline. MinHash
+    * rides the same table — its signature lanes hash the h60 key's
+    * decimal rendering (mirrored in the oracle), so no dedup operator
+    * ever shuffles shingle strings. */
   private[dedup] def hashedPostings(df: DataFrame, idCol: String, textCol: String, w: Int) =
-    postingsRaw(df, idCol, textCol, w)
-      .select(col("__id"), PortableHash.h60(col("__sh")).as("__sh"))
-      .distinct()
+    TextOps.hashedShinglePostings(df, idCol, textCol, w)
 
   /** Exact Jaccard scoring of candidate pairs against full postings:
     * common counts come from a candidate-bounded join, sizes from the
@@ -178,8 +176,12 @@ object Dedup {
   private object CapNotice {
     val Prefix = "graft.ngram.maxdf"
     private val nextId = new java.util.concurrent.atomic.AtomicLong()
-    private val registered = java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    // weak keys: a stopped/discarded session must stay GC-able — a strong
+    // static set would pin every SparkSession (and its listener) forever
+    // in long-lived multi-session JVMs
+    private val registered = java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
     def attach(hot: DataFrame, maxDf: Long): DataFrame = {
       val spark = hot.sparkSession
@@ -266,12 +268,17 @@ object Dedup {
     * exchange-free like the postings. */
   def writeMinhashIndex(
       spark: SparkSession, name: String, buckets: Int,
-      numPerm: Int = 12, bands: Int = 4): Unit =
+      numPerm: Int = 12, bands: Int = 4): Unit = {
     graft.sources.Bucketed.overwrite(
       bandedBuckets(
         minhashSignaturesFromPostings(spark.table(s"${name}_postings"), numPerm),
         numPerm, bands),
       s"${name}_minhash", buckets, Seq("bucket"))
+    graft.sources.Bucketed.overwritePlain(
+      spark.range(1).select(
+        lit(numPerm.toLong).as("num_perm"), lit(bands.toLong).as("bands")),
+      s"${name}_minhash_meta")
+  }
 
   /** Incremental MinHash+LSH dedup served from a persisted index: batch
     * docs band-join the stored corpus buckets (cross-side candidates
@@ -287,6 +294,9 @@ object Dedup {
       spark: SparkSession, name: String, batch: DataFrame,
       idCol: String, textCol: String, tauBp: Long,
       numPerm: Int = 12, bands: Int = 4, w: Int = 3): DataFrame = {
+    requireIndexMeta(spark, s"${name}_meta", "w" -> w.toLong)
+    requireIndexMeta(spark, s"${name}_minhash_meta",
+      "num_perm" -> numPerm.toLong, "bands" -> bands.toLong)
     val bPost = hashedPostings(batch, idCol, textCol, w).cache()
     val bBanded = bandedBuckets(
       minhashSignaturesFromPostings(bPost, numPerm), numPerm, bands)
@@ -412,6 +422,29 @@ object Dedup {
       spark.table(s"${name}_postings")
         .groupBy("__id").agg(count(lit(1)).as("__n")),
       s"${name}_sizes", buckets, Seq("__id"))
+    // build parameters persisted beside the data: serve paths REFUSE an
+    // index built with different parameters instead of silently joining
+    // disjoint key spaces and reporting "no duplicates"
+    graft.sources.Bucketed.overwritePlain(
+      spark.range(1).select(lit(w.toLong).as("w")), s"${name}_meta")
+  }
+
+  /** Fail fast when a serve call's parameters disagree with the ones the
+    * index was built with — a w/numPerm/bands mismatch makes every join
+    * key miss and the screening silently passes all duplicates. One-row
+    * catalog read at construction; the clear error beats laziness here. */
+  private def requireIndexMeta(
+      spark: SparkSession, metaTable: String, expect: (String, Long)*): Unit = {
+    require(spark.catalog.tableExists(metaTable),
+      s"index metadata table '$metaTable' not found — build the index first " +
+        "(writeNgramIndex / writeMinhashIndex) in this warehouse")
+    val row = spark.table(metaTable).head()
+    expect.foreach { case (k, v) =>
+      val got = row.getAs[Number](k).longValue()
+      require(got == v,
+        s"index '$metaTable' was built with $k=$got but serve requested $k=$v — " +
+          "rebuild the index or pass matching parameters")
+    }
   }
 
   /** Incremental batch-vs-corpus dedup served from a persisted
@@ -426,6 +459,7 @@ object Dedup {
   def incrementalNgramPairsIndexed(
       spark: SparkSession, name: String, batch: DataFrame,
       idCol: String, textCol: String, tauBp: Long, w: Int = 3): DataFrame = {
+    requireIndexMeta(spark, s"${name}_meta", "w" -> w.toLong)
     val cPost = spark.table(s"${name}_postings")
     val cSizes = spark.table(s"${name}_sizes")
     val bPost = hashedPostings(batch, idCol, textCol, w).cache()

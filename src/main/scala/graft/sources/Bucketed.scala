@@ -32,14 +32,25 @@ object Bucketed {
     * saveAsTable then refuses the "new" managed table whose location
     * already exists. Drop + clear the default location first. */
   def overwrite(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
-    val spark = df.sparkSession
+    dropWithLocation(df.sparkSession, table)
+    write(df, table, buckets, keys)
+  }
+
+  /** Drop `table` AND clear its default warehouse location (survives the
+    * in-memory catalog's death between sessions). */
+  def dropWithLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
         org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    write(df, table, buckets, keys)
+  }
+
+  /** Overwrite a small unbucketed metadata table, same staleness handling. */
+  def overwritePlain(df: DataFrame, table: String): Unit = {
+    dropWithLocation(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
   /** Equi-join two bucketed tables on their shared bucket keys — with

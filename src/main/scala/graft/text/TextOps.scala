@@ -320,6 +320,21 @@ object TextOps {
     df.select(col(idCol) +: cleaned.as("clean_text") +: counts: _*)
   }
 
+  /** THE canonical (doc, h60-shingle) distinct postings pipeline —
+    * tokenize → w-shingle → h60 → distinct, with the hash applied BEFORE
+    * the distinct so even the first shuffle carries 8-byte keys. Single
+    * source of truth for every postings consumer (the dedup family
+    * delegates here; oracles mirror it as one shared SQL fragment) — a
+    * normalization or hash change lands everywhere at once instead of
+    * silently diverging. Output: __id, __sh (long). */
+  def hashedShinglePostings(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      w: Int = 3): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .select(col("__id"), explode(shinglesFromTokens(col("__t"), w)).as("__sh"))
+      .select(col("__id"), PortableHash.h60(col("__sh")).as("__sh"))
+      .distinct()
+
   /** Corpus-novelty score: the share of a doc's distinct w-shingles that
     * appear in NO other document — high novel_bp separates unique content
     * (or unique gibberish) from boilerplate that shares its phrasing
@@ -331,11 +346,7 @@ object TextOps {
   def noveltyStats(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       w: Int = 3): org.apache.spark.sql.DataFrame = {
-    val post = df
-      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
-      .select(col("__id"), explode(shinglesFromTokens(col("__t"), w)).as("__s"))
-      .select(col("__id"), PortableHash.h60(col("__s")).as("__sh"))
-      .distinct()
+    val post = hashedShinglePostings(df, idCol, textCol, w)
     val dfreq = post.groupBy("__sh").agg(count(lit(1)).as("__df"))
     post.join(dfreq, "__sh")
       .groupBy(col("__id").as(idCol))

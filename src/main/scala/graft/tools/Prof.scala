@@ -57,11 +57,9 @@ object Prof {
     time("full simhashPairs") {
       graft.dedup.Dedup.simhashPairs(corpus, "doc_id", "text").count()
     }
-    // minhash stage breakdown
-    val post2 = corpus
-      .select(col("doc_id").as("__id"), TextOps.tokens(col("text")).as("__t"))
-      .select(col("__id"), explode(TextOps.shinglesFromTokens(col("__t"))).as("__sh"))
-      .distinct().cache()
+    // minhash stage breakdown — h60 postings, the pipeline the operator
+    // actually runs (minhashLshPairs signs hashed keys, not strings)
+    val post2 = TextOps.hashedShinglePostings(corpus, "doc_id", "text").cache()
     time("mh: postings cache") { post2.count() }
     val sigs = graft.dedup.Dedup.minhashSignaturesFromPostings(post2, 12).cache()
     time("mh: signatures") { sigs.count() }

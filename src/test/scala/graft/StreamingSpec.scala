@@ -97,6 +97,13 @@ class StreamingSpec extends SparkSpecBase {
       feed2.toDF().write.mode("append").parquet(srcDir)
       val q2 = start() // resume from the same checkpoint
       try q2.processAllAvailable() finally q2.stop()
+      // the DIRECT recovery probe: with phase-1 state restored,
+      // latestStateRows suppresses the stale seq-3 update (5 > 3) and the
+      // row never lands; with state lost, the stale row wins its (empty)
+      // group and IS emitted — the LWW read below would mask that, so
+      // assert absence on the raw landed rows first
+      assert(spark.read.parquet(outDir).filter($"name" === "one-stale").isEmpty,
+        "restart emitted a stale update — checkpoint state was not recovered")
       val landed = spark.read.parquet(outDir)
         .groupBy("id").agg(max(struct($"seq", $"Op", $"name", $"amount")).as("w"))
         .filter($"w.Op" =!= "D")

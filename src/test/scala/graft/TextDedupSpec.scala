@@ -79,10 +79,26 @@ class TextDedupSpec extends SparkSpecBase {
       // the identical doc surfaces (identical sigs share every band);
       // the unrelated batch doc matches nothing
       assert(pairs == Set((10L, 1L, 10000L)))
+      // parameter-mismatch guard: serving with a different w / band
+      // layout than the index was built with must FAIL LOUDLY — a silent
+      // empty join would pass every duplicate
+      val eW = intercept[IllegalArgumentException] {
+        Dedup.minhashLshPairsIndexed(spark, "graft_mh_t", batch, "doc_id", "text",
+          tauBp = 9999, w = 5)
+      }
+      assert(eW.getMessage.contains("w=3"))
+      val eB = intercept[IllegalArgumentException] {
+        Dedup.minhashLshPairsIndexed(spark, "graft_mh_t", batch, "doc_id", "text",
+          tauBp = 9999, numPerm = 8, bands = 2)
+      }
+      assert(eB.getMessage.contains("num_perm"))
+      val eMissing = intercept[IllegalArgumentException] {
+        Dedup.incrementalNgramPairsIndexed(spark, "graft_nope", batch, "doc_id", "text", 9999)
+      }
+      assert(eMissing.getMessage.contains("not found"))
     } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_mh_t_postings")
-      spark.sql("DROP TABLE IF EXISTS graft_mh_t_sizes")
-      spark.sql("DROP TABLE IF EXISTS graft_mh_t_minhash")
+      Seq("postings", "sizes", "minhash", "meta", "minhash_meta")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS graft_mh_t_$s"))
     }
   }
 
