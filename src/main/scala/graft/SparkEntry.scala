@@ -112,6 +112,18 @@ object SparkEntry {
         .filter(col("rk") <= 3)
     }),
 
+    // D3n: the same top-k via the NATIVE whole-operator path
+    // (graft.plans.TopKPerGroup — custom LogicalPlan + Strategy +
+    // bounded-heap SparkPlan): one pass after the shuffle, no per-group
+    // sort; must hash-match the window formulation's oracle exactly
+    "q_topk_native" -> ((s, dir) =>
+      graft.operators.TopK.perGroup(
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3)),
+
     // D4: sessionization (30-min gap) — lag + running-sum windows
     "events_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -271,6 +283,14 @@ object SparkEntry {
         |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
 
     "q_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+    // native operator must reproduce the window semantics bit-for-bit
+    "q_topk_native" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey

@@ -14,6 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator tier: plans graft.plans.TopKPerGroup nodes
+    ext.injectPlannerStrategy(_ => GraftStrategies)
     ext.injectFunction((
       new FunctionIdentifier("graft_h32"),
       new ExpressionInfo(

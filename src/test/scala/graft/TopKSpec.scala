@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.TopK
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+/** Native top-k-per-group operator (graft.plans.TopKPerGroup): the
+  * custom LogicalPlan/Strategy/SparkPlan tier. Must reproduce the window
+  * formulation exactly while planning with no WindowExec and no sort. */
+class TopKSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("D3n: native top-k equals the window formulation on real data") {
+    val orders = graft.util.Tables.orders(spark, sf("sf0.001"))
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val viaWindow = orders
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter($"rk" <= 3)
+      .collect().map(_.toSeq).toSet
+    val native = TopK.perGroup(orders, Seq("o_custkey"),
+      Seq($"o_totalprice".desc, $"o_orderkey".asc), k = 3)
+    assert(native.collect().map(_.toSeq).toSet == viaWindow)
+    assert(native.columns.toSeq ==
+      Seq("o_custkey", "o_orderkey", "o_totalprice", "rk"))
+  }
+
+  test("D3n: plan has the native exec, one exchange, no window, no sort") {
+    val orders = graft.util.Tables.orders(spark, sf("sf0.001"))
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    val native = TopK.perGroup(orders, Seq("o_custkey"),
+      Seq($"o_totalprice".desc), k = 2)
+    val p = native.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("Window"), "native top-k must not plan a window")
+    assert(!p.contains("Sort"), "native top-k must not sort anything")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly the hash shuffle, got $exchanges\n$p")
+  }
+
+  test("D3n: groups smaller than k, ties, and rank determinism") {
+    val d = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 5.0), (1L, 12L, 5.0), (1L, 13L, 1.0),
+      (2L, 20L, 9.0)).toDF("g", "id", "score")
+    val r = TopK.perGroup(d, Seq("g"), Seq($"score".desc, $"id".asc), k = 3)
+      .select($"g", $"id", $"rk").as[(Long, Long, Long)].collect().toSet
+    // ties broken by id asc, exactly like row_number; group 2 yields its
+    // single row at rank 1
+    assert(r == Set((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (2L, 20L, 1L)))
+  }
+
+  test("D3n: empty groupBy = global top-k") {
+    val d = (1L to 100L).map(i => (i, (i * 37) % 101)).toDF("id", "score")
+    val r = TopK.perGroup(d, Seq.empty, Seq($"score".desc, $"id".asc), k = 2)
+      .select($"id", $"score", $"rk").as[(Long, Long, Long)].collect().toSet
+    val expected = (1L to 100L).map(i => (i, (i * 37) % 101))
+      .sortBy { case (id, s) => (-s, id) }.take(2).zipWithIndex
+      .map { case ((id, s), i) => (id, s, i + 1L) }.toSet
+    assert(r == expected)
+  }
+
+  test("D3n: works through spark.sql extensions registration too") {
+    // the SparkSpecBase session registers GraftExtensions: the strategy
+    // is present even before TopK.perGroup's defensive ensureStrategy
+    val strategies = spark.sessionState.planner.extraPlanningStrategies ++
+      spark.sessionState.experimentalMethods.extraStrategies
+    assert(strategies.contains(graft.plans.GraftStrategies))
+  }
+}
