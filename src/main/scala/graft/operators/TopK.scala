@@ -28,6 +28,8 @@ object TopK {
       k: Int,
       rankCol: String = "rk"): DataFrame = {
     val spark = df.sparkSession
+    require(orderBy.nonEmpty,
+      "topK.perGroup requires at least one orderBy column (row_number refuses to run without ORDER BY, and an empty ordering would keep k arbitrary rows)")
     GraftBridge.ensureStrategy(spark, GraftStrategies)
     // route the order columns through a throwaway sortWithinPartitions so
     // the ANALYZER converts/resolves them into catalyst SortOrder (the
@@ -40,9 +42,16 @@ object TopK {
         s"unexpected analyzed plan for sort extraction: ${other.nodeName}")
     }
     val resolver = spark.sessionState.analyzer.resolver
+    require(!child.output.exists(a => resolver(a.name, rankCol)),
+      s"rank column '$rankCol' collides with an existing column; pass a distinct rankCol")
+    // normalize float/double group keys (0.0 == -0.0, canonical NaN) so
+    // grouping matches Aggregate/Window semantics — the optimizer's
+    // NormalizeFloatingNumbers rule does not visit custom nodes, and the
+    // normalized expr must ALSO drive the shuffle hash, hence logical-layer
     val groups = groupBy.map(n => child.output.find(a => resolver(a.name, n)).getOrElse(
       throw new IllegalArgumentException(
         s"group column '$n' not found among ${child.output.map(_.name).mkString(", ")}")))
+      .map(a => GraftBridge.normalizeFloatingKey(a))
     GraftBridge.ofRows(spark, TopKPerGroup(
       groups, order, k,
       AttributeReference(rankCol, LongType, nullable = false)(),

@@ -69,8 +69,12 @@ object Ddl {
       s"INSERT INTO $schema.$table (${columns.mkString(", ")}) VALUES (${values.mkString(", ")})"
     if (!isUpdate) s"$base;"
     else {
+      // case-insensitive: callers reflect pk names from the catalog and
+      // column names from a DataFrame — re-including the conflict-target
+      // column on a case mismatch is a hard error in DuckDB and defeats
+      // the all-pk DO NOTHING degrade
       val sets = columns.zip(values)
-        .filterNot { case (c, _) => primaryKeys.contains(c) }
+        .filterNot { case (c, _) => primaryKeys.exists(_.equalsIgnoreCase(c)) }
         .map { case (c, v) => s"$c = $v" }.mkString(", ")
       val action = if (sets.isEmpty) "DO NOTHING" else s"DO UPDATE SET $sets"
       s"$base ON CONFLICT (${primaryKeys.mkString(",")}) $action;"

@@ -36,15 +36,24 @@ object Bucketed {
     write(df, table, buckets, keys)
   }
 
-  /** Drop `table` AND clear its default warehouse location (survives the
-    * in-memory catalog's death between sessions). */
+  /** Drop `table` AND clear its on-disk location (survives the in-memory
+    * catalog's death between sessions). When the table is registered its
+    * REAL location is read from the catalog (it may be external /
+    * non-default); the default warehouse path is cleared additionally to
+    * cover the orphaned-directory case where the metadata already died. */
   def dropWithLocation(spark: SparkSession, table: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val registered =
+      if (catalog.tableExists(ident))
+        Some(new org.apache.hadoop.fs.Path(catalog.getTableMetadata(ident).location))
+      else None
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val default = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
+    (registered.toSeq :+ default).distinct.foreach { loc =>
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
   }
 
   /** Overwrite a small unbucketed metadata table, same staleness handling. */

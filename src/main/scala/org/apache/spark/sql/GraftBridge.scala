@@ -17,6 +17,15 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Apply the optimizer's floating-point normalization (0.0 == -0.0,
+    * one canonical NaN) to an expression used as a grouping/partitioning
+    * key. The NormalizeFloatingNumbers rule does this automatically for
+    * Aggregate/Window/Join keys but does not know custom logical nodes
+    * (graft.plans.TopKPerGroup), so the node's builder normalizes its own
+    * keys. No-op for non-floating types. */
+  def normalizeFloatingKey(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
   /** Idempotently add a planner strategy to the session (the runtime
     * complement of GraftExtensions.injectPlannerStrategy, for sessions
     * built without the extension). */

@@ -41,6 +41,16 @@ class PgSpec extends AnyFunSuite {
     assert(up == "INSERT INTO s.t (a, b) VALUES (1, 'x') ON CONFLICT (a) DO UPDATE SET b = 'x';")
   }
 
+  test("C1: upsert pk exclusion is case-insensitive (catalog-cased pk vs df-cased columns)") {
+    // pk reflected from the catalog as "ID", columns from a DataFrame as "id":
+    // the conflict-target column must still be excluded from the SET list
+    val up = Ddl.upsert("s", "t", Seq("id", "b"), Seq("1", "'x'"), Seq("ID"), isUpdate = true)
+    assert(up == "INSERT INTO s.t (id, b) VALUES (1, 'x') ON CONFLICT (ID) DO UPDATE SET b = 'x';")
+    // all-pk table still degrades to DO NOTHING under a case mismatch
+    val allPk = Ddl.upsert("s", "t", Seq("id"), Seq("1"), Seq("ID"), isUpdate = true)
+    assert(allPk == "INSERT INTO s.t (id) VALUES (1) ON CONFLICT (ID) DO NOTHING;")
+  }
+
   test("C2: ARRAY normalizes to text[] (reference behavior)") {
     assert(TypeMapper.normalizePgType("ARRAY") == "text[]")
     assert(TypeMapper.normalizePgType("integer") == "integer")

@@ -113,6 +113,26 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("bucketed overwrite clears a NON-default (external) prior location") {
+    import graft.sources.Bucketed
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ext_tbl").toFile
+    val extDir = new java.io.File(tmp, "ext")
+    try {
+      import spark.implicits._
+      Seq((1L, "old")).toDF("k", "v").write.parquet(extDir.getAbsolutePath)
+      spark.sql(s"CREATE TABLE ext_loc_tbl (k BIGINT, v STRING) USING parquet LOCATION '${extDir.getAbsolutePath}'")
+      // overwrite must look up the REAL registered location (not the default
+      // warehouse path) so the stale external directory cannot survive
+      Bucketed.overwrite(Seq((2L, "new")).toDF("k", "v"), "ext_loc_tbl",
+        buckets = 2, keys = Seq("k"))
+      assert(spark.table("ext_loc_tbl").as[(Long, String)].collect().toSeq == Seq((2L, "new")))
+      assert(!extDir.exists(), "stale external table directory must be cleared")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ext_loc_tbl")
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
+
   test("dedup_incremental_indexed: index read bucketed + exchange-free, no corpus text") {
     import graft.dedup.Dedup
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -61,6 +61,32 @@ class TopKSpec extends SparkSpecBase {
     assert(r == expected)
   }
 
+  test("D3n: float group keys normalize (0.0 == -0.0, one NaN group) like window keys") {
+    // the optimizer's NormalizeFloatingNumbers rule does not visit custom
+    // nodes; TopK.perGroup normalizes its own keys — 0.0 and -0.0 must be
+    // ONE group (and hash to one partition), NaN one group
+    val d = Seq((0.0, 1L), (-0.0, 2L), (Double.NaN, 3L), (Double.NaN, 4L), (1.0, 5L))
+      .toDF("g", "id")
+    val native = TopK.perGroup(d, Seq("g"), Seq($"id".asc), k = 10)
+      .select($"id", $"rk").as[(Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"id".asc)
+    val viaWindow = d.withColumn("rk", row_number().over(w).cast("bigint"))
+      .select($"id", $"rk").as[(Long, Long)].collect().toSet
+    assert(native == viaWindow)
+    // -0.0 joined 0.0's group, so id=2 ranks second there
+    assert(native.contains((2L, 2L)))
+  }
+
+  test("D3n: input validation — empty orderBy and rank-column collision refused") {
+    val d = Seq((1L, 2L)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      TopK.perGroup(d, Seq("g"), Seq.empty, k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TopK.perGroup(d, Seq("g"), Seq($"v".desc), k = 1, rankCol = "V") // resolver-aware
+    }
+  }
+
   test("D3n: works through spark.sql extensions registration too") {
     // the SparkSpecBase session registers GraftExtensions: the strategy
     // is present even before TopK.perGroup's defensive ensureStrategy
