@@ -1,12 +1,15 @@
 package graft.plans
 
+import org.apache.spark.SparkEnv
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, SortPrefix, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SortPrefixUtils, SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.StructType
 
 /** Whole-operator extension: top-k rows per group WITHOUT a per-group
   * sort — the custom-LogicalPlan / Strategy / SparkPlan tier of the
@@ -56,6 +59,17 @@ object GraftStrategies extends SparkStrategy {
   * single shuffle the window form pays, with no sort after it). Each
   * task holds (#groups in its partition) × k rows; incoming rows that
   * cannot beat their group's current k-th are discarded without copying.
+  *
+  * Memory safety: the heap state is byte-tracked (UnsafeRow sizes + a
+  * per-entry overhead constant). A task whose state exceeds
+  * `spark.graft.topk.maxHeapBytes` (default 64 MiB) abandons the heap
+  * strategy mid-stream and degrades to the spillable sort it was built
+  * to avoid: held rows + remaining input go through an
+  * [[UnsafeExternalRowSorter]] (task-memory-managed, spills to disk —
+  * the same machinery as SortExec/WindowExec) sorted by
+  * (group key, order), then a streaming rank pass emits the first k per
+  * group. Identical output, graceful degradation for pathological
+  * group-cardinality partitions instead of an executor OOM.
   */
 case class TopKPerGroupExec(
     partitionExprs: Seq[Expression],
@@ -74,6 +88,17 @@ case class TopKPerGroupExec(
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"),
+    "peakHeapBytes" -> SQLMetrics.createSizeMetric(sparkContext, "peak heap state"),
+    "sortFallbackTasks" -> SQLMetrics.createMetric(sparkContext, "sort-fallback tasks"),
+    "sortPeakMemory" -> SQLMetrics.createSizeMetric(sparkContext, "fallback sort peak memory"))
+
+  /** Conservative JVM overhead per live heap entry beyond the row bytes
+    * (HashMap node + boxed key + PriorityQueue slot). */
+  private val perEntryOverhead = 64L
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val childOutput = child.output
@@ -81,36 +106,135 @@ case class TopKPerGroupExec(
     val ord = order
     val outAttrs = output
     val rank = rankAttr
+    val maxHeapBytes =
+      conf.getConfString("spark.graft.topk.maxHeapBytes", (64L * 1024 * 1024).toString).toLong
+    val numOutputRows = longMetric("numOutputRows")
+    val numGroups = longMetric("numGroups")
+    val peakHeapBytes = longMetric("peakHeapBytes")
+    val sortFallbackTasks = longMetric("sortFallbackTasks")
+    val sortPeakMemory = longMetric("sortPeakMemory")
+    val overhead = perEntryOverhead
+    val childSchema = StructType(childOutput.map(a =>
+      org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable, a.metadata)))
+
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(pExprs, childOutput)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       // codegen'd ordering over the SortOrder spec: compare(a,b) < 0 ⇔ a
       // ranks before b; the scala PriorityQueue's head is then the WORST
       // kept row — the eviction candidate
       val ordering: Ordering[InternalRow] = GenerateOrdering.generate(ord, childOutput)
       val heaps = scala.collection.mutable.HashMap
-        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
+      var heldBytes = 0L
+      var fellBack = false
+      while (!fellBack && iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row)
+        def unsafeCopy(r: InternalRow): UnsafeRow = r match {
+          case u: UnsafeRow => u.copy()
+          case other => toUnsafe(other).copy()
+        }
         heaps.get(key) match {
           case Some(h) =>
-            if (h.size < kLocal) h += row.copy()
-            else if (ordering.compare(row, h.head) < 0) { h.dequeue(); h += row.copy() }
+            if (h.size < kLocal) {
+              val kept = unsafeCopy(row)
+              heldBytes += kept.getSizeInBytes + overhead
+              h += kept
+            } else if (ordering.compare(row, h.head) < 0) {
+              val evicted = h.dequeue()
+              val kept = unsafeCopy(row)
+              heldBytes += kept.getSizeInBytes - evicted.getSizeInBytes
+              h += kept
+            }
           case None =>
-            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ordering)
-            h += row.copy() // rows AND keys copied out of the scan's reused buffers
-            heaps.put(key.copy(), h)
+            val h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](
+              ordering.on[UnsafeRow](identity))
+            val kept = unsafeCopy(row) // rows AND keys copied out of the scan's reused buffers
+            val keyCopy = key.copy()
+            heldBytes += kept.getSizeInBytes + keyCopy.getSizeInBytes + 2 * overhead
+            h += kept
+            heaps.put(keyCopy, h)
         }
+        if (heldBytes > maxHeapBytes) fellBack = true
       }
+      peakHeapBytes.set(math.max(peakHeapBytes.value, heldBytes))
+
       val joined = new JoinedRow
       val rankHolder = new GenericInternalRow(1)
       val outProj = UnsafeProjection.create(outAttrs, childOutput :+ rank)
-      heaps.valuesIterator.flatMap { h =>
-        // dequeueAll yields worst-first; reversed = rank order 1..k
-        val ranked = h.dequeueAll.reverse
-        ranked.iterator.zipWithIndex.map { case (r, i) =>
-          rankHolder.setLong(0, i + 1L)
-          outProj(joined(r, rankHolder))
+
+      if (!fellBack) {
+        numGroups += heaps.size
+        heaps.valuesIterator.flatMap { h =>
+          // dequeueAll yields worst-first; reversed = rank order 1..k
+          val ranked = h.dequeueAll.reverse
+          ranked.iterator.zipWithIndex.map { case (r, i) =>
+            rankHolder.setLong(0, i + 1L)
+            numOutputRows += 1
+            outProj(joined(r, rankHolder))
+          }
+        }
+      } else {
+        // ---- spillable sort fallback ----
+        // Held rows are still exact candidates (discarded rows were beaten
+        // by k better rows of their group and can never rank ≤ k), so the
+        // union of heap contents + remaining input sorted by
+        // (group, order) and rank-scanned gives the identical answer.
+        sortFallbackTasks += 1
+        val groupSort = pExprs.map(e => SortOrder(e, Ascending))
+        val fullSort = groupSort ++ ord
+        val sortOrdering: Ordering[InternalRow] =
+          GenerateOrdering.generate(fullSort, childOutput)
+        val boundFirst = BindReferences.bindReference(fullSort.head, childOutput)
+        val prefixComparator = SortPrefixUtils.getPrefixComparator(boundFirst)
+        val prefixExpr = SortPrefix(boundFirst)
+        val prefixProjection = UnsafeProjection.create(Seq(prefixExpr))
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val result = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow): UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+            val prefix = prefixProjection.apply(row)
+            result.isNull = prefix.isNullAt(0)
+            result.value = if (result.isNull) prefixExpr.nullValue else prefix.getLong(0)
+            result
+          }
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          childSchema, sortOrdering, prefixComparator, prefixComputer,
+          SparkEnv.get.memoryManager.pageSizeBytes, false)
+        heaps.valuesIterator.foreach(_.foreach(sorter.insertRow))
+        heaps.clear()
+        while (iter.hasNext) {
+          val row = iter.next()
+          sorter.insertRow(row match {
+            case u: UnsafeRow => u
+            case other => toUnsafe(other)
+          })
+        }
+        val sorted = sorter.sort()
+        Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          sortPeakMemory.set(math.max(sortPeakMemory.value, sorter.getPeakMemoryUsage))
+        })
+        // streaming rank pass: group transition = binary change of the
+        // (normalized) key projection; sorted order within a group IS rank
+        // order. After float normalization, ordering-equality of the group
+        // prefix coincides with binary key equality for atomic key types,
+        // so binary-equal keys are contiguous — the same grouping the heap
+        // path uses.
+        var currentKey: UnsafeRow = null
+        var currentRank = 0L
+        sorted.flatMap { row =>
+          val key = keyProj(row)
+          if (currentKey == null || key != currentKey) {
+            currentKey = key.copy()
+            currentRank = 1L
+            numGroups += 1
+          } else currentRank += 1
+          if (currentRank <= kLocal) {
+            rankHolder.setLong(0, currentRank)
+            numOutputRows += 1
+            Some(outProj(joined(row, rankHolder)))
+          } else None
         }
       }
     }, preservesPartitioning = true)

@@ -87,6 +87,42 @@ class TopKSpec extends SparkSpecBase {
     }
   }
 
+  test("D3n: sort-fallback under a tiny heap budget produces identical output") {
+    // a pathological partition (many distinct groups) must degrade to the
+    // spillable sort instead of OOMing the heap map; output is identical
+    val prev = spark.conf.getOption("spark.graft.topk.maxHeapBytes")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.graft.topk.maxHeapBytes", "4096") // force mid-stream fallback
+    // AQE hides the exec inside query-stage wrappers; turn it off so the
+    // metrics assertion can reach the node
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = (1L to 20000L).map(i => (i % 4000, i, (i * 37) % 101)).toDF("g", "id", "score")
+      val native = TopK.perGroup(d, Seq("g"), Seq($"score".desc, $"id".asc), k = 3)
+      val rows = native.collect().map(_.toSeq).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"score".desc, $"id".asc)
+      val viaWindow = d.withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter($"rk" <= 3).collect().map(_.toSeq).toSet
+      assert(rows == viaWindow)
+      // the fallback actually fired, and the operator is observable: at
+      // least one task reported sort-fallback in the SQLMetrics
+      val execs = native.queryExecution.executedPlan.collect {
+        case t: graft.plans.TopKPerGroupExec => t
+      }
+      assert(execs.nonEmpty, "TopKPerGroupExec not found in executed plan")
+      assert(execs.head.metrics("sortFallbackTasks").value > 0,
+        "expected the sort fallback to trigger under the 4 KiB budget")
+      assert(execs.head.metrics("numOutputRows").value == rows.size)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.topk.maxHeapBytes", v)
+        case None => spark.conf.unset("spark.graft.topk.maxHeapBytes")
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("D3n: works through spark.sql extensions registration too") {
     // the SparkSpecBase session registers GraftExtensions: the strategy
     // is present even before TopK.perGroup's defensive ensureStrategy
