@@ -202,6 +202,23 @@ object TextEntries {
         Tau, NumPerm, Bands)
     }),
 
+    // E2b-delta: index MAINTENANCE — build the index from a partial
+    // corpus, accept the remaining docs via appendToNgramIndex (a
+    // same-bucket-layout delta; no rebuild), then serve base ∪ delta.
+    // The oracle screens the batch against the FULL corpus: the appended
+    // index must answer exactly like one rebuilt from scratch.
+    "dedup_incremental_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus0 = docs.filter(col("doc_id") % 5 =!= 3)
+      val accepted = docs.filter(col("doc_id") % 5 === 3)
+      val batch = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" graft dup tail marker")).as("text"))
+      Dedup.writeNgramIndex(corpus0, "doc_id", "text", "graft_delta_idx", buckets = 8)
+      Dedup.appendToNgramIndex(accepted, "doc_id", "text", "graft_delta_idx")
+      Dedup.incrementalNgramPairsIndexed(s, "graft_delta_idx", batch, "doc_id", "text", Tau)
+    }),
+
     // E13: sequence packing — concat-then-chunk token-budget bins with a
     // deterministic-bucket global cumsum (no single-partition window)
     "text_pack" -> ((s, dir) => {
@@ -520,6 +537,26 @@ object TextEntries {
     // the indexed serve path must produce EXACTLY the pairs the direct
     // operator produces — the oracle is the plain full-postings join
     "dedup_incremental_indexed" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |batch AS (SELECT doc_id + 200000 AS doc_id, text || ' graft dup tail marker' AS text
+         |          FROM documents WHERE doc_id % 17 = 0),
+         |bpost AS (${hashedPostOverSql("batch")}),
+         |cpost AS (${hashedPostOverSql("corpus")}),
+         |bsizes AS (SELECT doc_id, count(*) AS n FROM bpost GROUP BY 1),
+         |csizes AS (SELECT doc_id, count(*) AS n FROM cpost GROUP BY 1),
+         |common AS (
+         |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS common
+         |  FROM bpost b JOIN cpost c ON b.s = c.s GROUP BY 1, 2)
+         |SELECT batch_id, corpus_id, common, bs.n AS n_batch, cs.n AS n_corpus,
+         |  CAST(floor(common * 10000.0 / (bs.n + cs.n - common)) AS BIGINT) AS jaccard_bp
+         |FROM common JOIN bsizes bs ON bs.doc_id = batch_id
+         |JOIN csizes cs ON cs.doc_id = corpus_id
+         |WHERE CAST(floor(common * 10000.0 / (bs.n + cs.n - common)) AS BIGINT) >= $Tau""".stripMargin,
+
+    // the appended (base ∪ delta) index must answer exactly like an index
+    // rebuilt over the full corpus — so the oracle IS the full-corpus
+    // screen, identical to dedup_incremental_indexed's
+    "dedup_incremental_delta" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),
          |batch AS (SELECT doc_id + 200000 AS doc_id, text || ' graft dup tail marker' AS text
          |          FROM documents WHERE doc_id % 17 = 0),

@@ -269,6 +269,13 @@ object Dedup {
   def writeMinhashIndex(
       spark: SparkSession, name: String, buckets: Int,
       numPerm: Int = 12, bands: Int = 4): Unit = {
+    // serve legs pair minhash table i with postings/sizes table i (a
+    // doc's bucket rows and postings must live in the SAME leg, or the
+    // exact-verify probe misses) — so the base minhash may only be built
+    // from the base postings; fold an outstanding delta first
+    require(!spark.catalog.tableExists(s"${name}_postings_delta"),
+      s"index '$name' has an un-compacted append delta — run compactNgramIndex " +
+        "before layering MinHash, so bucket rows and postings stay leg-aligned")
     graft.sources.Bucketed.overwrite(
       bandedBuckets(
         minhashSignaturesFromPostings(spark.table(s"${name}_postings"), numPerm),
@@ -276,7 +283,8 @@ object Dedup {
       s"${name}_minhash", buckets, Seq("bucket"))
     graft.sources.Bucketed.overwritePlain(
       spark.range(1).select(
-        lit(numPerm.toLong).as("num_perm"), lit(bands.toLong).as("bands")),
+        lit(numPerm.toLong).as("num_perm"), lit(bands.toLong).as("bands"),
+        lit(buckets.toLong).as("buckets")),
       s"${name}_minhash_meta")
   }
 
@@ -300,29 +308,44 @@ object Dedup {
     val bPost = hashedPostings(batch, idCol, textCol, w).cache()
     val bBanded = bandedBuckets(
       minhashSignaturesFromPostings(bPost, numPerm), numPerm, bands)
-    val cBanded = spark.table(s"${name}_minhash")
-    val candidates = bBanded.select(col("band"), col("bucket"), col("__id").as("batch_id"))
-      .join(cBanded.select(col("band"), col("bucket"), col("__id").as("corpus_id")),
-        Seq("band", "bucket"))
-      .select("batch_id", "corpus_id")
-      .distinct()
-    // exact verify bounded to candidates: fan by candidate × batch
-    // postings, then probe the stored corpus postings on (corpus_id, __sh)
-    val common = candidates
-      .join(bPost.select(col("__id").as("batch_id"), col("__sh")), "batch_id")
-      .join(spark.table(s"${name}_postings")
-        .select(col("__id").as("corpus_id"), col("__sh")), Seq("corpus_id", "__sh"))
-      .groupBy("batch_id", "corpus_id")
-      .agg(count(lit(1)).as("common"))
     val bSizes = bPost.groupBy("__id").agg(count(lit(1)).as("n_batch"))
-    common
-      .join(bSizes.withColumnRenamed("__id", "batch_id"), "batch_id")
-      .join(spark.table(s"${name}_sizes")
-        .select(col("__id").as("corpus_id"), col("__n").as("n_corpus")), "corpus_id")
-      .withColumn("jaccard_bp",
-        TextOps.bp(col("common"), col("n_batch") + col("n_corpus") - col("common")))
-      .filter(col("jaccard_bp") >= tauBp)
-      .select("batch_id", "corpus_id", "common", "n_batch", "n_corpus", "jaccard_bp")
+    // one serve pass per index leg (base + append delta): candidates from
+    // that leg's banded buckets, exact verify against the SAME leg's
+    // postings/sizes (a doc's bucket rows and postings always live in the
+    // same leg), results concatenated — every corpus-side read bucketed
+    minhashIndexLegs(spark, name).map { case (cBanded, cPost, cSizes) =>
+      val candidates = bBanded.select(col("band"), col("bucket"), col("__id").as("batch_id"))
+        .join(cBanded.select(col("band"), col("bucket"), col("__id").as("corpus_id")),
+          Seq("band", "bucket"))
+        .select("batch_id", "corpus_id")
+        .distinct()
+      // exact verify bounded to candidates: fan by candidate × batch
+      // postings, then probe the stored corpus postings on (corpus_id, __sh)
+      val common = candidates
+        .join(bPost.select(col("__id").as("batch_id"), col("__sh")), "batch_id")
+        .join(cPost.select(col("__id").as("corpus_id"), col("__sh")), Seq("corpus_id", "__sh"))
+        .groupBy("batch_id", "corpus_id")
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(bSizes.withColumnRenamed("__id", "batch_id"), "batch_id")
+        .join(cSizes.select(col("__id").as("corpus_id"), col("__n").as("n_corpus")), "corpus_id")
+        .withColumn("jaccard_bp",
+          TextOps.bp(col("common"), col("n_batch") + col("n_corpus") - col("common")))
+        .filter(col("jaccard_bp") >= tauBp)
+        .select("batch_id", "corpus_id", "common", "n_batch", "n_corpus", "jaccard_bp")
+    }.reduce(_ unionByName _)
+  }
+
+  /** (banded buckets, postings, sizes) legs of a MinHash-layered index:
+    * base tables plus the append delta when present. */
+  private def minhashIndexLegs(
+      spark: SparkSession, name: String): Seq[(DataFrame, DataFrame, DataFrame)] = {
+    val base = (spark.table(s"${name}_minhash"),
+      spark.table(s"${name}_postings"), spark.table(s"${name}_sizes"))
+    if (spark.catalog.tableExists(s"${name}_minhash_delta"))
+      Seq(base, (spark.table(s"${name}_minhash_delta"),
+        spark.table(s"${name}_postings_delta"), spark.table(s"${name}_sizes_delta")))
+    else Seq(base)
   }
 
   /** (band, bucket, __id) rows from a signature table — one projection
@@ -409,9 +432,12 @@ object Dedup {
     * by reading back the written postings (no second tokenization pass,
     * no corpus-wide cache).
     *
-    * Rebuild cadence is the caller's: the index is exact for the corpus
-    * it was built from; after appending accepted batches, rebuild or
-    * union a delta index. */
+    * Index maintenance: [[appendToNgramIndex]] accepts a screened batch
+    * into the index as a same-bucket-layout DELTA (serve paths read
+    * base ∪ delta, each leg exchange-free); [[compactNgramIndex]] folds
+    * the delta back into single sorted base tables. Steady state is
+    * append-per-batch + compact on a slow cadence — never a full corpus
+    * rebuild. */
   def writeNgramIndex(
       corpus: DataFrame, idCol: String, textCol: String,
       name: String, buckets: Int, w: Int = 3): Unit = {
@@ -422,11 +448,108 @@ object Dedup {
       spark.table(s"${name}_postings")
         .groupBy("__id").agg(count(lit(1)).as("__n")),
       s"${name}_sizes", buckets, Seq("__id"))
+    // a fresh build invalidates any delta from a previous corpus
+    Seq(s"${name}_postings_delta", s"${name}_sizes_delta", s"${name}_minhash_delta")
+      .foreach(graft.sources.Bucketed.dropWithLocation(spark, _))
     // build parameters persisted beside the data: serve paths REFUSE an
     // index built with different parameters instead of silently joining
-    // disjoint key spaces and reporting "no duplicates"
+    // disjoint key spaces and reporting "no duplicates"; the bucket count
+    // is stored so appends write layout-compatible deltas
     graft.sources.Bucketed.overwritePlain(
-      spark.range(1).select(lit(w.toLong).as("w")), s"${name}_meta")
+      spark.range(1).select(lit(w.toLong).as("w"), lit(buckets.toLong).as("buckets")),
+      s"${name}_meta")
+  }
+
+  /** Accept a screened batch into a persisted n-gram index WITHOUT
+    * rebuilding it: the batch's postings/sizes land in
+    * `<name>_postings_delta` / `<name>_sizes_delta`, bucketed with the
+    * SAME layout (bucket count from the index meta) so the serve paths
+    * read the delta exactly like the base — bucketed scan, no exchange.
+    * If a MinHash layer exists ([[writeMinhashIndex]]), the batch's
+    * banded buckets are appended to `<name>_minhash_delta` with the
+    * stored numPerm/bands, keeping both serve paths complete. Repeated
+    * appends accumulate file sets inside the same delta tables;
+    * [[compactNgramIndex]] folds them into the base.
+    *
+    * `checkIds` (default on) refuses a batch whose doc ids already exist
+    * in the index — a duplicate id would double that doc's size row and
+    * corrupt every Jaccard it participates in. The check is one
+    * column-pruned scan of the compact sizes tables; switch it off only
+    * when the caller guarantees id freshness. */
+  def appendToNgramIndex(
+      batch: DataFrame, idCol: String, textCol: String, name: String,
+      checkIds: Boolean = true): Unit = {
+    val spark = batch.sparkSession
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"index '$name' not found — build it with writeNgramIndex first")
+    val meta = spark.table(s"${name}_meta").head()
+    val w = meta.getAs[Number]("w").intValue()
+    val buckets = meta.getAs[Number]("buckets").intValue()
+    val bPost = hashedPostings(batch, idCol, textCol, w).cache()
+    if (checkIds) {
+      val existing = ngramIndexLegs(spark, name).map(_._2.select("__id")).reduce(_ unionByName _)
+      val clash = bPost.select("__id").distinct()
+        .join(existing, Seq("__id"), "left_semi")
+      require(clash.isEmpty,
+        s"appendToNgramIndex: batch doc ids already present in index '$name' " +
+          "(e.g. " + clash.take(3).map(_.get(0)).mkString(", ") +
+          ") — appending would double their size rows; dedupe ids or rebuild")
+    }
+    graft.sources.Bucketed.append(
+      bPost, s"${name}_postings_delta", buckets, Seq("__sh"))
+    graft.sources.Bucketed.append(
+      bPost.groupBy("__id").agg(count(lit(1)).as("__n")),
+      s"${name}_sizes_delta", buckets, Seq("__id"))
+    if (spark.catalog.tableExists(s"${name}_minhash_meta")) {
+      val mh = spark.table(s"${name}_minhash_meta").head()
+      graft.sources.Bucketed.append(
+        bandedBuckets(
+          minhashSignaturesFromPostings(bPost, mh.getAs[Number]("num_perm").intValue()),
+          mh.getAs[Number]("num_perm").intValue(), mh.getAs[Number]("bands").intValue()),
+        s"${name}_minhash_delta", mh.getAs[Number]("buckets").intValue(), Seq("bucket"))
+    }
+    bPost.unpersist()
+  }
+
+  /** Fold the delta tables of a [[appendToNgramIndex]]-maintained index
+    * back into single sorted base tables (base := base ∪ delta, delta
+    * dropped). Rewrites go through a temp table + catalog rename so the
+    * union can read the base it replaces; cost is one pass over the
+    * index — run it on a slow cadence (weekly against daily appends),
+    * not per batch. Serve results are identical before and after. */
+  def compactNgramIndex(spark: SparkSession, name: String): Unit = {
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"index '$name' not found — build it with writeNgramIndex first")
+    val buckets = spark.table(s"${name}_meta").head().getAs[Number]("buckets").intValue()
+    val mhBuckets =
+      if (spark.catalog.tableExists(s"${name}_minhash_meta"))
+        spark.table(s"${name}_minhash_meta").head().getAs[Number]("buckets").intValue()
+      else buckets
+    Seq(
+      (s"${name}_postings", buckets, Seq("__sh")),
+      (s"${name}_sizes", buckets, Seq("__id")),
+      (s"${name}_minhash", mhBuckets, Seq("bucket"))).foreach { case (base, b, keys) =>
+      val delta = s"${base}_delta"
+      if (spark.catalog.tableExists(delta)) {
+        graft.sources.Bucketed.rewrite(
+          spark.table(base).unionByName(spark.table(delta)), base, b, keys)
+        graft.sources.Bucketed.dropWithLocation(spark, delta)
+      }
+    }
+  }
+
+  /** The (postings, sizes) legs of an index: the base tables plus, when
+    * present, the append delta. Serving joins each leg separately and
+    * unions the RESULTS — a `union` of the scans would erase the bucketed
+    * output partitioning and re-introduce the exchange the index exists
+    * to avoid. Doc ids never span legs (append enforces freshness), so
+    * leg results concatenate without re-aggregation. */
+  private def ngramIndexLegs(
+      spark: SparkSession, name: String): Seq[(DataFrame, DataFrame)] = {
+    val base = (spark.table(s"${name}_postings"), spark.table(s"${name}_sizes"))
+    if (spark.catalog.tableExists(s"${name}_postings_delta"))
+      Seq(base, (spark.table(s"${name}_postings_delta"), spark.table(s"${name}_sizes_delta")))
+    else Seq(base)
   }
 
   /** Fail fast when a serve call's parameters disagree with the ones the
@@ -460,21 +583,24 @@ object Dedup {
       spark: SparkSession, name: String, batch: DataFrame,
       idCol: String, textCol: String, tauBp: Long, w: Int = 3): DataFrame = {
     requireIndexMeta(spark, s"${name}_meta", "w" -> w.toLong)
-    val cPost = spark.table(s"${name}_postings")
-    val cSizes = spark.table(s"${name}_sizes")
     val bPost = hashedPostings(batch, idCol, textCol, w).cache()
     val bSizes = bPost.groupBy("__id").agg(count(lit(1)).as("n_batch"))
-    val common = bPost.select(col("__id").as("batch_id"), col("__sh"))
-      .join(cPost.select(col("__id").as("corpus_id"), col("__sh")), "__sh")
-      .groupBy("batch_id", "corpus_id")
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(bSizes.withColumnRenamed("__id", "batch_id"), "batch_id")
-      .join(cSizes.select(col("__id").as("corpus_id"), col("__n").as("n_corpus")), "corpus_id")
-      .withColumn("jaccard_bp",
-        TextOps.bp(col("common"), col("n_batch") + col("n_corpus") - col("common")))
-      .filter(col("jaccard_bp") >= tauBp)
-      .select("batch_id", "corpus_id", "common", "n_batch", "n_corpus", "jaccard_bp")
+    // one serve join per index leg (base, and the append delta when
+    // present), results concatenated: each leg's postings/sizes read
+    // bucketed and exchange-free; doc ids never span legs
+    ngramIndexLegs(spark, name).map { case (cPost, cSizes) =>
+      val common = bPost.select(col("__id").as("batch_id"), col("__sh"))
+        .join(cPost.select(col("__id").as("corpus_id"), col("__sh")), "__sh")
+        .groupBy("batch_id", "corpus_id")
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(bSizes.withColumnRenamed("__id", "batch_id"), "batch_id")
+        .join(cSizes.select(col("__id").as("corpus_id"), col("__n").as("n_corpus")), "corpus_id")
+        .withColumn("jaccard_bp",
+          TextOps.bp(col("common"), col("n_batch") + col("n_corpus") - col("common")))
+        .filter(col("jaccard_bp") >= tauBp)
+        .select("batch_id", "corpus_id", "common", "n_batch", "n_corpus", "jaccard_bp")
+    }.reduce(_ unionByName _)
   }
 
   /** Connected components over near-dup pairs — the grouping step that

@@ -56,6 +56,37 @@ object Bucketed {
     }
   }
 
+  /** Append `df` into bucketed table `table`, creating it (same layout as
+    * [[write]]) when absent. Appends MUST use the same bucket spec the
+    * table was created with — Spark validates and refuses a mismatch —
+    * so an appended table keeps co-locating exchange-free joins; each
+    * append adds one file set per bucket (readers may re-sort within a
+    * bucket, but never shuffle). The create branch clears a stale
+    * orphaned directory first, like [[overwrite]]. */
+  def append(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) dropWithLocation(spark, table)
+    df.write
+      .mode("append")
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Atomically-as-possible swap: rewrite `target` as the given frame via
+    * a temp table + catalog rename, so the (lazily evaluated) input may
+    * read `target` itself. The in-session catalog's RENAME moves the
+    * managed directory with the metadata; on a transactional metastore
+    * the same two steps are atomic. */
+  def rewrite(df: DataFrame, target: String, buckets: Int, keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val tmp = s"${target}_rewrite_tmp"
+    overwrite(df, tmp, buckets, keys)
+    dropWithLocation(spark, target)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $target")
+  }
+
   /** Overwrite a small unbucketed metadata table, same staleness handling. */
   def overwritePlain(df: DataFrame, table: String): Unit = {
     dropWithLocation(df.sparkSession, table)

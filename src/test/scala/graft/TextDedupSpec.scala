@@ -102,6 +102,70 @@ class TextDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("E2b-delta: appended index answers like a full rebuild; compaction folds it") {
+    val corpus0 = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n")).toDF("doc_id", "text")
+    val accepted = Seq((3L, "p q r s t u v")).toDF("doc_id", "text")
+    val full = corpus0.unionByName(accepted)
+    val batch = Seq(
+      (10L, "a b c d e f g"), // dup of base doc 1
+      (11L, "p q r s t u v"), // dup of DELTA doc 3 — only reachable through the delta leg
+      (12L, "q w e r t y u")).toDF("doc_id", "text")
+    Dedup.writeNgramIndex(corpus0, "doc_id", "text", "graft_dl_t", buckets = 4)
+    Dedup.writeMinhashIndex(spark, "graft_dl_t", buckets = 4)
+    try {
+      Dedup.appendToNgramIndex(accepted, "doc_id", "text", "graft_dl_t")
+      // exact serve: base ∪ delta must equal screening against the full corpus
+      val served = Dedup.incrementalNgramPairsIndexed(
+        spark, "graft_dl_t", batch, "doc_id", "text", tauBp = 9999)
+        .collect().map(_.toSeq).toSet
+      val direct = Dedup.incrementalNgramPairs(
+        full, batch, "doc_id", "text", tauBp = 9999)
+        .collect().map(_.toSeq).toSet
+      assert(served == direct)
+      assert(served.exists(r => r.head == 11L), "delta-leg duplicate must surface")
+      // minhash serve: the append also wrote the delta's banded buckets
+      val servedMh = Dedup.minhashLshPairsIndexed(
+        spark, "graft_dl_t", batch, "doc_id", "text", tauBp = 9999)
+        .select($"batch_id", $"corpus_id", $"jaccard_bp")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(servedMh == Set((10L, 1L, 10000L), (11L, 3L, 10000L)))
+      // id-freshness guard: re-appending an existing doc id must refuse
+      val clash = intercept[IllegalArgumentException] {
+        Dedup.appendToNgramIndex(
+          Seq((3L, "anything at all here")).toDF("doc_id", "text"),
+          "doc_id", "text", "graft_dl_t")
+      }
+      assert(clash.getMessage.contains("already present"))
+      // layering MinHash over an un-compacted index must refuse (bucket
+      // rows and postings have to stay leg-aligned)
+      val stale = intercept[IllegalArgumentException] {
+        Dedup.writeMinhashIndex(spark, "graft_dl_t", buckets = 4)
+      }
+      assert(stale.getMessage.contains("compact"))
+      // second append into the SAME delta tables, then compact: deltas
+      // fold into the base, answers unchanged
+      Dedup.appendToNgramIndex(
+        Seq((4L, "m n b v c x z")).toDF("doc_id", "text"),
+        "doc_id", "text", "graft_dl_t")
+      Dedup.compactNgramIndex(spark, "graft_dl_t")
+      Seq("postings_delta", "sizes_delta", "minhash_delta").foreach(s =>
+        assert(!spark.catalog.tableExists(s"graft_dl_t_$s"), s"$s must be folded"))
+      val afterCompact = Dedup.incrementalNgramPairsIndexed(
+        spark, "graft_dl_t", batch, "doc_id", "text", tauBp = 9999)
+        .collect().map(_.toSeq).toSet
+      assert(afterCompact == direct, "compaction must not change answers")
+      val mhAfter = Dedup.minhashLshPairsIndexed(
+        spark, "graft_dl_t", batch, "doc_id", "text", tauBp = 9999)
+        .select($"batch_id", $"corpus_id", $"jaccard_bp")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(mhAfter == servedMh, "compaction must not change minhash answers")
+    } finally {
+      Seq("postings", "sizes", "minhash", "meta", "minhash_meta",
+        "postings_delta", "sizes_delta", "minhash_delta")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS graft_dl_t_$s"))
+    }
+  }
+
   test("simhash: identical docs at hamming 0, banding returns each pair once") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z"))
       .toDF("doc_id", "text")
