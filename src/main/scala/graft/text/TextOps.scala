@@ -223,12 +223,11 @@ object TextOps {
   /** Corpus n-gram LM statistics: top-k continuations per 2-token prefix
     * by trigram count (ties broken by token order, deterministic). The
     * building block for n-gram generation scoring / junk detection.
-    * Explode → map-side-combined count → per-prefix window over
+    * Explode → map-side-combined count → native bounded-heap rank over
     * COUNT rows (vocabulary-sized groups, never raw positions).
     * Output: prefix, next_tok, cnt, rk. */
   def ngramTopK(
       df: org.apache.spark.sql.DataFrame, textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tri = df.select(tokens(col(textCol)).as("__t"))
       .select(explode(when(size(col("__t")) >= 3,
         transform(sequence(lit(1), size(col("__t")) - 2), i =>
@@ -236,10 +235,12 @@ object TextOps {
             concat_ws(" ", element_at(col("__t"), i), element_at(col("__t"), i + 1)).as("prefix"),
             element_at(col("__t"), i + 2).as("next_tok"))))).as("__g"))
       .select(col("__g.prefix").as("prefix"), col("__g.next_tok").as("next_tok"))
-    val w = Window.partitionBy("prefix").orderBy(col("cnt").desc, col("next_tok").asc)
-    tri.groupBy("prefix", "next_tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    // native bounded-heap rank (graft.plans.TopKPerGroup) instead of a
+    // row_number window: same shuffle, no per-prefix sort of the full
+    // continuation set — O(n log k) over the vocabulary-sized count rows
+    graft.operators.TopK.perGroup(
+      tri.groupBy("prefix", "next_tok").agg(count(lit(1)).as("cnt")),
+      Seq("prefix"), Seq(col("cnt").desc, col("next_tok").asc), k, "rk")
   }
 
   /** Per-doc top-k DISTINCTIVE terms — tf·idf-shaped keyword extraction
@@ -249,21 +250,20 @@ object TextOps {
     * order). No floating-point idf logs, so the ranking reproduces
     * bit-for-bit in any engine. Shuffles: one groupBy for per-doc tf,
     * one for corpus df (both map-side combined), one token-keyed join,
-    * and a per-doc window over COUNT rows. Output: idCol, token, tf, df,
-    * score_bp, rk. */
+    * and a native bounded-heap rank over COUNT rows. Output: idCol,
+    * token, tf, df, score_bp, rk. */
   def topTerms(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       k: Int = 3): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("token"))
     val tf = toks.groupBy("__id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("__id")
-      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
-    tf.join(dfreq, "token")
-      .withColumn("score_bp", bp(col("tf"), col("df")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    // native bounded-heap rank instead of a row_number window: the
+    // per-doc sort of every scored term disappears; only k rows per doc
+    // are ever buffered
+    graft.operators.TopK.perGroup(
+      tf.join(dfreq, "token").withColumn("score_bp", bp(col("tf"), col("df"))),
+      Seq("__id"), Seq(col("tf").desc, col("df").asc, col("token").asc), k, "rk")
       .select(col("__id").as(idCol), col("token"), col("tf"), col("df"),
         col("score_bp"), col("rk"))
   }
@@ -360,22 +360,25 @@ object TextOps {
     * taken by its single most frequent token (ties broken by the
     * lexicographically smallest token, so the result is deterministic).
     * High rep_bp flags boilerplate / degenerate pages. One explode +
-    * two-level aggregation, map-side combined; the per-doc window runs
-    * over per-token COUNTS (vocabulary-sized groups), never raw tokens.
-    * Output: idCol, top_tok, top_cnt, n_tokens, rep_bp. */
+    * two-level aggregation, map-side combined end to end — the winner is
+    * an argmax aggregate over per-token COUNTS, so no window and no rank
+    * operator at all. Output: idCol, top_tok, top_cnt, n_tokens, rep_bp. */
   def repetitionStats(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = df
       .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("__tok"))
       .groupBy("__id", "__tok").agg(count(lit(1)).as("__cnt"))
-    val w = Window.partitionBy("__id").orderBy(col("__cnt").desc, col("__tok").asc)
+    // the k=1 rank is an ARGMAX: one hash aggregate computes the total
+    // and the winner together — fully map-side combinable, no window
+    // buffering and no rank operator at all. min of a (−cnt, token)
+    // struct = highest count, lexicographically smallest token on ties —
+    // the same deterministic ordering the window form used.
     counts
-      .withColumn("__total", sum("__cnt").over(Window.partitionBy("__id")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col("__id").as(idCol), col("__tok").as("top_tok"),
-        col("__cnt").as("top_cnt"), col("__total").as("n_tokens"),
-        bp(col("__cnt"), col("__total")).as("rep_bp"))
+      .groupBy("__id").agg(
+        sum("__cnt").as("__total"),
+        min(struct((-col("__cnt")).as("nc"), col("__tok").as("t"))).as("__m"))
+      .select(col("__id").as(idCol), col("__m.t").as("top_tok"),
+        (-col("__m.nc")).as("top_cnt"), col("__total").as("n_tokens"),
+        bp(-col("__m.nc"), col("__total")).as("rep_bp"))
   }
 }

@@ -75,6 +75,20 @@ class PlanSpec extends SparkSpecBase {
     val lm = plan("text_ngram_lm")
     assert(lm.contains("partial_count"), "ngram counts must combine map-side")
     assert(!lm.contains("ScalaUDF") && !lm.contains("BatchEvalPython"))
+    // the text rankers run on the native bounded-heap operator — no
+    // WindowExec, no per-group sort of the scored rows
+    assert(lm.contains("TopKPerGroup") && !lm.contains("Window"),
+      "ngram LM rank must be the native top-k, not a window")
+    val tt = plan("text_topterms")
+    assert(tt.contains("TopKPerGroup") && !tt.contains("Window"),
+      "topTerms rank must be the native top-k, not a window")
+    // repetition's k=1 rank is an argmax AGGREGATE — no window, no rank
+    // operator, partial-aggregated map-side
+    val rep = plan("text_repetition")
+    assert(!rep.contains("Window") && !rep.contains("TopKPerGroup"),
+      "repetition must be a pure aggregate")
+    assert(rep.contains("partial_min") || rep.contains("partial_"),
+      "repetition argmax must combine map-side")
   }
 
   test("E25: segment dedup joins on the h60 fingerprint, not segment text") {
@@ -195,6 +209,67 @@ class PlanSpec extends SparkSpecBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS graft_pin_idx_postings")
       spark.sql("DROP TABLE IF EXISTS graft_pin_idx_sizes")
+    }
+  }
+
+  test("dedup_incremental_delta: BOTH index legs read bucketed + exchange-free") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val corpus0 = docs.filter(col("doc_id") % 5 =!= 3)
+    val accepted = docs.filter(col("doc_id") % 5 === 3)
+    val batch = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" graft dup tail marker")).as("text"))
+    Dedup.writeNgramIndex(corpus0, "doc_id", "text", "graft_pin_dl", buckets = 4)
+    Dedup.appendToNgramIndex(accepted, "doc_id", "text", "graft_pin_dl")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // the 100 TB regime
+    try {
+      val serve = Dedup.incrementalNgramPairsIndexed(
+        spark, "graft_pin_dl", batch, "doc_id", "text", 6000L)
+      val plan = serve.queryExecution.executedPlan
+      def isIdx(f: FileSourceScanExec) =
+        f.tableIdentifier.exists(_.table.startsWith("graft_pin_dl"))
+      val idxScans = plan.collect { case f: FileSourceScanExec if isIdx(f) => f }
+      // base + delta legs: two postings scans and two sizes scans
+      val scanned = idxScans.flatMap(_.tableIdentifier.map(_.table)).toSet
+      assert(scanned == Set("graft_pin_dl_postings", "graft_pin_dl_postings_delta",
+        "graft_pin_dl_sizes", "graft_pin_dl_sizes_delta"),
+        s"expected all four index tables scanned, got $scanned")
+      assert(idxScans.forall(_.bucketedScan),
+        "base AND delta must be read as bucketed scans")
+      // no index scan may sit under a shuffle before its consuming join
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+      var shuffledBeforeJoin = false
+      def openIdx(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => isIdx(f)
+        case _: SortMergeJoinExec | _: BroadcastHashJoinExec |
+             _: ShuffledHashJoinExec | _: BroadcastNestedLoopJoinExec =>
+          p.children.foreach(openIdx); false
+        case e: ShuffleExchangeExec =>
+          val o = e.children.exists(openIdx)
+          if (o) shuffledBeforeJoin = true
+          o
+        case _ => p.children.map(openIdx).exists(identity)
+      }
+      openIdx(plan)
+      assert(!shuffledBeforeJoin, "an index leg was shuffled before its join")
+      // and the answer equals screening against the FULL corpus directly
+      val direct = Dedup.incrementalNgramPairs(
+        docs, batch, "doc_id", "text", 6000L).collect().map(_.toSeq).toSet
+      assert(serve.collect().map(_.toSeq).toSet == direct)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      Seq("postings", "sizes", "meta", "postings_delta", "sizes_delta")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS graft_pin_dl_$s"))
     }
   }
 
