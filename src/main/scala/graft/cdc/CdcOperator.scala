@@ -142,9 +142,63 @@ object CdcOperator {
   }
 
   /** The reference's `snapshot`: replay every selected table. Landing the
-    * returned states (parquet/JDBC) is the caller's choice of sink. */
-  def snapshot(spark: SparkSession, cfg: SnapshotConfig): Seq[TableState] =
-    discoverTables(spark, cfg).flatMap(t => replayTable(spark, cfg, t))
+    * returned states (parquet/JDBC) is the caller's choice of sink.
+    *
+    * Tables overlap on a bounded driver pool: replay is mostly lazy plan
+    * construction, but the per-table file LISTING is driver-side
+    * filesystem IO — at 1000 tables a sequential walk leaves the cluster
+    * idle between listings. Results keep discovery order. */
+  def snapshot(
+      spark: SparkSession, cfg: SnapshotConfig, parallelism: Int = 8): Seq[TableState] =
+    parTables(discoverTables(spark, cfg), parallelism)(t => replayTable(spark, cfg, t))
+      .flatten
+
+  /** One table's validate inputs for [[validateAll]]. */
+  case class ValidateTask(
+      source: DataFrame, target: DataFrame, pk: Seq[String], table: String)
+
+  /** Validate MANY tables with their eager actions overlapped: each
+    * [[validate]] runs cache-materialize / isEmpty / driver-merge
+    * collects sequentially from the driver, so a 1000-table loop idles
+    * the cluster between small jobs. Tables are submitted from a bounded
+    * thread pool (Spark's scheduler interleaves the resulting jobs; use
+    * `spark.scheduler.mode=FAIR` to stop a huge table from starving
+    * small ones), each under its own job group
+    * (`graft-validate-<table>`) for UI attribution. Returns each table's
+    * one-row report, in task order — identical rows to a sequential
+    * loop. */
+  def validateAll(
+      tasks: Seq[ValidateTask],
+      cfg: ValidateConfig = ValidateConfig(),
+      parallelism: Int = 8): Seq[org.apache.spark.sql.Row] =
+    parTables(tasks, parallelism) { t =>
+      val sc = t.source.sparkSession.sparkContext
+      sc.setJobGroup(s"graft-validate-${t.table}", s"validate ${t.table}")
+      try validate(t.source, t.target, t.pk, t.table, cfg).head()
+      finally sc.clearJobGroup()
+    }
+
+  /** Bounded-pool map preserving input order; parallelism 1 (or a single
+    * item) degrades to a plain sequential map with no pool. Failures
+    * propagate — a failed table fails the batch, matching the sequential
+    * loop's behavior. Spark contexts are thread-safe for concurrent job
+    * submission; job-group/description properties are thread-local. */
+  private[graft] def parTables[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    if (parallelism == 1 || items.sizeIs <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, items.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val fs = items.map(a => scala.concurrent.Future(f(a)))
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fs),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+  }
 
   /** Chunks per merge bucket: bad-interval merge windows sort at most
     * this many CHUNK rows per task (not data rows), whatever the table

@@ -18,6 +18,7 @@ import org.apache.spark.sql.SparkSession
   *   [--database-schema public] [--included-tables a,b] [--excluded-tables c]
   *   [--mode date-aware|full-load-only|absolute-path] [--start-date ISO]
   *   [--stop-date ISO] [--chunk-size 1000] [--start-position 0]
+  *   [--table-parallelism 4]
   *   [--pk 'users=id;lineitem=l_orderkey,l_linenumber']
   *   [--source-postgres-url postgres://u:p@h:5432/db]
   *   [--target-postgres-url postgres://u:p@h:5432/db]
@@ -45,7 +46,7 @@ object Cli {
           "[--database-schema s] [--included-tables a,b] [--excluded-tables c] " +
           "[--mode m] [--start-date ISO] [--stop-date ISO] [--start-slack-days n] " +
           "[--pk 'tbl=col1,col2;tbl2=col'] [--chunk-size n] [--start-position n] " +
-          "[--hash-chunks] " +
+          "[--hash-chunks] [--table-parallelism n] " +
           "[--source-postgres-url url] [--target-postgres-url url] " +
           "[--max-connections n] [--accept-invalid-certs-first-db] " +
           "[--accept-invalid-certs-second-db] " +
@@ -217,13 +218,19 @@ object Cli {
           startPosition = opts.getOrElse("start-position", "0").toLong,
           onlyCount = opts.contains("only-count"),
           orderedChunks = !opts.contains("hash-chunks"))
-        states.foreach { t =>
+        // tables validate OVERLAPPED on a bounded pool (eager per-table
+        // actions would otherwise serialize the cluster at table count)
+        val tasks = states.map { t =>
           val target = spark.read.parquet(s"$out/${t.table}")
           val pk = CdcOperator.resolvePk(cfg, t.table, t.state.columns.toSeq)
             .getOrElse(Seq(t.state.columns.head))
-          val report = CdcOperator.validate(t.state, target, pk, t.table, vcfg).head()
-          println(s"[cli] validate ${t.table}: $report")
+          CdcOperator.ValidateTask(t.state, target, pk, t.table)
         }
+        val parallelism = opts.getOrElse("table-parallelism", "4").toInt
+        CdcOperator.validateAll(tasks, vcfg, parallelism)
+          .zip(tasks).foreach { case (report, t) =>
+            println(s"[cli] validate ${t.table}: $report")
+          }
       }
     }
     spark.stop()

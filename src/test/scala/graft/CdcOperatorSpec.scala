@@ -189,6 +189,57 @@ class CdcOperatorSpec extends SparkSpecBase {
     assert(!d2.head.getAs[Boolean]("chunks_match"))
   }
 
+  test("validateAll overlaps tables on a bounded pool with unchanged reports") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+    // four tables with enough volume that each validate runs several jobs,
+    // and with real damage so the row drill-down path participates too
+    val tasks = (0 until 4).map { i =>
+      val src = spark.range(0, 20000)
+        .select(($"id" + i * 100000L).as("id"), concat(lit("v"), $"id").as("v"))
+      val tgt = src.filter($"id" % 5001L =!= 3L)
+      CdcOperator.ValidateTask(src, tgt, Seq("id"), s"partab_$i")
+    }
+    val vcfg = ValidateConfig(chunkSize = 500)
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    val windows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null && g.startsWith("graft-validate-partab_"))
+          starts.put(js.jobId, (g, js.time))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val s = starts.remove(je.jobId)
+        if (s != null) windows.add((s._1, s._2, je.time))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val par = CdcOperator.validateAll(tasks, vcfg, parallelism = 4)
+      // identical reports, in task order, vs the sequential loop
+      val seqR = tasks.map(t =>
+        CdcOperator.validate(t.source, t.target, t.pk, t.table, vcfg).head())
+      assert(par == seqR)
+      assert(par.forall(_.getAs[Long]("rows_differing") > 0L), "damage must surface")
+      // wait for the (async) listener bus to drain, then require that two
+      // jobs from DIFFERENT table groups overlapped in scheduler time
+      val deadline = System.currentTimeMillis() + 15000
+      var snapshotSize = -1
+      while (System.currentTimeMillis() < deadline &&
+          (windows.size != snapshotSize || windows.isEmpty)) {
+        snapshotSize = windows.size
+        Thread.sleep(300)
+      }
+      val ws = windows.toArray(Array.empty[(String, Long, Long)]).toSeq
+      assert(ws.map(_._1).distinct.size >= 2, s"jobs from >=2 tables expected, got $ws")
+      val concurrent = ws.exists { case (g1, s1, e1) =>
+        ws.exists { case (g2, s2, e2) => g1 != g2 && s1 < e2 && s2 < e1 }
+      }
+      assert(concurrent,
+        s"expected overlapping job windows from different tables, got $ws")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("identical tables validate clean") {
     val users = CdcOperator.snapshot(spark, cfg).find(_.table == "users").get.state
     val report = CdcOperator.validate(users, users, Seq("id"), "users")
