@@ -16,6 +16,8 @@ object VectorEntries {
   val TauBp = 9500L
   val K = 10
   val NProbe = 3
+  val TrainK = 8
+  val TrainIters = 2
 
   /** embeddings ∪ exact duplicates of every 10th vector (+100000). */
   private def embDup(s: SparkSession, dir: String): DataFrame = {
@@ -71,6 +73,16 @@ object VectorEntries {
       val cents = Knn.centroidSums(e, "label", "embedding", Dims)
       Knn.ivfAssign(e, cents, "vec_id", "embedding", Dims)
     }),
+
+    // E7f: iterative IVF training — Lloyd rounds from a deterministic
+    // hash init, exact integer centroid sums every round; the DuckDB
+    // oracle mirrors the SAME fixed rounds, so the trained quantizer is
+    // engine-reproducible (early convergence stop provably equals
+    // running out the rounds — Lloyd fixed point)
+    "emb_ivf_train" -> ((s, dir) =>
+      Knn.ivfTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
+        TrainK, TrainIters, Dims)
+        .withColumnRenamed("group", "cluster")),
 
     // E7d: IVF search — queries probe their nprobe nearest centroids and
     // score only those clusters' vectors (the search half of the index)
@@ -159,6 +171,36 @@ object VectorEntries {
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, label ASC) AS rk
          |  FROM d)
          |WHERE rk = 1""".stripMargin
+    },
+
+    "emb_ivf_train" -> {
+      val sums = (0 until Dims).map(i => s"CAST(sum(q[${i + 1}]) AS BIGINT) AS s_$i").mkString(", ")
+      def distOf(c: String) = (0 until Dims)
+        .map(i => s"power($c.n * v.q[${i + 1}] - $c.s_$i, 2)").mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, $q AS q FROM embeddings),
+         |a0 AS (SELECT vec_id,
+         |         ${graft.text.PortableHash.duckH32("CAST(vec_id AS VARCHAR)")} % $TrainK AS g
+         |       FROM v),
+         |c1 AS (SELECT g, CAST(count(*) AS BIGINT) AS n, $sums
+         |       FROM v JOIN a0 USING (vec_id) GROUP BY g),
+         |d1 AS (SELECT v.vec_id, c1.g,
+         |         (${distOf("c1")}) / CAST(c1.n * c1.n AS DOUBLE) AS dist
+         |       FROM v CROSS JOIN c1),
+         |a1 AS (SELECT vec_id, g FROM (
+         |  SELECT vec_id, g,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, g ASC) AS rk
+         |  FROM d1) WHERE rk = 1),
+         |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS n, $sums
+         |       FROM v JOIN a1 USING (vec_id) GROUP BY g),
+         |d2 AS (SELECT v.vec_id, c2.g,
+         |         (${distOf("c2")}) / CAST(c2.n * c2.n AS DOUBLE) AS dist
+         |       FROM v CROSS JOIN c2),
+         |a2 AS (SELECT vec_id, g FROM (
+         |  SELECT vec_id, g,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, g ASC) AS rk
+         |  FROM d2) WHERE rk = 1)
+         |SELECT g AS cluster, CAST(count(*) AS BIGINT) AS n, $sums
+         |FROM v JOIN a2 USING (vec_id) GROUP BY g""".stripMargin
     },
 
     "knn_ivf" -> {

@@ -94,6 +94,69 @@ object Knn {
         (0 until dims).map(i => sum(element_at(col("__q"), i + 1)).as(s"s_$i")): _*)
   }
 
+  /** Iterative IVF coarse-quantizer training — Lloyd's algorithm in the
+    * same exact integer arithmetic as [[centroidSums]]/[[ivfAssign]],
+    * so every round (and therefore the trained index) is
+    * engine-reproducible. Init is a deterministic portable hash of the
+    * vector id into k clusters; each round recomputes centroid SUMS from
+    * the current assignment (map-side-combined aggregation, K rows) and
+    * reassigns by broadcast argmin — per round: one aggregation + one
+    * scan, no corpus shuffle beyond the sums.
+    *
+    * Runs `iters` reassignment rounds with early convergence detection
+    * (one isEmpty job per round, like connectedComponents): when no
+    * vector changed cluster the algorithm is at a Lloyd fixed point, so
+    * stopping early provably equals running the remaining rounds — which
+    * is why the fixed-round oracle stays exact. Assignments
+    * localCheckpoint per round to truncate lineage (swap `checkpoint`
+    * on a cluster for durability). Output matches [[centroidSums]]:
+    * group, n, s_0..s_{dims-1} — drop-in for [[ivfSearch]] /
+    * [[ivfWriteIndex]]. */
+  def ivfTrain(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, dims: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val p = prepared(corpus, idCol, vecCol).select(col("vid"), col("qv")).localCheckpoint()
+    var assign = p.select(col("vid"),
+      pmod(graft.text.PortableHash.h32(col("vid").cast("string")), lit(k.toLong))
+        .as("group"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      val next = nearestCentroids(p, sumsOfAssign(p, assign, dims), dims, keep = 1)
+        .select(col("vid"), col("group")).localCheckpoint()
+      converged = next
+        .join(assign.withColumnRenamed("group", "__old"), "vid")
+        .filter(col("group") =!= col("__old")).isEmpty
+      assign = next
+      it += 1
+    }
+    sumsOfAssign(p, assign, dims)
+  }
+
+  /** Centroid sums of an explicit (vid, group) assignment over a
+    * prepared (vid, qv) corpus. */
+  private def sumsOfAssign(p: DataFrame, assign: DataFrame, dims: Int): DataFrame =
+    p.join(assign, "vid")
+      .groupBy("group")
+      .agg(count(lit(1)).as("n"),
+        (0 until dims).map(i => sum(element_at(col("qv"), i + 1)).as(s"s_$i")): _*)
+
+  /** Lloyd objective of a centroid set over a corpus: Σ_v min_c of the
+    * scaled squared distance (exact |v − S_c/n_c|²·n_c²/n_c² rationals
+    * evaluated in double only for the final sum). Monotonically
+    * non-increasing over [[ivfTrain]] rounds — the training-progress
+    * measure a test can pin without relying on recall luck. */
+  def ivfObjective(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, dims: Int): Double =
+    prepared(corpus, idCol, vecCol).select(col("vid"), col("qv"))
+      .crossJoin(broadcast(centroids)).withColumn("__d", scaledDist2(dims))
+      .groupBy("vid").agg(min(col("__d")).as("__dm"))
+      .agg(sum(col("__dm"))).head().getDouble(0)
+
   /** Scaled squared distance to a centroid given as (n, s_0..s_{dims-1})
     * sums: argmin over centroids c of |v - S_c/n_c|² equals argmin of
     * |n_c·v - S_c|² / n_c², computed entirely in int64 — no float

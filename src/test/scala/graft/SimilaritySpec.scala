@@ -50,6 +50,43 @@ class SimilaritySpec extends SparkSpecBase {
     assert(full == brute)
   }
 
+  test("E7f: ivfTrain objective is monotone over rounds and beats the init; recall holds") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val k = 8
+    // Lloyd guarantee: the objective (sum of min scaled distances) is
+    // non-increasing round over round — pinned across 0..3 rounds
+    val objs = (0 to 3).map { t =>
+      Knn.ivfObjective(e,
+        Knn.ivfTrain(e, "vec_id", "embedding", k, t, 64),
+        "vec_id", "embedding", 64)
+    }
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, s"objective must not increase: $objs")
+    }
+    assert(objs.last < objs.head, s"training must improve on the hash init: $objs")
+    // serving quality with the TRAINED quantizer, against brute-force
+    // ground truth. Recall at a FIXED nprobe is not theoretically
+    // monotone in training rounds (tighter clusters can concentrate a
+    // query's neighbors differently), so the pinned invariants are the
+    // ones Lloyd/IVF actually guarantee: recall is monotone in nprobe,
+    // and probing every cluster recovers brute force exactly.
+    val qs = e.filter(col("vec_id") < 5)
+    val truth = Knn.bruteForce(e, qs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val trained = Knn.ivfTrain(e, "vec_id", "embedding", k, 2, 64)
+    def recall(nprobe: Int): Double = {
+      val got = Knn.ivfSearch(e, trained, qs, "vec_id", "embedding", 10, 64, nprobe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val r1 = recall(1)
+    val r3 = recall(3)
+    assert(r3 >= r1 - 1e-9, s"recall must be monotone in nprobe: $r1 -> $r3")
+    assert(r3 > 0.0, "trained IVF must recover some true neighbors")
+    val nClusters = trained.count().toInt
+    assert(recall(nClusters) == 1.0, "probing every trained cluster must equal brute force")
+  }
+
   test("E7e: persisted IVF index serves identical results and prunes to probed clusters") {
     val dir = sf("sf0.001")
     val e = Tables.embeddings(spark, dir)
