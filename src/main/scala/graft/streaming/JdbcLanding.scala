@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.pg.JdbcSink
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming CDC → JDBC landing: [[CdcStream.latestStateRows]] composed
+  * onto [[graft.pg.JdbcSink]] through `foreachBatch`, the continuous twin
+  * of the reference's batch snapshot-then-land loop
+  * (/root/reference/src/cdc/cdc_operator.rs snapshot →
+  * postgres_operator_impl.rs:300-404 upserts).
+  *
+  * Delivery semantics: Structured Streaming's `foreachBatch` is
+  * at-least-once — a restart between the sink write and the checkpoint
+  * commit replays the last microbatch. Landing is therefore made
+  * IDEMPOTENT BY PK: every non-delete winner lands as
+  * `INSERT ... ON CONFLICT (pk) DO UPDATE` (replaying it rewrites the
+  * same values instead of violating the constraint) and deletes of
+  * already-absent keys are no-ops. Since `latestStateRows` emits at most
+  * one winner per pk per microbatch and its state is checkpointed with
+  * the batch, replayed output is bitwise the original, so
+  * at-least-once + idempotence = the landed table always converges to
+  * the batch-replay answer — kill/restart-tested in StreamingSpec
+  * against a live (DuckDB) JDBC database.
+  */
+object JdbcLanding {
+
+  /** Land one microbatch of changefeed winners (full rows + `opCol`).
+    * Statement generation and execution are per partition
+    * (JdbcSink.applyCdc): no driver materialization, one connection per
+    * task, `batchSize`-grouped executeBatch round-trips. */
+  def landBatch(
+      batch: DataFrame, pk: Seq[String], opCol: String,
+      url: String, schemaName: String, table: String,
+      user: String, password: String, batchSize: Int = 10000,
+      maxConnections: Int = 0): Unit = {
+    val asOp = if (opCol == "Op") batch else batch.withColumnRenamed(opCol, "Op")
+    // idempotence: I and U both become the upsert arm — a replayed batch
+    // re-lands identical values; D stays a pk-delete (no-op when absent)
+    val idempotent = asOp.withColumn("Op",
+      when(upper(col("Op")).contains("D"), lit("D")).otherwise(lit("U")))
+    // maxConnections > 0 caps concurrent writer connections per batch
+    // (the reference's --max-connections; also required by single-writer
+    // embedded targets like the test's DuckDB)
+    val sized = if (maxConnections > 0) idempotent.coalesce(maxConnections) else idempotent
+    JdbcSink.applyCdc(sized, url, schemaName, table, pk,
+      user, password, batchSize)
+  }
+
+  /** Start the continuous landing: changefeed → LWW winners per pk
+    * ([[CdcStream.latestStateRows]] upstream) → idempotent JDBC upserts.
+    * `checkpoint` carries both the source offsets and the LWW state, so
+    * a restarted query resumes exactly where it died. */
+  def start(
+      winners: DataFrame, pk: Seq[String], opCol: String,
+      url: String, schemaName: String, table: String,
+      user: String, password: String,
+      checkpoint: String, batchSize: Int = 10000,
+      maxConnections: Int = 0): StreamingQuery =
+    winners.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        landBatch(b.toDF(), pk, opCol, url, schemaName, table,
+          user, password, batchSize, maxConnections)
+      }
+      .start()
+}

@@ -124,6 +124,77 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("A9+C6: streaming CDC lands in a live JDBC table, idempotent across kill/restart") {
+    // the full composition: readStream → latestStateRows (LWW winners)
+    // → JdbcLanding (idempotent ON CONFLICT upserts + pk deletes) into a
+    // LIVE embedded JDBC database, checkpointed, killed mid-pipeline,
+    // restarted. The landed TABLE (not a lake of appends) must equal the
+    // batch-replay oracle: no duplicate rows, no lost updates, stale
+    // replays suppressed by the recovered state.
+    assume(
+      try { Class.forName("org.duckdb.DuckDBDriver"); true }
+      catch { case _: Throwable => false },
+      "duckdb JDBC driver jar not present in offline cache")
+    import java.sql.DriverManager
+    val root = java.nio.file.Files.createTempDirectory("graft-jdbc-stream")
+    val (srcDir, ckpt) = (s"$root/src", s"$root/ckpt")
+    val url = s"jdbc:duckdb:$root/land.db"
+    def exec(statements: String*): Unit = {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try statements.foreach(st.execute) finally st.close()
+      } finally conn.close()
+    }
+    exec(
+      graft.pg.Ddl.createSchema("graft_stream"),
+      graft.pg.Ddl.createTable("graft_stream", "accounts",
+        scala.collection.immutable.ListMap(
+          "id" -> "bigint", "seq" -> "bigint", "name" -> "text", "amount" -> "double precision"),
+        Seq("id")))
+    val feed1 = Seq(
+      McChange(1, 5, "I", "one-v5", 1.0), McChange(2, 1, "I", "two-v1", 2.0),
+      McChange(3, 1, "I", "three-v1", 3.0))
+    val feed2 = Seq(
+      McChange(1, 3, "U", "one-stale", 9.9), McChange(2, 2, "U", "two-v2", 2.5),
+      McChange(4, 1, "I", "four-v1", 4.0), McChange(3, 2, "D", "-", 0.0))
+    def start() = {
+      val changes = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[McChange].schema)
+        .parquet(srcDir)
+      graft.streaming.JdbcLanding.start(
+        CdcStream.latestStateRows(changes, Seq("id"), "seq", "Op"),
+        Seq("id"), "Op", url, "graft_stream", "accounts", "", "",
+        ckpt, batchSize = 2, maxConnections = 1)
+    }
+    feed1.toDF().write.mode("append").parquet(srcDir)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // kill after phase 1
+    feed2.toDF().write.mode("append").parquet(srcDir)
+    val q2 = start() // resume from the same checkpoint
+    try q2.processAllAvailable() finally q2.stop()
+    val conn = DriverManager.getConnection(url)
+    val got =
+      try {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(
+            "SELECT id, name, amount FROM graft_stream.accounts ORDER BY id")
+          val buf = Seq.newBuilder[(Long, String, Double)]
+          while (rs.next()) buf += ((rs.getLong(1), rs.getString(2), rs.getDouble(3)))
+          buf.result()
+        } finally st.close()
+      } finally conn.close()
+    // batch-replay oracle over the concatenated feed (deletes applied)
+    val oracle = graft.cdc.CdcApply.latestState(
+        (feed1 ++ feed2).toDF(), Seq("id"), Seq(col("seq")))
+      .select($"id", $"name", $"amount")
+      .as[(Long, String, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == oracle, s"landed table $got != batch oracle $oracle")
+    assert(got.map(_._1) == Seq(1L, 2L, 4L), "delete must have removed key 3")
+    assert(got.head._2 == "one-v5", "stale replay overwrote a newer row")
+  }
+
   test("E2b-idx: continuous ingest screens each microbatch against the persisted index") {
     // the steady-state pipeline end to end: corpus indexed ONCE, then a
     // stream of incoming docs is near-dup-screened per microbatch via the
