@@ -255,6 +255,22 @@ object Knn {
       .select(col("vid"), col("qv"), col("self_dot"), col("group").as("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
+  /** Accept a batch of NEW vectors into a persisted [[ivfWriteIndex]]
+    * index without rebuilding it: the batch is assigned against the SAME
+    * centroids the index was built with and appended into the existing
+    * cluster directories — cost scales with the batch, and serving needs
+    * no delta logic at all because parquet partition dirs absorb the new
+    * files (DPP still prunes to probed clusters). The vector-family twin
+    * of the dedup index's append path; quantizer drift is the caller's
+    * compaction trigger: re-run [[ivfTrain]] + [[ivfWriteIndex]] when the
+    * appended mass shifts the data distribution. */
+  def ivfAppendIndex(
+      batch: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, dims: Int, path: String): Unit =
+    nearestCentroids(prepared(batch, idCol, vecCol), centroids, dims, keep = 1)
+      .select(col("vid"), col("qv"), col("self_dot"), col("group").as("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+
   /** Serve kNN from a persisted [[ivfWriteIndex]] index. The broadcast
     * probe join's cluster keys drive dynamic partition pruning on the
     * index scan, so only probed cluster directories are read. */

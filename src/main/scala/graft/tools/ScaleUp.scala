@@ -62,16 +62,22 @@ object ScaleUp {
       val s = shifted(d, k, "doc_id")
       if (k == 0) s
       else s.withColumn("text",
-        // per-copy token suffix: survives the [a-z0-9] normalization, so
+        // per-copy token suffix IN [a-z0-9] (base-36, so it survives the
+        // normalization for ANY copy count — a single letter would leave
+        // copies >26 sharing shingles and measure an artificial clique):
         // copy k's shingles are disjoint from copy j's
-        regexp_replace(col("text"), "(\\S+)", "$1" + ('a' + (k - 1)).toChar))
+        regexp_replace(col("text"), "(\\S+)", "$1" + Integer.toString(k, 36)))
     }
     write("embeddings") { (d, k) =>
       val s = shifted(d, k, "vec_id")
-      if (k == 0) s
+      // circular rotation by k mod dims (rotation 0 = verbatim copy —
+      // only reached when copies exceed the dimensionality); slice args
+      // must stay within the 64-dim array for any copy count
+      val r = k % 64
+      if (r == 0) s
       else s.withColumn("embedding",
-        concat(slice(col("embedding"), lit(k + 1), size(col("embedding")) - k),
-          slice(col("embedding"), lit(1), lit(k))))
+        concat(slice(col("embedding"), lit(r + 1), size(col("embedding")) - r),
+          slice(col("embedding"), lit(1), lit(r))))
     }
     spark.stop()
   }

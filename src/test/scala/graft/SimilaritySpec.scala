@@ -106,6 +106,26 @@ class SimilaritySpec extends SparkSpecBase {
       s"index scan should dynamically prune by cluster partition, got: $pf")
   }
 
+  test("E7e: ivfAppendIndex serves appended vectors identically to a full rebuild") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val base = e.filter(col("vec_id") % 7 =!= 0)
+    val batch = e.filter(col("vec_id") % 7 === 0)
+    val cents = Knn.centroidSums(e, "label", "embedding", 64)
+    val qs = e.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Knn.ivfWriteIndex(base, cents, "vec_id", "embedding", 64, idx)
+    Knn.ivfAppendIndex(batch, cents, "vec_id", "embedding", 64, idx)
+    val served = Knn.ivfSearchIndex(spark, idx, cents, qs, "vec_id", "embedding", 10, 64, 3)
+      .collect().map(_.toSeq).toSet
+    // oracle: the index rebuilt from scratch over the full corpus
+    val full = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString
+    Knn.ivfWriteIndex(e, cents, "vec_id", "embedding", 64, full)
+    val rebuilt = Knn.ivfSearchIndex(spark, full, cents, qs, "vec_id", "embedding", 10, 64, 3)
+      .collect().map(_.toSeq).toSet
+    assert(served == rebuilt, "appended index must answer like a full rebuild")
+    assert(served.nonEmpty)
+  }
+
   test("E6: brute-force kNN self-excluded, ranked, exactly k rows per query") {
     val dir = sf("sf0.001")
     val e = Tables.embeddings(spark, dir)
