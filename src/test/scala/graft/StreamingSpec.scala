@@ -235,6 +235,54 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("E2b-delta: continuous ingest ACCEPTS survivors into the index (screen → append loop)") {
+    // the closed steady-state loop a year-long ingest runs: every
+    // microbatch is screened against the index (base ∪ deltas), survivors
+    // land AND are appended to the delta — so a later batch duplicating an
+    // EARLIER BATCH's survivor is caught, not just duplicates of the
+    // original corpus. No rebuild anywhere.
+    import graft.dedup.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog end"),
+      (2L, "pack my box with five dozen liquor jugs done")).toDF("doc_id", "text")
+    Dedup.writeNgramIndex(corpus, "doc_id", "text", "graft_loop_idx", buckets = 4)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-loop").toString + "/out"
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestDoc]
+    val q = input.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dup = Dedup.incrementalNgramPairsIndexed(
+          spark, "graft_loop_idx", batch, "doc_id", "text", tauBp = 6000L)
+          .select(col("batch_id").as("doc_id")).distinct()
+        val survivors = batch.join(dup, Seq("doc_id"), "left_anti").cache()
+        if (!survivors.isEmpty) {
+          survivors.write.mode("append").parquet(outDir)
+          Dedup.appendToNgramIndex(survivors, "doc_id", "text", "graft_loop_idx")
+        }
+        survivors.unpersist()
+        ()
+      }
+      .start()
+    try {
+      input.addData(
+        IngestDoc(10L, "entirely original first wave sentence with distinct words"),
+        IngestDoc(11L, "the quick brown fox jumps over the lazy dog end")) // dup of corpus 1
+      q.processAllAvailable()
+      input.addData(
+        IngestDoc(12L, "entirely original first wave sentence with distinct words"), // dup of ACCEPTED 10
+        IngestDoc(13L, "second wave genuinely novel document nothing shared here"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+      assert(landed == Set(10L, 13L),
+        "12 duplicates batch-1 survivor 10 and must be dropped by the APPENDED index; " +
+          s"got $landed")
+    } finally {
+      q.stop()
+      Seq("postings", "sizes", "meta", "postings_delta", "sizes_delta")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS graft_loop_idx_$s"))
+    }
+  }
+
   test("E1s: firstSeen with a state TTL dedupes identically within the window") {
     import graft.streaming.StreamDedup
     import graft.streaming.StreamDedup.FpDoc
