@@ -75,16 +75,24 @@ object Bucketed {
   }
 
   /** Atomically-as-possible swap: rewrite `target` as the given frame via
-    * a temp table + catalog rename, so the (lazily evaluated) input may
-    * read `target` itself. The in-session catalog's RENAME moves the
-    * managed directory with the metadata; on a transactional metastore
-    * the same two steps are atomic. */
+    * a temp table + catalog renames, so the (lazily evaluated) input may
+    * read `target` itself. The old table is renamed ASIDE (not dropped)
+    * before the replacement takes its name, so no crash point loses data:
+    * a failure before the final rename leaves `<target>_rewrite_old` (and
+    * possibly `<target>_rewrite_tmp`) holding the two complete versions —
+    * recover by renaming one back. The in-session catalog's RENAME moves
+    * the managed directory with the metadata; a transactional metastore
+    * makes each step atomic. */
   def rewrite(df: DataFrame, target: String, buckets: Int, keys: Seq[String]): Unit = {
     val spark = df.sparkSession
     val tmp = s"${target}_rewrite_tmp"
-    overwrite(df, tmp, buckets, keys)
-    dropWithLocation(spark, target)
+    val old = s"${target}_rewrite_old"
+    overwrite(df, tmp, buckets, keys) // reads target while it still exists
+    dropWithLocation(spark, old) // clear debris from an earlier crash
+    if (spark.catalog.tableExists(target))
+      spark.sql(s"ALTER TABLE $target RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $target")
+    dropWithLocation(spark, old)
   }
 
   /** Overwrite a small unbucketed metadata table, same staleness handling. */

@@ -167,12 +167,17 @@ object Cli {
     if (!onlyDatadiff) {
       opts.get("target-parquet") match {
         case Some(out) =>
-          states.foreach { t =>
+          // per-table writes overlap on the bounded pool (independent
+          // output dirs; a sequential loop would idle the cluster between
+          // small tables); results print in table order
+          val landPar = opts.getOrElse("table-parallelism", "4").toInt
+          CdcOperator.parTables(states, landPar) { t =>
             t.state.write.mode("overwrite").parquet(s"$out/${t.table}")
             // count from the WRITTEN parquet (row-group metadata only) —
             // t.state.count() here would re-execute the whole replay plan
-            val rows = spark.read.parquet(s"$out/${t.table}").count()
-            println(s"[cli] snapshot ${t.table}: $rows rows -> $out/${t.table}")
+            t.table -> spark.read.parquet(s"$out/${t.table}").count()
+          }.foreach { case (table, rows) =>
+            println(s"[cli] snapshot $table: $rows rows -> $out/$table")
           }
         case None if targetPg.isEmpty =>
           states.foreach(t => println(s"[cli] snapshot ${t.table}: ${t.state.count()} rows"))

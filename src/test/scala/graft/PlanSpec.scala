@@ -147,6 +147,32 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("bucketed rewrite reads its own target, clears crash debris, keeps bucketing") {
+    import graft.sources.Bucketed
+    import spark.implicits._
+    try {
+      Bucketed.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "rw_t", 2, Seq("k"))
+      // debris from a hypothetical earlier crashed rewrite must not block
+      Bucketed.write(Seq((9L, "stale")).toDF("k", "v"), "rw_t_rewrite_old", 2, Seq("k"))
+      // the rewrite input READS the table being replaced (the compaction shape)
+      Bucketed.rewrite(
+        spark.table("rw_t").unionByName(Seq((3L, "c")).toDF("k", "v")),
+        "rw_t", 2, Seq("k"))
+      assert(spark.table("rw_t").as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+      assert(!spark.catalog.tableExists("rw_t_rewrite_tmp"))
+      assert(!spark.catalog.tableExists("rw_t_rewrite_old"))
+      // bucket metadata survived the rename: groupBy on the key is exchange-free
+      val agg = spark.table("rw_t").groupBy("k").count()
+      assert("\\(\\d+\\) Exchange".r
+        .findAllIn(agg.queryExecution.explainString(FormattedMode)).isEmpty,
+        "rewritten table lost its bucketing")
+    } finally {
+      Seq("rw_t", "rw_t_rewrite_tmp", "rw_t_rewrite_old")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("dedup_incremental_indexed: index read bucketed + exchange-free, no corpus text") {
     import graft.dedup.Dedup
     import org.apache.spark.sql.execution.FileSourceScanExec
