@@ -51,6 +51,15 @@ object ExtraEntries {
           count(lit(1)).as("n"))
     }),
 
+    // D10s: SAMPLED per-group quantile estimate — the scale path for
+    // D10: KMV-style bottom-k hash sample via the native top-k operator,
+    // deterministic and engine-reproducible, so even the ESTIMATE is
+    // oracle-checked bit-for-bit (DuckDB derives the identical sample)
+    "q_quantiles_sampled" -> ((s, dir) =>
+      graft.operators.SampledQuantiles.perGroup(
+        Tables.events(s, dir), "event_type", "event_id", "value", 256,
+        Seq(0.25 -> "p25_bp", 0.5 -> "p50_bp", 0.75 -> "p75_bp"))),
+
     // D9: referential-integrity audit — orphan counts per FK relation
     // (left-anti joins; parents broadcast when small)
     "ref_integrity" -> ((s, dir) => {
@@ -98,6 +107,19 @@ object ExtraEntries {
         |  CAST(floor(quantile_cont(value, 0.75) * 10000.0) AS BIGINT) AS p75_bp,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_quantiles_sampled" ->
+      s"""WITH h AS (SELECT event_type, event_id, value,
+         |  ${graft.text.PortableHash.duckH32("CAST(event_id AS VARCHAR)")} AS hh FROM events),
+         |r AS (SELECT event_type, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY hh ASC, event_id ASC) AS rk
+         |  FROM h)
+         |SELECT event_type,
+         |  CAST(floor(quantile_cont(value, 0.25) * 10000.0) AS BIGINT) AS p25_bp,
+         |  CAST(floor(quantile_cont(value, 0.5) * 10000.0) AS BIGINT) AS p50_bp,
+         |  CAST(floor(quantile_cont(value, 0.75) * 10000.0) AS BIGINT) AS p75_bp,
+         |  count(*) AS sample_n
+         |FROM r WHERE rk <= 256 GROUP BY event_type""".stripMargin,
 
     "ref_integrity" ->
       """SELECT 'orders->customer' AS relation, count(*) AS orphans

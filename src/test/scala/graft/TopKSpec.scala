@@ -123,6 +123,35 @@ class TopKSpec extends SparkSpecBase {
     }
   }
 
+  test("D10s: sampled quantiles are deterministic, bounded, and near the exact answer") {
+    import graft.operators.SampledQuantiles
+    val ev = graft.util.Tables.events(spark, sf("sf0.001"))
+    val est = SampledQuantiles.perGroup(
+      ev, "event_type", "event_id", "value", 256, Seq(0.5 -> "p50_bp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // deterministic: a second evaluation is bit-identical (hash sample,
+    // no RNG state)
+    val again = SampledQuantiles.perGroup(
+      ev, "event_type", "event_id", "value", 256, Seq(0.5 -> "p50_bp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(est == again)
+    // sample bounded by k; estimate within sampling tolerance of exact
+    val exact = ev.groupBy($"event_type")
+      .agg(floor(expr("percentile(value, 0.5)") * 10000.0).cast("long").as("p"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    est.foreach { case (g, (p50, sampleN)) =>
+      assert(sampleN <= 256)
+      val (exactP, n) = exact(g)
+      if (n <= 256) assert(p50 == exactP, s"group $g fits the sample: must be exact")
+      else {
+        // value is in [0,1]-ish basis points; 1/sqrt(256) ~ 6% of range
+        assert(math.abs(p50 - exactP) <= 2000,
+          s"group $g estimate $p50 too far from exact $exactP")
+      }
+    }
+  }
+
   test("D3n: works through spark.sql extensions registration too") {
     // the SparkSpecBase session registers GraftExtensions: the strategy
     // is present even before TopK.perGroup's defensive ensureStrategy
