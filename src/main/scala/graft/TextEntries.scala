@@ -163,6 +163,26 @@ object TextEntries {
         .select(col("id").as("doc_id"), col("comp").as("component_id"))
     }),
 
+    // E2d-inc: INCREMENTAL clustering — labels for the old docs come from
+    // a prior components run; the new docs' pairs merge into them via the
+    // star summary (≤1 edge per old node, never the historical pair set).
+    // Final labels must equal the full recompute — the oracle IS
+    // dedup_components' transitive closure over all pairs.
+    "dedup_components_incremental" -> ((s, dir) => {
+      val docs = docsNear(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Tau)
+        .select("id_a", "id_b")
+      def isNew(c: org.apache.spark.sql.Column) = c % 5 === 3
+      val labels0 = Dedup.connectedComponents(
+        pairs.filter(!isNew(col("id_a")) && !isNew(col("id_b"))),
+        docs.filter(!isNew(col("doc_id"))).select(col("doc_id").as("id")))
+      Dedup.incrementalComponents(
+        labels0,
+        pairs.filter(isNew(col("id_a")) || isNew(col("id_b"))),
+        docs.filter(isNew(col("doc_id"))).select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp").as("component_id"))
+    }),
+
     // E2b: incremental dedup — the near-dup variants as the incoming batch
     // screened against the original corpus (cross-side pairs only)
     "dedup_incremental" -> ((s, dir) => {
@@ -410,6 +430,20 @@ object TextEntries {
     // undirected transitive closure of the near-dup pairs: min reachable
     // id per doc == the converged min-label propagation
     "dedup_components" ->
+      s"""WITH RECURSIVE e0 AS (SELECT id_a, id_b FROM ($dedupNgramSql)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+         |          UNION SELECT id_b, id_a FROM e0),
+         |nodes AS (SELECT doc_id AS id FROM ($docsNearSql)),
+         |reach(id, anc) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, CAST(min(anc) AS BIGINT) AS component_id
+         |FROM reach GROUP BY id""".stripMargin,
+
+    // the incremental merge must land exactly where a full recompute
+    // lands — same closure, same oracle text as dedup_components
+    "dedup_components_incremental" ->
       s"""WITH RECURSIVE e0 AS (SELECT id_a, id_b FROM ($dedupNgramSql)),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
          |          UNION SELECT id_b, id_a FROM e0),

@@ -692,6 +692,36 @@ object Dedup {
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
+  /** Incremental connected components — the labeling twin of the
+    * append-only index path: after a screened batch is ACCEPTED, its
+    * dup pairs (batch↔corpus and batch↔batch) must merge into the
+    * existing component labeling without recomputing over the full
+    * historical pair set. The existing labels ARE a star decomposition
+    * (id → component min), and stars preserve connectivity exactly —
+    * so components of (label stars ∪ new pairs) equal components of
+    * (all old pairs ∪ new pairs), while the old side shrinks from
+    * |historical pairs| edges to ≤ 1 edge per node. The star edges are
+    * also already near-converged: untouched components pass the
+    * large-star/small-star rounds unchanged, so round count is driven
+    * by the NEW pairs' structure, not corpus history.
+    *
+    * `labels`: (id, comp) from a previous [[connectedComponents]] (or
+    * this function). `newPairs`: (id_a, id_b). `newIds`: ids of the
+    * accepted batch (isolated new docs must still get a label row).
+    * Output: (id, comp) for every old + new id — equal to a full
+    * recompute, which is exactly what the oracle checks. */
+  def incrementalComponents(
+      labels: DataFrame, newPairs: DataFrame, newIds: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val starEdges = labels
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("id_a"), col("comp").as("id_b"))
+    connectedComponents(
+      starEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))),
+      labels.select(col("id")).unionByName(newIds.select(col("id"))),
+      maxIter)
+  }
+
   /** Segment-level dedup with reassembly — the span-granular op between
     * whole-doc exact dedup and pair-based near-dup: split every doc into
     * fixed `segTokens`-token segments, keep only the FIRST occurrence of

@@ -344,6 +344,26 @@ class TextDedupSpec extends SparkSpecBase {
     check((0L until 49L).map(i => (i, i + 1)), 50)
   }
 
+  test("E2d-inc: incremental components equal a full recompute, including cross-component merges") {
+    // old graph: {1-2} {3-4} {5} → labels; new batch doc 10 bridges the
+    // two existing COMPONENTS (1-2 and 3-4 must merge through it), doc 11
+    // attaches to 5, doc 12 is isolated
+    val oldPairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val oldIds = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val labels0 = Dedup.connectedComponents(oldPairs, oldIds)
+    val newPairs = Seq((10L, 2L), (10L, 4L), (11L, 5L)).toDF("id_a", "id_b")
+    val newIds = Seq(10L, 11L, 12L).toDF("id")
+    val inc = Dedup.incrementalComponents(labels0, newPairs, newIds)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.connectedComponents(
+      oldPairs.unionByName(newPairs), oldIds.unionByName(newIds))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full)
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 1L,
+      5L -> 5L, 11L -> 5L, 12L -> 12L),
+      "doc 10 must merge components {1,2} and {3,4} into one")
+  }
+
   test("E15: decontamination flags shingle overlap with the benchmark, zero rows kept") {
     import graft.dedup.Decontaminate
     val corpus = Seq(
