@@ -249,17 +249,32 @@ class StreamingSpec extends SparkSpecBase {
     val outDir = java.nio.file.Files.createTempDirectory("graft-loop").toString + "/out"
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[IngestDoc]
+    // cluster labels maintained INCREMENTALLY batch over batch (star
+    // summary, never the historical pair set) — must end equal to one
+    // batch components run over every pair the loop observed
+    var labels = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+      corpus.select(col("doc_id").as("id")))
+    val seenPairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val seenIds = scala.collection.mutable.ArrayBuffer.empty[Long]
     val q = input.toDF().writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val dup = Dedup.incrementalNgramPairsIndexed(
+        val pairs = Dedup.incrementalNgramPairsIndexed(
           spark, "graft_loop_idx", batch, "doc_id", "text", tauBp = 6000L)
-          .select(col("batch_id").as("doc_id")).distinct()
+          .select(col("batch_id"), col("corpus_id")).cache()
+        val dup = pairs.select(col("batch_id").as("doc_id")).distinct()
         val survivors = batch.join(dup, Seq("doc_id"), "left_anti").cache()
         if (!survivors.isEmpty) {
           survivors.write.mode("append").parquet(outDir)
           Dedup.appendToNgramIndex(survivors, "doc_id", "text", "graft_loop_idx")
         }
-        survivors.unpersist()
+        labels = Dedup.incrementalComponents(
+          labels,
+          pairs.select(col("batch_id").as("id_a"), col("corpus_id").as("id_b")),
+          batch.select(col("doc_id").as("id")))
+        seenPairs ++= pairs.as[(Long, Long)].collect()
+        seenIds ++= batch.select(col("doc_id")).as[Long].collect()
+        pairs.unpersist(); survivors.unpersist()
         ()
       }
       .start()
@@ -276,6 +291,19 @@ class StreamingSpec extends SparkSpecBase {
       assert(landed == Set(10L, 13L),
         "12 duplicates batch-1 survivor 10 and must be dropped by the APPENDED index; " +
           s"got $landed")
+      // incremental labels equal one batch components run over every
+      // observed pair — and the cross-batch dup chain 10–12 merged
+      val incLabels = labels.as[(Long, Long)].collect().toMap
+      val batchLabels = Dedup.connectedComponents(
+        seenPairs.toSeq.toDF("id_a", "id_b"),
+        (corpus.select(col("doc_id").as("id")))
+          .unionByName(seenIds.toSeq.toDF("id")))
+        .as[(Long, Long)].collect().toMap
+      assert(incLabels == batchLabels)
+      assert(incLabels(12L) == incLabels(10L),
+        "batch-2 dup must share batch-1 survivor's cluster")
+      assert(incLabels(11L) == incLabels(1L),
+        "corpus dup must share the corpus doc's cluster")
     } finally {
       q.stop()
       Seq("postings", "sizes", "meta", "postings_delta", "sizes_delta")
