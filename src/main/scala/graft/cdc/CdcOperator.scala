@@ -180,9 +180,14 @@ object CdcOperator {
 
   /** Bounded-pool map preserving input order; parallelism 1 (or a single
     * item) degrades to a plain sequential map with no pool. Failures
-    * propagate — a failed table fails the batch, matching the sequential
-    * loop's behavior. Spark contexts are thread-safe for concurrent job
-    * submission; job-group/description properties are thread-local. */
+    * propagate, and on failure the pool is shut down HARD (shutdownNow):
+    * queued not-yet-started tables are cancelled so a caller reasoning
+    * "failure ⇒ later tables untouched" stays approximately right —
+    * up to `parallelism` tables that were already in flight may still
+    * complete their side effects, which a sequential loop cannot exhibit;
+    * callers needing strict prefix semantics should pass parallelism=1.
+    * Spark contexts are thread-safe for concurrent job submission;
+    * job-group/description properties are thread-local. */
   private[graft] def parTables[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     if (parallelism == 1 || items.sizeIs <= 1) items.map(f)
@@ -196,6 +201,8 @@ object CdcOperator {
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(fs),
           scala.concurrent.duration.Duration.Inf)
+      } catch {
+        case t: Throwable => pool.shutdownNow(); throw t
       } finally pool.shutdown()
     }
   }

@@ -448,8 +448,13 @@ object Dedup {
       spark.table(s"${name}_postings")
         .groupBy("__id").agg(count(lit(1)).as("__n")),
       s"${name}_sizes", buckets, Seq("__id"))
-    // a fresh build invalidates any delta from a previous corpus
-    Seq(s"${name}_postings_delta", s"${name}_sizes_delta", s"${name}_minhash_delta")
+    // a fresh build invalidates EVERYTHING derived from the previous
+    // corpus: the append deltas AND the base MinHash layer — a stale
+    // banded-bucket table would pass its own meta guard and silently
+    // serve candidates from the old corpus (docs only in the new corpus
+    // could never surface). Re-layer with writeMinhashIndex after.
+    Seq(s"${name}_postings_delta", s"${name}_sizes_delta", s"${name}_minhash_delta",
+        s"${name}_minhash", s"${name}_minhash_meta")
       .foreach(graft.sources.Bucketed.dropWithLocation(spark, _))
     // build parameters persisted beside the data: serve paths REFUSE an
     // index built with different parameters instead of silently joining
@@ -495,11 +500,19 @@ object Dedup {
           "(e.g. " + clash.take(3).map(_.get(0)).mkString(", ") +
           ") — appending would double their size rows; dedupe ids or rebuild")
     }
-    graft.sources.Bucketed.append(
-      bPost, s"${name}_postings_delta", buckets, Seq("__sh"))
+    // the three delta appends are not one atomic commit. SIZES LAND
+    // FIRST deliberately: the id-freshness guard scans the sizes legs, so
+    // after a crash anywhere past this first write, a RETRY of the same
+    // batch is refused loudly instead of double-appending postings
+    // (double postings inflate common counts and fabricate duplicates —
+    // silent corruption; a partially-appended batch only under-recalls
+    // until repaired). Repair = drop the *_delta tables and re-append
+    // the delta batches, or compact-after-verify.
     graft.sources.Bucketed.append(
       bPost.groupBy("__id").agg(count(lit(1)).as("__n")),
       s"${name}_sizes_delta", buckets, Seq("__id"))
+    graft.sources.Bucketed.append(
+      bPost, s"${name}_postings_delta", buckets, Seq("__sh"))
     if (spark.catalog.tableExists(s"${name}_minhash_meta")) {
       val mh = spark.table(s"${name}_minhash_meta").head()
       graft.sources.Bucketed.append(

@@ -45,7 +45,7 @@ object SampledQuantiles {
     val sampled = TopK.perGroup(
       hashed, Seq(groupCol), Seq(col("__h").asc, col(idCol).asc), k, rankCol = "__rk")
     def pbp(q: Double, name: String): Column =
-      floor(expr(s"percentile($valueCol, $q)") * 10000.0).cast("long").as(name)
+      floor(expr(s"percentile(`$valueCol`, $q)") * 10000.0).cast("long").as(name)
     sampled.groupBy(col(groupCol)).agg(
       pbp(quantiles.head._1, quantiles.head._2),
       quantiles.tail.map { case (q, n) => pbp(q, n) } :+

@@ -49,14 +49,17 @@ object SqlWriter {
     import spark.implicits._
     df.mapPartitions { rows =>
       rows.map { r =>
-        val op = Option(r.get(opIdx)).map(_.toString).getOrElse("")
-        if (op.contains("D"))
+        // classify on the FIRST letter: DMS writes single letters, but a
+        // word-form feed ("UPDATE") must not match a contains("D") test
+        // and become a delete
+        val op = Option(r.get(opIdx)).map(_.toString.trim.toUpperCase).getOrElse("")
+        if (op.startsWith("D"))
           Ddl.deleteRows(schema, table, primaryKeys,
             pkIdx.map(i => ValueRenderer.render(r.get(i))))
         else
           Ddl.upsert(schema, table, dataCols,
             dataIdx.map(i => ValueRenderer.render(r.get(i))),
-            primaryKeys, isUpdate = op.contains("U"))
+            primaryKeys, isUpdate = op.startsWith("U"))
       }
     }
   }

@@ -127,6 +127,7 @@ case class TopKPerGroupExec(
       val heaps = scala.collection.mutable.HashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
       var heldBytes = 0L
+      var heldPeak = 0L // running high-water mark: evictions can SHRINK heldBytes
       var fellBack = false
       while (!fellBack && iter.hasNext) {
         val row = iter.next()
@@ -156,9 +157,10 @@ case class TopKPerGroupExec(
             h += kept
             heaps.put(keyCopy, h)
         }
+        if (heldBytes > heldPeak) heldPeak = heldBytes
         if (heldBytes > maxHeapBytes) fellBack = true
       }
-      peakHeapBytes.set(math.max(peakHeapBytes.value, heldBytes))
+      peakHeapBytes.set(math.max(peakHeapBytes.value, heldPeak))
 
       val joined = new JoinedRow
       val rankHolder = new GenericInternalRow(1)

@@ -266,10 +266,27 @@ object Knn {
     * appended mass shifts the data distribution. */
   def ivfAppendIndex(
       batch: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, dims: Int, path: String): Unit =
+      idCol: String, vecCol: String, dims: Int, path: String,
+      checkIds: Boolean = true): Unit = {
+    if (checkIds) {
+      // a re-appended batch (retry, overlapping feeds) would duplicate
+      // vectors silently — each copy then competes in top-k and displaces
+      // a true neighbor. One column-pruned scan of the index's id column;
+      // disable only when the caller guarantees id freshness.
+      val spark = batch.sparkSession
+      val existing = spark.read.parquet(path).select(col("vid"))
+      val clash = prepared(batch, idCol, vecCol).select("vid")
+        .join(existing, Seq("vid"), "left_semi")
+      require(clash.isEmpty,
+        "ivfAppendIndex: batch vector ids already present in the index (e.g. " +
+          clash.take(3).map(_.get(0)).mkString(", ") +
+          ") — appending would duplicate them in every probed top-k; " +
+          "dedupe ids or rebuild with ivfWriteIndex")
+    }
     nearestCentroids(prepared(batch, idCol, vecCol), centroids, dims, keep = 1)
       .select(col("vid"), col("qv"), col("self_dot"), col("group").as("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(path)
+  }
 
   /** Serve kNN from a persisted [[ivfWriteIndex]] index. The broadcast
     * probe join's cluster keys drive dynamic partition pruning on the

@@ -37,9 +37,12 @@ object JdbcLanding {
       maxConnections: Int = 0): Unit = {
     val asOp = if (opCol == "Op") batch else batch.withColumnRenamed(opCol, "Op")
     // idempotence: I and U both become the upsert arm — a replayed batch
-    // re-lands identical values; D stays a pk-delete (no-op when absent)
+    // re-lands identical values; D stays a pk-delete (no-op when absent).
+    // Delete detection keys on the FIRST letter so word-form feeds
+    // classify correctly ("DELETE" → D, "UPDATE" → U — a contains("D")
+    // test would turn every update into a delete)
     val idempotent = asOp.withColumn("Op",
-      when(upper(col("Op")).contains("D"), lit("D")).otherwise(lit("U")))
+      when(upper(substring(col("Op"), 1, 1)) === "D", lit("D")).otherwise(lit("U")))
     // maxConnections > 0 caps concurrent writer connections per batch
     // (the reference's --max-connections; also required by single-writer
     // embedded targets like the test's DuckDB)

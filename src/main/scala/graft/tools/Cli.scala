@@ -89,6 +89,10 @@ object Cli {
     val maxConnections = opts.getOrElse("max-connections", "100").toIntOption.getOrElse {
       System.err.println("--max-connections must be an integer"); sys.exit(2); 0
     }
+    val tableParallelism = opts.getOrElse("table-parallelism", "4").toIntOption
+      .filter(_ >= 1).getOrElse {
+        System.err.println("--table-parallelism must be an integer >= 1"); sys.exit(2); 0
+      }
     val sourcePg = opts.get("source-postgres-url").map(PgConfig(_, schemaName,
       maxConnections, opts.contains("accept-invalid-certs-first-db")))
     val targetPg = opts.get("target-postgres-url").map(PgConfig(_, schemaName,
@@ -170,8 +174,7 @@ object Cli {
           // per-table writes overlap on the bounded pool (independent
           // output dirs; a sequential loop would idle the cluster between
           // small tables); results print in table order
-          val landPar = opts.getOrElse("table-parallelism", "4").toInt
-          CdcOperator.parTables(states, landPar) { t =>
+          CdcOperator.parTables(states, tableParallelism) { t =>
             t.state.write.mode("overwrite").parquet(s"$out/${t.table}")
             // count from the WRITTEN parquet (row-group metadata only) —
             // t.state.count() here would re-execute the whole replay plan
@@ -231,8 +234,7 @@ object Cli {
             .getOrElse(Seq(t.state.columns.head))
           CdcOperator.ValidateTask(t.state, target, pk, t.table)
         }
-        val parallelism = opts.getOrElse("table-parallelism", "4").toInt
-        CdcOperator.validateAll(tasks, vcfg, parallelism)
+        CdcOperator.validateAll(tasks, vcfg, tableParallelism)
           .zip(tasks).foreach { case (report, t) =>
             println(s"[cli] validate ${t.table}: $report")
           }

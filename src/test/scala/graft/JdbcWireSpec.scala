@@ -5,7 +5,7 @@ import java.sql.DriverManager
 
 import scala.collection.immutable.ListMap
 
-import graft.pg.{Ddl, JdbcSink, Reflect}
+import graft.pg.{Ddl, JdbcSink, Reflect, SqlWriter}
 import org.apache.spark.sql.functions._
 
 /** C6 JDBC wire-transport integration (reference:
@@ -126,6 +126,18 @@ class JdbcWireSpec extends SparkSpecBase {
           "WHERE table_schema='graft_wire' AND table_name='landed'").map(_.head)
       assert(cols.toSet == Set("id", "name"))
     }
+  }
+
+  test("C5: word-form ops classify by first letter — UPDATE must not become a delete") {
+    // a contains("D") test would turn "UPDATE" into DELETE-by-pk
+    val df = Seq(
+      (1L, "a", "INSERT"), (2L, "b", "UPDATE"), (3L, "c", "DELETE"), (4L, "d", "u"))
+      .toDF("id", "v", "Op").coalesce(1)
+    val stmts = SqlWriter.upsertStatements(df, "s", "t", Seq("id")).collect().toSeq
+    assert(stmts.count(_.startsWith("DELETE")) == 1, stmts.mkString("\n"))
+    assert(stmts.exists(s => s.contains("(2, 'b')") && s.contains("ON CONFLICT")))
+    assert(stmts.exists(s => s.contains("(4, 'd')") && s.contains("ON CONFLICT")))
+    assert(stmts.exists(s => s.contains("(1, 'a')") && !s.contains("ON CONFLICT")))
   }
 
   test("C6 wire: Reflect.tableColumns over a live JDBC QueryRunner") {

@@ -124,6 +124,12 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(served == rebuilt, "appended index must answer like a full rebuild")
     assert(served.nonEmpty)
+    // re-appending the same batch must refuse: duplicated vectors would
+    // compete in every probed top-k
+    val clash = intercept[IllegalArgumentException] {
+      Knn.ivfAppendIndex(batch, cents, "vec_id", "embedding", 64, idx)
+    }
+    assert(clash.getMessage.contains("already present"))
   }
 
   test("E6: brute-force kNN self-excluded, ranked, exactly k rows per query") {

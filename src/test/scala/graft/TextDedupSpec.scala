@@ -159,6 +159,18 @@ class TextDedupSpec extends SparkSpecBase {
         .select($"batch_id", $"corpus_id", $"jaccard_bp")
         .as[(Long, Long, Long)].collect().toSet
       assert(mhAfter == servedMh, "compaction must not change minhash answers")
+      // REBUILD invalidation: a fresh writeNgramIndex must take the old
+      // MinHash layer down with it — a stale banded-bucket table would
+      // pass its own meta guard and silently serve candidates from the
+      // old corpus
+      Dedup.writeNgramIndex(corpus0, "doc_id", "text", "graft_dl_t", buckets = 4)
+      Seq("minhash", "minhash_meta").foreach(s =>
+        assert(!spark.catalog.tableExists(s"graft_dl_t_$s"),
+          s"$s must not survive a corpus rebuild"))
+      val noLayer = intercept[IllegalArgumentException] {
+        Dedup.minhashLshPairsIndexed(spark, "graft_dl_t", batch, "doc_id", "text", 9999)
+      }
+      assert(noLayer.getMessage.contains("not found"))
     } finally {
       Seq("postings", "sizes", "minhash", "meta", "minhash_meta",
         "postings_delta", "sizes_delta", "minhash_delta")
