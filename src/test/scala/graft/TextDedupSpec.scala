@@ -356,6 +356,34 @@ class TextDedupSpec extends SparkSpecBase {
     check((0L until 49L).map(i => (i, i + 1)), 50)
   }
 
+  test("E2d-inc: incremental equals full recompute on random edge splits (property)") {
+    // any partition of a random graph's edges into (old, new) must give
+    // the same labels whether merged incrementally through the star
+    // summary or computed in one shot — including multi-batch chains
+    val rnd = new scala.util.Random(98765)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val edges = Seq.fill(45)((rnd.nextLong(n), rnd.nextLong(n)))
+        .filter { case (a, b) => a != b }
+      val ids = (0L until n.toLong)
+      val cut = rnd.nextInt(edges.length + 1)
+      val (oldE, newE) = edges.splitAt(cut)
+      val oldIds = ids.filter(_ < n / 2)
+      val newIds = ids.filter(_ >= n / 2)
+      // note: old edges may touch "new" ids — connectedComponents conducts
+      // through endpoints absent from ids, so the split is safe
+      val labels0 = Dedup.connectedComponents(
+        oldE.toDF("id_a", "id_b"), oldIds.toDF("id"))
+      val inc = Dedup.incrementalComponents(
+        labels0, newE.toDF("id_a", "id_b"), newIds.toDF("id"))
+        .as[(Long, Long)].collect().toMap
+      val full = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), ids.toDF("id"))
+        .as[(Long, Long)].collect().toMap
+      assert(inc == full, s"trial $trial (cut=$cut): incremental diverged from full")
+    }
+  }
+
   test("E2d-inc: incremental components equal a full recompute, including cross-component merges") {
     // old graph: {1-2} {3-4} {5} → labels; new batch doc 10 bridges the
     // two existing COMPONENTS (1-2 and 3-4 must merge through it), doc 11
