@@ -638,8 +638,19 @@ object Dedup {
     * returned silently. Each round localCheckpoints to truncate lineage —
     * on a cluster, point `spark.checkpoint.dir` at durable storage and
     * swap in `checkpoint` for fault tolerance. */
+  /** Edge count up to which components run as a DRIVER union-find from a
+    * bounded collect: near-dup graphs are usually sparse relative to the
+    * corpus (pairs ≪ docs), and the star algorithm's per-round fixed
+    * cost (two windowed passes + checkpoint + convergence job) dwarfs
+    * the actual work on a small graph. Same adaptive shape as validate's
+    * interval merge: localized graphs cost ZERO iterative Spark stages,
+    * big graphs take the distributed path. 2²⁰ edges ≈ 16 MB collected —
+    * driver-safe. */
+  private val DriverCcEdgeLimit = 1 << 20
+
   def connectedComponents(
-      pairs: DataFrame, ids: DataFrame, maxIter: Int = 30): DataFrame = {
+      pairs: DataFrame, ids: DataFrame, maxIter: Int = 30,
+      driverEdgeLimit: Int = DriverCcEdgeLimit): DataFrame = {
     // canonical big→small orientation; pay the (possibly expensive) pair
     // plan ONCE
     var edges = pairs.select(
@@ -647,6 +658,38 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint()
+    // driver fast path: bounded collect + union-find (larger root under
+    // smaller, so every root IS its component min — label-identical to
+    // the star fixed point, property-tested against it). Long ids only
+    // (the library's doc-id type); anything else takes the generic
+    // distributed path.
+    val longKeys = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val smallSample =
+      if (longKeys) edges.limit(driverEdgeLimit + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (longKeys && smallSample.length <= driverEdgeLimit) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      smallSample.foreach { e =>
+        val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labels = parent.keys.toSeq.map(n => (n, find(n))).toDF("id", "comp")
+      return ids.select(col("id"))
+        .unionByName(labels.select(col("id")))
+        .distinct()
+        .join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    }
     val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
     var converged = edges.isEmpty
     var it = 0
@@ -725,14 +768,14 @@ object Dedup {
     * recompute, which is exactly what the oracle checks. */
   def incrementalComponents(
       labels: DataFrame, newPairs: DataFrame, newIds: DataFrame,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, driverEdgeLimit: Int = DriverCcEdgeLimit): DataFrame = {
     val starEdges = labels
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("id_a"), col("comp").as("id_b"))
     connectedComponents(
       starEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))),
       labels.select(col("id")).unionByName(newIds.select(col("id"))),
-      maxIter)
+      maxIter, driverEdgeLimit)
   }
 
   /** Segment-level dedup with reassembly — the span-granular op between

@@ -340,10 +340,17 @@ class TextDedupSpec extends SparkSpecBase {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
-      val got = Dedup.connectedComponents(
+      // BOTH execution paths must match: the driver union-find fast path
+      // (default limit) and the distributed star algorithm (limit 0)
+      val viaDriver = Dedup.connectedComponents(
         edges.toDF("id_a", "id_b"), (0L until n.toLong).toDF("id"))
         .as[(Long, Long)].collect().toMap
-      assert(got == expected, s"CC mismatch on $n nodes / ${edges.length} edges")
+      assert(viaDriver == expected, s"driver CC mismatch on $n nodes / ${edges.length} edges")
+      val viaStars = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), (0L until n.toLong).toDF("id"),
+        driverEdgeLimit = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(viaStars == expected, s"star CC mismatch on $n nodes / ${edges.length} edges")
     }
     // random graphs around the connectivity threshold (many mid-size comps)
     for (_ <- 1 to 2) {
@@ -372,15 +379,17 @@ class TextDedupSpec extends SparkSpecBase {
       val newIds = ids.filter(_ >= n / 2)
       // note: old edges may touch "new" ids — connectedComponents conducts
       // through endpoints absent from ids, so the split is safe
+      // alternate paths per trial: driver union-find and distributed stars
+      val lim = if (trial % 2 == 0) 0 else 1 << 20
       val labels0 = Dedup.connectedComponents(
-        oldE.toDF("id_a", "id_b"), oldIds.toDF("id"))
+        oldE.toDF("id_a", "id_b"), oldIds.toDF("id"), driverEdgeLimit = lim)
       val inc = Dedup.incrementalComponents(
-        labels0, newE.toDF("id_a", "id_b"), newIds.toDF("id"))
+        labels0, newE.toDF("id_a", "id_b"), newIds.toDF("id"), driverEdgeLimit = lim)
         .as[(Long, Long)].collect().toMap
       val full = Dedup.connectedComponents(
         edges.toDF("id_a", "id_b"), ids.toDF("id"))
         .as[(Long, Long)].collect().toMap
-      assert(inc == full, s"trial $trial (cut=$cut): incremental diverged from full")
+      assert(inc == full, s"trial $trial (cut=$cut, lim=$lim): incremental diverged from full")
     }
   }
 
