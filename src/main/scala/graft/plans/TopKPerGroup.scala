@@ -88,6 +88,18 @@ case class TopKPerGroupExec(
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 
+  // formatted explain shows what the operator keeps and in which order,
+  // like Window/SortAggregate do for their specs
+  override def verboseStringWithOperatorId(): String = {
+    val groups =
+      if (partitionExprs.isEmpty) "(global)" else partitionExprs.mkString(", ")
+    s"""$formattedNodeName
+       |Group keys: $groups
+       |Order: ${order.mkString(", ")}
+       |k: $k, rank column: ${rankAttr.name}
+       |""".stripMargin
+  }
+
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
     "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"),
