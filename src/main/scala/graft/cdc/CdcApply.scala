@@ -14,12 +14,13 @@ import org.apache.spark.sql.functions._
   * *last-writer-wins per primary key, with a trailing delete removing the
   * key*.
   *
-  * Spark-first re-expression: that is ONE window over ONE hash shuffle by
-  * pk — `row_number() over (partition by pk order by seq desc)`, keep the
-  * first row per key, drop keys whose last op is a delete. At 100 TB this
-  * is the minimum possible data movement (every row must meet its key's
-  * other rows once); AQE splits skewed pks. No per-row round trips, no
-  * driver loop, no `.collect()`.
+  * Spark-first re-expression: that is ONE map-side-combined aggregation
+  * over ONE hash shuffle by pk — `max_by(full row, ordering)` per key,
+  * then drop keys whose winning op is a delete. Because an aggregation
+  * combines before the exchange, the shuffle carries ~one candidate row
+  * per key per input partition (the keyspace), not the whole changefeed —
+  * and high-churn keys can't skew it. No per-row round trips, no driver
+  * loop, no `.collect()`.
   */
 object CdcApply {
 

@@ -273,7 +273,8 @@ object Dedup {
     // doc's bucket rows and postings must live in the SAME leg, or the
     // exact-verify probe misses) — so the base minhash may only be built
     // from the base postings; fold an outstanding delta first
-    require(!spark.catalog.tableExists(s"${name}_postings_delta"),
+    require(!spark.catalog.tableExists(s"${name}_postings_delta") &&
+        !spark.catalog.tableExists(s"${name}_postings_delta_folding"),
       s"index '$name' has an un-compacted append delta — run compactNgramIndex " +
         "before layering MinHash, so bucket rows and postings stay leg-aligned")
     graft.sources.Bucketed.overwrite(
@@ -342,7 +343,11 @@ object Dedup {
       spark: SparkSession, name: String): Seq[(DataFrame, DataFrame, DataFrame)] = {
     val base = (spark.table(s"${name}_minhash"),
       spark.table(s"${name}_postings"), spark.table(s"${name}_sizes"))
-    if (spark.catalog.tableExists(s"${name}_minhash_delta"))
+    // all three delta tables must exist (crashed append / mid-compaction
+    // states under-recall rather than fail — see ngramIndexLegs)
+    if (spark.catalog.tableExists(s"${name}_minhash_delta") &&
+        spark.catalog.tableExists(s"${name}_postings_delta") &&
+        spark.catalog.tableExists(s"${name}_sizes_delta"))
       Seq(base, (spark.table(s"${name}_minhash_delta"),
         spark.table(s"${name}_postings_delta"), spark.table(s"${name}_sizes_delta")))
     else Seq(base)
@@ -454,6 +459,8 @@ object Dedup {
     // serve candidates from the old corpus (docs only in the new corpus
     // could never surface). Re-layer with writeMinhashIndex after.
     Seq(s"${name}_postings_delta", s"${name}_sizes_delta", s"${name}_minhash_delta",
+        s"${name}_postings_delta_folding", s"${name}_sizes_delta_folding",
+        s"${name}_minhash_delta_folding",
         s"${name}_minhash", s"${name}_minhash_meta")
       .foreach(graft.sources.Bucketed.dropWithLocation(spark, _))
     // build parameters persisted beside the data: serve paths REFUSE an
@@ -492,7 +499,16 @@ object Dedup {
     val buckets = meta.getAs[Number]("buckets").intValue()
     val bPost = hashedPostings(batch, idCol, textCol, w).cache()
     if (checkIds) {
-      val existing = ngramIndexLegs(spark, name).map(_._2.select("__id")).reduce(_ unionByName _)
+      // the guard scans every SIZES surface that exists — base, delta, and
+      // a compaction's set-aside `_folding` table — each gated on ITS OWN
+      // existence, not the serve paths' postings_delta gate: sizes land
+      // first (below), so a crash between the sizes and postings writes
+      // leaves the batch ids visible HERE even on a first-ever append, and
+      // a mid-compaction crash can't hide already-accepted ids either
+      val existing = Seq(s"${name}_sizes", s"${name}_sizes_delta", s"${name}_sizes_delta_folding")
+        .filter(spark.catalog.tableExists)
+        .map(t => spark.table(t).select("__id"))
+        .reduce(_ unionByName _)
       val clash = bPost.select("__id").distinct()
         .join(existing, Seq("__id"), "left_semi")
       require(clash.isEmpty,
@@ -529,7 +545,22 @@ object Dedup {
     * dropped). Rewrites go through a temp table + catalog rename so the
     * union can read the base it replaces; cost is one pass over the
     * index — run it on a slow cadence (weekly against daily appends),
-    * not per batch. Serve results are identical before and after. */
+    * not per batch. Serve results are identical before and after.
+    *
+    * Crash safety: each delta is first renamed aside to
+    * `<table>_delta_folding` — ONE atomic catalog op that removes it from
+    * every serve path BEFORE any data moves — then folded into its base
+    * and dropped. A crash anywhere mid-compaction therefore UNDER-RECALLS
+    * (the set-aside docs are temporarily invisible to serves, like an
+    * in-flight append) but can never double-count: the corrupting state
+    * — one doc's rows served from base AND delta at once — is
+    * unreachable. The next compactNgramIndex call RESUMES: a leftover
+    * folding table is folded if its docs are absent from the base
+    * (probed by one id — folds are atomic table swaps and doc ids never
+    * span legs) or just dropped if the fold had already completed. The
+    * append guard keeps set-aside ids visible throughout
+    * (`_sizes_delta_folding` is in its scan), so id freshness holds
+    * across a crashed compaction too. */
   def compactNgramIndex(spark: SparkSession, name: String): Unit = {
     require(spark.catalog.tableExists(s"${name}_meta"),
       s"index '$name' not found — build it with writeNgramIndex first")
@@ -538,16 +569,42 @@ object Dedup {
       if (spark.catalog.tableExists(s"${name}_minhash_meta"))
         spark.table(s"${name}_minhash_meta").head().getAs[Number]("buckets").intValue()
       else buckets
-    Seq(
+    val legs = Seq(
+      (s"${name}_minhash", mhBuckets, Seq("bucket")),
       (s"${name}_postings", buckets, Seq("__sh")),
-      (s"${name}_sizes", buckets, Seq("__id")),
-      (s"${name}_minhash", mhBuckets, Seq("bucket"))).foreach { case (base, b, keys) =>
+      (s"${name}_sizes", buckets, Seq("__id")))
+    // resume any folding left by a crashed earlier compaction before
+    // touching this round's deltas (also frees the _folding names)
+    legs.foreach { case (base, b, keys) => resumeFold(spark, base, b, keys) }
+    // hide: retire each delta from the serve paths atomically. Order
+    // follows the serve gates — minhash_delta first (gates the minhash
+    // leg), then postings_delta (gates the ngram leg), sizes last; the
+    // legs helpers additionally require ALL their delta tables, so any
+    // intermediate state serves base-only instead of erroring
+    legs.foreach { case (base, _, _) =>
       val delta = s"${base}_delta"
-      if (spark.catalog.tableExists(delta)) {
+      if (spark.catalog.tableExists(delta))
+        spark.sql(s"ALTER TABLE $delta RENAME TO ${base}_delta_folding")
+    }
+    legs.foreach { case (base, b, keys) => resumeFold(spark, base, b, keys) }
+  }
+
+  /** Fold `<base>_delta_folding` into `base` when present. Whether the
+    * data move already happened (crash between a completed rewrite and
+    * the drop) is decided by probing one doc id: the fold is an atomic
+    * table swap and ids never span legs, so any folding id present in
+    * the base means only the drop remained. */
+  private def resumeFold(
+      spark: SparkSession, base: String, buckets: Int, keys: Seq[String]): Unit = {
+    val folding = s"${base}_delta_folding"
+    if (spark.catalog.tableExists(folding)) {
+      val probe = spark.table(folding).select(col("__id")).limit(1).collect()
+      val alreadyFolded = probe.headOption.exists(r =>
+        !spark.table(base).filter(col("__id") === lit(r.get(0))).limit(1).isEmpty)
+      if (probe.nonEmpty && !alreadyFolded)
         graft.sources.Bucketed.rewrite(
-          spark.table(base).unionByName(spark.table(delta)), base, b, keys)
-        graft.sources.Bucketed.dropWithLocation(spark, delta)
-      }
+          spark.table(base).unionByName(spark.table(folding)), base, buckets, keys)
+      graft.sources.Bucketed.dropWithLocation(spark, folding)
     }
   }
 
@@ -560,7 +617,11 @@ object Dedup {
   private def ngramIndexLegs(
       spark: SparkSession, name: String): Seq[(DataFrame, DataFrame)] = {
     val base = (spark.table(s"${name}_postings"), spark.table(s"${name}_sizes"))
-    if (spark.catalog.tableExists(s"${name}_postings_delta"))
+    // BOTH delta tables must exist before the leg serves: a crashed
+    // append or mid-compaction state (one of the pair written/renamed)
+    // then under-recalls instead of failing on a missing table
+    if (spark.catalog.tableExists(s"${name}_postings_delta") &&
+        spark.catalog.tableExists(s"${name}_sizes_delta"))
       Seq(base, (spark.table(s"${name}_postings_delta"), spark.table(s"${name}_sizes_delta")))
     else Seq(base)
   }
@@ -644,8 +705,10 @@ object Dedup {
     * cost (two windowed passes + checkpoint + convergence job) dwarfs
     * the actual work on a small graph. Same adaptive shape as validate's
     * interval merge: localized graphs cost ZERO iterative Spark stages,
-    * big graphs take the distributed path. 2²⁰ edges ≈ 16 MB collected —
-    * driver-safe. */
+    * big graphs take the distributed path. The collect is a typed
+    * Dataset of (Long, Long) pairs — 2²⁰ specialized tuples ≈ 50 MB of
+    * driver heap (not generic Rows, whose ~10× object overhead would
+    * make the old "16 MB" claim false) — safe at default driver memory. */
   private val DriverCcEdgeLimit = 1 << 20
 
   def connectedComponents(
@@ -665,9 +728,13 @@ object Dedup {
     // distributed path.
     val longKeys = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    val smallSample =
-      if (longKeys) edges.limit(driverEdgeLimit + 1).collect()
-      else Array.empty[org.apache.spark.sql.Row]
+    val sparkFp = pairs.sparkSession
+    import sparkFp.implicits._
+    val smallSample: Array[(Long, Long)] =
+      if (longKeys)
+        edges.select(col("src").as("_1"), col("dst").as("_2"))
+          .as[(Long, Long)].limit(driverEdgeLimit + 1).collect()
+      else Array.empty[(Long, Long)]
     if (longKeys && smallSample.length <= driverEdgeLimit) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -677,13 +744,18 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      smallSample.foreach { e =>
-        val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+      // track EVERY endpoint, not just merge losers: a component root
+      // never becomes a `parent` key, so labeling parent.keys alone would
+      // drop the output row for a root absent from `ids` — diverging from
+      // the distributed path, which emits ids ∪ src ∪ dst (the conduit
+      // contract below). Both adaptive paths must return the same row set.
+      val nodes = scala.collection.mutable.HashSet.empty[Long]
+      smallSample.foreach { case (a, b) =>
+        nodes += a; nodes += b
+        val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val labels = parent.keys.toSeq.map(n => (n, find(n))).toDF("id", "comp")
+      val labels = nodes.toSeq.map(n => (n, find(n))).toDF("id", "comp")
       return ids.select(col("id"))
         .unionByName(labels.select(col("id")))
         .distinct()

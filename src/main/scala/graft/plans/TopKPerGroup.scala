@@ -100,12 +100,17 @@ case class TopKPerGroupExec(
        |""".stripMargin
   }
 
+  // size metrics aggregate per-task values as "total (min, med, max)" in
+  // the SQL UI — each task reports its own peak ONCE (SortExec's "peak
+  // memory" convention), so the true cross-task peak is the displayed
+  // `max` stat; the names say "task peak" because the headline total is a
+  // SUM of per-task peaks, not a peak
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
     "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"),
-    "peakHeapBytes" -> SQLMetrics.createSizeMetric(sparkContext, "peak heap state"),
+    "peakHeapBytes" -> SQLMetrics.createSizeMetric(sparkContext, "task peak heap state"),
     "sortFallbackTasks" -> SQLMetrics.createMetric(sparkContext, "sort-fallback tasks"),
-    "sortPeakMemory" -> SQLMetrics.createSizeMetric(sparkContext, "fallback sort peak memory"))
+    "sortPeakMemory" -> SQLMetrics.createSizeMetric(sparkContext, "task fallback sort peak memory"))
 
   /** Conservative JVM overhead per live heap entry beyond the row bytes
     * (HashMap node + boxed key + PriorityQueue slot). */
@@ -172,7 +177,10 @@ case class TopKPerGroupExec(
         if (heldBytes > heldPeak) heldPeak = heldBytes
         if (heldBytes > maxHeapBytes) fellBack = true
       }
-      peakHeapBytes.set(math.max(peakHeapBytes.value, heldPeak))
+      // task-local copy starts at the init value; one set() = this task's
+      // peak. A max() against .value here would be a no-op dressed as
+      // cross-task semantics — the driver MERGES task values by adding.
+      peakHeapBytes.set(heldPeak)
 
       val joined = new JoinedRow
       val rankHolder = new GenericInternalRow(1)
@@ -227,7 +235,7 @@ case class TopKPerGroupExec(
         }
         val sorted = sorter.sort()
         Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
-          sortPeakMemory.set(math.max(sortPeakMemory.value, sorter.getPeakMemoryUsage))
+          sortPeakMemory.set(sorter.getPeakMemoryUsage) // this task's peak; stats show max
         })
         // streaming rank pass: group transition = binary change of the
         // (normalized) key projection; sorted order within a group IS rank

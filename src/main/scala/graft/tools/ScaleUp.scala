@@ -58,15 +58,23 @@ object ScaleUp {
     write("orders")((d, k) => shifted(d, k, "o_orderkey", "o_custkey"))
     write("lineitem")((d, k) => shifted(d, k, "l_orderkey", "l_partkey", "l_suppkey"))
     write("events")((d, k) => shifted(d, k, "event_id", "user_id"))
+    // per-copy token suffix in [a-z0-9] (base-36 survives normalization),
+    // FIXED-WIDTH zero-padded so suffixes are prefix-free: with variable
+    // width, source token "x1" in copy 1 ("x1"+"1") and "x" in copy 37
+    // ("x"+"11") would both become "x11" — a cross-copy shingle collision
+    // that re-introduces the artificial clique this suffix exists to
+    // prevent. Equal-length suffixes can only collide when equal.
+    val sufWidth = Integer.toString(math.max(copies - 1, 1), 36).length
+    def copySuffix(k: Int): String = {
+      val s = Integer.toString(k, 36)
+      "0" * (sufWidth - s.length) + s
+    }
     write("documents") { (d, k) =>
       val s = shifted(d, k, "doc_id")
       if (k == 0) s
       else s.withColumn("text",
-        // per-copy token suffix IN [a-z0-9] (base-36, so it survives the
-        // normalization for ANY copy count — a single letter would leave
-        // copies >26 sharing shingles and measure an artificial clique):
-        // copy k's shingles are disjoint from copy j's
-        regexp_replace(col("text"), "(\\S+)", "$1" + Integer.toString(k, 36)))
+        // copy k's shingles are disjoint from copy j's for ANY copy count
+        regexp_replace(col("text"), "(\\S+)", "$1" + copySuffix(k)))
     }
     write("embeddings") { (d, k) =>
       val s = shifted(d, k, "vec_id")

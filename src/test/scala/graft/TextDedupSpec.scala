@@ -178,6 +178,82 @@ class TextDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("E2b-delta: crashed append and crashed compaction are refused/resumed, never double-counted") {
+    val corpus0 = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n")).toDF("doc_id", "text")
+    val acc1 = Seq((3L, "p q r s t u v")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a b c d e f g"), (11L, "p q r s t u v")).toDF("doc_id", "text")
+    def serveIds(b: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalNgramPairsIndexed(
+        spark, "graft_cr_t", b, "doc_id", "text", tauBp = 9999)
+        .select($"batch_id").as[Long].collect().toSet
+    Dedup.writeNgramIndex(corpus0, "doc_id", "text", "graft_cr_t", buckets = 4)
+    try {
+      // --- crashed FIRST append: sizes_delta landed, postings_delta didn't ---
+      Dedup.appendToNgramIndex(acc1, "doc_id", "text", "graft_cr_t")
+      graft.sources.Bucketed.dropWithLocation(spark, "graft_cr_t_postings_delta")
+      // serve survives: base leg only (under-recall, not an error)
+      assert(serveIds(batch) == Set(10L), "partial append must serve the base leg only")
+      // a RETRY of the same batch is refused LOUDLY: the batch ids are
+      // visible through sizes_delta even though postings never landed —
+      // the first-ever append has no other delta leg to make them visible
+      val retry = intercept[IllegalArgumentException] {
+        Dedup.appendToNgramIndex(acc1, "doc_id", "text", "graft_cr_t")
+      }
+      assert(retry.getMessage.contains("already present"))
+      // documented repair: drop the deltas, re-append the delta batches
+      graft.sources.Bucketed.dropWithLocation(spark, "graft_cr_t_sizes_delta")
+      Dedup.appendToNgramIndex(acc1, "doc_id", "text", "graft_cr_t")
+      assert(serveIds(batch) == Set(10L, 11L))
+
+      // --- crashed compaction, window A: deltas set aside, fold not run ---
+      Seq("postings", "sizes").foreach(t => spark.sql(
+        s"ALTER TABLE graft_cr_t_${t}_delta RENAME TO graft_cr_t_${t}_delta_folding"))
+      assert(serveIds(batch) == Set(10L),
+        "set-aside delta must under-recall, never fail or double-count")
+      // id freshness holds across the crash: the folding ids still guard
+      val retry2 = intercept[IllegalArgumentException] {
+        Dedup.appendToNgramIndex(acc1, "doc_id", "text", "graft_cr_t")
+      }
+      assert(retry2.getMessage.contains("already present"))
+      Dedup.compactNgramIndex(spark, "graft_cr_t") // resumes the fold
+      assert(serveIds(batch) == Set(10L, 11L), "resumed compaction restores full recall")
+
+      // --- crashed compaction, window B: fold completed, drop didn't ---
+      val acc2 = Seq((4L, "z y x w v u t")).toDF("doc_id", "text")
+      val batch2 = Seq((12L, "z y x w v u t")).toDF("doc_id", "text")
+      Dedup.appendToNgramIndex(acc2, "doc_id", "text", "graft_cr_t")
+      Seq(("postings", Seq("__sh")), ("sizes", Seq("__id"))).foreach { case (t, keys) =>
+        spark.sql(s"ALTER TABLE graft_cr_t_${t}_delta RENAME TO graft_cr_t_${t}_delta_folding")
+        graft.sources.Bucketed.rewrite(
+          spark.table(s"graft_cr_t_$t")
+            .unionByName(spark.table(s"graft_cr_t_${t}_delta_folding")),
+          s"graft_cr_t_$t", 4, keys)
+      }
+      Dedup.compactNgramIndex(spark, "graft_cr_t") // must detect + drop, NOT re-fold
+      Seq("postings_delta_folding", "sizes_delta_folding", "postings_delta", "sizes_delta")
+        .foreach(s => assert(!spark.catalog.tableExists(s"graft_cr_t_$s"),
+          s"$s must be gone after the resumed compaction"))
+      // a re-fold would duplicate doc 4's postings and inflate `common`
+      // past the true intersection — compare full rows to a fresh rebuild
+      val after = Dedup.incrementalNgramPairsIndexed(
+        spark, "graft_cr_t", batch2, "doc_id", "text", tauBp = 9999)
+        .collect().map(_.toSeq).toSet
+      Dedup.writeNgramIndex(corpus0.unionByName(acc1).unionByName(acc2),
+        "doc_id", "text", "graft_cr_ref", buckets = 4)
+      val ref = Dedup.incrementalNgramPairsIndexed(
+        spark, "graft_cr_ref", batch2, "doc_id", "text", tauBp = 9999)
+        .collect().map(_.toSeq).toSet
+      assert(after == ref, "resumed compaction must serve exactly like a fresh rebuild")
+      assert(after.nonEmpty)
+    } finally {
+      Seq("graft_cr_t", "graft_cr_ref").foreach { n =>
+        Seq("postings", "sizes", "meta", "postings_delta", "sizes_delta",
+          "postings_delta_folding", "sizes_delta_folding")
+          .foreach(s => spark.sql(s"DROP TABLE IF EXISTS ${n}_$s"))
+      }
+    }
+  }
+
   test("simhash: identical docs at hamming 0, banding returns each pair once") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z"))
       .toDF("doc_id", "text")
@@ -361,6 +437,45 @@ class TextDedupSpec extends SparkSpecBase {
     // a 50-node path — the adversarial diameter case the star algorithm
     // must crush in O(log^2) rounds (plain propagation needs 50)
     check((0L until 49L).map(i => (i, i + 1)), 50)
+  }
+
+  test("E2d: both paths emit rows for endpoints absent from ids, including component roots") {
+    import graft.dedup.Dedup
+    // ids deliberately ⊊ endpoints: node 1 is a component ROOT (the min,
+    // hence the label) that appears ONLY as a pair endpoint, node 50 is a
+    // non-root conduit, and node 7 is an isolated id. The root case is the
+    // one the driver union-find dropped (its parent map only gains keys
+    // for merge losers); both adaptive paths must emit the identical row
+    // set regardless of which one the edge count selects.
+    val pairs = Seq((1L, 9L), (9L, 3L), (20L, 50L), (50L, 21L)).toDF("id_a", "id_b")
+    val ids = Seq(3L, 9L, 20L, 21L, 7L).toDF("id")
+    val expected = Map(
+      1L -> 1L, 9L -> 1L, 3L -> 1L,   // root 1 not in ids, still labeled
+      20L -> 20L, 50L -> 20L, 21L -> 20L, // conduit 50 not in ids
+      7L -> 7L)
+    for (lim <- Seq(1 << 20, 0)) {
+      val got = Dedup.connectedComponents(pairs, ids, driverEdgeLimit = lim)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"driverEdgeLimit=$lim: row set diverged")
+    }
+    // property: random graphs where ids cover only a strict subset of
+    // endpoints (and some components' minima are endpoint-only)
+    val rnd = new scala.util.Random(777)
+    for (trial <- 1 to 2) {
+      val n = 40
+      val edges = Seq.fill(35)((rnd.nextLong(n), rnd.nextLong(n)))
+        .filter { case (a, b) => a != b }
+      // drop all ids < 10 — any component whose min is < 10 has an
+      // endpoint-only root; keep a couple of isolated ids too
+      val ids2 = (10L until n.toLong).toDF("id")
+      val viaDriver = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), ids2).as[(Long, Long)].collect().toMap
+      val viaStars = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), ids2, driverEdgeLimit = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(viaDriver == viaStars,
+        s"trial $trial: adaptive paths disagree when ids ⊊ endpoints")
+    }
   }
 
   test("E2d-inc: incremental equals full recompute on random edge splits (property)") {

@@ -114,6 +114,16 @@ class TopKSpec extends SparkSpecBase {
       assert(execs.head.metrics("sortFallbackTasks").value > 0,
         "expected the sort fallback to trigger under the 4 KiB budget")
       assert(execs.head.metrics("numOutputRows").value == rows.size)
+      // per-task peak metrics: each task reports its own peak once, names
+      // say so (the driver-side aggregate is a SUM of task peaks; the true
+      // max lives in the size-metric stats) — no cross-task max() cosplay
+      assert(execs.head.metrics("peakHeapBytes").name.contains("task peak heap state"))
+      assert(execs.head.metrics("peakHeapBytes").value > 0,
+        "tasks held heap state before falling back, peak must be reported")
+      assert(execs.head.metrics("sortPeakMemory").name
+        .contains("task fallback sort peak memory"))
+      assert(execs.head.metrics("sortPeakMemory").value > 0,
+        "the fallback sorter ran, its task peak memory must be reported")
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.graft.topk.maxHeapBytes", v)
