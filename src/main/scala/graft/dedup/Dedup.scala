@@ -827,11 +827,21 @@ object Dedup {
     * historical pair set. The existing labels ARE a star decomposition
     * (id → component min), and stars preserve connectivity exactly —
     * so components of (label stars ∪ new pairs) equal components of
-    * (all old pairs ∪ new pairs), while the old side shrinks from
-    * |historical pairs| edges to ≤ 1 edge per node. The star edges are
-    * also already near-converged: untouched components pass the
-    * large-star/small-star rounds unchanged, so round count is driven
-    * by the NEW pairs' structure, not corpus history.
+    * (all old pairs ∪ new pairs).
+    *
+    * The merge is BATCH-BOUNDED, not corpus-bounded: only components
+    * actually TOUCHED by a new-pair endpoint enter the iterative loop.
+    * A new pair can only change labels of components containing one of
+    * its endpoints — every other component's labeling is already the
+    * fixed point over its own edges — so the corpus contributes one
+    * broadcast semi/anti scan of `labels` (splitting it into the touched
+    * slice and the untouched complement, which passes through verbatim
+    * with NO star-edge materialization and zero iterative rounds), and
+    * the loop runs over |touched slice| + |new pairs| edges only. The
+    * touched comp-id set is bounded by 2·|newPairs| (8-byte ids), so the
+    * broadcast is a day's-batch-sized build side against a 100 TB label
+    * table. With batch-scale edge counts the loop itself usually takes
+    * [[connectedComponents]]' driver fast path — zero Spark stages.
     *
     * `labels`: (id, comp) from a previous [[connectedComponents]] (or
     * this function). `newPairs`: (id_a, id_b). `newIds`: ids of the
@@ -841,13 +851,34 @@ object Dedup {
   def incrementalComponents(
       labels: DataFrame, newPairs: DataFrame, newIds: DataFrame,
       maxIter: Int = 30, driverEdgeLimit: Int = DriverCcEdgeLimit): DataFrame = {
-    val starEdges = labels
+    val (starEdges, touchedIds, untouched) = touchedSubgraph(labels, newPairs)
+    val relabeled = connectedComponents(
+      starEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))),
+      touchedIds.unionByName(newIds.select(col("id"))),
+      maxIter, driverEdgeLimit)
+    untouched.select(col("id"), col("comp")).unionByName(relabeled)
+  }
+
+  /** Split an existing labeling around a batch of new pairs:
+    * (star edges of components touched by a pair endpoint, ids of those
+    * components' members, untouched label rows passed through verbatim).
+    * Exposed package-private so tests can pin the batch-boundedness —
+    * a batch touching 1 of N components materializes ONE component's
+    * star edges, not N−1. */
+  private[graft] def touchedSubgraph(
+      labels: DataFrame, newPairs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val endpoints = newPairs.select(col("id_a").as("id"))
+      .unionByName(newPairs.select(col("id_b").as("id"))).distinct()
+    // old comp labels of the batch's endpoints — batch-sized by
+    // construction; both probes broadcast so no labels scan ever shuffles
+    val touched = labels.join(broadcast(endpoints), Seq("id"), "left_semi")
+      .select(col("comp")).distinct()
+    val touchedLabels = labels.join(broadcast(touched), Seq("comp"), "left_semi")
+    val untouched = labels.join(broadcast(touched), Seq("comp"), "left_anti")
+    val starEdges = touchedLabels
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("id_a"), col("comp").as("id_b"))
-    connectedComponents(
-      starEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))),
-      labels.select(col("id")).unionByName(newIds.select(col("id"))),
-      maxIter, driverEdgeLimit)
+    (starEdges, touchedLabels.select(col("id")), untouched)
   }
 
   /** Segment-level dedup with reassembly — the span-granular op between

@@ -508,6 +508,33 @@ class TextDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("E2d-inc: the iterative merge is batch-bounded — untouched components never materialize") {
+    // 1000 two-node components; one new pair touches exactly ONE of them
+    // (and one brand-new doc). The iterative loop's old-side input must be
+    // that single component's star edges — not the other 999's.
+    val labels = (0L until 1000L).flatMap(c =>
+      Seq((2 * c, 2 * c), (2 * c + 1, 2 * c))).toDF("id", "comp")
+    val newPairs = Seq((5000L, 41L)).toDF("id_a", "id_b") // touches comp 40 only
+    val (starEdges, touchedIds, untouched) =
+      graft.dedup.Dedup.touchedSubgraph(labels, newPairs)
+    assert(starEdges.as[(Long, Long)].collect().toSet == Set((41L, 40L)),
+      "exactly the touched component's star edges enter the loop")
+    assert(touchedIds.as[Long].collect().toSet == Set(40L, 41L))
+    assert(untouched.count() == 1998L, "the other 999 components pass through")
+    // the split is also a broadcast-only plan: no exchange on the labels
+    // side of either semi/anti probe (the corpus-sized input)
+    val plans = Seq(starEdges, untouched).map(_.queryExecution.executedPlan.toString)
+    plans.foreach { p =>
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"touched-split must probe via broadcast:\n$p")
+    }
+    // and end-to-end the labeling equals a full recompute
+    val inc = Dedup.incrementalComponents(
+      labels, newPairs, Seq(5000L).toDF("id")).as[(Long, Long)].collect().toMap
+    assert(inc(5000L) == 40L && inc(41L) == 40L && inc(40L) == 40L)
+    assert(inc.size == 2001 && inc(999L * 2) == 1998L)
+  }
+
   test("E2d-inc: incremental components equal a full recompute, including cross-component merges") {
     // old graph: {1-2} {3-4} {5} → labels; new batch doc 10 bridges the
     // two existing COMPONENTS (1-2 and 3-4 must merge through it), doc 11
