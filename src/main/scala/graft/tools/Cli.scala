@@ -39,7 +39,136 @@ import org.apache.spark.sql.SparkSession
   * datadiff validates replayed state against the target parquet.
   */
 object Cli {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("validate") => runValidate(args)
+    case Some("index") => runIndex(args.tail)
+    case _ =>
+      System.err.println(
+        "usage: Cli validate ... | Cli index build|append|compact|screen ... " +
+          "(run a subcommand without flags for its option list)")
+      sys.exit(2)
+  }
+
+  /** Index-maintenance driver — makes the steady-state dedup story
+    * drivable end-to-end like `validate`: build a persisted n-gram
+    * (+ optional MinHash) index from a corpus, screen incoming batches
+    * against it, accept survivors as append deltas, and compact on a
+    * slow cadence. Thin flag-parsing over [[graft.dedup.Dedup]]'s
+    * writeNgramIndex / appendToNgramIndex / compactNgramIndex /
+    * incrementalNgramPairsIndexed / minhashLshPairsIndexed.
+    *
+    * {{{
+    * Cli index build   --name idx --corpus <parquet> --buckets 16
+    *                   [--id-col doc_id] [--text-col text] [--w 3]
+    *                   [--minhash] [--num-perm 12] [--bands 4]
+    * Cli index append  --name idx --batch <parquet> [--id-col] [--text-col]
+    * Cli index compact --name idx
+    * Cli index screen  --name idx --batch <parquet> --tau-bp 9000
+    *                   [--minhash] [--out <parquet dir>] [flags as build]
+    * }}}
+    *
+    * Catalog persistence: index tables live in the session catalog. When
+    * no session is active the CLI creates one with a Hive catalog whose
+    * derby metastore sits inside `--warehouse` (default
+    * `target/graft_warehouse`), so tables registered by one invocation
+    * are visible to the next JVM — the local analogue of the cluster
+    * metastore a production deployment would point
+    * `spark.sql.catalogImplementation=hive` at. An already-active
+    * session (tests, embedding applications) is reused as-is and never
+    * stopped. */
+  private def runIndex(args: Array[String]): Unit = {
+    val usage =
+      "usage: Cli index build --name n --corpus p --buckets k [--id-col c] [--text-col c] " +
+        "[--w 3] [--minhash] [--num-perm 12] [--bands 4] [--warehouse dir]\n" +
+        "       Cli index append --name n --batch p [--id-col c] [--text-col c] [--warehouse dir]\n" +
+        "       Cli index compact --name n [--warehouse dir]\n" +
+        "       Cli index screen --name n --batch p --tau-bp t [--minhash] [--out dir] " +
+        "[--id-col c] [--text-col c] [--w 3] [--num-perm 12] [--bands 4] [--warehouse dir]"
+    val sub = args.headOption.getOrElse { System.err.println(usage); sys.exit(2); "" }
+    val opts = parse(args.tail.toSeq)
+    def req(k: String): String = opts.getOrElse(k,
+      { System.err.println(s"missing required --$k\n$usage"); sys.exit(2); "" })
+    def intOpt(k: String, dflt: Int): Int = opts.get(k).map(v =>
+      v.toIntOption.getOrElse {
+        System.err.println(s"--$k must be an integer"); sys.exit(2); 0
+      }).getOrElse(dflt)
+    val name = req("name")
+    val idCol = opts.getOrElse("id-col", "doc_id")
+    val textCol = opts.getOrElse("text-col", "text")
+    val w = intOpt("w", 3)
+    val numPerm = intOpt("num-perm", 12)
+    val bands = intOpt("bands", 4)
+
+    val (spark, owned) = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession) match {
+      case Some(s) => (s, false)
+      case None =>
+        val wh = new java.io.File(opts.getOrElse("warehouse", "target/graft_warehouse"))
+          .getAbsoluteFile
+        val s = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.ui.enabled", "false")
+          .config("spark.sql.warehouse.dir", s"$wh/tables")
+          .config("javax.jdo.option.ConnectionURL",
+            s"jdbc:derby:;databaseName=$wh/metastore_db;create=true")
+          .enableHiveSupport()
+          .getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        (s, true)
+    }
+    try {
+      import graft.dedup.Dedup
+      sub match {
+        case "build" =>
+          val buckets = intOpt("buckets", -1)
+          if (buckets < 1) { System.err.println(s"missing/bad --buckets\n$usage"); sys.exit(2) }
+          Dedup.writeNgramIndex(spark.read.parquet(req("corpus")), idCol, textCol,
+            name, buckets, w)
+          if (opts.contains("minhash"))
+            Dedup.writeMinhashIndex(spark, name, buckets, numPerm, bands)
+          val docs = spark.table(s"${name}_sizes").count()
+          println(s"[cli] index build $name: $docs docs, buckets=$buckets, w=$w" +
+            (if (opts.contains("minhash")) s", minhash numPerm=$numPerm bands=$bands" else ""))
+        case "append" =>
+          val batch = spark.read.parquet(req("batch"))
+          Dedup.appendToNgramIndex(batch, idCol, textCol, name)
+          println(s"[cli] index append $name: accepted ${batch.count()} docs into the delta")
+        case "compact" =>
+          Dedup.compactNgramIndex(spark, name)
+          println(s"[cli] index compact $name: deltas folded into the base")
+        case "screen" =>
+          val tauBp = req("tau-bp").toLongOption.getOrElse {
+            System.err.println("--tau-bp must be an integer (basis points)"); sys.exit(2); 0L
+          }
+          val batch = spark.read.parquet(req("batch"))
+          val pairs =
+            if (opts.contains("minhash"))
+              Dedup.minhashLshPairsIndexed(spark, name, batch, idCol, textCol,
+                tauBp, numPerm, bands, w)
+            else
+              Dedup.incrementalNgramPairsIndexed(spark, name, batch, idCol, textCol, tauBp, w)
+          opts.get("out") match {
+            case Some(out) =>
+              pairs.write.mode("overwrite").parquet(out)
+              println(s"[cli] index screen $name: " +
+                s"${spark.read.parquet(out).count()} dup pairs -> $out")
+            case None =>
+              val hits = pairs.collect()
+              hits.take(20).foreach(r => println(s"[cli] dup: $r"))
+              println(s"[cli] index screen $name: ${hits.length} dup pairs")
+          }
+        case other =>
+          System.err.println(s"unknown index subcommand: $other\n$usage"); sys.exit(2)
+      }
+    } finally if (owned) spark.stop()
+  }
+
+  private def runValidate(args: Array[String]): Unit = {
     if (args.isEmpty || args.head != "validate") {
       System.err.println(
         "usage: Cli validate --bucket-prefix <uri> --database-name <db> " +

@@ -1,0 +1,63 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.tools.Cli
+
+/** A0b/E2b-idx: the `index` CLI subcommands drive the persisted dedup
+  * index end-to-end — build → screen → append → screen → compact — and
+  * return exactly the pairs the library calls produce on the same data.
+  * The spec's active session is reused by the CLI (and must survive it);
+  * standalone invocations create their own metastore-backed session. */
+class CliIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("index build/screen/append/compact round-trip matches the library") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_idx").toString
+    val corpus = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n")).toDF("doc_id", "text")
+    val batch1 = Seq((10L, "a b c d e f g"), (11L, "p q r s t u v")).toDF("doc_id", "text")
+    val accepted = Seq((11L, "p q r s t u v")).toDF("doc_id", "text")
+    val batch2 = Seq((12L, "p q r s t u v"), (13L, "z x c v b n m")).toDF("doc_id", "text")
+    corpus.write.parquet(s"$dir/corpus")
+    batch1.write.parquet(s"$dir/batch1")
+    accepted.write.parquet(s"$dir/accepted")
+    batch2.write.parquet(s"$dir/batch2")
+    def pairsOf(path: String) =
+      spark.read.parquet(path).collect().map(_.toSeq).toSet
+    try {
+      Cli.main(Array("index", "build", "--name", "graft_cli_idx",
+        "--corpus", s"$dir/corpus", "--buckets", "4"))
+      assert(spark.catalog.tableExists("graft_cli_idx_postings"), "CLI built in THIS session")
+
+      Cli.main(Array("index", "screen", "--name", "graft_cli_idx",
+        "--batch", s"$dir/batch1", "--tau-bp", "9999", "--out", s"$dir/screen1"))
+      val lib1 = Dedup.incrementalNgramPairsIndexed(
+        spark, "graft_cli_idx", batch1, "doc_id", "text", tauBp = 9999)
+        .collect().map(_.toSeq).toSet
+      assert(pairsOf(s"$dir/screen1") == lib1)
+      assert(lib1.exists(_.head == 10L), "the known duplicate must surface")
+
+      Cli.main(Array("index", "append", "--name", "graft_cli_idx",
+        "--batch", s"$dir/accepted"))
+      Cli.main(Array("index", "screen", "--name", "graft_cli_idx",
+        "--batch", s"$dir/batch2", "--tau-bp", "9999", "--out", s"$dir/screen2"))
+      val lib2 = Dedup.incrementalNgramPairsIndexed(
+        spark, "graft_cli_idx", batch2, "doc_id", "text", tauBp = 9999)
+        .collect().map(_.toSeq).toSet
+      assert(pairsOf(s"$dir/screen2") == lib2)
+      assert(lib2.exists(r => r.head == 12L && r(1) == 11L),
+        "the delta-leg duplicate must surface through the CLI-appended index")
+
+      Cli.main(Array("index", "compact", "--name", "graft_cli_idx"))
+      assert(!spark.catalog.tableExists("graft_cli_idx_postings_delta"))
+      Cli.main(Array("index", "screen", "--name", "graft_cli_idx",
+        "--batch", s"$dir/batch2", "--tau-bp", "9999", "--out", s"$dir/screen3"))
+      assert(pairsOf(s"$dir/screen3") == lib2, "compaction must not change CLI answers")
+
+      // the CLI reused (and did not stop) the suite's session
+      assert(!spark.sparkContext.isStopped)
+    } finally {
+      Seq("postings", "sizes", "meta", "postings_delta", "sizes_delta")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS graft_cli_idx_$s"))
+    }
+  }
+}
