@@ -851,9 +851,17 @@ object Dedup {
   def incrementalComponents(
       labels: DataFrame, newPairs: DataFrame, newIds: DataFrame,
       maxIter: Int = 30, driverEdgeLimit: Int = DriverCcEdgeLimit): DataFrame = {
-    val (starEdges, touchedIds, untouched) = touchedSubgraph(labels, newPairs)
+    // both inputs are read several times below (touched-set discovery,
+    // the semi/anti split, the loop's edge/id unions) — pay their plans
+    // ONCE. Without this a labels frame that is itself a live computation
+    // (e.g. a previous connectedComponents run, as in the driver's bench
+    // query) re-executes per reference; the same pattern
+    // connectedComponents uses for its pair plan.
+    val labelsCk = labels.select(col("id"), col("comp")).localCheckpoint()
+    val pairsCk = newPairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val (starEdges, touchedIds, untouched) = touchedSubgraph(labelsCk, pairsCk)
     val relabeled = connectedComponents(
-      starEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))),
+      starEdges.unionByName(pairsCk),
       touchedIds.unionByName(newIds.select(col("id"))),
       maxIter, driverEdgeLimit)
     untouched.select(col("id"), col("comp")).unionByName(relabeled)
