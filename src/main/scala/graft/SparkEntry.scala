@@ -210,6 +210,29 @@ object SparkEntry {
       CdcApply.upsert(cust, chg, Seq("c_custkey"), Seq(col("ts"), col("event_id")))
     }),
 
+    // A4t: TIME-TRAVEL snapshot — the same merge with the changefeed cut
+    // at an as-of horizon: reconstruct the target's state at T from base
+    // + feed (validate against a backup, audit when a divergence began).
+    // The cutoff filter sits under the one-exchange upsert, so it pushes
+    // into the feed scan — an as-of snapshot reads LESS than full replay.
+    "cdc_snapshot_asof" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val ev = Tables.events(s, dir)
+      val chg = ev.join(cust, ev("user_id") === cust("c_custkey"))
+        .select(
+          cust("c_custkey"),
+          cust("c_name"),
+          cust("c_nationkey"),
+          ev("value").as("c_acctbal"),
+          cust("c_mktsegment"),
+          when(ev("event_type") === "click", "D").otherwise("U").as("Op"),
+          ev("ts"),
+          ev("event_id"))
+      CdcApply.snapshotAsOf(
+        cust, chg, Seq("c_custkey"), Seq(col("ts"), col("event_id")),
+        col("ts"), lit("2024-01-18 00:00:00").cast("timestamp"))
+    }),
+
     // B1: row-level diff (full-outer join on pk, null-safe compare)
     "diff_rowlevel" -> ((s, dir) => {
       DataDiff.rowDiff(Tables.orders(s, dir), perturbedOrders(s, dir), Seq("o_orderkey"))
@@ -348,6 +371,22 @@ object SparkEntry {
         |         CASE WHEN e.event_type = 'click' THEN 'D' ELSE 'U' END AS op,
         |         row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC) AS rn
         |  FROM events e JOIN customer c ON c.c_custkey = e.user_id),
+        |last AS (SELECT * FROM chg WHERE rn = 1)
+        |SELECT c.c_custkey, c.c_name, c.c_nationkey,
+        |       COALESCE(l.c_acctbal, c.c_acctbal) AS c_acctbal,
+        |       c.c_mktsegment
+        |FROM customer c LEFT JOIN last l ON c.c_custkey = l.c_custkey
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+
+    // the full-snapshot oracle with the feed cut at the as-of horizon
+    "cdc_snapshot_asof" ->
+      """WITH chg AS (
+        |  SELECT e.user_id AS c_custkey, c.c_name, c.c_nationkey,
+        |         e.value AS c_acctbal, c.c_mktsegment,
+        |         CASE WHEN e.event_type = 'click' THEN 'D' ELSE 'U' END AS op,
+        |         row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |  WHERE e.ts <= TIMESTAMP '2024-01-18 00:00:00'),
         |last AS (SELECT * FROM chg WHERE rn = 1)
         |SELECT c.c_custkey, c.c_name, c.c_nationkey,
         |       COALESCE(l.c_acctbal, c.c_acctbal) AS c_acctbal,

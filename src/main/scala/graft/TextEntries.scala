@@ -183,6 +183,24 @@ object TextEntries {
         .select(col("id").as("doc_id"), col("comp").as("component_id"))
     }),
 
+    // E2d-canon: the dedup VERDICT — per duplicate cluster keep the one
+    // best doc (highest alpha ratio, ties to smallest id), everything
+    // else marked as a drop pointing at its keeper. Components turn
+    // pairs into clusters; this turns clusters into the keep/drop set a
+    // pipeline actually applies.
+    "dedup_canonical" -> ((s, dir) => {
+      val docs = docsNear(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Tau)
+      val labels = Dedup.connectedComponents(
+        pairs.select("id_a", "id_b"), docs.select(col("doc_id").as("id")))
+      val quality = docs.select(col("doc_id").as("id"),
+        TextOps.bp(TextOps.charClassCount(col("text"), "[a-zA-Z]"),
+          length(col("text"))).as("q"))
+      Dedup.canonicalPerComponent(labels, quality)
+        .select(col("id").as("doc_id"), col("comp").as("component_id"),
+          col("canonical_id"), col("keep"))
+    }),
+
     // E2b: incremental dedup — the near-dup variants as the incoming batch
     // screened against the original corpus (cross-side pairs only)
     "dedup_incremental" -> ((s, dir) => {
@@ -453,7 +471,35 @@ object TextEntries {
          |  UNION
          |  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id AS doc_id, CAST(min(anc) AS BIGINT) AS component_id
-         |FROM reach GROUP BY id""".stripMargin
+         |FROM reach GROUP BY id""".stripMargin,
+
+    // closure → per-cluster quality argmax (ties to min id) → keep/drop.
+    // The quality expression IS text_quality's alpha_bp, so the verdict
+    // is reproducible from already-oracle-checked parts.
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE e0 AS (SELECT id_a, id_b FROM ($dedupNgramSql)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+         |          UNION SELECT id_b, id_a FROM e0),
+         |nodes AS (SELECT doc_id AS id FROM ($docsNearSql)),
+         |reach(id, anc) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id AS doc_id, CAST(min(anc) AS BIGINT) AS component_id
+         |         FROM reach GROUP BY id),
+         |q AS (SELECT doc_id,
+         |        CAST(floor((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) * 10000.0
+         |             / length(text)) AS BIGINT) AS q
+         |      FROM ($docsNearSql)),
+         |j AS (SELECT c.doc_id, c.component_id, q.q
+         |      FROM comp c JOIN q USING (doc_id)),
+         |best AS (SELECT component_id, max(q) AS mq FROM j GROUP BY 1),
+         |canon AS (SELECT j.component_id, min(j.doc_id) AS canonical_id
+         |          FROM j JOIN best ON j.component_id = best.component_id AND j.q = best.mq
+         |          GROUP BY 1)
+         |SELECT j.doc_id, j.component_id, canon.canonical_id,
+         |       (j.doc_id = canon.canonical_id) AS keep
+         |FROM j JOIN canon ON j.component_id = canon.component_id""".stripMargin
   ) ++ oracleSql2
 
   private lazy val dedupNgramSql =

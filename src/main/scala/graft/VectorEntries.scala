@@ -2,6 +2,7 @@ package graft
 
 import graft.multimodal.Media
 import graft.similarity.{Knn, VectorOps}
+import graft.text.TextOps
 import graft.util.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -37,6 +38,51 @@ object VectorEntries {
     s"""SELECT vec_id, q, ${VectorOps.duckQdot("q", "q")} AS sd,
        |       ${VectorOps.duckSketch("q")} AS bucket
        |FROM (SELECT vec_id, $q AS q FROM ($corpus))""".stripMargin
+
+  /** knn_brute's oracle — also the truth leg of knn_recall. */
+  private val knnBruteSql =
+    s"""WITH prep AS (
+       |  SELECT vec_id, q, ${VectorOps.duckQdot("q", "q")} AS sd
+       |  FROM (SELECT vec_id, $q AS q FROM embeddings)),
+       |qs AS (SELECT * FROM prep WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${VectorOps.duckCosineBp(VectorOps.duckQdot("c.q", "qs.q"), "c.sd", "qs.sd")} AS cos_bp
+       |  FROM prep c JOIN qs ON c.vec_id <> qs.vec_id)
+       |SELECT query_id, neighbor_id, rnk, cos_bp FROM (
+       |  SELECT query_id, neighbor_id, cos_bp,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $K""".stripMargin
+
+  /** knn_ivf's oracle — also the measured leg of knn_recall. */
+  private val knnIvfSql = {
+    val sums = (0 until Dims).map(i => s"CAST(sum(q[${i + 1}]) AS BIGINT) AS s_$i").mkString(", ")
+    val dist = (0 until Dims)
+      .map(i => s"power(c.n * v.q[${i + 1}] - c.s_$i, 2)").mkString(" + ")
+    s"""WITH v0 AS (SELECT vec_id, $q AS q FROM embeddings),
+       |v AS (SELECT vec_id, q, ${VectorOps.duckQdot("q", "q")} AS sd FROM v0),
+       |c AS (SELECT label, CAST(count(*) AS BIGINT) AS n, $sums
+       |      FROM (SELECT label, $q AS q FROM embeddings) GROUP BY label),
+       |d AS (SELECT v.vec_id, v.q, v.sd, c.label,
+       |        ($dist) / CAST(c.n * c.n AS DOUBLE) AS dist
+       |      FROM v CROSS JOIN c),
+       |ranked AS (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, label ASC) AS rk
+       |  FROM d),
+       |asg AS (SELECT vec_id, q, sd, label AS cluster FROM ranked WHERE rk = 1),
+       |probes AS (SELECT vec_id AS qid, q AS qq, sd AS qsd, label AS cluster
+       |  FROM ranked WHERE vec_id < 5 AND rk <= $NProbe),
+       |scored AS (
+       |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+       |    ${VectorOps.duckCosineBp(VectorOps.duckQdot("a.q", "p.qq"), "a.sd", "p.qsd")} AS cos_bp
+       |  FROM asg a JOIN probes p ON a.cluster = p.cluster AND a.vec_id <> p.qid)
+       |SELECT query_id, neighbor_id, rnk, cos_bp FROM (
+       |  SELECT query_id, neighbor_id, cos_bp,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $K""".stripMargin
+  }
 
   // -------------------------------------------------------------- queries
 
@@ -93,6 +139,28 @@ object VectorEntries {
         "vec_id", "embedding", K, Dims, NProbe)
     }),
 
+    // E7r: ANN RECALL — the eval every approximate index needs before it
+    // serves: per query, how many of the exact top-k the IVF probe run
+    // actually returned. Exact integers (hit counts + basis points), so
+    // the measurement itself is oracle-checkable — a recall harness you
+    // can run at corpus scale (both legs are the already-scaling brute /
+    // IVF operators; the join is k-rows-per-query sized).
+    "knn_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < 5)
+      val exact = Knn.bruteForce(e, qs, "vec_id", "embedding", K)
+        .select(col("query_id"), col("neighbor_id"))
+      val cents = Knn.centroidSums(e, "label", "embedding", Dims)
+      val approx = Knn.ivfSearch(e, cents, qs, "vec_id", "embedding", K, Dims, NProbe)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_bp", TextOps.bp(col("n_hit"), col("n_exact")))
+    }),
+
     // E12: multimodal metadata — the codec-free column fast path (pure
     // md5/length expressions, no DeserializeToObject); extractMeta's
     // mapPartitions twin is the template for true codec calls and is
@@ -120,20 +188,7 @@ object VectorEntries {
          |  FROM prep a JOIN prep b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE cos_bp >= $TauBp""".stripMargin,
 
-    "knn_brute" ->
-      s"""WITH prep AS (
-         |  SELECT vec_id, q, ${VectorOps.duckQdot("q", "q")} AS sd
-         |  FROM (SELECT vec_id, $q AS q FROM embeddings)),
-         |qs AS (SELECT * FROM prep WHERE vec_id < 5),
-         |scored AS (
-         |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    ${VectorOps.duckCosineBp(VectorOps.duckQdot("c.q", "qs.q"), "c.sd", "qs.sd")} AS cos_bp
-         |  FROM prep c JOIN qs ON c.vec_id <> qs.vec_id)
-         |SELECT query_id, neighbor_id, rnk, cos_bp FROM (
-         |  SELECT query_id, neighbor_id, cos_bp,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id ASC) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= $K""".stripMargin,
+    "knn_brute" -> knnBruteSql,
 
     "knn_bucketed" ->
       s"""WITH prep AS (${prepSql(embDupSql)}),
@@ -203,33 +258,18 @@ object VectorEntries {
          |FROM v JOIN a2 USING (vec_id) GROUP BY g""".stripMargin
     },
 
-    "knn_ivf" -> {
-      val sums = (0 until Dims).map(i => s"CAST(sum(q[${i + 1}]) AS BIGINT) AS s_$i").mkString(", ")
-      val dist = (0 until Dims)
-        .map(i => s"power(c.n * v.q[${i + 1}] - c.s_$i, 2)").mkString(" + ")
-      s"""WITH v0 AS (SELECT vec_id, $q AS q FROM embeddings),
-         |v AS (SELECT vec_id, q, ${VectorOps.duckQdot("q", "q")} AS sd FROM v0),
-         |c AS (SELECT label, CAST(count(*) AS BIGINT) AS n, $sums
-         |      FROM (SELECT label, $q AS q FROM embeddings) GROUP BY label),
-         |d AS (SELECT v.vec_id, v.q, v.sd, c.label,
-         |        ($dist) / CAST(c.n * c.n AS DOUBLE) AS dist
-         |      FROM v CROSS JOIN c),
-         |ranked AS (SELECT *,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, label ASC) AS rk
-         |  FROM d),
-         |asg AS (SELECT vec_id, q, sd, label AS cluster FROM ranked WHERE rk = 1),
-         |probes AS (SELECT vec_id AS qid, q AS qq, sd AS qsd, label AS cluster
-         |  FROM ranked WHERE vec_id < 5 AND rk <= $NProbe),
-         |scored AS (
-         |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
-         |    ${VectorOps.duckCosineBp(VectorOps.duckQdot("a.q", "p.qq"), "a.sd", "p.qsd")} AS cos_bp
-         |  FROM asg a JOIN probes p ON a.cluster = p.cluster AND a.vec_id <> p.qid)
-         |SELECT query_id, neighbor_id, rnk, cos_bp FROM (
-         |  SELECT query_id, neighbor_id, cos_bp,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id ASC) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= $K""".stripMargin
-    },
+    "knn_ivf" -> knnIvfSql,
+
+    // recall@k of the IVF run against the brute-force truth, both legs
+    // the already-checked oracles composed as subqueries
+    "knn_recall" ->
+      s"""SELECT e.query_id, count(*) AS n_exact,
+         |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST(floor(count(a.neighbor_id) * 10000.0 / count(*)) AS BIGINT) AS recall_bp
+         |FROM ($knnBruteSql) e
+         |LEFT JOIN ($knnIvfSql) a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY e.query_id""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,

@@ -104,4 +104,30 @@ object CdcApply {
     */
   def applyDeletes(base: DataFrame, deleteKeys: DataFrame, pk: Seq[String]): DataFrame =
     base.join(deleteKeys.select(pk.map(col): _*).distinct(), pk, "left_anti")
+
+  /** Point-in-time snapshot — replay only the changes at or before
+    * `asOf` into the base. This is the time-travel the reference's
+    * validate implicitly assumes away (it compares CURRENT states,
+    * cdc_operator.rs's replay runs the whole feed): reconstruct what the
+    * target looked like at T from the same base + changefeed, e.g. to
+    * validate against a target backup, re-run a downstream job "as of"
+    * a cutoff, or audit when a divergence first appeared.
+    *
+    * The cutoff is a plain filter UNDER the one-exchange [[upsert]], so
+    * Catalyst pushes it into the changefeed scan (parquet row-group
+    * pruning on the timestamp) — an as-of snapshot reads LESS than a
+    * full replay, never more.
+    *
+    * @param tsCol the changefeed's event-time column; rows with
+    *              `tsCol > asOf` are beyond the snapshot horizon
+    */
+  def snapshotAsOf(
+      base: DataFrame,
+      changes: DataFrame,
+      pk: Seq[String],
+      ordering: Seq[Column],
+      tsCol: Column,
+      asOf: Column,
+      opCol: String = "Op"): DataFrame =
+    upsert(base, changes.filter(tsCol <= asOf), pk, ordering, opCol)
 }

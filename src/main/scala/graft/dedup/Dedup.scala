@@ -889,6 +889,44 @@ object Dedup {
     (starEdges, touchedLabels.select(col("id")), untouched)
   }
 
+  /** Canonical-document selection — the decision step that turns a
+    * components labeling into the dedup VERDICT a pipeline acts on:
+    * within every cluster keep the single best document (highest
+    * `quality`, ties to the smallest id) and mark the rest as drops
+    * pointing at their keeper. This is the reference pipeline's
+    * "keep one per duplicate group" materialized as data, so the
+    * keep/drop set is auditable before any row is discarded
+    * (reference: the keeper notion in dedup tooling; cluster labels
+    * from [[connectedComponents]] / [[incrementalComponents]]).
+    *
+    * Scale shape: one key-partitioned join of `labels` with `quality`
+    * on id, one map-side-combinable `max_by` argmax per component
+    * (shuffle carries ~one row per cluster), and one join back on
+    * `comp` to stamp every member. No windows, no driver state; a
+    * giant cluster costs one combiner chain, not a sort.
+    *
+    * @param labels  (id, comp) — a components labeling
+    * @param quality (id, q)    — an orderable per-doc score; every
+    *                labeled id must appear (inner join semantics:
+    *                unscored docs drop from the output loudly via
+    *                count checks in tests rather than silently keeping)
+    * @return (id, comp, canonical_id, keep)
+    */
+  def canonicalPerComponent(labels: DataFrame, quality: DataFrame): DataFrame = {
+    val j = labels.select(col("id"), col("comp"))
+      .join(quality.select(col("id"), col("q")), Seq("id"))
+    // argmax by (q, -id): highest quality wins, ties to the SMALLEST id —
+    // struct ordering is lexicographic so negating the id flips the tie
+    // direction without a second aggregation pass
+    val best = j
+      .groupBy(col("comp"))
+      .agg(max_by(col("id"), struct(col("q"), (-col("id")).as("nid"))).as("canonical_id"))
+    j.select(col("id"), col("comp"))
+      .join(best, Seq("comp"))
+      .select(col("id"), col("comp"), col("canonical_id"),
+        (col("id") === col("canonical_id")).as("keep"))
+  }
+
   /** Segment-level dedup with reassembly — the span-granular op between
     * whole-doc exact dedup and pair-based near-dup: split every doc into
     * fixed `segTokens`-token segments, keep only the FIRST occurrence of

@@ -64,4 +64,31 @@ class CdcSpec extends SparkSpecBase {
     val d = SchemaGuard.diff(fileSchema, Map("id" -> "bigint"))
     assert(d.retyped == Seq(("id", "bigint", "string")))
   }
+
+  test("A4t: snapshotAsOf replays only changes at or before the horizon") {
+    val base = Seq((1L, "a0"), (2L, "b0"), (3L, "c0")).toDF("pk", "v")
+    val chg = Seq(
+      (1L, 10L, "U", "a1"), (1L, 20L, "U", "a2"), // second update beyond T
+      (2L, 15L, "D", "-"),                        // delete inside T
+      (3L, 25L, "U", "c1"),                       // update beyond T
+      (4L, 12L, "I", "d1")                        // insert inside T
+    ).toDF("pk", "ts", "Op", "v")
+    val out = CdcApply.snapshotAsOf(
+      base, chg, Seq("pk"), Seq(col("ts")), col("ts"), lit(16L))
+      .select("pk", "v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a1", 3L -> "c0", 4L -> "d1"))
+  }
+
+  test("A4t: horizon past the feed equals full upsert; before it equals base") {
+    val base = Seq((1L, "a0"), (2L, "b0")).toDF("pk", "v")
+    val chg = Seq((1L, 10L, "U", "a1"), (2L, 11L, "D", "-"), (5L, 12L, "I", "e1"))
+      .toDF("pk", "ts", "Op", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("pk", "v").as[(Long, String)].collect().toMap
+    val all = rows(CdcApply.upsert(base, chg, Seq("pk"), Seq(col("ts"))))
+    assert(rows(CdcApply.snapshotAsOf(
+      base, chg, Seq("pk"), Seq(col("ts")), col("ts"), lit(999L))) == all)
+    assert(rows(CdcApply.snapshotAsOf(
+      base, chg, Seq("pk"), Seq(col("ts")), col("ts"), lit(0L))) == rows(base))
+  }
 }

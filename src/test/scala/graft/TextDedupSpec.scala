@@ -724,4 +724,36 @@ class TextDedupSpec extends SparkSpecBase {
     assert(bp == 5000L)
     assert(Seq(1).toDF("x").select(TextOps.bp(lit(1L), lit(3L))).as[Long].head() == 3333L)
   }
+
+  test("E2d-canon: canonicalPerComponent keeps the best doc, ties to min id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 8L), (9L, 8L))
+      .toDF("id", "comp")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 1L), (8L, 4L), (9L, 4L))
+      .toDF("id", "q")
+    val out = Dedup.canonicalPerComponent(labels, quality)
+      .select("id", "comp", "canonical_id", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    // comp 1: max q=9 shared by {2,3} → 2 wins the tie; comp 7 singleton
+    // keeps itself; comp 8: tie at q=4 between {8,9} → 8
+    assert(out == Set(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (7L, 7L, 7L, true),
+      (8L, 8L, 8L, true), (9L, 8L, 8L, false)))
+  }
+
+  test("E2d-canon: exactly one keeper per component, always a member") {
+    val rnd = new scala.util.Random(7)
+    val ids = (1L to 60L)
+    val labels = ids.map(i => (i, i % 9)).toSeq.toDF("id", "comp")
+    val quality = ids.map(i => (i, rnd.nextInt(5).toLong)).toSeq.toDF("id", "q")
+    val rows = Dedup.canonicalPerComponent(labels, quality)
+      .select("id", "comp", "canonical_id", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rows.length == 60)
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.count(_._4) == 1)
+      val canon = members.map(_._3).distinct
+      assert(canon.length == 1 && members.exists(m => m._1 == canon.head && m._4))
+    }
+  }
 }
