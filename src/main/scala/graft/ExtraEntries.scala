@@ -30,6 +30,45 @@ object ExtraEntries {
           col("asof_view_event_id"), col("asof_view_value"))
     }),
 
+    // D7f: FORWARD as-of — each purchase picks up the same user's next
+    // view at or after it (attribution's "what did they do next");
+    // identical single-shuffle plan with the per-key sort reversed
+    "asof_join_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(struct(col("event_id"), col("value")), col("event_id")).as("w"))
+        .select(col("user_id"), col("ts"),
+          col("w.event_id").as("view_event_id"), col("w.value").as("view_value"))
+      AsofJoin.forward(purchases, views, Seq("user_id"), "ts", "ts",
+        Seq("view_event_id", "view_value"))
+        .select(col("event_id"), col("user_id"),
+          col("value").as("purchase_value"),
+          col("asof_view_event_id"), col("asof_view_value"))
+    }),
+
+    // D7t: TOLERANCED as-of — a prior view only counts within a 1-hour
+    // window (stale matches become misses, the attribution-window
+    // semantic); integer-microsecond boundary, exact in both engines
+    "asof_join_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(struct(col("event_id"), col("value")), col("event_id")).as("w"))
+        .select(col("user_id"), col("ts"),
+          col("w.event_id").as("view_event_id"), col("w.value").as("view_value"))
+      AsofJoin.backward(purchases, views, Seq("user_id"), "ts", "ts",
+        Seq("view_event_id", "view_value"),
+        tolerance = Some(lit(3600L * 1000 * 1000)))
+        .select(col("event_id"), col("user_id"),
+          col("value").as("purchase_value"),
+          col("asof_view_event_id"), col("asof_view_value"))
+    }),
+
     // D8: vocabulary statistics — term frequency + document frequency
     "text_vocab" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -92,6 +131,37 @@ object ExtraEntries {
         |SELECT p.event_id, p.user_id, p.value AS purchase_value,
         |       v2.view_event_id AS asof_view_event_id,
         |       v2.view_value AS asof_view_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN v2 ON p.user_id = v2.user_id AND p.ts >= v2.ts""".stripMargin,
+
+    // DuckDB's ASOF comparison flipped to <= IS the forward join
+    "asof_join_forward" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'view'),
+        |v2 AS (SELECT user_id, ts, event_id AS view_event_id, value AS view_value
+        |       FROM v WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.value AS purchase_value,
+        |       v2.view_event_id AS asof_view_event_id,
+        |       v2.view_value AS asof_view_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN v2 ON p.user_id = v2.user_id AND p.ts <= v2.ts""".stripMargin,
+
+    // the backward ASOF with stale matches nulled at the exact
+    // integer-microsecond boundary (epoch_us mirrors unix_micros)
+    "asof_join_tolerance" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'view'),
+        |v2 AS (SELECT user_id, ts, event_id AS view_event_id, value AS view_value
+        |       FROM v WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.value AS purchase_value,
+        |       CASE WHEN v2.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(v2.ts) <= 3600000000
+        |            THEN v2.view_event_id END AS asof_view_event_id,
+        |       CASE WHEN v2.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(v2.ts) <= 3600000000
+        |            THEN v2.view_value END AS asof_view_value
         |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN v2 ON p.user_id = v2.user_id AND p.ts >= v2.ts""".stripMargin,
 

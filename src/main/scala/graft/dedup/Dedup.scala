@@ -913,8 +913,12 @@ object Dedup {
     * @return (id, comp, canonical_id, keep)
     */
   def canonicalPerComponent(labels: DataFrame, quality: DataFrame): DataFrame = {
+    // both consumers below (the per-cluster argmax and the stamp-back
+    // join) read this — pay the labels+quality plans once, the same
+    // pattern incrementalComponents uses for its inputs
     val j = labels.select(col("id"), col("comp"))
       .join(quality.select(col("id"), col("q")), Seq("id"))
+      .localCheckpoint()
     // argmax by (q, -id): highest quality wins, ties to the SMALLEST id —
     // struct ordering is lexicographic so negating the id flips the tie
     // direction without a second aggregation pass

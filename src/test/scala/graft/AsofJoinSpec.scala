@@ -46,4 +46,48 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(out("p1") == ("a", 100L))
     assert(out("p2") == ("b", 200L))
   }
+
+  test("a matched row's null payload value stays null (no skip-back)") {
+    val r2 = Seq((1L, 5L, Some("a")), (1L, 15L, Option.empty[String]))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.backward(left.filter($"k" === 1L), r2,
+      Seq("k"), "t", "t", Seq("v"))
+      .select($"name", $"asof_v").as[(String, Option[String])].collect().toMap
+    assert(out("p1") == Some("a"))
+    assert(out("p2") == None) // matched right t=15 carries ITS null, not t=5's "a"
+  }
+
+  test("forward picks the earliest right row at or after each left time") {
+    val out = AsofJoin.forward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select($"name", $"asof_v").as[(String, String)].collect().toMap
+    assert(out("p1") == "b")   // t=10 -> right t=15
+    assert(out("p2") == "c")   // t=20 -> right t=25 (not 15: past excluded)
+    assert(out("p3") == "d")   // equal timestamps match (>=)
+    assert(out("p4") == null)  // k=3 has no right rows
+  }
+
+  test("tolerance nulls matches beyond the window, in native units") {
+    // backward at t=20 matches right t=15 (gap 5); tolerance 4 rejects it,
+    // tolerance 5 keeps it (boundary inclusive)
+    def run(tol: Long) =
+      AsofJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"),
+        tolerance = Some(lit(tol)))
+        .select($"name", $"asof_v").as[(String, String)].collect().toMap
+    assert(run(5L)("p2") == "b")
+    assert(run(4L)("p2") == null)
+    assert(run(4L)("p3") == "d") // gap 0 always inside
+  }
+
+  test("tolerance on timestamps is exact integer microseconds") {
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(ms)
+    val l2 = Seq((1L, ts(10000L), "p")).toDF("k", "t", "name")
+    val r2 = Seq((1L, ts(6000L), "x")).toDF("k", "t", "v")
+    def run(tolMicros: Long) =
+      AsofJoin.backward(l2, r2, Seq("k"), "t", "t", Seq("v"),
+        tolerance = Some(lit(tolMicros)))
+        .select($"asof_v").as[String].head()
+    assert(run(4000000L) == "x")  // gap is exactly 4s = 4e6 µs
+    assert(run(3999999L) == null)
+  }
 }
