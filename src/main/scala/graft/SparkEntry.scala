@@ -213,8 +213,9 @@ object SparkEntry {
     // A4t: TIME-TRAVEL snapshot — the same merge with the changefeed cut
     // at an as-of horizon: reconstruct the target's state at T from base
     // + feed (validate against a backup, audit when a divergence began).
-    // The cutoff filter sits under the one-exchange upsert, so it pushes
-    // into the feed scan — an as-of snapshot reads LESS than full replay.
+    // The cutoff filter sits under the one-exchange upsert and lands
+    // scan-adjacent, below the join (plan-pinned) — rows beyond the
+    // horizon are dropped before anything shuffles.
     "cdc_snapshot_asof" -> ((s, dir) => {
       val cust = Tables.customer(s, dir)
       val ev = Tables.events(s, dir)

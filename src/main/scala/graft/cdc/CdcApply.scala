@@ -114,9 +114,11 @@ object CdcApply {
     * a cutoff, or audit when a divergence first appeared.
     *
     * The cutoff is a plain filter UNDER the one-exchange [[upsert]], so
-    * Catalyst pushes it into the changefeed scan (parquet row-group
-    * pruning on the timestamp) — an as-of snapshot reads LESS than a
-    * full replay, never more.
+    * Catalyst applies it scan-adjacent — below any join and below the
+    * LWW exchange (plan-pinned): an as-of snapshot never shuffles rows
+    * beyond the horizon. When `tsCol` is a raw scan column it also
+    * pushes into parquet row-group pruning; a rebuilt/computed column
+    * (like the nanos-derived feed here) filters right above the scan.
     *
     * @param tsCol the changefeed's event-time column; rows with
     *              `tsCol > asOf` are beyond the snapshot horizon

@@ -337,4 +337,33 @@ class PlanSpec extends SparkSpecBase {
     // every oracle key corresponds to a query
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("cdc_snapshot_asof: the horizon filter sits on the scan, below the join") {
+    val p = plan("cdc_snapshot_asof")
+    // ts is REBUILT from the parquet long (nanos div 1000), so the cutoff
+    // can't become a parquet row-group predicate — the guarantee is that
+    // it filters scan-adjacent, before the join and the LWW exchange
+    // "(N) Filter" rows are the detail section (the tree prints "Filter (N)");
+    // the cutoff literal appears in the Condition line just below its header
+    val filterId = "\\((\\d+)\\) Filter".r.findAllMatchIn(p)
+      .filter(m => p.substring(m.start, math.min(p.length, m.start + 600))
+        .contains("2024-01-18"))
+      .map(_.group(1).toInt).toSeq
+    val joinId = "\\((\\d+)\\) BroadcastHashJoin".r.findFirstMatchIn(p).map(_.group(1).toInt)
+    assert(filterId.nonEmpty, "as-of cutoff filter missing from the plan")
+    assert(joinId.nonEmpty && filterId.min < joinId.get,
+      "cutoff must apply below the join (numbering is children-first)")
+  }
+
+  test("as-of joins cost one shuffle per side (no fan-out theta join)") {
+    for (q <- Seq("asof_join", "asof_join_forward", "asof_join_tolerance")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must not fan out")
+      // union-and-carry: the only join-like structure is the window pass;
+      // exchanges = the two side aggregations' + the window's hash
+      // partitionings, never a per-row range join
+      assert(p.contains("Window"), s"$q should run as one window pass")
+    }
+  }
 }
