@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Continuous as-of enrichment — the streaming twin of
+  * operators.AsofJoin.backward: probes pick up the latest reference
+  * value at-or-before their event time for the same key (feature
+  * serving, price-at-order-time, config-at-event-time).
+  *
+  * Shape: both streams union into one `flatMapGroupsWithState` keyed by
+  * the join key. State per key is the reference history still able to
+  * match a future probe — NOT the whole stream: once the watermark
+  * passes, every reference older than the newest one at-or-before the
+  * watermark is unreachable (any in-watermark probe prefers that newer
+  * one), and with a tolerance everything older than `watermark −
+  * tolerance` can never match at all. So state is bounded by reference
+  * churn within the watermark window, hash-partitioned by key across
+  * executors — the same 1/Nth-of-the-keyspace-per-executor scaling as
+  * CdcStream.
+  *
+  * Within a microbatch, rows process in event-time order with
+  * references before probes at equal timestamps (the batch operator's
+  * tie rule). Across microbatches the answer is as-of-ARRIVAL: a
+  * reference that shows up after a probe was already answered does not
+  * retract the emitted row — at-least-once enrichment, exactly the
+  * semantics a serving path wants. Parity with the batch operator on
+  * an in-order feed is pinned in StreamingSpec.
+  */
+object AsofStream {
+
+  case class Ref(k: String, ts: Timestamp, v: String)
+  case class Probe(k: String, ts: Timestamp, probeId: Long)
+  case class Enriched(
+      probeId: Long, k: String, tsMs: Long,
+      asofV: Option[String], asofTsMs: Option[Long])
+
+  // internal envelope/state shapes — public because Catalyst's generated
+  // deserializers cannot touch private classes
+  case class Tagged(k: String, ts: Timestamp, side: Int, probeId: Long, v: String)
+  case class RefHistory(entries: List[(Long, String)]) // ts-descending
+
+  /** @param refs           reference updates (k, event time, value)
+    * @param probes         probe rows to enrich
+    * @param toleranceMs    max probe.ts − ref.ts for a match (None = any);
+    *                       also tightens the state-pruning horizon
+    * @param watermarkDelay when set (e.g. "1 hour"), a watermark on the
+    *                       unioned event time — bounds state; when None,
+    *                       history is never pruned (tests / bounded
+    *                       streams)
+    */
+  def enrich(
+      refs: Dataset[Ref],
+      probes: Dataset[Probe],
+      toleranceMs: Option[Long] = None,
+      watermarkDelay: Option[String] = None): Dataset[Enriched] = {
+    val spark = refs.sparkSession
+    import spark.implicits._
+    val unioned = refs.map(r => Tagged(r.k, r.ts, 0, -1L, r.v))
+      .union(probes.map(p => Tagged(p.k, p.ts, 1, p.probeId, null)))
+    val tagged = watermarkDelay.fold(unioned)(d => unioned.withWatermark("ts", d))
+    val watermarked = watermarkDelay.isDefined // asking for the watermark without one throws
+    tagged
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[RefHistory, Enriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[Tagged], state: GroupState[RefHistory]) =>
+          var hist = state.getOption.map(_.entries).getOrElse(Nil)
+          val out = Vector.newBuilder[Enriched]
+          // event-time order, refs before probes at equal ts — one pass,
+          // history stays ts-descending so the head scan finds the match
+          rows.toSeq.sortBy(t => (t.ts.getTime, t.side)).foreach {
+            case Tagged(_, ts, 0, _, v) =>
+              val tsMs = ts.getTime
+              // drop a same-ts predecessor: last write at a timestamp wins
+              val (newer, olderOrEq) = hist.span(_._1 > tsMs)
+              hist = newer ::: (tsMs, v) :: olderOrEq.dropWhile(_._1 == tsMs)
+            case Tagged(_, ts, _, probeId, _) =>
+              val tsMs = ts.getTime
+              val hit = hist.find { case (rts, _) =>
+                rts <= tsMs && toleranceMs.forall(tol => tsMs - rts <= tol)
+              }
+              out += Enriched(probeId, k, tsMs, hit.map(_._2), hit.map(_._1))
+          }
+          // watermark pruning: keep refs a future (in-watermark) probe can
+          // still reach — everything newer than the watermark, plus the
+          // single newest at-or-before it (unless the tolerance already
+          // rules it out for every future probe)
+          val wm = if (watermarked) state.getCurrentWatermarkMs() else 0L
+          if (wm > 0 && hist.nonEmpty) {
+            val (inWindow, older) = hist.span(_._1 > wm)
+            val carry = older.headOption.filter { case (rts, _) =>
+              toleranceMs.forall(tol => wm - rts <= tol)
+            }
+            hist = inWindow ::: carry.toList
+          }
+          if (hist.nonEmpty) state.update(RefHistory(hist)) else state.remove()
+          out.result().iterator
+      }
+  }
+}

@@ -454,4 +454,122 @@ class StreamingSpec extends SparkSpecBase {
       assert(got == expected)
     } finally q.stop()
   }
+
+  test("D7s: streaming as-of enriches probes from refs across microbatches") {
+    import graft.streaming.AsofStream
+    import graft.streaming.AsofStream.{Probe, Ref}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val refIn = MemoryStream[Ref]
+    val probeIn = MemoryStream[Probe]
+    val q = AsofStream.enrich(refIn.toDS(), probeIn.toDS())
+      .writeStream.format("memory").queryName("asof_enrich")
+      .outputMode("append").start()
+    try {
+      refIn.addData(Ref("a", ts(10), "x"), Ref("a", ts(20), "y"))
+      probeIn.addData(Probe("a", ts(15), 1), Probe("a", ts(20), 2))
+      q.processAllAvailable()
+      // next batch: state carries the history; out-of-order + missing-key
+      probeIn.addData(Probe("a", ts(25), 3), Probe("a", ts(5), 4), Probe("b", ts(10), 5))
+      q.processAllAvailable()
+      val rows = spark.table("asof_enrich")
+        .select($"probeId", $"asofV").as[(Long, Option[String])].collect().toMap
+      assert(rows(1L) == Some("x")) // 15 -> ref@10
+      assert(rows(2L) == Some("y")) // equal ts matches (<=)
+      assert(rows(3L) == Some("y")) // carried across the batch boundary
+      assert(rows(4L) == None)      // out-of-order probe before any ref
+      assert(rows(5L) == None)      // key never seen
+    } finally q.stop()
+  }
+
+  test("D7s: tolerance turns stale references into misses") {
+    import graft.streaming.AsofStream
+    import graft.streaming.AsofStream.{Probe, Ref}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val refIn = MemoryStream[Ref]
+    val probeIn = MemoryStream[Probe]
+    val q = AsofStream.enrich(refIn.toDS(), probeIn.toDS(), toleranceMs = Some(50L))
+      .writeStream.format("memory").queryName("asof_tol")
+      .outputMode("append").start()
+    try {
+      refIn.addData(Ref("a", ts(10), "x"))
+      probeIn.addData(Probe("a", ts(60), 1), Probe("a", ts(61), 2))
+      q.processAllAvailable()
+      val rows = spark.table("asof_tol")
+        .select($"probeId", $"asofV").as[(Long, Option[String])].collect().toMap
+      assert(rows(1L) == Some("x")) // gap 50 = tolerance, inclusive
+      assert(rows(2L) == None)      // gap 51, stale
+    } finally q.stop()
+  }
+
+  test("D7s: watermark prunes ref history down to the reachable carry") {
+    import graft.streaming.AsofStream
+    import graft.streaming.AsofStream.{Probe, Ref}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val refIn = MemoryStream[Ref]
+    val probeIn = MemoryStream[Probe]
+    val q = AsofStream.enrich(refIn.toDS(), probeIn.toDS(),
+      watermarkDelay = Some("0 seconds"))
+      .writeStream.format("memory").queryName("asof_wm")
+      .outputMode("append").start()
+    try {
+      refIn.addData(Ref("a", ts(10), "x"), Ref("a", ts(20), "y"), Ref("a", ts(30), "z"))
+      probeIn.addData(Probe("a", ts(40), 1)) // same batch: wm still 0, no prune yet
+      q.processAllAvailable()
+      // wm is now 40: this batch's invocation prunes history to [z] after
+      // answering; in-order probes keep matching the carried newest ref
+      probeIn.addData(Probe("a", ts(45), 2))
+      q.processAllAvailable()
+      // history is [z] now — a LATE probe (behind the watermark) no longer
+      // sees the pruned older refs: best-effort by design
+      probeIn.addData(Probe("a", ts(15), 3))
+      q.processAllAvailable()
+      val rows = spark.table("asof_wm")
+        .select($"probeId", $"asofV").as[(Long, Option[String])].collect().toMap
+      assert(rows(1L) == Some("z"))
+      assert(rows(2L) == Some("z"))
+      assert(rows(3L) == None)
+    } finally q.stop()
+  }
+
+  test("D7s: parity with the batch as-of join on an in-order feed") {
+    import graft.operators.AsofJoin
+    import graft.streaming.AsofStream
+    import graft.streaming.AsofStream.{Probe, Ref}
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val refs = (1 to 60).map(i =>
+      Ref(s"k${rnd.nextInt(4)}", new java.sql.Timestamp(rnd.nextInt(1000).toLong), s"v$i"))
+    // distinct (k, ts) on the ref side: at equal (k, ts) the batch window
+    // and the stream's same-ts overwrite may pick different writers
+    val uniqRefs = refs.groupBy(r => (r.k, r.ts.getTime)).map(_._2.head).toSeq
+    val probes = (1 to 80).map(i =>
+      Probe(s"k${rnd.nextInt(4)}", new java.sql.Timestamp(rnd.nextInt(1100).toLong), i.toLong))
+    val refIn = MemoryStream[Ref]
+    val probeIn = MemoryStream[Probe]
+    val q = AsofStream.enrich(refIn.toDS(), probeIn.toDS())
+      .writeStream.format("memory").queryName("asof_parity")
+      .outputMode("append").start()
+    try {
+      // feed in event-time order, refs and probes interleaved, 3 batches
+      val cuts = Seq(300L, 700L, Long.MaxValue)
+      var lo = Long.MinValue
+      cuts.foreach { hi =>
+        refIn.addData(uniqRefs.filter(r => r.ts.getTime > lo && r.ts.getTime <= hi))
+        q.processAllAvailable() // refs land before same-window probes
+        probeIn.addData(probes.filter(p => p.ts.getTime > lo && p.ts.getTime <= hi))
+        q.processAllAvailable()
+        lo = hi
+      }
+      val streamed = spark.table("asof_parity")
+        .select($"probeId", $"asofV").as[(Long, Option[String])].collect().toMap
+      val batch = AsofJoin.backward(
+        probes.toDF("k", "ts", "probeId"), uniqRefs.toDF("k", "ts", "v"),
+        Seq("k"), "ts", "ts", Seq("v"))
+        .select($"probeId", $"asof_v").as[(Long, Option[String])].collect().toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
