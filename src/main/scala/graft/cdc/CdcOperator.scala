@@ -31,6 +31,12 @@ object CdcOperator {
     * Postgres URL is available — the reference's `get_primary_key` path,
     * cdc_operator.rs:96-137) → first-data-column guess as a loud last
     * resort. */
+  /** `asOfMs`: time-travel horizon — only files already WRITTEN
+    * (mtime) at that wall-clock instant replay, so the snapshot is the
+    * state the target would have held at T (validate against a backup,
+    * audit when a divergence began). File-level, so post-horizon files
+    * are never read at all; a table whose every file postdates the
+    * horizon didn't exist at T and is skipped like an empty listing. */
   case class SnapshotConfig(
       bucketPrefix: String,
       databaseName: String,
@@ -41,7 +47,8 @@ object CdcOperator {
       pkByTable: Map[String, Seq[String]] = Map.empty,
       pkResolver: String => Seq[String] = _ => Seq.empty,
       columnsByTable: Map[String, Seq[String]] = Map.empty,
-      columnResolver: String => Seq[String] = _ => Seq.empty)
+      columnResolver: String => Seq[String] = _ => Seq.empty,
+      asOfMs: Option[Long] = None)
 
   /** `orderedChunks = true` (default) follows the reference exactly:
     * chunks are `chunkSize`-row ranges in pk order and `startPosition`
@@ -103,8 +110,11 @@ object CdcOperator {
       spark: SparkSession,
       cfg: SnapshotConfig,
       table: String): Option[TableState] = {
-    val files = DmsFileCatalog.listFiles(
+    val listed = DmsFileCatalog.listFiles(
       spark, cfg.bucketPrefix, cfg.databaseName, cfg.schemaName, table, cfg.mode)
+    // as-of horizon cuts the CATALOG: files not yet written at T never
+    // read — the file-granular twin of CdcApply.snapshotAsOf's row filter
+    val files = cfg.asOfMs.fold(listed)(t => listed.filter(_.modifiedMs <= t))
     if (files.isEmpty) return None
     val df = DmsFileCatalog.readTable(spark, files)
     if (df.columns.isEmpty) return None

@@ -180,7 +180,8 @@ object Cli {
           "[--max-connections n] [--accept-invalid-certs-first-db] " +
           "[--accept-invalid-certs-second-db] " +
           "[--bucket-name b --s3-prefix p  (alternative to --bucket-prefix)] " +
-          "[--only-snapshot|--only-datadiff] [--target-parquet dir]")
+          "[--only-snapshot|--only-datadiff] [--target-parquet dir] " +
+          "[--as-of ISO  (snapshot the state as of that instant)]")
       sys.exit(2)
     }
     val opts = parse(args.tail)
@@ -251,7 +252,10 @@ object Cli {
       // its expected column set from information_schema — a drifted
       // table aborts loudly inside replayTable instead of landing
       columnResolver = sourcePg.map(Reflect.columnResolver(_, schemaName))
-        .getOrElse(_ => Seq.empty))
+        .getOrElse(_ => Seq.empty),
+      // --as-of <ISO-8601 instant>: snapshot the state as it was at T —
+      // only files already written then replay (file-level time travel)
+      asOfMs = opts.get("as-of").map(Instant.parse(_).toEpochMilli))
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))

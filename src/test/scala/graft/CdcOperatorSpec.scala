@@ -53,6 +53,19 @@ class CdcOperatorSpec extends SparkSpecBase {
     assert(states("orders").state.count() == 1)
   }
 
+  test("as-of horizon replays only files already written at T") {
+    val t0 = Instant.parse("2024-02-14T10:00:00Z").toEpochMilli
+    // horizon between the LOAD (t0) and the CDC file (t0+60s): users is
+    // the load-only state, the later update/insert never read
+    val asOf = cfg.copy(asOfMs = Some(t0 + 30000))
+    val states = CdcOperator.snapshot(spark, asOf).map(s => s.table -> s).toMap
+    val users = states("users").state.select("id", "v").as[(Long, String)].collect().toMap
+    assert(users == Map(1L -> "a", 2L -> "b"))
+    assert(states("users").files.forall(_.modifiedMs <= t0 + 30000))
+    // horizon before anything existed: the table is skipped entirely
+    assert(CdcOperator.snapshot(spark, cfg.copy(asOfMs = Some(t0 - 1))).isEmpty)
+  }
+
   test("pk comes from the resolver when config omits the table") {
     // users deliberately missing from pkByTable: reflection supplies it.
     // Wrong-pk replay would keep both versions of id=2; the resolver pk
