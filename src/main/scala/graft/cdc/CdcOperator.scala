@@ -30,8 +30,9 @@ object CdcOperator {
     * `pkResolver` (wired to `graft.pg.Reflect.pkResolver` when a source
     * Postgres URL is available — the reference's `get_primary_key` path,
     * cdc_operator.rs:96-137) → first-data-column guess as a loud last
-    * resort. */
-  /** `asOfMs`: time-travel horizon — only files already WRITTEN
+    * resort.
+    *
+    * `asOfMs`: time-travel horizon — only files already WRITTEN
     * (mtime) at that wall-clock instant replay, so the snapshot is the
     * state the target would have held at T (validate against a backup,
     * audit when a divergence began). File-level, so post-horizon files

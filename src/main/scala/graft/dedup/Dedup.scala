@@ -847,37 +847,47 @@ object Dedup {
     * this function). `newPairs`: (id_a, id_b). `newIds`: ids of the
     * accepted batch (isolated new docs must still get a label row).
     * Output: (id, comp) for every old + new id — equal to a full
-    * recompute, which is exactly what the oracle checks. */
+    * recompute, which is exactly what the oracle checks.
+    *
+    * A `newIds` id that is ALREADY labeled (a replayed/re-accepted
+    * batch) counts as a touch probe too: its component's star edges
+    * enter the relabel subgraph, so it keeps its old label instead of
+    * resurfacing as a self-labeled singleton NEXT TO the untouched
+    * branch's verbatim row — one id, one output row, always. */
   def incrementalComponents(
       labels: DataFrame, newPairs: DataFrame, newIds: DataFrame,
       maxIter: Int = 30, driverEdgeLimit: Int = DriverCcEdgeLimit): DataFrame = {
-    // both inputs are read several times below (touched-set discovery,
-    // the semi/anti split, the loop's edge/id unions) — pay their plans
-    // ONCE. Without this a labels frame that is itself a live computation
-    // (e.g. a previous connectedComponents run, as in the driver's bench
-    // query) re-executes per reference; the same pattern
-    // connectedComponents uses for its pair plan.
+    // all three inputs are read several times below (touched-set
+    // discovery, the semi/anti split, the loop's edge/id unions) — pay
+    // their plans ONCE. Without this a labels frame that is itself a
+    // live computation (e.g. a previous connectedComponents run, as in
+    // the driver's bench query) re-executes per reference; the same
+    // pattern connectedComponents uses for its pair plan.
     val labelsCk = labels.select(col("id"), col("comp")).localCheckpoint()
     val pairsCk = newPairs.select(col("id_a"), col("id_b")).localCheckpoint()
-    val (starEdges, touchedIds, untouched) = touchedSubgraph(labelsCk, pairsCk)
+    val newIdsCk = newIds.select(col("id")).localCheckpoint()
+    val probes = pairsCk.select(col("id_a").as("id"))
+      .unionByName(pairsCk.select(col("id_b").as("id")))
+      .unionByName(newIdsCk)
+      .distinct()
+    val (starEdges, touchedIds, untouched) = touchedSubgraph(labelsCk, probes)
     val relabeled = connectedComponents(
       starEdges.unionByName(pairsCk),
-      touchedIds.unionByName(newIds.select(col("id"))),
+      touchedIds.unionByName(newIdsCk),
       maxIter, driverEdgeLimit)
     untouched.select(col("id"), col("comp")).unionByName(relabeled)
   }
 
-  /** Split an existing labeling around a batch of new pairs:
-    * (star edges of components touched by a pair endpoint, ids of those
-    * components' members, untouched label rows passed through verbatim).
-    * Exposed package-private so tests can pin the batch-boundedness —
-    * a batch touching 1 of N components materializes ONE component's
-    * star edges, not N−1. */
+  /** Split an existing labeling around a batch's touch probes (new-pair
+    * endpoints ∪ batch ids): (star edges of components containing a
+    * probe, ids of those components' members, untouched label rows
+    * passed through verbatim). Exposed package-private so tests can pin
+    * the batch-boundedness — a batch touching 1 of N components
+    * materializes ONE component's star edges, not N−1. */
   private[graft] def touchedSubgraph(
-      labels: DataFrame, newPairs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val endpoints = newPairs.select(col("id_a").as("id"))
-      .unionByName(newPairs.select(col("id_b").as("id"))).distinct()
-    // old comp labels of the batch's endpoints — batch-sized by
+      labels: DataFrame, probeIds: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val endpoints = probeIds.select(col("id")).distinct()
+    // old comp labels of the batch's probes — batch-sized by
     // construction; both probes broadcast so no labels scan ever shuffles
     val touched = labels.join(broadcast(endpoints), Seq("id"), "left_semi")
       .select(col("comp")).distinct()

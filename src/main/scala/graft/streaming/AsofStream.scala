@@ -34,8 +34,15 @@ object AsofStream {
   case class Ref(k: String, ts: Timestamp, v: String)
   case class Probe(k: String, ts: Timestamp, probeId: Long)
   case class Enriched(
-      probeId: Long, k: String, tsMs: Long,
-      asofV: Option[String], asofTsMs: Option[Long])
+      probeId: Long, k: String, tsUs: Long,
+      asofV: Option[String], asofTsUs: Option[Long])
+
+  /** Whole microseconds — matches the batch operator's `unix_micros`
+    * precision; Timestamp.getTime alone would truncate to millis and
+    * let a later-in-the-same-millisecond reference answer an earlier
+    * probe. */
+  private def micros(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   // internal envelope/state shapes — public because Catalyst's generated
   // deserializers cannot touch private classes
@@ -44,8 +51,10 @@ object AsofStream {
 
   /** @param refs           reference updates (k, event time, value)
     * @param probes         probe rows to enrich
-    * @param toleranceMs    max probe.ts − ref.ts for a match (None = any);
-    *                       also tightens the state-pruning horizon
+    * @param toleranceUs    max probe.ts − ref.ts in MICROSECONDS for a
+    *                       match (None = any) — the batch operator's
+    *                       timestamp unit; also tightens the
+    *                       state-pruning horizon
     * @param watermarkDelay when set (e.g. "1 hour"), a watermark on the
     *                       unioned event time — bounds state; when None,
     *                       history is never pruned (tests / bounded
@@ -54,7 +63,7 @@ object AsofStream {
   def enrich(
       refs: Dataset[Ref],
       probes: Dataset[Probe],
-      toleranceMs: Option[Long] = None,
+      toleranceUs: Option[Long] = None,
       watermarkDelay: Option[String] = None): Dataset[Enriched] = {
     val spark = refs.sparkSession
     import spark.implicits._
@@ -71,28 +80,28 @@ object AsofStream {
           val out = Vector.newBuilder[Enriched]
           // event-time order, refs before probes at equal ts — one pass,
           // history stays ts-descending so the head scan finds the match
-          rows.toSeq.sortBy(t => (t.ts.getTime, t.side)).foreach {
+          rows.toSeq.sortBy(t => (micros(t.ts), t.side)).foreach {
             case Tagged(_, ts, 0, _, v) =>
-              val tsMs = ts.getTime
+              val tsUs = micros(ts)
               // drop a same-ts predecessor: last write at a timestamp wins
-              val (newer, olderOrEq) = hist.span(_._1 > tsMs)
-              hist = newer ::: (tsMs, v) :: olderOrEq.dropWhile(_._1 == tsMs)
+              val (newer, olderOrEq) = hist.span(_._1 > tsUs)
+              hist = newer ::: (tsUs, v) :: olderOrEq.dropWhile(_._1 == tsUs)
             case Tagged(_, ts, _, probeId, _) =>
-              val tsMs = ts.getTime
+              val tsUs = micros(ts)
               val hit = hist.find { case (rts, _) =>
-                rts <= tsMs && toleranceMs.forall(tol => tsMs - rts <= tol)
+                rts <= tsUs && toleranceUs.forall(tol => tsUs - rts <= tol)
               }
-              out += Enriched(probeId, k, tsMs, hit.map(_._2), hit.map(_._1))
+              out += Enriched(probeId, k, tsUs, hit.map(_._2), hit.map(_._1))
           }
           // watermark pruning: keep refs a future (in-watermark) probe can
           // still reach — everything newer than the watermark, plus the
           // single newest at-or-before it (unless the tolerance already
           // rules it out for every future probe)
-          val wm = if (watermarked) state.getCurrentWatermarkMs() else 0L
-          if (wm > 0 && hist.nonEmpty) {
-            val (inWindow, older) = hist.span(_._1 > wm)
+          val wmUs = (if (watermarked) state.getCurrentWatermarkMs() else 0L) * 1000L
+          if (wmUs > 0 && hist.nonEmpty) {
+            val (inWindow, older) = hist.span(_._1 > wmUs)
             val carry = older.headOption.filter { case (rts, _) =>
-              toleranceMs.forall(tol => wm - rts <= tol)
+              toleranceUs.forall(tol => wmUs - rts <= tol)
             }
             hist = inWindow ::: carry.toList
           }

@@ -158,9 +158,11 @@ object Cli {
               println(s"[cli] index screen $name: " +
                 s"${spark.read.parquet(out).count()} dup pairs -> $out")
             case None =>
-              val hits = pairs.collect()
-              hits.take(20).foreach(r => println(s"[cli] dup: $r"))
-              println(s"[cli] index screen $name: ${hits.length} dup pairs")
+              // preview + count WITHOUT collecting the pair set: screening
+              // a day's batch against a large corpus can produce far more
+              // pairs than driver memory holds
+              pairs.take(20).foreach(r => println(s"[cli] dup: $r"))
+              println(s"[cli] index screen $name: ${pairs.count()} dup pairs")
           }
         case other =>
           System.err.println(s"unknown index subcommand: $other\n$usage"); sys.exit(2)
@@ -181,7 +183,7 @@ object Cli {
           "[--accept-invalid-certs-second-db] " +
           "[--bucket-name b --s3-prefix p  (alternative to --bucket-prefix)] " +
           "[--only-snapshot|--only-datadiff] [--target-parquet dir] " +
-          "[--as-of ISO  (snapshot the state as of that instant)]")
+          "[--as-of 2024-01-18T00:00:00Z  (snapshot the state as of that instant)]")
       sys.exit(2)
     }
     val opts = parse(args.tail)
@@ -255,7 +257,15 @@ object Cli {
         .getOrElse(_ => Seq.empty),
       // --as-of <ISO-8601 instant>: snapshot the state as it was at T —
       // only files already written then replay (file-level time travel)
-      asOfMs = opts.get("as-of").map(Instant.parse(_).toEpochMilli))
+      asOfMs = opts.get("as-of").map { v =>
+        try Instant.parse(v).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            System.err.println(
+              s"--as-of must be an ISO-8601 instant (e.g. 2024-01-18T00:00:00Z), got: $v")
+            sys.exit(2); 0L
+        }
+      })
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))

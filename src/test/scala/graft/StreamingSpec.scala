@@ -489,7 +489,7 @@ class StreamingSpec extends SparkSpecBase {
     def ts(ms: Long) = new java.sql.Timestamp(ms)
     val refIn = MemoryStream[Ref]
     val probeIn = MemoryStream[Probe]
-    val q = AsofStream.enrich(refIn.toDS(), probeIn.toDS(), toleranceMs = Some(50L))
+    val q = AsofStream.enrich(refIn.toDS(), probeIn.toDS(), toleranceUs = Some(50000L))
       .writeStream.format("memory").queryName("asof_tol")
       .outputMode("append").start()
     try {
@@ -498,8 +498,35 @@ class StreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
       val rows = spark.table("asof_tol")
         .select($"probeId", $"asofV").as[(Long, Option[String])].collect().toMap
-      assert(rows(1L) == Some("x")) // gap 50 = tolerance, inclusive
-      assert(rows(2L) == None)      // gap 51, stale
+      assert(rows(1L) == Some("x")) // gap 50ms = tolerance, inclusive
+      assert(rows(2L) == None)      // gap 51ms, stale
+    } finally q.stop()
+  }
+
+  test("D7s: sub-millisecond timestamps keep exact at-or-before semantics") {
+    import graft.streaming.AsofStream
+    import graft.streaming.AsofStream.{Probe, Ref}
+    implicit val sqlCtx = spark.sqlContext
+    def tsUs(us: Long) = { // microsecond-precise Timestamp
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+    val refIn = MemoryStream[Ref]
+    val probeIn = MemoryStream[Probe]
+    val q = AsofStream.enrich(refIn.toDS(), probeIn.toDS())
+      .writeStream.format("memory").queryName("asof_us")
+      .outputMode("append").start()
+    try {
+      // ref at 10.9ms, probes straddling it within the same millisecond:
+      // ms truncation would hand probe 1 a reference from its future
+      refIn.addData(Ref("a", tsUs(10900), "late"), Ref("a", tsUs(9100), "early"))
+      probeIn.addData(Probe("a", tsUs(10200), 1), Probe("a", tsUs(10900), 2))
+      q.processAllAvailable()
+      val rows = spark.table("asof_us")
+        .select($"probeId", $"asofV").as[(Long, Option[String])].collect().toMap
+      assert(rows(1L) == Some("early")) // 10.2ms: the 10.9ms ref is in its future
+      assert(rows(2L) == Some("late"))  // exact-equal microsecond matches
     } finally q.stop()
   }
 

@@ -515,8 +515,9 @@ class TextDedupSpec extends SparkSpecBase {
     val labels = (0L until 1000L).flatMap(c =>
       Seq((2 * c, 2 * c), (2 * c + 1, 2 * c))).toDF("id", "comp")
     val newPairs = Seq((5000L, 41L)).toDF("id_a", "id_b") // touches comp 40 only
+    val probes = Seq(5000L, 41L).toDF("id") // endpoints ∪ (new id 5000)
     val (starEdges, touchedIds, untouched) =
-      graft.dedup.Dedup.touchedSubgraph(labels, newPairs)
+      graft.dedup.Dedup.touchedSubgraph(labels, probes)
     assert(starEdges.as[(Long, Long)].collect().toSet == Set((41L, 40L)),
       "exactly the touched component's star edges enter the loop")
     assert(touchedIds.as[Long].collect().toSet == Set(40L, 41L))
@@ -553,6 +554,19 @@ class TextDedupSpec extends SparkSpecBase {
     assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 1L,
       5L -> 5L, 11L -> 5L, 12L -> 12L),
       "doc 10 must merge components {1,2} and {3,4} into one")
+  }
+
+  test("E2d-inc: a re-passed already-labeled id keeps its label, one row per id") {
+    // regression: newIds contains id 4, already labeled in component 3,
+    // which no new pair touches. The batch-bounded merge must NOT emit
+    // both the untouched (4,3) row and a relabeled (4,4) singleton.
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("id", "comp")
+    val newPairs = Seq((10L, 1L)).toDF("id_a", "id_b")
+    val newIds = Seq(10L, 4L).toDF("id")
+    val rows = Dedup.incrementalComponents(labels, newPairs, newIds)
+      .as[(Long, Long)].collect().toSeq
+    assert(rows.map(_._1).sorted == Seq(1L, 2L, 3L, 4L, 10L), "exactly one row per id")
+    assert(rows.toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 10L -> 1L))
   }
 
   test("E15: decontamination flags shingle overlap with the benchmark, zero rows kept") {
