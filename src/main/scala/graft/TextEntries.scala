@@ -170,8 +170,11 @@ object TextEntries {
     // dedup_components' transitive closure over all pairs.
     "dedup_components_incremental" -> ((s, dir) => {
       val docs = docsNear(s, dir)
+      // both the old-side labeling and the new-side merge filter this —
+      // pay pair generation ONCE (each consumer's own localCheckpoint
+      // would otherwise re-run the expensive inverted-index join)
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Tau)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b").localCheckpoint()
       def isNew(c: org.apache.spark.sql.Column) = c % 5 === 3
       val labels0 = Dedup.connectedComponents(
         pairs.filter(!isNew(col("id_a")) && !isNew(col("id_b"))),
