@@ -332,6 +332,33 @@ class PlanSpec extends SparkSpecBase {
     assert(counts.count(_ < 100L) <= 1, "rebalance should not leave tiny files")
   }
 
+  test("compaction: z-order layout localizes EVERY clustered column per file") {
+    import graft.sources.Compaction
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-z").toString + "/t"
+    // two independent pseudo-uniform columns over [0, 10000)
+    val df = spark.range(40000).select(
+      pmod(hash(col("id")), lit(10000)).cast("long").as("x"),
+      pmod(hash(col("id") * 7 + 3), lit(10000)).cast("long").as("y"))
+    Compaction.zorderBy(df, out, Seq("x", "y"), numFiles = 16)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 12, s"range partitioner produced ${files.length} files")
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (avgX, avgY) = (
+      spans.map(_._1).sum.toDouble / spans.length,
+      spans.map(_._2).sum.toDouble / spans.length)
+    // 16 files over 2 dims ≈ 4×4 tiles: each file should span ≈1/4 of BOTH
+    // domains (a single-column sort leaves the other column ≈ the full
+    // 10000); 0.55 leaves room for range-sampler boundary slop
+    assert(avgX < 10000 * 0.55, s"x not localized: avg per-file span $avgX")
+    assert(avgY < 10000 * 0.55, s"y not localized: avg per-file span $avgY")
+    assert(spark.read.parquet(out).count() == 40000L)
+  }
+
   test("driver contract: entry() returns rows; every query has a runnable plan") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every oracle key corresponds to a query
