@@ -866,10 +866,10 @@ object Dedup {
     val labelsCk = labels.select(col("id"), col("comp")).localCheckpoint()
     val pairsCk = newPairs.select(col("id_a"), col("id_b")).localCheckpoint()
     val newIdsCk = newIds.select(col("id")).localCheckpoint()
+    // no distinct here — touchedSubgraph distincts its probe input
     val probes = pairsCk.select(col("id_a").as("id"))
       .unionByName(pairsCk.select(col("id_b").as("id")))
       .unionByName(newIdsCk)
-      .distinct()
     val (starEdges, touchedIds, untouched) = touchedSubgraph(labelsCk, probes)
     val relabeled = connectedComponents(
       starEdges.unionByName(pairsCk),

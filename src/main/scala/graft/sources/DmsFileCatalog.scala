@@ -52,7 +52,19 @@ object DmsFileCatalog {
       prefix: String, database: String, schema: String, table: String,
       mode: Mode): Seq[CatalogedFile] = mode match {
     case AbsolutePath(p) =>
-      Seq(CatalogedFile(p, isLoadFile(p.split('/').last), 0L, 0L))
+      // real mtime (one getFileStatus RPC): the previous hardcoded 0
+      // made an as-of horizon silently keep the file for ANY requested
+      // instant — the exact backup-audit query the horizon exists for.
+      // When the filesystem can't answer, MaxValue makes every horizon
+      // EXCLUDE the file: an empty snapshot errs loud instead of
+      // labeling the current state as "the state at T".
+      val mtime =
+        try {
+          val path = new Path(p)
+          path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getFileStatus(path).getModificationTime
+        } catch { case _: Throwable => Long.MaxValue }
+      Seq(CatalogedFile(p, isLoadFile(p.split('/').last), 0L, mtime))
     case m =>
       val dir = new Path(tablePrefix(prefix, database, schema, table))
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -56,9 +56,14 @@ object AsofStream {
     *                       timestamp unit; also tightens the
     *                       state-pruning horizon
     * @param watermarkDelay when set (e.g. "1 hour"), a watermark on the
-    *                       unioned event time — bounds state; when None,
+    *                       unioned event time — bounds state (live keys
+    *                       prune as rows arrive; dead keys compact via an
+    *                       event-time timeout), and rows LATER than the
+    *                       watermark — probes and refs alike — are
+    *                       dropped by the engine, the standard watermark
+    *                       contract. When None, nothing is dropped and
     *                       history is never pruned (tests / bounded
-    *                       streams)
+    *                       streams).
     */
   def enrich(
       refs: Dataset[Ref],
@@ -71,10 +76,16 @@ object AsofStream {
       .union(probes.map(p => Tagged(p.k, p.ts, 1, p.probeId, null)))
     val tagged = watermarkDelay.fold(unioned)(d => unioned.withWatermark("ts", d))
     val watermarked = watermarkDelay.isDefined // asking for the watermark without one throws
+    // prune runs inside a key's invocation, so a key that stops receiving
+    // rows would otherwise hold its full last-seen history forever; under
+    // a watermark, an event-time timeout wakes dead keys once the
+    // watermark passes their newest ref and compacts them to the carry
+    val timeoutConf =
+      if (watermarked) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     tagged
       .groupByKey(_.k)
       .flatMapGroupsWithState[RefHistory, Enriched](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (k: String, rows: Iterator[Tagged], state: GroupState[RefHistory]) =>
           var hist = state.getOption.map(_.entries).getOrElse(Nil)
           val out = Vector.newBuilder[Enriched]
@@ -105,7 +116,15 @@ object AsofStream {
             }
             hist = inWindow ::: carry.toList
           }
-          if (hist.nonEmpty) state.update(RefHistory(hist)) else state.remove()
+          if (hist.nonEmpty) {
+            state.update(RefHistory(hist))
+            // arm the dead-key compaction: more than the single carry is
+            // held, so wake when the watermark passes the newest ref and
+            // shrink again (hist is pruned above, so size > 1 implies the
+            // head is still ahead of the watermark — a legal timeout)
+            if (watermarked && hist.size > 1)
+              state.setTimeoutTimestamp(hist.head._1 / 1000L + 1L)
+          } else state.remove()
           out.result().iterator
       }
   }

@@ -158,11 +158,13 @@ object Cli {
               println(s"[cli] index screen $name: " +
                 s"${spark.read.parquet(out).count()} dup pairs -> $out")
             case None =>
-              // preview + count WITHOUT collecting the pair set: screening
-              // a day's batch against a large corpus can produce far more
-              // pairs than driver memory holds
-              pairs.take(20).foreach(r => println(s"[cli] dup: $r"))
-              println(s"[cli] index screen $name: ${pairs.count()} dup pairs")
+              // preview + count WITHOUT collecting the pair set (screening
+              // a day's batch can produce more pairs than driver memory
+              // holds) and WITHOUT running the index join twice — one
+              // materialization serves both actions
+              val materialized = pairs.localCheckpoint()
+              materialized.take(20).foreach(r => println(s"[cli] dup: $r"))
+              println(s"[cli] index screen $name: ${materialized.count()} dup pairs")
           }
         case other =>
           System.err.println(s"unknown index subcommand: $other\n$usage"); sys.exit(2)

@@ -549,15 +549,17 @@ class StreamingSpec extends SparkSpecBase {
       // answering; in-order probes keep matching the carried newest ref
       probeIn.addData(Probe("a", ts(45), 2))
       q.processAllAvailable()
-      // history is [z] now — a LATE probe (behind the watermark) no longer
-      // sees the pruned older refs: best-effort by design
+      // a LATE probe (behind the watermark) is dropped by the engine
+      // before the function runs — the standard watermark contract (with
+      // EventTimeTimeout armed for dead-key compaction, Spark filters
+      // late input rows): no output row at all, rather than a miss
       probeIn.addData(Probe("a", ts(15), 3))
       q.processAllAvailable()
       val rows = spark.table("asof_wm")
         .select($"probeId", $"asofV").as[(Long, Option[String])].collect().toMap
       assert(rows(1L) == Some("z"))
       assert(rows(2L) == Some("z"))
-      assert(rows(3L) == None)
+      assert(!rows.contains(3L), "late probe must be dropped, not answered")
     } finally q.stop()
   }
 
