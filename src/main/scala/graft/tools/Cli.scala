@@ -42,11 +42,53 @@ object Cli {
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("validate") => runValidate(args)
     case Some("index") => runIndex(args.tail)
+    case Some("land") => runLand(args.tail)
     case _ =>
       System.err.println(
-        "usage: Cli validate ... | Cli index build|append|compact|screen ... " +
+        "usage: Cli validate ... | Cli index build|append|compact|screen ... | Cli land ... " +
           "(run a subcommand without flags for its option list)")
       sys.exit(2)
+  }
+
+  /** Layout driver — rewrite a parquet table with a scan-friendly
+    * physical layout: evenly sized files (AQE rebalance +
+    * maxRecordsPerFile), optionally z-ordered on up to 4 numeric
+    * columns so min/max stats prune filters on any of them. */
+  private def runLand(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli land --in p --out p [--zorder col1,col2] [--files n] [--max-records n]"
+    val opts = parse(args)
+    def req(k: String): String = opts.getOrElse(k,
+      { System.err.println(s"missing required --$k\n$usage"); sys.exit(2); "" })
+    def longOpt(k: String, dflt: Long): Long = opts.get(k).map(v =>
+      v.toLongOption.getOrElse {
+        System.err.println(s"--$k must be an integer"); sys.exit(2); 0L
+      }).getOrElse(dflt)
+    val (in, out) = (req("in"), req("out"))
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).getOrElse {
+        val s = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        s
+      }
+    val df = spark.read.parquet(in)
+    opts.get("zorder") match {
+      case Some(cols) =>
+        graft.sources.Compaction.zorderBy(df, out,
+          cols.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+          numFiles = longOpt("files", 32L).toInt,
+          maxRecordsPerFile = longOpt("max-records", Long.MaxValue))
+      case None =>
+        graft.sources.Compaction.landSized(df, out, longOpt("max-records", 1000000L))
+    }
+    println(s"[cli] land: ${spark.read.parquet(out).count()} rows -> $out")
   }
 
   /** Index-maintenance driver — makes the steady-state dedup story

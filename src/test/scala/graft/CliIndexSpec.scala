@@ -60,4 +60,25 @@ class CliIndexSpec extends SparkSpecBase {
         .foreach(s => spark.sql(s"DROP TABLE IF EXISTS graft_cli_idx_$s"))
     }
   }
+
+  test("land subcommand rewrites layout without changing the row set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_land").toString
+    val rows = (1L to 1000L).map(i => (i, (i * 7919) % 1000, s"doc $i"))
+    rows.toDF("id", "v", "text").write.parquet(s"$dir/in")
+    def rowSet(path: String) =
+      spark.read.parquet(path).collect().map(_.toSeq).toSet
+    def files(path: String) =
+      new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+
+    Cli.main(Array("land", "--in", s"$dir/in", "--out", s"$dir/sized",
+      "--max-records", "250"))
+    assert(rowSet(s"$dir/sized") == rowSet(s"$dir/in"))
+    assert(files(s"$dir/sized") >= 4, "250-record cap over 1000 rows needs >=4 files")
+
+    Cli.main(Array("land", "--in", s"$dir/in", "--out", s"$dir/z",
+      "--zorder", "id,v", "--files", "4"))
+    assert(rowSet(s"$dir/z") == rowSet(s"$dir/in"))
+    assert(files(s"$dir/z") == 4)
+    assert(!spark.sparkContext.isStopped)
+  }
 }
