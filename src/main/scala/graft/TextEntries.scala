@@ -92,6 +92,8 @@ object TextEntries {
   val PiiSpikeA = " contact a.user+tag@example-site.org or 10.20.30.44"
   val PiiSpikeB = " call +1 555-123-4567 now"
   val KmvK = 64 // KMV sketch size (E27)
+  val HhDen = 200 // heavy hitter = tok with tf > N/200 of all tokens (E32)
+  val HhK = 255 // MG counters; k+1 ≥ den ⟹ candidate set ⊇ true answer
   val ChunkSize = 32 // tokens per retrieval chunk (E28)
   val ChunkStride = 24
 
@@ -318,6 +320,13 @@ object TextEntries {
         PortableHash.kmvDistinct(PortableHash.h32(col("tok")), KmvK).as("est_distinct"),
         countDistinct(col("tok")).as("exact_distinct"))
     }),
+
+    // E32: EXACT corpus heavy hitters by two-pass Misra-Gries sketch +
+    // candidate-only re-count — exchanges stay candidate-sized (≤ k per
+    // map task) instead of vocabulary-sized, yet the composed result is
+    // bit-exact, so the oracle checks the scale plan's answer directly
+    "text_heavy_hitters" -> ((s, dir) =>
+      TextOps.heavyHitters(Tables.documents(s, dir), "text", HhDen, HhK)),
 
     // E30: PII redaction — emails/IPs/phones scrubbed to typed sentinels
     // with per-class audit counts; PII spiked into the synthetic corpus
@@ -768,6 +777,14 @@ object TextEntries {
          |       ELSE (${KmvK - 1} * 4294967296) // kth END AS est_distinct,
          |  ex.exact_distinct
          |FROM agg JOIN ex ON agg.lang = ex.lang""".stripMargin,
+
+    "text_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |n AS (SELECT count(*) AS n FROM t)
+         |SELECT tok, count(*) AS tf,
+         |  count(*) * 10000 // (SELECT n FROM n) AS share_bp
+         |FROM t GROUP BY tok
+         |HAVING count(*) * $HhDen > (SELECT n FROM n)""".stripMargin,
 
     "text_redact" -> {
       // patterns interpolate from the SAME PiiPatterns constants the Spark

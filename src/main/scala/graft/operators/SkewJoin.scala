@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   * small side replicates each row `salts` times. The hot key's rows then
   * land on `salts` reducers instead of one. Replication multiplies the
   * small side by `salts` — keep it the dimension side.
+  *
+  * Finding the hot keys that justify salting is itself a scale problem:
+  * profile the key column with `graft.text.TextOps.heavyHitterCandidates`
+  * (batch, ≤ k counters cross the exchange) or watch it live with
+  * `graft.streaming.HotKeysStream` — both report every key above
+  * N/(k+1) of the rows without shuffling the key space.
   */
 object SkewJoin {
 

@@ -37,5 +37,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.KmvDistinct(args.head, k).toAggregateExpression()
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_heavy_hitter_candidates"),
+      new ExpressionInfo(
+        classOf[graft.functions.MisraGries].getName, "graft_heavy_hitter_candidates"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_heavy_hitter_candidates(item_col, k)")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_heavy_hitter_candidates k must be an integer literal, got $other")
+        }
+        graft.functions.MisraGries(args.head, k).toAggregateExpression()
+      }))
   }
 }

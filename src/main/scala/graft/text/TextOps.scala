@@ -381,4 +381,49 @@ object TextOps {
         (-col("__m.nc")).as("top_cnt"), col("__total").as("n_tokens"),
         bp(-col("__m.nc"), col("__total")).as("rep_bp"))
   }
+
+  /** Misra-Gries heavy-hitter candidate summary aggregate (native
+    * TypedImperativeAggregate, graft.functions.MisraGries): ≤ k
+    * (item, count) entries shuffled per group per map task, output a
+    * guaranteed SUPERSET of every item with frequency > N/(k+1). Feed
+    * string items (tokens); compose with an exact re-count for a
+    * deterministic final answer — see [[heavyHitters]]. */
+  def heavyHitterCandidates(item: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MisraGries(
+        org.apache.spark.sql.GraftBridge.expression(item), k)
+        .toAggregateExpression())
+
+  /** EXACT corpus heavy hitters — every token appearing in strictly more
+    * than 1/den of all token occurrences — via the classic two-pass
+    * sketch-then-verify plan: pass 1 aggregates a Misra-Gries candidate
+    * summary (≤ k entries per map task cross the exchange, never the
+    * vocabulary) together with the total token count; pass 2 re-counts
+    * ONLY the ≤ k candidates exactly (an InSet filter cuts the shuffle to
+    * candidate tokens) and applies the true threshold. k + 1 ≥ den makes
+    * the MG superset guarantee cover the threshold, so the composition is
+    * bit-exact and oracle-checkable even though the sketch's membership
+    * beyond the guarantee varies with partitioning. The declarative
+    * alternative shuffles the entire vocabulary to find its top ~30 rows
+    * — at corpus scale this plan's exchanges stay candidate-sized.
+    * Output: tok, tf, share_bp (integer-div basis points). */
+  def heavyHitters(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      den: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k + 1 >= den,
+      s"k=$k cannot guarantee the 1/$den threshold: need k + 1 >= den " +
+        "(MG misses items only below N/(k+1))")
+    val toks = df.select(explode(tokens(col(textCol))).as("tok"))
+    // one job, one row: candidates and N from the same aggregation
+    val head = toks
+      .agg(heavyHitterCandidates(col("tok"), k).as("cand"),
+        count(lit(1)).as("n"))
+      .head()
+    val cand = head.getSeq[String](0)
+    val n = head.getLong(1)
+    toks.filter(col("tok").isin(cand: _*))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .filter(col("tf") * den > lit(n))
+      .withColumn("share_bp", expr(s"tf * 10000 div ${n}L"))
+  }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** E32: Misra-Gries heavy-hitter summary (native TypedImperativeAggregate)
+  * and the exact two-pass composition built on it. */
+class MisraGriesSpec extends SparkSpecBase {
+
+  // A stream that FORCES decrement sweeps and merge truncation: a few
+  // heavy items buried in a long all-distinct tail (each tail token is
+  // unique, so with small k the buffer constantly fills and sweeps).
+  private def stream(heavy: Map[String, Int], tail: Int): Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    rnd.shuffle(
+      heavy.toSeq.flatMap { case (s, c) => Seq.fill(c)(s) } ++
+        (1 to tail).map(i => s"tail:$i"))
+  }
+
+  test("E32: MG candidates ⊇ every item above N/(k+1), any partitioning") {
+    import spark.implicits._
+    val heavy = Map("alpha" -> 400, "beta" -> 250, "gamma" -> 120)
+    val data = stream(heavy, tail = 3000) // N = 3770
+    val k = 15 // guarantee floor N/16 ≈ 235 — alpha and beta must survive
+    val n = data.size
+    val must = heavy.filter { case (_, c) => c.toLong * (k + 1) > n }.keySet
+    assert(must == Set("alpha", "beta")) // the trial is non-trivial
+    for (parts <- Seq(1, 4, 13)) {
+      val cand = data.toDF("s").repartition(parts)
+        .agg(TextOps.heavyHitterCandidates($"s", k).as("c"))
+        .as[Seq[String]].head()
+      assert(cand.size <= k, s"summary exceeded k at $parts partitions")
+      assert(must.subsetOf(cand.toSet),
+        s"guaranteed heavy hitter missing at $parts partitions: " +
+          (must -- cand.toSet).mkString(","))
+      assert(cand == cand.sorted, "candidates not emitted sorted")
+    }
+  }
+
+  test("E32: exact two-pass heavyHitters equals brute force, any partitioning") {
+    import spark.implicits._
+    val heavy = Map("the" -> 900, "of" -> 500, "and" -> 260, "rare" -> 40)
+    // tail tokens must survive TextOps.norm as single tokens ("t17", not
+    // "tail:17" which normalizes into TWO tokens and changes N)
+    val rnd = new scala.util.Random(7)
+    val data = rnd.shuffle(
+      heavy.toSeq.flatMap { case (s, c) => Seq.fill(c)(s) } ++
+        (1 to 2000).map(i => s"t$i"))
+    val docs = data.grouped(25).map(_.mkString(" ")).toSeq.toDF("text")
+    val den = 16
+    val toks = docs.select(explode(TextOps.tokens($"text")).as("tok"))
+    val nTok = toks.count()
+    assert(nTok == data.size.toLong) // normalization kept one token per item
+    val brute = toks
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .filter($"tf" * den > nTok)
+      .as[(String, Long)].collect().toMap
+    assert(brute.nonEmpty && !brute.contains("rare")) // threshold really cuts
+    for (parts <- Seq(1, 7)) {
+      val got = TextOps.heavyHitters(docs.repartition(parts), "text", den, k = den - 1)
+        .select($"tok", $"tf").as[(String, Long)].collect().toMap
+      assert(got == brute, s"exact composition diverged at $parts partitions")
+    }
+  }
+
+  test("E32: grouped MG — per-group guarantee holds independently") {
+    import spark.implicits._
+    val rows =
+      Seq.fill(300)(("en", "hot")) ++ (1 to 600).map(i => ("en", s"e:$i")) ++
+        Seq.fill(80)(("de", "heiss")) ++ (1 to 100).map(i => ("de", s"d:$i"))
+    val byGroup = rows.toDF("g", "s").repartition(5)
+      .groupBy("g").agg(TextOps.heavyHitterCandidates($"s", 8).as("c"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(byGroup("en").contains("hot")) // 300 > 900/9
+    assert(byGroup("de").contains("heiss")) // 80 > 180/9
+  }
+
+  test("E32: nulls ignored; empty input yields an empty summary") {
+    import spark.implicits._
+    val cand = Seq(Some("x"), None, Some("x"), None)
+      .toDF("s")
+      .agg(TextOps.heavyHitterCandidates($"s", 4))
+      .as[Seq[String]].head()
+    assert(cand == Seq("x"))
+    val empty = Seq.empty[String].toDF("s")
+      .agg(TextOps.heavyHitterCandidates($"s", 4))
+      .as[Seq[String]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("E32: graft_heavy_hitter_candidates callable from SQL") {
+    import spark.implicits._
+    Seq("a", "a", "b").toDF("s").createOrReplaceTempView("mg_in")
+    val got = spark.sql(
+      "SELECT graft_heavy_hitter_candidates(s, 4) AS c FROM mg_in")
+      .as[Seq[String]].head()
+    assert(got == Seq("a", "b"))
+  }
+
+  test("E32: heavyHitters refuses a k too small for the threshold") {
+    import spark.implicits._
+    val docs = Seq("a b c").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.heavyHitters(docs, "text", den = 100, k = 50)
+    }
+    assert(e.getMessage.contains("k + 1 >= den") ||
+      e.getMessage.contains("cannot guarantee"))
+  }
+}

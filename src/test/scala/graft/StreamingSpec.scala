@@ -601,4 +601,49 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("E32s: sharded streaming Misra-Gries keeps the per-shard guarantee across microbatches") {
+    import graft.streaming.HotKeysStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(19)
+    // heavy items spread across BOTH microbatches (state must accumulate,
+    // not reset) buried in an all-distinct tail that forces sweeps at k=8
+    val heavy = Map("alpha" -> 260, "beta" -> 150)
+    val all = rnd.shuffle(
+      heavy.toSeq.flatMap { case (s, c) => Seq.fill(c)(s) } ++
+        (1 to 900).map(i => s"t$i"))
+    val (b1, b2) = all.splitAt(all.size / 2)
+    val k = 8
+    val shards = 4
+    val input = MemoryStream[String]
+    val q = HotKeysStream.hotKeys(
+        HotKeysStream.asSharded(input.toDF(), "value", shards), k)
+      .writeStream.format("memory").queryName("hot_keys")
+      .outputMode("update").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val live = HotKeysStream.latestPerShard(spark.table("hot_keys"))
+        .select($"shard", $"n", $"item").collect()
+      val candByShard = live.filter(!_.isNullAt(2)).groupBy(_.getInt(0))
+      val nByShard = live.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // independently compute each item's shard + true count, assert the
+      // per-shard MG floor: count > n_shard/(k+1) ⟹ present
+      val shardOf = HotKeysStream.asSharded(all.toDF("value"), "value", shards)
+        .collect().map(kd => kd.item -> kd.shard).toMap
+      val counts = all.groupBy(identity).view.mapValues(_.size.toLong)
+      assert(nByShard.values.sum == all.size.toLong) // nothing lost across batches
+      val mustSurvive = counts.filter { case (it, c) =>
+        c * (k + 1) > nByShard(shardOf(it)) }.keySet
+      assert(mustSurvive.exists(heavy.contains)) // the trial is non-trivial
+      mustSurvive.foreach { it =>
+        val present = candByShard(shardOf(it)).exists(_.getString(2) == it)
+        assert(present, s"guaranteed hot item '$it' missing from shard ${shardOf(it)}")
+      }
+      // per-shard state is bounded by k — the sketch IS the eviction policy
+      candByShard.values.foreach(rows => assert(rows.length <= k))
+    } finally q.stop()
+  }
 }
