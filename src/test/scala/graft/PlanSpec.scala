@@ -393,4 +393,29 @@ class PlanSpec extends SparkSpecBase {
       assert(p.contains("Window"), s"$q should run as one window pass")
     }
   }
+
+  test("text_heavy_hitters: MG sketch combines map-side; re-count filters by InSet before the exchange") {
+    // pass 1 (inside heavyHitters) is a TypedImperativeAggregate — pin it
+    // on the final plan's pieces instead: the returned plan IS pass 2
+    val df = SparkEntry.queries("text_heavy_hitters")(spark, sf("sf0.001"))
+    val p = df.queryExecution.explainString(FormattedMode)
+    // candidate filter runs before the aggregation exchange, as a set probe
+    // (>10 literals converts In → InSet), so the shuffle carries only
+    // candidate tokens
+    assert(p.contains("INSET") || p.contains("InSet") || p.contains(" IN ("),
+      s"recount should filter tokens by the candidate set probe:\n$p")
+    assert(p.contains("HashAggregate"), "recount is a hash aggregation")
+    // and the sketch pass itself: partial MG aggregation on the map side
+    val sketch = graft.util.Tables.documents(spark, sf("sf0.001"))
+      .select(org.apache.spark.sql.functions.explode(
+        graft.text.TextOps.tokens(org.apache.spark.sql.functions.col("text"))).as("tok"))
+      .agg(graft.text.TextOps.heavyHitterCandidates(
+        org.apache.spark.sql.functions.col("tok"), 255))
+      .queryExecution.explainString(FormattedMode)
+    assert(sketch.contains("ObjectHashAggregate"),
+      s"MG must aggregate via ObjectHashAggregate (typed buffer):\n$sketch")
+    assert(sketch.contains("partial_graft_misra_gries") ||
+      sketch.toLowerCase.contains("partial_graft_misra_gries"),
+      s"MG must combine map-side (partial aggregation):\n$sketch")
+  }
 }
