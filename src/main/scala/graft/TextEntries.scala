@@ -94,6 +94,8 @@ object TextEntries {
   val KmvK = 64 // KMV sketch size (E27)
   val HhDen = 200 // heavy hitter = tok with tf > N/200 of all tokens (E32)
   val HhK = 255 // MG counters; k+1 ≥ den ⟹ candidate set ⊇ true answer
+  val SrcDen = 20 // dominant source = > 1/20 of the corpus token budget
+  val SrcK = 63 // weighted-MG counters for the source profile
   val ChunkSize = 32 // tokens per retrieval chunk (E28)
   val ChunkStride = 24
 
@@ -327,6 +329,17 @@ object TextEntries {
     // bit-exact, so the oracle checks the scale plan's answer directly
     "text_heavy_hitters" -> ((s, dir) =>
       TextOps.heavyHitters(Tables.documents(s, dir), "text", HhDen, HhK)),
+
+    // E32w: WEIGHTED heavy hitters — which sources dominate the corpus
+    // token budget (> 1/20 of all tokens), weight = tokens per doc; at
+    // real scale the item space is millions of domains, and this plan
+    // never shuffles it — sketch + candidate re-count, bit-exact
+    "data_source_share" -> ((s, dir) =>
+      TextOps.heavyHittersWeighted(
+        Tables.documents(s, dir)
+          .select(col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("ntok")),
+        "source", col("ntok"), SrcDen, SrcK)),
 
     // E30: PII redaction — emails/IPs/phones scrubbed to typed sentinels
     // with per-class audit counts; PII spiked into the synthetic corpus
@@ -785,6 +798,14 @@ object TextEntries {
          |  count(*) * 10000 // (SELECT n FROM n) AS share_bp
          |FROM t GROUP BY tok
          |HAVING count(*) * $HhDen > (SELECT n FROM n)""".stripMargin,
+
+    "data_source_share" ->
+      s"""WITH t AS (SELECT source, len($toksSql) AS ntok FROM documents),
+         |w AS (SELECT CAST(sum(ntok) AS BIGINT) AS w FROM t)
+         |SELECT source, CAST(sum(ntok) AS BIGINT) AS weight,
+         |  CAST(sum(ntok) AS BIGINT) * 10000 // (SELECT w FROM w) AS share_bp
+         |FROM t GROUP BY source
+         |HAVING CAST(sum(ntok) AS BIGINT) * $SrcDen > (SELECT w FROM w)""".stripMargin,
 
     "text_redact" -> {
       // patterns interpolate from the SAME PiiPatterns constants the Spark

@@ -42,13 +42,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.MisraGries].getName, "graft_heavy_hitter_candidates"),
       (args: Seq[Expression]) => {
-        require(args.length == 2, "graft_heavy_hitter_candidates(item_col, k)")
-        val k = args(1) match {
+        require(args.length == 2 || args.length == 3,
+          "graft_heavy_hitter_candidates(item_col, k) or (item_col, weight_col, k)")
+        val k = args.last match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(
             s"graft_heavy_hitter_candidates k must be an integer literal, got $other")
         }
-        graft.functions.MisraGries(args.head, k).toAggregateExpression()
+        val weight =
+          if (args.length == 3) args(1)
+          else org.apache.spark.sql.catalyst.expressions.Literal(1L)
+        graft.functions.MisraGries(args.head, weight, k).toAggregateExpression()
       }))
   }
 }

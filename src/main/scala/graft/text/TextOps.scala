@@ -389,9 +389,17 @@ object TextOps {
     * string items (tokens); compose with an exact re-count for a
     * deterministic final answer — see [[heavyHitters]]. */
   def heavyHitterCandidates(item: Column, k: Int): Column =
+    weightedHeavyHitterCandidates(item, lit(1L), k)
+
+  /** Weighted variant: each row adds `weight` (long, non-negative) to its
+    * item's counter — guaranteed superset of every item above W/(k+1) of
+    * the TOTAL weight. "Which sources dominate the token budget" is this
+    * with weight = tokens per row. */
+  def weightedHeavyHitterCandidates(item: Column, weight: Column, k: Int): Column =
     org.apache.spark.sql.GraftBridge.column(
       graft.functions.MisraGries(
-        org.apache.spark.sql.GraftBridge.expression(item), k)
+        org.apache.spark.sql.GraftBridge.expression(item),
+        org.apache.spark.sql.GraftBridge.expression(weight), k)
         .toAggregateExpression())
 
   /** EXACT corpus heavy hitters — every token appearing in strictly more
@@ -409,21 +417,39 @@ object TextOps {
     * Output: tok, tf, share_bp (integer-div basis points). */
   def heavyHitters(
       df: org.apache.spark.sql.DataFrame, textCol: String,
+      den: Int, k: Int): org.apache.spark.sql.DataFrame =
+    exactHeavyHitters(
+      df.select(explode(tokens(col(textCol))).as("tok"), lit(1L).as("__w")),
+      "tok", den, k)
+      .withColumnRenamed("weight", "tf")
+
+  /** EXACT weighted heavy hitters — every item holding strictly more than
+    * 1/den of the TOTAL weight — same two-pass plan with per-row weights:
+    * "which sources exceed 1/den of the corpus token budget", answered
+    * without shuffling the (at 100 TB: millions-deep) item space.
+    * Output: itemCol, weight, share_bp. */
+  def heavyHittersWeighted(
+      df: org.apache.spark.sql.DataFrame, itemCol: String, weightCol: Column,
+      den: Int, k: Int): org.apache.spark.sql.DataFrame =
+    exactHeavyHitters(
+      df.select(col(itemCol), weightCol.cast("long").as("__w")), itemCol, den, k)
+
+  private def exactHeavyHitters(
+      rows: org.apache.spark.sql.DataFrame, itemCol: String,
       den: Int, k: Int): org.apache.spark.sql.DataFrame = {
     require(k + 1 >= den,
       s"k=$k cannot guarantee the 1/$den threshold: need k + 1 >= den " +
-        "(MG misses items only below N/(k+1))")
-    val toks = df.select(explode(tokens(col(textCol))).as("tok"))
-    // one job, one row: candidates and N from the same aggregation
-    val head = toks
-      .agg(heavyHitterCandidates(col("tok"), k).as("cand"),
-        count(lit(1)).as("n"))
+        "(MG misses items only below W/(k+1))")
+    // one job, one row: candidates and the total weight from one aggregation
+    val head = rows
+      .agg(weightedHeavyHitterCandidates(col(itemCol), col("__w"), k).as("cand"),
+        coalesce(sum(col("__w")), lit(0L)).as("n"))
       .head()
     val cand = head.getSeq[String](0)
     val n = head.getLong(1)
-    toks.filter(col("tok").isin(cand: _*))
-      .groupBy("tok").agg(count(lit(1)).as("tf"))
-      .filter(col("tf") * den > lit(n))
-      .withColumn("share_bp", expr(s"tf * 10000 div ${n}L"))
+    rows.filter(col(itemCol).isin(cand: _*))
+      .groupBy(itemCol).agg(sum(col("__w")).as("weight"))
+      .filter(col("weight") * den > lit(n))
+      .withColumn("share_bp", expr(s"weight * 10000 div ${n}L"))
   }
 }

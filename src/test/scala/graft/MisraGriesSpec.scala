@@ -98,6 +98,60 @@ class MisraGriesSpec extends SparkSpecBase {
     assert(got == Seq("a", "b"))
   }
 
+  test("E32w: weighted MG — guarantee over total WEIGHT, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // one item with huge weight spread over few rows, buried under many
+    // light distinct rows (their count dwarfs their weight)
+    val rows = rnd.shuffle(
+      Seq.fill(10)(("whale", 500L)) ++ // weight 5000
+        (1 to 2000).map(i => (s"m$i", 2L))) // weight 4000
+    val k = 7 // floor = 9000/8 = 1125 < 5000
+    for (parts <- Seq(1, 5)) {
+      val cand = rows.toDF("s", "w").repartition(parts)
+        .agg(TextOps.weightedHeavyHitterCandidates($"s", $"w", k).as("c"))
+        .as[Seq[String]].head()
+      assert(cand.size <= k)
+      assert(cand.contains("whale"), s"weighted heavy item lost at $parts partitions")
+    }
+  }
+
+  test("E32w: exact weighted composition equals brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = rnd.shuffle(
+      Seq.fill(40)(("hub", 100L)) ++ Seq.fill(30)(("mid", 60L)) ++
+        (1 to 500).map(i => (s"site$i", 7L)))
+    val df = rows.toDF("source", "ntok")
+    val den = 8
+    val total = rows.map(_._2).sum
+    val brute = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter { case (_, w) => w * den > total }.toMap
+    // hub 4000 and mid 1800 both exceed 9300/8; the 7-weight tail does not
+    assert(brute.keySet == Set("hub", "mid"))
+    for (parts <- Seq(1, 6)) {
+      val got = TextOps.heavyHittersWeighted(
+          df.repartition(parts), "source", $"ntok", den, k = den - 1)
+        .select($"source", $"weight").as[(String, Long)].collect().toMap
+      assert(got == brute, s"weighted composition diverged at $parts partitions")
+    }
+  }
+
+  test("E32w: zero weights are skipped, negative weights refuse loudly") {
+    import spark.implicits._
+    val cand = Seq(("a", 5L), ("b", 0L), ("a", 3L))
+      .toDF("s", "w")
+      .agg(TextOps.weightedHeavyHitterCandidates($"s", $"w", 4))
+      .as[Seq[String]].head()
+    assert(cand == Seq("a")) // b's zero-weight row added nothing
+    val e = intercept[Exception] {
+      Seq(("a", -1L)).toDF("s", "w")
+        .agg(TextOps.weightedHeavyHitterCandidates($"s", $"w", 4))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("E32: heavyHitters refuses a k too small for the threshold") {
     import spark.implicits._
     val docs = Seq("a b c").toDF("text")
