@@ -7,6 +7,7 @@ import graft.cdc.CdcOperator.{SnapshotConfig, ValidateConfig}
 import graft.pg.{JdbcSink, PgConfig, Reflect}
 import graft.sources.DmsFileCatalog.{AbsolutePath, DateAware, FullLoadOnly, Mode}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{coalesce, col, count, desc, lit, sum}
 
 /** Command-line client — the graft equivalent of the reference's
   * `dms-cdc-operator-client validate` (dms-cdc-operator-client/src/main.rs),
@@ -43,12 +44,72 @@ object Cli {
     case Some("validate") => runValidate(args)
     case Some("index") => runIndex(args.tail)
     case Some("land") => runLand(args.tail)
+    case Some("profile") => runProfile(args.tail)
     case _ =>
       System.err.println(
         "usage: Cli validate ... | Cli index build|append|compact|screen ... | Cli land ... " +
-          "(run a subcommand without flags for its option list)")
+          "| Cli profile ... (run a subcommand without flags for its option list)")
       sys.exit(2)
   }
+
+  /** Key profiler — the pre-join / pre-partition skew check: row count,
+    * total weight, a KMV distinct estimate of the key space, and the
+    * EXACT set of keys holding more than 1/den of the total (two-pass
+    * Misra-Gries; the keys [[graft.operators.SkewJoin]] would salt).
+    * `--weight` profiles a weighted share (e.g. tokens per row) instead
+    * of row counts. */
+  private def runProfile(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli profile --in p --key c [--weight c] [--den 100] [--kmv-k 256] [--out p]"
+    val opts = parse(args)
+    def req(k: String): String = opts.getOrElse(k,
+      { System.err.println(s"missing required --$k\n$usage"); sys.exit(2); "" })
+    def intOpt(k: String, dflt: Int): Int = opts.get(k).map(v =>
+      v.toIntOption.getOrElse {
+        System.err.println(s"--$k must be an integer"); sys.exit(2); 0
+      }).getOrElse(dflt)
+    val (in, key) = (req("in"), req("key"))
+    val den = intOpt("den", 100)
+    val kmvK = intOpt("kmv-k", 256)
+    val spark = localSession()
+    val keyed = spark.read.parquet(in).withColumn(key, col(key).cast("string"))
+    val weight = opts.get("weight").map(c => col(c).cast("long")).getOrElse(lit(1L))
+    import graft.text.{PortableHash, TextOps}
+    val stats = keyed.agg(
+      count(lit(1)).as("rows"),
+      coalesce(sum(weight), lit(0L)).as("total_weight"),
+      PortableHash.kmvDistinct(PortableHash.h32(col(key)), kmvK).as("est_distinct"))
+      .head()
+    val hot = TextOps.heavyHittersWeighted(keyed, key, weight, den, math.max(den - 1, 1))
+      .orderBy(desc("weight"), col(key))
+    println(s"[profile] rows=${stats.getLong(0)} total_weight=${stats.getLong(1)} " +
+      s"distinct~=${stats.getLong(2)} (kmv k=$kmvK)")
+    val rows = hot.collect()
+    if (rows.isEmpty) println(s"[profile] no key holds > 1/$den of the total — skew-safe at that threshold")
+    rows.foreach(r => println(
+      s"[profile] hot key=${r.get(0)} weight=${r.getLong(1)} share_bp=${r.getLong(2)}"))
+    opts.get("out").foreach { o =>
+      hot.write.mode("overwrite").parquet(o)
+      println(s"[profile] written -> $o")
+    }
+  }
+
+  /** The active session when embedded (tests, applications — never
+    * stopped by the CLI), else a fresh catalog-free local one. */
+  private def localSession(): SparkSession =
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).getOrElse {
+        val s = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        s
+      }
 
   /** Layout driver — rewrite a parquet table with a scan-friendly
     * physical layout: evenly sized files (AQE rebalance +
@@ -65,19 +126,7 @@ object Cli {
         System.err.println(s"--$k must be an integer"); sys.exit(2); 0L
       }).getOrElse(dflt)
     val (in, out) = (req("in"), req("out"))
-    val spark = SparkSession.getActiveSession
-      .orElse(SparkSession.getDefaultSession).getOrElse {
-        val s = SparkSession.builder()
-          .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-          .config("spark.sql.shuffle.partitions",
-            sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-          .config("spark.sql.adaptive.enabled", "true")
-          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-          .config("spark.ui.enabled", "false")
-          .getOrCreate()
-        s.sparkContext.setLogLevel("WARN")
-        s
-      }
+    val spark = localSession()
     val df = spark.read.parquet(in)
     opts.get("zorder") match {
       case Some(cols) =>

@@ -1,6 +1,7 @@
 package graft
 
 import graft.dedup.Dedup
+import graft.text.TextOps
 import graft.tools.Cli
 
 /** A0b/E2b-idx: the `index` CLI subcommands drive the persisted dedup
@@ -79,6 +80,35 @@ class CliIndexSpec extends SparkSpecBase {
       "--zorder", "id,v", "--files", "4"))
     assert(rowSet(s"$dir/z") == rowSet(s"$dir/in"))
     assert(files(s"$dir/z") == 4)
+    assert(!spark.sparkContext.isStopped)
+  }
+
+  test("profile subcommand reports the exact hot keys the library computes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_prof").toString
+    // one hot key (30% of rows) over a spread of cold ones, plus a
+    // weight column that crowns a DIFFERENT key by weighted share
+    val rows = Seq.fill(300)(("hot", 1L)) ++
+      (1 to 700).map(i => (s"c$i", if (i <= 10) 50L else 1L))
+    rows.toDF("k", "w").write.parquet(s"$dir/in")
+
+    Cli.main(Array("profile", "--in", s"$dir/in", "--key", "k",
+      "--den", "10", "--out", s"$dir/by_rows"))
+    val byRows = spark.read.parquet(s"$dir/by_rows")
+      .select($"k", $"weight").as[(String, Long)].collect().toMap
+    assert(byRows == Map("hot" -> 300L), "row-share profile must find exactly the hot key")
+
+    Cli.main(Array("profile", "--in", s"$dir/in", "--key", "k",
+      "--weight", "w", "--den", "10", "--out", s"$dir/by_w"))
+    val byW = spark.read.parquet(s"$dir/by_w")
+      .select($"k", $"weight").as[(String, Long)].collect().toMap
+    // total weight = 300 + 10*50 + 690 = 1490; only "hot" (300) crosses 149
+    val expected = TextOps.heavyHittersWeighted(
+        spark.read.parquet(s"$dir/in").withColumn("k", $"k".cast("string")),
+        "k", $"w", 10, 9)
+      .select($"k", $"weight").as[(String, Long)].collect().toMap
+    assert(byW == expected)
+    assert(byW.contains("hot"))
     assert(!spark.sparkContext.isStopped)
   }
 }
