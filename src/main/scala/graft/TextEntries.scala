@@ -341,6 +341,14 @@ object TextEntries {
             size(TextOps.tokens(col("text"))).cast("long").as("ntok")),
         "source", col("ntok"), SrcDen, SrcK)),
 
+    // E33: deflate-compressibility quality signal — codec-boundary
+    // mapPartitions, no SQL oracle (DuckDB has no deflate): the driver
+    // records the weaker rows-only check; CompressibilitySpec pins
+    // ordering and determinism
+    "text_compress" -> ((s, dir) =>
+      graft.text.Compressibility.compressionStats(
+        Tables.documents(s, dir), "doc_id", "text")),
+
     // E30: PII redaction — emails/IPs/phones scrubbed to typed sentinels
     // with per-class audit counts; PII spiked into the synthetic corpus
     // deterministically (mirrored in the oracle) so the patterns really
