@@ -50,7 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_heavy_hitter_candidates k must be an integer literal, got $other")
         }
         val weight =
-          if (args.length == 3) args(1)
+          // cast int-typed SQL weights up to long so the common
+          // `graft_heavy_hitter_candidates(k, cnt, 10)` just works
+          if (args.length == 3) org.apache.spark.sql.catalyst.expressions.Cast(
+            args(1), org.apache.spark.sql.types.LongType)
           else org.apache.spark.sql.catalyst.expressions.Literal(1L)
         graft.functions.MisraGries(args.head, weight, k).toAggregateExpression()
       }))

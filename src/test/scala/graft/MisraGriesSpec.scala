@@ -89,13 +89,19 @@ class MisraGriesSpec extends SparkSpecBase {
     assert(empty.isEmpty)
   }
 
-  test("E32: graft_heavy_hitter_candidates callable from SQL") {
+  test("E32: graft_heavy_hitter_candidates callable from SQL, 2- and 3-arg") {
     import spark.implicits._
     Seq("a", "a", "b").toDF("s").createOrReplaceTempView("mg_in")
     val got = spark.sql(
       "SELECT graft_heavy_hitter_candidates(s, 4) AS c FROM mg_in")
       .as[Seq[String]].head()
     assert(got == Seq("a", "b"))
+    // weighted form; an INT weight column casts up to long implicitly
+    Seq(("a", 1), ("b", 100)).toDF("s", "w").createOrReplaceTempView("mg_w")
+    val w = spark.sql(
+      "SELECT graft_heavy_hitter_candidates(s, w, 1) AS c FROM mg_w")
+      .as[Seq[String]].head()
+    assert(w == Seq("b"), "the single counter must hold the weight-dominant item")
   }
 
   test("E32w: weighted MG — guarantee over total WEIGHT, any partitioning") {
