@@ -114,8 +114,21 @@ object ExtraEntries {
         .unionByName(orphans(l, "l_orderkey", o, "o_orderkey", "lineitem->orders"))
         .unionByName(orphans(l, "l_partkey", p, "p_partkey", "lineitem->part"))
         .unionByName(orphans(e, "user_id", c, "c_custkey", "events->customer"))
-    })
+    }),
+
+    // E34: KMV set-overlap profile — estimate two key columns' distinct
+    // counts, union, intersection and Jaccard from bottom-k hash
+    // synopses BEFORE paying the join's shuffle; deterministic integer
+    // math over portable hashes, so even the estimates oracle-check
+    // bit-for-bit (sides under k distinct are exact — both regimes run
+    // across the sf ladder)
+    "key_overlap" -> ((s, dir) =>
+      graft.operators.KeyOverlap.profile(
+        Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey", KeyOverlapK))
   )
+
+  val KeyOverlapK = 256 // bottom-k synopsis size (E34)
 
   private val normToksSql =
     "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
@@ -190,6 +203,33 @@ object ExtraEntries {
          |  CAST(floor(quantile_cont(value, 0.75) * 10000.0) AS BIGINT) AS p75_bp,
          |  count(*) AS sample_n
          |FROM r WHERE rk <= 256 GROUP BY event_type""".stripMargin,
+
+    "key_overlap" -> {
+      val k = KeyOverlapK
+      def est(n: String, tau: String): String =
+        s"CASE WHEN $n < $k OR $tau <= 0 THEN $n ELSE ${k - 1} * 4294967296 // $tau END"
+      s"""WITH ah AS (SELECT DISTINCT ${graft.text.PortableHash.duckH32("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
+         |ak AS (SELECT h FROM ah WHERE h IS NOT NULL ORDER BY h LIMIT $k),
+         |bh AS (SELECT DISTINCT ${graft.text.PortableHash.duckH32("CAST(c_custkey AS VARCHAR)")} AS h FROM customer),
+         |bk AS (SELECT h FROM bh WHERE h IS NOT NULL ORDER BY h LIMIT $k),
+         |sa AS (SELECT count(*) AS n_a, coalesce(max(h), 0) AS tau_a FROM ak),
+         |sb AS (SELECT count(*) AS n_b, coalesce(max(h), 0) AS tau_b FROM bk),
+         |m AS (SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+         |  SELECT h, 1 AS in_a, 0 AS in_b FROM ak
+         |  UNION ALL SELECT h, 0, 1 FROM bk) GROUP BY h),
+         |u AS (SELECT * FROM m ORDER BY h LIMIT $k),
+         |su AS (SELECT count(*) AS n_u, coalesce(max(h), 0) AS tau_u,
+         |  CAST(coalesce(sum(in_a * in_b), 0) AS BIGINT) AS k_common FROM u)
+         |SELECT
+         |  CAST(${est("n_a", "tau_a")} AS BIGINT) AS est_a,
+         |  CAST(${est("n_b", "tau_b")} AS BIGINT) AS est_b,
+         |  CAST(${est("n_u", "tau_u")} AS BIGINT) AS est_union,
+         |  CAST(CASE WHEN n_u = 0 THEN 0
+         |    ELSE k_common * (${est("n_u", "tau_u")}) // n_u END AS BIGINT) AS est_intersect,
+         |  CAST(CASE WHEN n_u = 0 THEN 0
+         |    ELSE k_common * 10000 // n_u END AS BIGINT) AS jaccard_bp
+         |FROM sa, sb, su""".stripMargin
+    },
 
     "ref_integrity" ->
       """SELECT 'orders->customer' AS relation, count(*) AS orphans

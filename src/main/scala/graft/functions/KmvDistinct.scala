@@ -29,10 +29,77 @@ case class KmvDistinct(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
+  extends BottomKHashAgg {
+
+  require(k >= 2, "KMV needs k >= 2 (k = 1 cannot separate estimate from exact)")
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val n = buf.size
+    if (n < k) n.toLong
+    else {
+      val kth = buf.last().longValue()
+      if (kth <= 0L) n.toLong // degenerate (hash space exhausted at 0)
+      else (k - 1).toLong * 4294967296L / kth
+    }
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_kmv_distinct"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvDistinct =
+    copy(child = newChild)
+}
+
+/** The k smallest distinct hashes themselves, evaluated as a sorted
+  * ascending long array — the SYNOPSIS the estimate is derived from,
+  * for consumers that combine synopses across columns or tables
+  * (set-overlap profiling, graft.operators.KeyOverlap). Same buffer,
+  * same ≤ k-longs-per-map-task exchange; groups with fewer than k
+  * distinct hashes return them all (the exact regime). */
+case class KmvBottomK(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends BottomKHashAgg {
+
+  require(k >= 1, "bottom-k needs k >= 1")
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Any](buf.size)
+    var i = 0
+    val it = buf.iterator() // TreeSet iterates ascending
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_kmv_bottom_k"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvBottomK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvBottomK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvBottomK =
+    copy(child = newChild)
+}
+
+/** Shared buffer mechanics of the KMV family: the aggregation state is
+  * the k smallest DISTINCT long hashes seen (a TreeSet pruned from the
+  * top), merged by union-and-prune — so partial aggregation ships ≤ k
+  * longs per group per map task no matter the input size. Subclasses
+  * choose what to derive from the synopsis in eval. */
+abstract class BottomKHashAgg
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
   with UnaryLike[Expression] {
 
-  require(k >= 2, "KMV needs k >= 2 (k = 1 cannot separate estimate from exact)")
+  def child: Expression
+  def k: Int
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
@@ -58,16 +125,6 @@ case class KmvDistinct(
     buf
   }
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-    val n = buf.size
-    if (n < k) n.toLong
-    else {
-      val kth = buf.last().longValue()
-      if (kth <= 0L) n.toLong // degenerate (hash space exhausted at 0)
-      else (k - 1).toLong * 4294967296L / kth
-    }
-  }
-
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 8 * buf.size)
     bb.putInt(buf.size)
@@ -85,14 +142,5 @@ case class KmvDistinct(
     buf
   }
 
-  override def dataType: DataType = LongType
   override def nullable: Boolean = false
-  override def prettyName: String = "graft_kmv_distinct"
-
-  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
-    copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
-    copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildInternal(newChild: Expression): KmvDistinct =
-    copy(child = newChild)
 }

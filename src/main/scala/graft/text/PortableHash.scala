@@ -65,6 +65,15 @@ object PortableHash {
         org.apache.spark.sql.GraftBridge.expression(hashed), k)
         .toAggregateExpression())
 
+  /** The k smallest distinct hashes as a sorted array (same buffer and
+    * ≤ k-longs-per-map-task exchange as [[kmvDistinct]]) — the raw
+    * synopsis, for cross-table set-operation estimates. */
+  def kmvBottomK(hashed: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.KmvBottomK(
+        org.apache.spark.sql.GraftBridge.expression(hashed), k)
+        .toAggregateExpression())
+
   /** DuckDB SQL fragment computing the identical value. */
   def duckH32(expr: String): String =
     s"cast(('0x'||substr(md5($expr),1,8)) as bigint)"
