@@ -57,10 +57,14 @@ object Cli {
     * EXACT set of keys holding more than 1/den of the total (two-pass
     * Misra-Gries; the keys [[graft.operators.SkewJoin]] would salt).
     * `--weight` profiles a weighted share (e.g. tokens per row) instead
-    * of row counts. */
+    * of row counts. With `--in2/--key2` it additionally prints the
+    * cross-table overlap profile ([[graft.operators.KeyOverlap]]):
+    * estimated union/intersection/Jaccard of the two key spaces — the
+    * join hit-rate check. */
   private def runProfile(args: Seq[String]): Unit = {
     val usage =
-      "usage: Cli profile --in p --key c [--weight c] [--den 100] [--kmv-k 256] [--out p]"
+      "usage: Cli profile --in p --key c [--weight c] [--den 100] [--kmv-k 256] " +
+        "[--in2 p --key2 c] [--out p]"
     val opts = parse(args)
     def req(k: String): String = opts.getOrElse(k,
       { System.err.println(s"missing required --$k\n$usage"); sys.exit(2); "" })
@@ -91,6 +95,14 @@ object Cli {
     opts.get("out").foreach { o =>
       hot.write.mode("overwrite").parquet(o)
       println(s"[profile] written -> $o")
+    }
+    opts.get("in2").foreach { in2 =>
+      val key2 = req("key2")
+      val ov = graft.operators.KeyOverlap.profile(
+        spark.read.parquet(in), key, spark.read.parquet(in2), key2, kmvK).head()
+      println(s"[profile] overlap vs $in2.$key2: est_a=${ov.getLong(0)} " +
+        s"est_b=${ov.getLong(1)} est_union=${ov.getLong(2)} " +
+        s"est_intersect=${ov.getLong(3)} jaccard_bp=${ov.getLong(4)}")
     }
   }
 

@@ -109,6 +109,22 @@ class CliIndexSpec extends SparkSpecBase {
       .select($"k", $"weight").as[(String, Long)].collect().toMap
     assert(byW == expected)
     assert(byW.contains("hot"))
+
+    // two-table form prints the overlap profile the library computes
+    (1L to 50L).toDF("k2").write.parquet(s"$dir/other")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Cli.main(Array("profile", "--in", s"$dir/in", "--key", "k",
+        "--in2", s"$dir/other", "--key2", "k2", "--kmv-k", "64"))
+    }
+    val lib = graft.operators.KeyOverlap.profile(
+        spark.read.parquet(s"$dir/in"), "k",
+        spark.read.parquet(s"$dir/other"), "k2", 64)
+      .head()
+    val line = out.toString.linesIterator.find(_.contains("overlap vs")).getOrElse(
+      fail(s"no overlap line in CLI output:\n$out"))
+    assert(line.contains(s"jaccard_bp=${lib.getLong(4)}"))
+    assert(line.contains(s"est_union=${lib.getLong(2)}"))
     assert(!spark.sparkContext.isStopped)
   }
 }
