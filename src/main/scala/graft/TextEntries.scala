@@ -338,7 +338,14 @@ object TextEntries {
       TextOps.heavyHittersWeighted(
         Tables.documents(s, dir)
           .select(col("source"),
-            size(TextOps.tokens(col("text"))).cast("long").as("ntok")),
+            // null text contributes NO weight, matching the oracle's
+            // len(NULL)=NULL-skipped-by-sum — stated explicitly rather
+            // than relying on size()'s null semantics (the legacy
+            // sizeOfNull flag would turn it into -1, which the weighted
+            // MG refuses loudly)
+            when(col("text").isNull, lit(0L))
+              .otherwise(size(TextOps.tokens(col("text"))).cast("long"))
+              .as("ntok")),
         "source", col("ntok"), SrcDen, SrcK)),
 
     // E33: deflate-compressibility quality signal — codec-boundary

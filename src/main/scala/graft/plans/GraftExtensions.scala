@@ -51,7 +51,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         val weight =
           // cast int-typed SQL weights up to long so the common
-          // `graft_heavy_hitter_candidates(k, cnt, 10)` just works
+          // `graft_heavy_hitter_candidates(item, cnt, 10)` just works
           if (args.length == 3) org.apache.spark.sql.catalyst.expressions.Cast(
             args(1), org.apache.spark.sql.types.LongType)
           else org.apache.spark.sql.catalyst.expressions.Literal(1L)

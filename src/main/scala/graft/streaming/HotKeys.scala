@@ -44,7 +44,9 @@ object HotKeysStream {
     import spark.implicits._
     df.filter(col(itemCol).isNotNull)
       .select(
-        pmod(graft.text.PortableHash.h32(col(itemCol)), lit(shards.toLong))
+        // hash the same string rendering that becomes the item: h32 only
+        // accepts strings, and routing must follow the item's identity
+        pmod(graft.text.PortableHash.h32(col(itemCol).cast("string")), lit(shards.toLong))
           .cast("int").as("shard"),
         col(itemCol).cast("string").as("item"))
       .as[Keyed]

@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   * Output: idCol (long), raw_bytes, deflate_bytes, ratio_bp
   * (deflate·10000/raw, floor; empty text reports 10000 — "nothing to
   * compress" must not read as infinitely compressible).
+  *
+  * Precondition: idCol must be non-null and long-castable (the typed
+  * encoder refuses null ids loudly); null TEXT is handled — it scores
+  * as empty.
   */
 object Compressibility {
 

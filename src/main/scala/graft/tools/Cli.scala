@@ -84,8 +84,11 @@ object Cli {
       coalesce(sum(weight), lit(0L)).as("total_weight"),
       PortableHash.kmvDistinct(PortableHash.h32(col(key)), kmvK).as("est_distinct"))
       .head()
+    // pin before the double consumption (print collect + --out write):
+    // re-executing the plan would re-scan the input twice more
     val hot = TextOps.heavyHittersWeighted(keyed, key, weight, den, math.max(den - 1, 1))
       .orderBy(desc("weight"), col(key))
+      .localCheckpoint()
     println(s"[profile] rows=${stats.getLong(0)} total_weight=${stats.getLong(1)} " +
       s"distinct~=${stats.getLong(2)} (kmv k=$kmvK)")
     val rows = hot.collect()

@@ -414,8 +414,7 @@ class PlanSpec extends SparkSpecBase {
       .queryExecution.explainString(FormattedMode)
     assert(sketch.contains("ObjectHashAggregate"),
       s"MG must aggregate via ObjectHashAggregate (typed buffer):\n$sketch")
-    assert(sketch.contains("partial_graft_misra_gries") ||
-      sketch.toLowerCase.contains("partial_graft_misra_gries"),
+    assert(sketch.contains("partial_graft_misra_gries"),
       s"MG must combine map-side (partial aggregation):\n$sketch")
   }
 }

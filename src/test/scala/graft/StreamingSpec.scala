@@ -602,6 +602,13 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("E32s: asSharded accepts numeric key columns — the join-key case") {
+    import graft.streaming.HotKeysStream
+    val keyed = HotKeysStream.asSharded((1L to 10L).toDF("uid"), "uid", 4).collect()
+    assert(keyed.length == 10 && keyed.forall(k => k.shard >= 0 && k.shard < 4))
+    assert(keyed.map(_.item).toSet == (1L to 10L).map(_.toString).toSet)
+  }
+
   test("E32s: sharded streaming Misra-Gries keeps the per-shard guarantee across microbatches") {
     import graft.streaming.HotKeysStream
     implicit val sqlCtx = spark.sqlContext
