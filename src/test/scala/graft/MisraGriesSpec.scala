@@ -158,6 +158,37 @@ class MisraGriesSpec extends SparkSpecBase {
     assert(e.getMessage != null)
   }
 
+  test("E32 property: guarantee and exact composition hold on random weighted streams (10 trials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(101)
+    (1 to 10).foreach { trial =>
+      val nHeavy = rnd.nextInt(4) + 1
+      val heavy = (1 to nHeavy).map(h => s"hot$h" -> (rnd.nextInt(400) + 100L)).toMap
+      val nTail = rnd.nextInt(1500) + 200
+      val rows = rnd.shuffle(
+        heavy.toSeq.flatMap { case (s, w) => // heavy weight split over 1..5 rows
+          val parts = rnd.nextInt(5) + 1
+          Seq.fill(parts - 1)((s, w / parts)) :+ (s, w - (w / parts) * (parts - 1))
+        } ++ (1 to nTail).map(i => (s"t$i", rnd.nextInt(3) + 1L)))
+      val k = rnd.nextInt(20) + 4
+      val w = rows.map(_._2).sum
+      val df = rows.toDF("s", "w").repartition(rnd.nextInt(7) + 1)
+      // (a) the sketch alone: superset of everything above W/(k+1)
+      val cand = df.agg(TextOps.weightedHeavyHitterCandidates($"s", $"w", k))
+        .as[Seq[String]].head().toSet
+      val must = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .filter { case (_, c) => c * (k + 1) > w }.keySet
+      assert(must.subsetOf(cand), s"trial $trial: missing ${must -- cand} (k=$k)")
+      // (b) the composition: bit-equal to brute force at den = k+1
+      val den = k + 1
+      val brute = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .filter { case (_, c) => c * den > w }.toMap
+      val got = TextOps.heavyHittersWeighted(df, "s", $"w", den, k)
+        .select($"s", $"weight").as[(String, Long)].collect().toMap
+      assert(got == brute, s"trial $trial diverged (k=$k, den=$den)")
+    }
+  }
+
   test("E32: heavyHitters refuses a k too small for the threshold") {
     import spark.implicits._
     val docs = Seq("a b c").toDF("text")

@@ -394,6 +394,16 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("data_source_share: the re-count's candidate filter reaches the parquet scan") {
+    // the weighted recount filters on a plain column (source), so the
+    // candidate probe should push into the scan — at 100 TB the second
+    // pass reads only candidate sources' row groups
+    val p = SparkEntry.queries("data_source_share")(spark, sf("sf0.001"))
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("PushedFilters") && p.contains("In(source"),
+      s"candidate-source filter must push to the scan:\n$p")
+  }
+
   test("text_heavy_hitters: MG sketch combines map-side; re-count filters by InSet before the exchange") {
     // pass 1 (inside heavyHitters) is a TypedImperativeAggregate — pin it
     // on the final plan's pieces instead: the returned plan IS pass 2
