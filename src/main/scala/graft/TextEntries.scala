@@ -815,7 +815,9 @@ object TextEntries {
          |HAVING count(*) * $HhDen > (SELECT n FROM n)""".stripMargin,
 
     "data_source_share" ->
-      s"""WITH t AS (SELECT source, len($toksSql) AS ntok FROM documents),
+      // WHERE mirrors the operator's null-item exclusion: a NULL source
+      // is neither reported nor counted in the total
+      s"""WITH t AS (SELECT source, len($toksSql) AS ntok FROM documents WHERE source IS NOT NULL),
          |w AS (SELECT CAST(sum(ntok) AS BIGINT) AS w FROM t)
          |SELECT source, CAST(sum(ntok) AS BIGINT) AS weight,
          |  CAST(sum(ntok) AS BIGINT) * 10000 // (SELECT w FROM w) AS share_bp

@@ -6,8 +6,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Streaming hot-key / hot-token monitor: a sharded Misra-Gries summary
   * maintained continuously with `mapGroupsWithState` — the streaming twin
-  * of the batch `graft.functions.MisraGries` aggregate (same update and
-  * bound rules, expressed over an encodable `Map[String, Long]` state).
+  * of the batch `graft.functions.MisraGries` aggregate, carrying the same
+  * N/(k+1) superset guarantee over an encodable `Map[String, Long]`
+  * state. (Twin in guarantee, not in summary: this unweighted fold uses
+  * classic drop-the-newcomer sweeps, the batch aggregate the weighted
+  * insert-then-bound variant — beyond the guarantee their candidate sets
+  * may differ, so don't diff stream state against a batch sketch.)
   *
   * Sharding makes it scale: items are routed to `shards` state groups by
   * portable hash, so state work parallelizes across executors while each
@@ -52,10 +56,10 @@ object HotKeysStream {
       .as[Keyed]
   }
 
-  /** The MG update fold, mutably per microbatch invocation (one
-    * to-mutable/to-immutable conversion per shard per batch, not per
-    * element). Same rules as the batch aggregate's update():
-    * present → +1; room → insert 1; full miss → decrement-all sweep. */
+  /** The classic (unweighted) MG update fold, mutably per microbatch
+    * invocation (one to-mutable/to-immutable conversion per shard per
+    * batch, not per element): present → +1; room → insert 1; full miss →
+    * decrement-all sweep, newcomer discarded. */
   private def fold(
       init: Map[String, Long], items: Iterator[String], k: Int): (Map[String, Long], Long) = {
     val m = scala.collection.mutable.HashMap.empty[String, Long]

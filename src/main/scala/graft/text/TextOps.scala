@@ -418,38 +418,51 @@ object TextOps {
   def heavyHitters(
       df: org.apache.spark.sql.DataFrame, textCol: String,
       den: Int, k: Int): org.apache.spark.sql.DataFrame =
-    exactHeavyHitters(
-      df.select(explode(tokens(col(textCol))).as("tok"), lit(1L).as("__w")),
-      "tok", den, k)
+    heavyHittersWeightedWithStats(
+      df.select(explode(tokens(col(textCol))).as("tok")),
+      "tok", lit(1L), den, k, Nil)._1
       .withColumnRenamed("weight", "tf")
 
   /** EXACT weighted heavy hitters — every item holding strictly more than
     * 1/den of the TOTAL weight — same two-pass plan with per-row weights:
     * "which sources exceed 1/den of the corpus token budget", answered
     * without shuffling the (at 100 TB: millions-deep) item space.
+    * Null ITEMS are excluded entirely (neither reported nor counted in
+    * the total — mirror any SQL twin with `WHERE item IS NOT NULL`).
     * Output: itemCol, weight, share_bp. */
   def heavyHittersWeighted(
       df: org.apache.spark.sql.DataFrame, itemCol: String, weightCol: Column,
       den: Int, k: Int): org.apache.spark.sql.DataFrame =
-    exactHeavyHitters(
-      df.select(col(itemCol), weightCol.cast("long").as("__w")), itemCol, den, k)
+    heavyHittersWeightedWithStats(df, itemCol, weightCol, den, k, Nil)._1
 
-  private def exactHeavyHitters(
-      rows: org.apache.spark.sql.DataFrame, itemCol: String,
-      den: Int, k: Int): org.apache.spark.sql.DataFrame = {
+  /** [[heavyHittersWeighted]] that additionally evaluates caller-supplied
+    * aggregate columns (e.g. a count or a KMV distinct of the item) IN
+    * the sketch pass's single aggregation, returned as the Row's fields
+    * after [cand, n] — so a profiling caller pays no extra input scan.
+    * The repo's recurring trap is exactly such a consumer re-running the
+    * scan for numbers pass 1 already had in hand. */
+  def heavyHittersWeightedWithStats(
+      df: org.apache.spark.sql.DataFrame, itemCol: String, weightCol: Column,
+      den: Int, k: Int, extraAggs: Seq[Column]): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Row) = {
     require(k + 1 >= den,
       s"k=$k cannot guarantee the 1/$den threshold: need k + 1 >= den " +
         "(MG misses items only below W/(k+1))")
-    // one job, one row: candidates and the total weight from one aggregation
+    // null items carry no information about ANY key's share: drop them
+    // before both passes so they neither appear nor inflate the total
+    // (the SQL GROUP BY NULL group the sketch could never report)
+    val rows = df.filter(col(itemCol).isNotNull)
+      .select(col(itemCol), weightCol.cast("long").as("__w"))
+    // one job, one row: candidates, total weight and caller extras
     val head = rows
       .agg(weightedHeavyHitterCandidates(col(itemCol), col("__w"), k).as("cand"),
-        coalesce(sum(col("__w")), lit(0L)).as("n"))
+        (coalesce(sum(col("__w")), lit(0L)).as("n") +: extraAggs): _*)
       .head()
     val cand = head.getSeq[String](0)
     val n = head.getLong(1)
-    rows.filter(col(itemCol).isin(cand: _*))
+    val hot = rows.filter(col(itemCol).isin(cand: _*))
       .groupBy(itemCol).agg(sum(col("__w")).as("weight"))
       .filter(col("weight") * den > lit(n))
       .withColumn("share_bp", expr(s"weight * 10000 div ${n}L"))
+    (hot, head)
   }
 }

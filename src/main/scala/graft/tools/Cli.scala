@@ -65,32 +65,28 @@ object Cli {
     val usage =
       "usage: Cli profile --in p --key c [--weight c] [--den 100] [--kmv-k 256] " +
         "[--in2 p --key2 c] [--out p]"
-    val opts = parse(args)
-    def req(k: String): String = opts.getOrElse(k,
-      { System.err.println(s"missing required --$k\n$usage"); sys.exit(2); "" })
-    def intOpt(k: String, dflt: Int): Int = opts.get(k).map(v =>
-      v.toIntOption.getOrElse {
-        System.err.println(s"--$k must be an integer"); sys.exit(2); 0
-      }).getOrElse(dflt)
-    val (in, key) = (req("in"), req("key"))
-    val den = intOpt("den", 100)
-    val kmvK = intOpt("kmv-k", 256)
+    val opts = new Opts(args, usage)
+    val (in, key) = (opts.req("in"), opts.req("key"))
+    val den = opts.int("den", 100)
+    val kmvK = opts.int("kmv-k", 256)
+    // validate the two-table flag pair BEFORE any Spark work: a missing
+    // --key2 must not surface after minutes of single-table profiling
+    val overlapWith = opts.get("in2").map(in2 => (in2, opts.req("key2")))
     val spark = localSession()
     val keyed = spark.read.parquet(in).withColumn(key, col(key).cast("string"))
     val weight = opts.get("weight").map(c => col(c).cast("long")).getOrElse(lit(1L))
     import graft.text.{PortableHash, TextOps}
-    val stats = keyed.agg(
-      count(lit(1)).as("rows"),
-      coalesce(sum(weight), lit(0L)).as("total_weight"),
-      PortableHash.kmvDistinct(PortableHash.h32(col(key)), kmvK).as("est_distinct"))
-      .head()
+    // row count and distinct estimate ride the sketch pass's single
+    // aggregation — no separate stats scan of the input
+    val (hotPlan, p1) = TextOps.heavyHittersWeightedWithStats(
+      keyed, key, weight, den, math.max(den - 1, 1),
+      Seq(count(lit(1)).as("rows"),
+        PortableHash.kmvDistinct(PortableHash.h32(col(key)), kmvK).as("est_distinct")))
     // pin before the double consumption (print collect + --out write):
     // re-executing the plan would re-scan the input twice more
-    val hot = TextOps.heavyHittersWeighted(keyed, key, weight, den, math.max(den - 1, 1))
-      .orderBy(desc("weight"), col(key))
-      .localCheckpoint()
-    println(s"[profile] rows=${stats.getLong(0)} total_weight=${stats.getLong(1)} " +
-      s"distinct~=${stats.getLong(2)} (kmv k=$kmvK)")
+    val hot = hotPlan.orderBy(desc("weight"), col(key)).localCheckpoint()
+    println(s"[profile] rows=${p1.getLong(2)} total_weight=${p1.getLong(1)} " +
+      s"distinct~=${p1.getLong(3)} (kmv k=$kmvK; null keys excluded)")
     val rows = hot.collect()
     if (rows.isEmpty) println(s"[profile] no key holds > 1/$den of the total — skew-safe at that threshold")
     rows.foreach(r => println(
@@ -99,14 +95,33 @@ object Cli {
       hot.write.mode("overwrite").parquet(o)
       println(s"[profile] written -> $o")
     }
-    opts.get("in2").foreach { in2 =>
-      val key2 = req("key2")
+    overlapWith.foreach { case (in2, key2) =>
       val ov = graft.operators.KeyOverlap.profile(
         spark.read.parquet(in), key, spark.read.parquet(in2), key2, kmvK).head()
       println(s"[profile] overlap vs $in2.$key2: est_a=${ov.getLong(0)} " +
         s"est_b=${ov.getLong(1)} est_union=${ov.getLong(2)} " +
         s"est_intersect=${ov.getLong(3)} jaccard_bp=${ov.getLong(4)}")
     }
+  }
+
+  /** Parsed flags with the required/typed accessors every subcommand
+    * repeats: missing or malformed flags print the subcommand's usage
+    * and exit(2) — identically everywhere, and fixable in one place. */
+  private final class Opts(args: Seq[String], usage: String) {
+    private val map = parse(args)
+    def get(k: String): Option[String] = map.get(k)
+    def getOrElse(k: String, dflt: String): String = map.getOrElse(k, dflt)
+    def has(k: String): Boolean = map.contains(k)
+    def req(k: String): String = map.getOrElse(k,
+      { System.err.println(s"missing required --$k\n$usage"); sys.exit(2); "" })
+    def int(k: String, dflt: Int): Int = map.get(k).map(v =>
+      v.toIntOption.getOrElse {
+        System.err.println(s"--$k must be an integer"); sys.exit(2); 0
+      }).getOrElse(dflt)
+    def long(k: String, dflt: Long): Long = map.get(k).map(v =>
+      v.toLongOption.getOrElse {
+        System.err.println(s"--$k must be an integer"); sys.exit(2); 0L
+      }).getOrElse(dflt)
   }
 
   /** The active session when embedded (tests, applications — never
@@ -133,24 +148,18 @@ object Cli {
   private def runLand(args: Seq[String]): Unit = {
     val usage =
       "usage: Cli land --in p --out p [--zorder col1,col2] [--files n] [--max-records n]"
-    val opts = parse(args)
-    def req(k: String): String = opts.getOrElse(k,
-      { System.err.println(s"missing required --$k\n$usage"); sys.exit(2); "" })
-    def longOpt(k: String, dflt: Long): Long = opts.get(k).map(v =>
-      v.toLongOption.getOrElse {
-        System.err.println(s"--$k must be an integer"); sys.exit(2); 0L
-      }).getOrElse(dflt)
-    val (in, out) = (req("in"), req("out"))
+    val opts = new Opts(args, usage)
+    val (in, out) = (opts.req("in"), opts.req("out"))
     val spark = localSession()
     val df = spark.read.parquet(in)
     opts.get("zorder") match {
       case Some(cols) =>
         graft.sources.Compaction.zorderBy(df, out,
           cols.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
-          numFiles = longOpt("files", 32L).toInt,
-          maxRecordsPerFile = longOpt("max-records", Long.MaxValue))
+          numFiles = opts.long("files", 32L).toInt,
+          maxRecordsPerFile = opts.long("max-records", Long.MaxValue))
       case None =>
-        graft.sources.Compaction.landSized(df, out, longOpt("max-records", 1000000L))
+        graft.sources.Compaction.landSized(df, out, opts.long("max-records", 1000000L))
     }
     println(s"[cli] land: ${spark.read.parquet(out).count()} rows -> $out")
   }
@@ -191,19 +200,13 @@ object Cli {
         "       Cli index screen --name n --batch p --tau-bp t [--minhash] [--out dir] " +
         "[--id-col c] [--text-col c] [--w 3] [--num-perm 12] [--bands 4] [--warehouse dir]"
     val sub = args.headOption.getOrElse { System.err.println(usage); sys.exit(2); "" }
-    val opts = parse(args.tail.toSeq)
-    def req(k: String): String = opts.getOrElse(k,
-      { System.err.println(s"missing required --$k\n$usage"); sys.exit(2); "" })
-    def intOpt(k: String, dflt: Int): Int = opts.get(k).map(v =>
-      v.toIntOption.getOrElse {
-        System.err.println(s"--$k must be an integer"); sys.exit(2); 0
-      }).getOrElse(dflt)
-    val name = req("name")
+    val opts = new Opts(args.tail.toSeq, usage)
+    val name = opts.req("name")
     val idCol = opts.getOrElse("id-col", "doc_id")
     val textCol = opts.getOrElse("text-col", "text")
-    val w = intOpt("w", 3)
-    val numPerm = intOpt("num-perm", 12)
-    val bands = intOpt("bands", 4)
+    val w = opts.int("w", 3)
+    val numPerm = opts.int("num-perm", 12)
+    val bands = opts.int("bands", 4)
 
     val (spark, owned) = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession) match {
@@ -231,29 +234,29 @@ object Cli {
       import graft.dedup.Dedup
       sub match {
         case "build" =>
-          val buckets = intOpt("buckets", -1)
+          val buckets = opts.int("buckets", -1)
           if (buckets < 1) { System.err.println(s"missing/bad --buckets\n$usage"); sys.exit(2) }
-          Dedup.writeNgramIndex(spark.read.parquet(req("corpus")), idCol, textCol,
+          Dedup.writeNgramIndex(spark.read.parquet(opts.req("corpus")), idCol, textCol,
             name, buckets, w)
-          if (opts.contains("minhash"))
+          if (opts.has("minhash"))
             Dedup.writeMinhashIndex(spark, name, buckets, numPerm, bands)
           val docs = spark.table(s"${name}_sizes").count()
           println(s"[cli] index build $name: $docs docs, buckets=$buckets, w=$w" +
-            (if (opts.contains("minhash")) s", minhash numPerm=$numPerm bands=$bands" else ""))
+            (if (opts.has("minhash")) s", minhash numPerm=$numPerm bands=$bands" else ""))
         case "append" =>
-          val batch = spark.read.parquet(req("batch"))
+          val batch = spark.read.parquet(opts.req("batch"))
           Dedup.appendToNgramIndex(batch, idCol, textCol, name)
           println(s"[cli] index append $name: accepted ${batch.count()} docs into the delta")
         case "compact" =>
           Dedup.compactNgramIndex(spark, name)
           println(s"[cli] index compact $name: deltas folded into the base")
         case "screen" =>
-          val tauBp = req("tau-bp").toLongOption.getOrElse {
+          val tauBp = opts.req("tau-bp").toLongOption.getOrElse {
             System.err.println("--tau-bp must be an integer (basis points)"); sys.exit(2); 0L
           }
-          val batch = spark.read.parquet(req("batch"))
+          val batch = spark.read.parquet(opts.req("batch"))
           val pairs =
-            if (opts.contains("minhash"))
+            if (opts.has("minhash"))
               Dedup.minhashLshPairsIndexed(spark, name, batch, idCol, textCol,
                 tauBp, numPerm, bands, w)
             else

@@ -143,6 +143,16 @@ class MisraGriesSpec extends SparkSpecBase {
     }
   }
 
+  test("E32w: null items are excluded from the report AND the denominator") {
+    import spark.implicits._
+    // if null rows' weight counted toward the total, "a" (30 of 90)
+    // would miss the 1/2 threshold; excluded entirely, 30 of 30 passes
+    val df = Seq((Some("a"), 30L), (None, 60L)).toDF("s", "w")
+    val got = TextOps.heavyHittersWeighted(df, "s", $"w", den = 2, k = 3)
+      .select($"s", $"weight").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 30L))
+  }
+
   test("E32w: zero weights are skipped, negative weights refuse loudly") {
     import spark.implicits._
     val cand = Seq(("a", 5L), ("b", 0L), ("a", 3L))
