@@ -125,7 +125,36 @@ object ExtraEntries {
     "key_overlap" -> ((s, dir) =>
       graft.operators.KeyOverlap.profile(
         Tables.orders(s, dir), "o_custkey",
-        Tables.customer(s, dir), "c_custkey", KeyOverlapK))
+        Tables.customer(s, dir), "c_custkey", KeyOverlapK)),
+
+    // E35: bloom-pruned semi-join — lineitems of urgent orders, with the
+    // probe side filtered by the build keys' bloom BEFORE its exchange;
+    // the closing exact join makes the bloom invisible to the result, so
+    // the whole composition oracle-checks against the plain IN-subquery
+    "bloom_semijoin" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      graft.operators.BloomPrune
+        .semiJoin(Tables.lineitem(s, dir), "l_orderkey", urgent, "o_orderkey",
+          expectedItems = 1L << 20, fpp = 0.02)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // E36: one-pass table profile — every column's nulls / KMV distinct
+    // estimate / min / max from a single scan and one bounded-state
+    // aggregation; float/timestamp columns pre-cast to decimal/date so
+    // the string renderings (and thus the estimates' hash inputs) are
+    // engine-portable and the whole profile oracle-checks bit-for-bit
+    "table_profile" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice_dec"),
+        col("o_orderdate").cast("date").as("o_orderdate_day"))
+      graft.operators.TableProfile.profile(o, o.columns.toSeq, KeyOverlapK)
+    })
   )
 
   val KeyOverlapK = 256 // bottom-k synopsis size (E34)
@@ -242,6 +271,38 @@ object ExtraEntries {
         |WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
         |UNION ALL
         |SELECT 'events->customer', count(*) FROM events e
-        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)""".stripMargin
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)""".stripMargin,
+
+    "table_profile" -> {
+      val k = KeyOverlapK
+      def colRow(c: String, renderedSql: String): String = {
+        val kmv =
+          s"""(SELECT CASE WHEN count(*) < $k OR coalesce(max(h), 0) <= 0 THEN count(*)
+             |        ELSE ${k - 1} * 4294967296 // max(h) END
+             |  FROM (SELECT DISTINCT ${graft.text.PortableHash.duckH32(renderedSql)} AS h
+             |        FROM base WHERE $c IS NOT NULL ORDER BY h LIMIT $k))""".stripMargin
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  CAST($kmv AS BIGINT) AS n_distinct_est,
+           |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+           |FROM base""".stripMargin
+      }
+      val cols = Seq(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice_dec", "o_orderdate_day")
+      s"""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         |  CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice_dec,
+         |  CAST(o_orderdate AS DATE) AS o_orderdate_day FROM orders)
+         |${cols.map(c => colRow(c, s"CAST($c AS VARCHAR)")).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // the bloom is a pre-shuffle superset screen closed by an exact
+    // join, so the oracle is the plain IN-subquery semi-join
+    "bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin
   )
 }

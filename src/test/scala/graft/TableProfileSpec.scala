@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.TableProfile
+
+/** E36: one-pass table profile — exactness and single-scan plan shape. */
+class TableProfileSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("E36: nulls, exact distinct (below k), min/max and row counts are right") {
+    val df = Seq(
+      (1L, "a", java.lang.Double.valueOf(1.5)),
+      (2L, "b", java.lang.Double.valueOf(2.5)),
+      (2L, null, java.lang.Double.valueOf(2.5)),
+      (3L, "a", null)
+    ).toDF("k", "s", "v")
+    val rows = TableProfile.profile(df, Seq("k", "s", "v"), k = 64)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(rows("k") == ((4L, 0L, 3L, "1", "3")))
+    assert(rows("s") == ((4L, 1L, 2L, "a", "b")))
+    assert(rows("v") == ((4L, 1L, 2L, "1.5", "2.5")))
+  }
+
+  test("E36: profiling n columns costs ONE scan and one bounded aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-profile").toString
+    try {
+      spark.range(0, 1000)
+        .select(col("id"), (col("id") % 7).as("m"), col("id").cast("string").as("s"))
+        .write.mode("overwrite").parquet(dir)
+      val df = spark.read.parquet(dir)
+      val prof = TableProfile.profile(df, Seq("id", "m", "s"), k = 16)
+      assert(prof.count() == 3)
+      val plan = prof.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = plan.collect { case f: FileSourceScanExec => f }
+      assert(scans.size == 1,
+        s"profile of 3 columns must scan the table once, found ${scans.size} scans")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("E36: estimate regime is deterministic across partitionings") {
+    val df = spark.range(0, 5000).select(col("id"))
+    val runs = for (parts <- Seq(1, 7)) yield
+      TableProfile.profile(df.repartition(parts), Seq("id"), k = 64)
+        .collect().map(_.toSeq).toSeq
+    assert(runs.distinct.size == 1, "profile must not depend on partitioning")
+    val est = runs.head.head(3).asInstanceOf[Long]
+    assert(math.abs(est - 5000L) * 100 <= 5000L * 30, s"est=$est")
+  }
+
+  test("E36: unknown columns are refused loudly") {
+    val df = Seq((1, "x")).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      TableProfile.profile(df, Seq("a", "nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+}
