@@ -142,6 +142,20 @@ object ExtraEntries {
         .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // E35a: bloom-screened anti-join — rows failing the bloom are
+    // guaranteed non-matches and bypass the join entirely (map-only);
+    // only bloom-passing candidates pay the exchange + exact anti-join
+    "bloom_antijoin" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      graft.operators.BloomPrune
+        .antiJoin(Tables.lineitem(s, dir), "l_orderkey", urgent, "o_orderkey",
+          expectedItems = 1L << 20, fpp = 0.02)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // E36: one-pass table profile — every column's nulls / KMV distinct
     // estimate / min / max from a single scan and one bounded-state
     // aggregation; float/timestamp columns pre-cast to decimal/date so
@@ -303,6 +317,14 @@ object ExtraEntries {
         |FROM lineitem
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "bloom_antijoin" ->
+      """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem l
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_orderpriority = '1-URGENT'
+        |     AND o.o_orderkey = l.l_orderkey)
         |GROUP BY l_returnflag""".stripMargin
   )
 }

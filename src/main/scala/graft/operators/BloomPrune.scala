@@ -55,7 +55,9 @@ object BloomPrune {
       expectedItems: Long, fpp: Double): Array[Byte] = {
     require(expectedItems > 0, "expectedItems must be positive")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
-    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    // tiny expectedItems × lax fpp can optimize to 0 bits — an invalid
+    // (and useless) filter; one word is the smallest honest bloom
+    val numBits = math.max(64L, BloomFilter.optimalNumOfBits(expectedItems, fpp))
     val hashed = XxHash64(Seq(GraftBridge.expression(col(buildKey))), 42L)
     val agg = new BloomFilterAggregate(
       hashed, Literal(expectedItems), Literal(numBits)).toAggregateExpression()
@@ -79,15 +81,44 @@ object BloomPrune {
       probe: DataFrame, probeKey: String,
       build: DataFrame, buildKey: String,
       expectedItems: Long = 1L << 22, fpp: Double = 0.02): DataFrame = {
+    requireSameKeyType(probe, probeKey, build, buildKey)
+    val bloom = buildBloom(build, buildKey, expectedItems, fpp)
+    probe.where(mightContain(probe, probeKey, bloom))
+      .join(distinctKeys(build, buildKey), col(probeKey) === col("__bp_key"), "left_semi")
+  }
+
+  /** Exact anti-join `probe ▷ build` with the bloom splitting the probe
+    * map-side: rows that FAIL the screen are guaranteed non-matches (a
+    * bloom has no false negatives) and flow straight to the output
+    * without touching the join — only the bloom-passing candidates pay
+    * the exchange + exact anti-join that removes false positives. Two
+    * map-only passes over the probe replace one full-probe shuffle; at a
+    * low hit rate the join leg is ~hit-rate-sized. Null probe keys pass
+    * the screen (xxhash64 of null = seed) and reach the exact leg, which
+    * keeps them — null never equals a build key — matching the plain
+    * anti-join's null semantics. */
+  def antiJoin(
+      probe: DataFrame, probeKey: String,
+      build: DataFrame, buildKey: String,
+      expectedItems: Long = 1L << 22, fpp: Double = 0.02): DataFrame = {
+    requireSameKeyType(probe, probeKey, build, buildKey)
+    val bloom = buildBloom(build, buildKey, expectedItems, fpp)
+    val screen = mightContain(probe, probeKey, bloom)
+    probe.where(!screen).unionByName(
+      probe.where(screen)
+        .join(distinctKeys(build, buildKey), col(probeKey) === col("__bp_key"), "left_anti"))
+  }
+
+  private def requireSameKeyType(
+      probe: DataFrame, probeKey: String, build: DataFrame, buildKey: String): Unit = {
     val pt = probe.schema(probeKey).dataType
     val bt = build.schema(buildKey).dataType
     require(pt == bt,
-      s"bloom semi-join key types must match exactly ($probeKey: $pt vs $buildKey: $bt) — " +
+      s"bloom join key types must match exactly ($probeKey: $pt vs $buildKey: $bt) — " +
         "xxhash64 is type-sensitive; cast one side explicitly first")
-    val bloom = buildBloom(build, buildKey, expectedItems, fpp)
-    val keys = build.select(col(buildKey).as("__bp_key"))
-      .where(col("__bp_key").isNotNull).distinct()
-    probe.where(mightContain(probe, probeKey, bloom))
-      .join(keys, col(probeKey) === col("__bp_key"), "left_semi")
   }
+
+  private def distinctKeys(build: DataFrame, buildKey: String): DataFrame =
+    build.select(col(buildKey).as("__bp_key"))
+      .where(col("__bp_key").isNotNull).distinct()
 }

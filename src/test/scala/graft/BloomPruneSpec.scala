@@ -45,6 +45,25 @@ class BloomPruneSpec extends SparkSpecBase {
       "bloom screen dropped a true semi-join row")
   }
 
+  test("E35a: antiJoin is bit-identical to the plain exact anti-join, nulls kept") {
+    val got = BloomPrune.antiJoin(probe, "k", build, "k", expectedItems = 1024)
+    val want = probe.join(build.where(col("k").isNotNull), Seq("k"), "left_anti")
+    assert(sortedRows(got.select("k", "payload")) == sortedRows(want))
+    // the null-key probe row never matches, so the anti-join keeps it
+    assert(got.where(col("k").isNull).count() == 1)
+    // and even a saturated bloom (everything passes the screen) stays exact
+    val tiny = BloomPrune.antiJoin(probe, "k", build, "k",
+      expectedItems = 2, fpp = 0.9)
+    assert(sortedRows(tiny.select("k", "payload")) == sortedRows(want))
+  }
+
+  test("E35a: semi and anti partition the probe exactly") {
+    val semi = BloomPrune.semiJoin(probe, "k", build, "k", expectedItems = 1024)
+    val anti = BloomPrune.antiJoin(probe, "k", build, "k", expectedItems = 1024)
+    assert(semi.count() + anti.count() == probe.count())
+    assert(semi.join(anti, Seq("k", "payload"), "inner").count() == 0)
+  }
+
   test("E35: empty and all-null build sides yield the empty result") {
     val empty = spark.range(0).select(col("id").as("k"))
     assert(BloomPrune.semiJoin(probe, "k", empty, "k", expectedItems = 8).count() == 0)
