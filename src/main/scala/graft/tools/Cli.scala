@@ -60,15 +60,39 @@ object Cli {
     * of row counts. With `--in2/--key2` it additionally prints the
     * cross-table overlap profile ([[graft.operators.KeyOverlap]]):
     * estimated union/intersection/Jaccard of the two key spaces — the
-    * join hit-rate check. */
+    * join hit-rate check. `--cols c1,c2|all` switches to the one-pass
+    * TABLE profile ([[graft.operators.TableProfile]]): per-column
+    * nulls / KMV distinct estimate / min / max from a single scan. */
   private def runProfile(args: Seq[String]): Unit = {
     val usage =
-      "usage: Cli profile --in p --key c [--weight c] [--den 100] [--kmv-k 256] " +
-        "[--in2 p --key2 c] [--out p]"
+      "usage: Cli profile --in p (--key c [--weight c] [--den 100] " +
+        "[--in2 p --key2 c] | --cols c1,c2|all) [--kmv-k 256] [--out p]"
     val opts = new Opts(args, usage)
-    val (in, key) = (opts.req("in"), opts.req("key"))
+    val in = opts.req("in")
     val den = opts.int("den", 100)
     val kmvK = opts.int("kmv-k", 256)
+    if (opts.has("cols")) {
+      val spec = opts.getOrElse("cols", "")
+      val spark = localSession()
+      val df = spark.read.parquet(in)
+      val cols =
+        if (spec == "all") df.columns.toSeq
+        else spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      // pin the (≤ cols)-row result before print + optional write — the
+      // recurring double-consumption trap would re-scan the table
+      val prof = graft.operators.TableProfile.profile(df, cols, kmvK)
+        .orderBy("col_name").localCheckpoint()
+      prof.collect().foreach(r => println(
+        s"[profile] col=${r.getString(0)} rows=${r.getLong(1)} " +
+          s"nulls=${r.getLong(2)} distinct~=${r.getLong(3)} " +
+          s"min=${r.getString(4)} max=${r.getString(5)}"))
+      opts.get("out").foreach { o =>
+        prof.write.mode("overwrite").parquet(o)
+        println(s"[profile] written -> $o")
+      }
+      return
+    }
+    val key = opts.req("key")
     // validate the two-table flag pair BEFORE any Spark work: a missing
     // --key2 must not surface after minutes of single-table profiling
     val overlapWith = opts.get("in2").map(in2 => (in2, opts.req("key2")))

@@ -127,4 +127,21 @@ class CliIndexSpec extends SparkSpecBase {
     assert(line.contains(s"est_union=${lib.getLong(2)}"))
     assert(!spark.sparkContext.isStopped)
   }
+
+  test("profile --cols runs the one-pass table profile the library computes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_tprof").toString
+    Seq((1L, "a"), (2L, "b"), (2L, null)).toDF("k", "s")
+      .write.parquet(s"$dir/in")
+    Cli.main(Array("profile", "--in", s"$dir/in", "--cols", "all",
+      "--kmv-k", "64", "--out", s"$dir/prof"))
+    val got = spark.read.parquet(s"$dir/prof")
+      .orderBy("col_name").collect().map(_.toSeq).toSeq
+    val lib = graft.operators.TableProfile
+      .profile(spark.read.parquet(s"$dir/in"), Seq("k", "s"), 64)
+      .orderBy("col_name").collect().map(_.toSeq).toSeq
+    assert(got == lib)
+    assert(got.map(_.head) == Seq("k", "s"))
+    assert(!spark.sparkContext.isStopped)
+  }
 }
