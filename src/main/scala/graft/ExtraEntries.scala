@@ -168,7 +168,14 @@ object ExtraEntries {
         col("o_totalprice").cast("decimal(18,2)").as("o_totalprice_dec"),
         col("o_orderdate").cast("date").as("o_orderdate_day"))
       graft.operators.TableProfile.profile(o, o.columns.toSeq, KeyOverlapK)
-    })
+    }),
+
+    // E36h: equi-width histogram — fixed-op-order IEEE double bucketing
+    // so another engine buckets bit-identically; clamped edges, one
+    // map-side-combinable pass
+    "table_histogram" -> ((s, dir) =>
+      graft.operators.TableProfile.histogram(
+        Tables.orders(s, dir), "o_totalprice", 24, 0.0, 600000.0))
   )
 
   val KeyOverlapK = 256 // bottom-k synopsis size (E34)
@@ -325,6 +332,14 @@ object ExtraEntries {
         |WHERE NOT EXISTS
         |  (SELECT 1 FROM orders o WHERE o.o_orderpriority = '1-URGENT'
         |     AND o.o_orderkey = l.l_orderkey)
-        |GROUP BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // same fixed-order double arithmetic → identical bucketing
+    "table_histogram" ->
+      """SELECT LEAST(23, GREATEST(0,
+        |    CAST(FLOOR((o_totalprice - 0.0) * 24.0 / 600000.0) AS BIGINT))) AS bucket,
+        |  count(*) AS n
+        |FROM orders WHERE o_totalprice IS NOT NULL
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -36,6 +36,12 @@ object TableProfile {
 
   def profile(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns: ${cols.diff(cols.distinct).distinct.mkString(", ")}")
+    // names are spliced into generated aliases and the stack SQL — keep
+    // them plain identifiers rather than escaping per dialect corner
+    require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"profile needs plain identifier column names, got: ${cols.mkString(", ")}")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
     val aggs = cols.flatMap { c =>
@@ -52,5 +58,29 @@ object TableProfile {
     one.selectExpr(
       s"stack(${cols.size}, $stackArgs) AS " +
         "(col_name, n_rows, n_nulls, n_distinct_est, min_s, max_s)")
+  }
+
+  /** Equi-width histogram over `[lo, hi)`: bucket i covers
+    * `[lo + i·w, lo + (i+1)·w)` with `w = (hi − lo) / buckets`;
+    * out-of-range values clamp into the edge buckets (so every non-null
+    * row is counted — a histogram that silently drops tails misreads a
+    * skewed column), nulls are excluded. Map-side combinable group-by
+    * on a codegen'd arithmetic bucket — one scan, ≤ `buckets` rows out.
+    *
+    * The bucket index is computed in IEEE double arithmetic with a fixed
+    * operation order (`(v − lo) · buckets / (hi − lo)`), so the same
+    * formula in another engine buckets identically bit-for-bit — the
+    * histogram oracle-checks exactly, like the rest of the profile. */
+  def histogram(
+      df: DataFrame, c: String, buckets: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(buckets >= 1, "histogram needs at least one bucket")
+    require(lo < hi, s"histogram range is empty: [$lo, $hi)")
+    val idx = floor((col(c).cast("double") - lit(lo)) * lit(buckets.toDouble)
+      / lit(hi - lo)).cast("long")
+    df.where(col(c).isNotNull)
+      .select(least(lit(buckets - 1L), greatest(lit(0L), idx)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
   }
 }

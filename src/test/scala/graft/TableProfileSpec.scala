@@ -57,6 +57,23 @@ class TableProfileSpec extends SparkSpecBase {
     assert(math.abs(est - 5000L) * 100 <= 5000L * 30, s"est=$est")
   }
 
+  test("E36h: histogram buckets exactly, clamps tails, excludes nulls") {
+    val df = Seq[java.lang.Double](0.0, 5.0, 9.99, 10.0, 25.0, -3.0, 199.0, null)
+      .toDF("v")
+    val got = TableProfile.histogram(df, "v", 10, 0.0, 100.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // width 10: 0,5,9.99 -> b0; 10 -> b1; 25 -> b2; -3 clamps to b0;
+    // 199 clamps to b9; null excluded
+    assert(got == Map(0L -> 4L, 1L -> 1L, 2L -> 1L, 9L -> 1L))
+  }
+
+  test("E36h: histogram counts every non-null row (no dropped tails)") {
+    val df = spark.range(0, 1000).select((col("id") * 3 - 500).cast("double").as("v"))
+    val total = TableProfile.histogram(df, "v", 7, 0.0, 100.0)
+      .agg(sum("n")).head().getLong(0)
+    assert(total == 1000L)
+  }
+
   test("E36: unknown columns are refused loudly") {
     val df = Seq((1, "x")).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {
