@@ -62,10 +62,12 @@ object TableProfile {
 
   /** Equi-width histogram over `[lo, hi)`: bucket i covers
     * `[lo + i·w, lo + (i+1)·w)` with `w = (hi − lo) / buckets`;
-    * out-of-range values clamp into the edge buckets (so every non-null
-    * row is counted — a histogram that silently drops tails misreads a
-    * skewed column), nulls are excluded. Map-side combinable group-by
-    * on a codegen'd arithmetic bucket — one scan, ≤ `buckets` rows out.
+    * out-of-range values (±∞ included) clamp into the edge buckets (so
+    * every counted row lands somewhere — a histogram that silently
+    * drops tails misreads a skewed column); nulls and NaN are excluded
+    * (NaN has no ordering position, and engines disagree on casting it
+    * to integer). Map-side combinable group-by on a codegen'd
+    * arithmetic bucket — one scan, ≤ `buckets` rows out.
     *
     * The bucket index is computed in IEEE double arithmetic with a fixed
     * operation order (`(v − lo) · buckets / (hi − lo)`), so the same
@@ -78,7 +80,7 @@ object TableProfile {
     require(lo < hi, s"histogram range is empty: [$lo, $hi)")
     val idx = floor((col(c).cast("double") - lit(lo)) * lit(buckets.toDouble)
       / lit(hi - lo)).cast("long")
-    df.where(col(c).isNotNull)
+    df.where(col(c).isNotNull && !isnan(col(c).cast("double")))
       .select(least(lit(buckets - 1L), greatest(lit(0L), idx)).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))

@@ -67,6 +67,14 @@ class TableProfileSpec extends SparkSpecBase {
     assert(got == Map(0L -> 4L, 1L -> 1L, 2L -> 1L, 9L -> 1L))
   }
 
+  test("E36h: NaN is excluded, infinities clamp to the edge buckets") {
+    val df = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity, 50.0)
+      .toDF("v")
+    val got = TableProfile.histogram(df, "v", 10, 0.0, 100.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 5L -> 1L, 9L -> 1L))
+  }
+
   test("E36h: histogram counts every non-null row (no dropped tails)") {
     val df = spark.range(0, 1000).select((col("id") * 3 - 500).cast("double").as("v"))
     val total = TableProfile.histogram(df, "v", 7, 0.0, 100.0)
