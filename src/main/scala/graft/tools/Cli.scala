@@ -62,15 +62,36 @@ object Cli {
     * estimated union/intersection/Jaccard of the two key spaces — the
     * join hit-rate check. `--cols c1,c2|all` switches to the one-pass
     * TABLE profile ([[graft.operators.TableProfile]]): per-column
-    * nulls / KMV distinct estimate / min / max from a single scan. */
+    * nulls / KMV distinct estimate / min / max from a single scan.
+    * `--hist c --lo x --hi y [--buckets 20]` prints the equi-width
+    * histogram (clamped edges, nulls/NaN excluded). */
   private def runProfile(args: Seq[String]): Unit = {
     val usage =
       "usage: Cli profile --in p (--key c [--weight c] [--den 100] " +
-        "[--in2 p --key2 c] | --cols c1,c2|all) [--kmv-k 256] [--out p]"
+        "[--in2 p --key2 c] | --cols c1,c2|all | " +
+        "--hist c --lo x --hi y [--buckets 20]) [--kmv-k 256] [--out p]"
     val opts = new Opts(args, usage)
     val in = opts.req("in")
     val den = opts.int("den", 100)
     val kmvK = opts.int("kmv-k", 256)
+    if (opts.has("hist")) {
+      val c = opts.getOrElse("hist", "")
+      val (lo, hi) = (opts.dbl("lo"), opts.dbl("hi"))
+      val buckets = opts.int("buckets", 20)
+      val spark = localSession()
+      val hist = graft.operators.TableProfile
+        .histogram(spark.read.parquet(in), c, buckets, lo, hi)
+        .orderBy("bucket").localCheckpoint() // pinned: print + optional write
+      val w = (hi - lo) / buckets
+      hist.collect().foreach(r => println(
+        f"[profile] bucket=${r.getLong(0)}%3d [${lo + r.getLong(0) * w}%.6g, " +
+          f"${lo + (r.getLong(0) + 1) * w}%.6g) n=${r.getLong(1)}"))
+      opts.get("out").foreach { o =>
+        hist.write.mode("overwrite").parquet(o)
+        println(s"[profile] written -> $o")
+      }
+      return
+    }
     if (opts.has("cols")) {
       val spec = opts.getOrElse("cols", "")
       val spark = localSession()
@@ -146,6 +167,9 @@ object Cli {
       v.toLongOption.getOrElse {
         System.err.println(s"--$k must be an integer"); sys.exit(2); 0L
       }).getOrElse(dflt)
+    def dbl(k: String): Double = req(k).toDoubleOption.getOrElse {
+      System.err.println(s"--$k must be a number"); sys.exit(2); 0.0
+    }
   }
 
   /** The active session when embedded (tests, applications — never

@@ -128,6 +128,18 @@ class CliIndexSpec extends SparkSpecBase {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("profile --hist prints and writes the library's histogram") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_hist").toString
+    (0 until 100).map(_.toDouble).toDF("v").write.parquet(s"$dir/in")
+    Cli.main(Array("profile", "--in", s"$dir/in", "--hist", "v",
+      "--lo", "0", "--hi", "100", "--buckets", "4", "--out", s"$dir/hist"))
+    val got = spark.read.parquet(s"$dir/hist")
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 25L), (1L, 25L), (2L, 25L), (3L, 25L)))
+    assert(!spark.sparkContext.isStopped)
+  }
+
   test("profile --cols runs the one-pass table profile the library computes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cli_tprof").toString
