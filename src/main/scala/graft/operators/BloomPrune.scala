@@ -47,6 +47,14 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomPrune {
 
+  /** Hard ceiling on the filter size (256 Mbit = 32 MB). The aggregation
+    * allocates one bloom buffer PER MAP TASK, so an unbounded size is an
+    * executor OOM, not a big driver object — the same hazard Spark's own
+    * runtime filter caps via `runtime.bloomFilter.maxNumBits`. Refused
+    * loudly rather than clamped: a silent clamp would degrade the
+    * requested fpp invisibly. */
+  val MaxNumBits: Long = 1L << 28
+
   /** Build a serialized bloom over `xxhash64(key)` of the build side.
     * `expectedItems` sizes the filter (overshoot is safe: fpp only
     * improves); `fpp` is the target false-positive rate at that size. */
@@ -58,6 +66,10 @@ object BloomPrune {
     // tiny expectedItems × lax fpp can optimize to 0 bits — an invalid
     // (and useless) filter; one word is the smallest honest bloom
     val numBits = math.max(64L, BloomFilter.optimalNumOfBits(expectedItems, fpp))
+    require(numBits <= MaxNumBits,
+      s"bloom of $expectedItems items @ fpp=$fpp needs $numBits bits > " +
+        s"cap $MaxNumBits (one buffer PER MAP TASK — this size risks executor " +
+        "OOM); raise fpp or prune the build side first")
     val hashed = XxHash64(Seq(GraftBridge.expression(col(buildKey))), 42L)
     val agg = new BloomFilterAggregate(
       hashed, Literal(expectedItems), Literal(numBits)).toAggregateExpression()

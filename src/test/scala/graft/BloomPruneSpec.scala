@@ -72,6 +72,13 @@ class BloomPruneSpec extends SparkSpecBase {
     assert(BloomPrune.semiJoin(probe, "k", allNull, "k", expectedItems = 8).count() == 0)
   }
 
+  test("E35: an executor-OOM-sized bloom is refused loudly") {
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.buildBloom(build, "k", expectedItems = 1L << 40, fpp = 0.01)
+    }
+    assert(e.getMessage.contains("PER MAP TASK"))
+  }
+
   test("E35: key type mismatch is refused loudly") {
     val intBuild = build.select(col("k").cast("int").as("k"))
     val e = intercept[IllegalArgumentException] {
