@@ -170,6 +170,20 @@ object ExtraEntries {
       graft.operators.TableProfile.profile(o, o.columns.toSeq, KeyOverlapK)
     }),
 
+    // E37: row-group pruning audit — land orders range-sorted (each
+    // file a contiguous o_orderkey run), then measure from FOOTERS ONLY
+    // what a stats-aware scan of `o_orderkey BETWEEN 1000 AND 2499`
+    // would skip; proves (or disproves) a layout's worth before anyone
+    // re-clusters a 100 TB table
+    "prune_audit" -> ((s, dir) => {
+      val out = "/tmp/graft_prune_audit/orders"
+      Tables.orders(s, dir)
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(out)
+      graft.sources.PruneAudit.audit(s, out, "o_orderkey", 1000L, 2499L)
+    }),
+
     // E36h: equi-width histogram — fixed-op-order IEEE double bucketing
     // so another engine buckets bit-identically; clamped edges, one
     // map-side-combinable pass
@@ -333,6 +347,31 @@ object ExtraEntries {
         |  (SELECT 1 FROM orders o WHERE o.o_orderpriority = '1-URGENT'
         |     AND o.o_orderkey = l.l_orderkey)
         |GROUP BY l_returnflag""".stripMargin,
+
+    // the audit reads footer stats; DuckDB's parquet_metadata() sees the
+    // SAME footers of the query-landed files, so the whole summary —
+    // byte counts included — compares exactly
+    "prune_audit" ->
+      """WITH rg AS (
+        |  SELECT file_name, row_group_id,
+        |    max(row_group_num_rows) AS rows,
+        |    sum(total_compressed_size) AS bytes,
+        |    max(CASE WHEN path_in_schema = 'o_orderkey'
+        |             THEN CAST(stats_min_value AS BIGINT) END) AS mn,
+        |    max(CASE WHEN path_in_schema = 'o_orderkey'
+        |             THEN CAST(stats_max_value AS BIGINT) END) AS mx
+        |  FROM parquet_metadata('/tmp/graft_prune_audit/orders/*.parquet')
+        |  GROUP BY 1, 2),
+        |p AS (SELECT rows, bytes,
+        |    CASE WHEN mn IS NOT NULL AND (mx < 1000 OR mn > 2499)
+        |         THEN 1 ELSE 0 END AS pruned FROM rg)
+        |SELECT count(*) AS row_groups,
+        |  CAST(sum(pruned) AS BIGINT) AS rg_pruned,
+        |  CAST(sum(rows) AS BIGINT) AS rows_total,
+        |  CAST(sum(rows * pruned) AS BIGINT) AS rows_pruned,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes_total,
+        |  CAST(sum(bytes * pruned) AS BIGINT) AS bytes_pruned
+        |FROM p""".stripMargin,
 
     // same fixed-order double arithmetic → identical bucketing
     "table_histogram" ->
