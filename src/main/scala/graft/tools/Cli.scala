@@ -64,16 +64,30 @@ object Cli {
     * TABLE profile ([[graft.operators.TableProfile]]): per-column
     * nulls / KMV distinct estimate / min / max from a single scan.
     * `--hist c --lo x --hi y [--buckets 20]` prints the equi-width
-    * histogram (clamped edges, nulls/NaN excluded). */
+    * histogram (clamped edges, nulls/NaN excluded). `--prune c --lo x
+    * --hi y` audits row-group stats pruning of the landed layout
+    * ([[graft.sources.PruneAudit]] — footers only). */
   private def runProfile(args: Seq[String]): Unit = {
     val usage =
       "usage: Cli profile --in p (--key c [--weight c] [--den 100] " +
         "[--in2 p --key2 c] | --cols c1,c2|all | " +
-        "--hist c --lo x --hi y [--buckets 20]) [--kmv-k 256] [--out p]"
+        "--hist c --lo x --hi y [--buckets 20] | " +
+        "--prune c --lo x --hi y) [--kmv-k 256] [--out p]"
     val opts = new Opts(args, usage)
     val in = opts.req("in")
     val den = opts.int("den", 100)
     val kmvK = opts.int("kmv-k", 256)
+    if (opts.has("prune")) {
+      val c = opts.getOrElse("prune", "")
+      val (lo, hi) = (opts.lng("lo"), opts.lng("hi"))
+      val spark = localSession()
+      val r = graft.sources.PruneAudit.audit(spark, in, c, lo, hi).head()
+      println(s"[profile] prune audit $c in [$lo, $hi]: " +
+        s"row_groups=${r.getLong(0)} pruned=${r.getLong(1)} " +
+        s"rows=${r.getLong(2)} rows_pruned=${r.getLong(3)} " +
+        s"bytes=${r.getLong(4)} bytes_pruned=${r.getLong(5)}")
+      return
+    }
     if (opts.has("hist")) {
       val c = opts.getOrElse("hist", "")
       val (lo, hi) = (opts.dbl("lo"), opts.dbl("hi"))
@@ -169,6 +183,9 @@ object Cli {
       }).getOrElse(dflt)
     def dbl(k: String): Double = req(k).toDoubleOption.getOrElse {
       System.err.println(s"--$k must be a number"); sys.exit(2); 0.0
+    }
+    def lng(k: String): Long = req(k).toLongOption.getOrElse {
+      System.err.println(s"--$k must be an integer"); sys.exit(2); 0L
     }
   }
 

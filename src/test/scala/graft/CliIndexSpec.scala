@@ -140,6 +140,24 @@ class CliIndexSpec extends SparkSpecBase {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("profile --prune reports the library's pruning audit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_prune").toString
+    for (i <- 0 until 4)
+      spark.range(i * 100, (i + 1) * 100).select($"id".as("k"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Cli.main(Array("profile", "--in", s"$dir/in", "--prune", "k",
+        "--lo", "100", "--hi", "199"))
+    }
+    val line = out.toString.linesIterator.find(_.contains("prune audit"))
+      .getOrElse(fail(s"no prune line in CLI output:\n$out"))
+    assert(line.contains("row_groups=4 pruned=3"))
+    assert(line.contains("rows=400 rows_pruned=300"))
+    assert(!spark.sparkContext.isStopped)
+  }
+
   test("profile --cols runs the one-pass table profile the library computes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cli_tprof").toString
