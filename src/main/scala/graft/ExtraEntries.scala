@@ -176,12 +176,54 @@ object ExtraEntries {
     // would skip; proves (or disproves) a layout's worth before anyone
     // re-clusters a 100 TB table
     "prune_audit" -> ((s, dir) => {
-      val out = "/tmp/graft_prune_audit/orders"
+      val out = s"${RunPaths.pruneBase(dir)}/orders"
       Tables.orders(s, dir)
         .repartitionByRange(8, col("o_orderkey"))
         .sortWithinPartitions("o_orderkey")
         .write.mode("overwrite").parquet(out)
       graft.sources.PruneAudit.audit(s, out, "o_orderkey", 1000L, 2499L)
+    }),
+
+    // E37d: the audit over a DATE key — the layout real lakes carry
+    // (the DMS catalog lands by date, s3_operator.rs:133-210): land
+    // orders date-clustered, then measure what a one-year scan skips.
+    // DATE stats are INT32 days in the footer — exact in both engines,
+    // so the summary oracle-checks bit-for-bit like the long audit
+    "prune_audit_date" -> ((s, dir) => {
+      val out = s"${RunPaths.pruneBase(dir)}/orders_bydate"
+      Tables.orders(s, dir)
+        .withColumn("o_date", col("o_orderdate").cast("date"))
+        .repartitionByRange(8, col("o_date"))
+        .sortWithinPartitions("o_date")
+        .write.mode("overwrite").parquet(out)
+      graft.sources.PruneAudit.auditDate(s, out, "o_date",
+        java.time.LocalDate.of(1997, 1, 1), java.time.LocalDate.of(1997, 12, 31))
+    }),
+
+    // E18z × E37: the layout loop closed — land lineitem Z-ORDERED on
+    // (l_orderkey, l_partkey), then audit BOTH dimensions with a
+    // 1/8th-of-domain range each. A single-column sort would prune one
+    // dimension and nothing on the other; the z-curve's tiles prune on
+    // both, and the two summary rows prove it from footers alone. The
+    // ranges derive from each key's min/max (integer arithmetic, so
+    // the oracle computes the identical bounds from the same table)
+    "prune_audit_zorder" -> ((s, dir) => {
+      val out = s"${RunPaths.pruneBase(dir)}/lineitem_z"
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      graft.sources.Compaction.zorderBy(
+        li, out, Seq("l_orderkey", "l_partkey"), numFiles = 16)
+      val dom = li.agg(
+        min(col("l_orderkey")).as("omn"), max(col("l_orderkey")).as("omx"),
+        min(col("l_partkey")).as("pmn"), max(col("l_partkey")).as("pmx")).head()
+      def range(mn: Long, mx: Long): (Long, Long) = (mn, mn + (mx - mn) / 8)
+      val (oLo, oHi) = range(dom.getLong(0), dom.getLong(1))
+      val (pLo, pHi) = range(dom.getLong(2), dom.getLong(3))
+      graft.sources.PruneAudit.audit(s, out, "l_orderkey", oLo, oHi)
+        .withColumn("dim", lit("l_orderkey"))
+        .unionByName(
+          graft.sources.PruneAudit.audit(s, out, "l_partkey", pLo, pHi)
+            .withColumn("dim", lit("l_partkey")))
     }),
 
     // E36h: equi-width histogram — fixed-op-order IEEE double bucketing
@@ -352,7 +394,7 @@ object ExtraEntries {
     // SAME footers of the query-landed files, so the whole summary —
     // byte counts included — compares exactly
     "prune_audit" ->
-      """WITH rg AS (
+      s"""WITH rg AS (
         |  SELECT file_name, row_group_id,
         |    max(row_group_num_rows) AS rows,
         |    sum(total_compressed_size) AS bytes,
@@ -360,7 +402,7 @@ object ExtraEntries {
         |             THEN CAST(stats_min_value AS BIGINT) END) AS mn,
         |    max(CASE WHEN path_in_schema = 'o_orderkey'
         |             THEN CAST(stats_max_value AS BIGINT) END) AS mx
-        |  FROM parquet_metadata('/tmp/graft_prune_audit/orders/*.parquet')
+        |  FROM parquet_metadata('/tmp/graft_prune_audit/${RunPaths.currentTag}/orders/*.parquet')
         |  GROUP BY 1, 2),
         |p AS (SELECT rows, bytes,
         |    CASE WHEN mn IS NOT NULL AND (mx < 1000 OR mn > 2499)
@@ -372,6 +414,80 @@ object ExtraEntries {
         |  CAST(sum(bytes) AS BIGINT) AS bytes_total,
         |  CAST(sum(bytes * pruned) AS BIGINT) AS bytes_pruned
         |FROM p""".stripMargin,
+
+    // date stats render as ISO strings in parquet_metadata — cast back
+    // to DATE and the comparison is the same INT32 days-order the
+    // Spark leg applies
+    "prune_audit_date" ->
+      s"""WITH rg AS (
+        |  SELECT file_name, row_group_id,
+        |    max(row_group_num_rows) AS rows,
+        |    sum(total_compressed_size) AS bytes,
+        |    max(CASE WHEN path_in_schema = 'o_date'
+        |             THEN CAST(stats_min_value AS DATE) END) AS mn,
+        |    max(CASE WHEN path_in_schema = 'o_date'
+        |             THEN CAST(stats_max_value AS DATE) END) AS mx
+        |  FROM parquet_metadata('/tmp/graft_prune_audit/${RunPaths.currentTag}/orders_bydate/*.parquet')
+        |  GROUP BY 1, 2),
+        |p AS (SELECT rows, bytes,
+        |    CASE WHEN mn IS NOT NULL
+        |           AND (mx < DATE '1997-01-01' OR mn > DATE '1997-12-31')
+        |         THEN 1 ELSE 0 END AS pruned FROM rg)
+        |SELECT count(*) AS row_groups,
+        |  CAST(sum(pruned) AS BIGINT) AS rg_pruned,
+        |  CAST(sum(rows) AS BIGINT) AS rows_total,
+        |  CAST(sum(rows * pruned) AS BIGINT) AS rows_pruned,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes_total,
+        |  CAST(sum(bytes * pruned) AS BIGINT) AS bytes_pruned
+        |FROM p""".stripMargin,
+
+    // both audit ranges derive from the key domains with integer
+    // arithmetic ('//' here, Long division in the query) so the two
+    // engines compute identical bounds from the same table
+    "prune_audit_zorder" ->
+      s"""WITH dom AS (
+        |  SELECT min(l_orderkey) AS d_omn, max(l_orderkey) AS d_omx,
+        |         min(l_partkey) AS d_pmn, max(l_partkey) AS d_pmx
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT d_omn AS o_lo, d_omn + (d_omx - d_omn) // 8 AS o_hi,
+        |         d_pmn AS p_lo, d_pmn + (d_pmx - d_pmn) // 8 AS p_hi
+        |  FROM dom),
+        |rg AS (
+        |  SELECT file_name, row_group_id,
+        |    max(row_group_num_rows) AS rows,
+        |    sum(total_compressed_size) AS bytes,
+        |    max(CASE WHEN path_in_schema = 'l_orderkey'
+        |             THEN CAST(stats_min_value AS BIGINT) END) AS omn,
+        |    max(CASE WHEN path_in_schema = 'l_orderkey'
+        |             THEN CAST(stats_max_value AS BIGINT) END) AS omx,
+        |    max(CASE WHEN path_in_schema = 'l_partkey'
+        |             THEN CAST(stats_min_value AS BIGINT) END) AS pmn,
+        |    max(CASE WHEN path_in_schema = 'l_partkey'
+        |             THEN CAST(stats_max_value AS BIGINT) END) AS pmx
+        |  FROM parquet_metadata('/tmp/graft_prune_audit/${RunPaths.currentTag}/lineitem_z/*.parquet')
+        |  GROUP BY 1, 2),
+        |po AS (SELECT rows, bytes,
+        |    CASE WHEN omn IS NOT NULL AND (omx < b.o_lo OR omn > b.o_hi)
+        |         THEN 1 ELSE 0 END AS pruned FROM rg, b),
+        |pp AS (SELECT rows, bytes,
+        |    CASE WHEN pmn IS NOT NULL AND (pmx < b.p_lo OR pmn > b.p_hi)
+        |         THEN 1 ELSE 0 END AS pruned FROM rg, b)
+        |SELECT 'l_orderkey' AS dim, count(*) AS row_groups,
+        |  CAST(sum(pruned) AS BIGINT) AS rg_pruned,
+        |  CAST(sum(rows) AS BIGINT) AS rows_total,
+        |  CAST(sum(rows * pruned) AS BIGINT) AS rows_pruned,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes_total,
+        |  CAST(sum(bytes * pruned) AS BIGINT) AS bytes_pruned
+        |FROM po
+        |UNION ALL
+        |SELECT 'l_partkey' AS dim, count(*) AS row_groups,
+        |  CAST(sum(pruned) AS BIGINT) AS rg_pruned,
+        |  CAST(sum(rows) AS BIGINT) AS rows_total,
+        |  CAST(sum(rows * pruned) AS BIGINT) AS rows_pruned,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes_total,
+        |  CAST(sum(bytes * pruned) AS BIGINT) AS bytes_pruned
+        |FROM pp""".stripMargin,
 
     // same fixed-order double arithmetic → identical bucketing
     "table_histogram" ->

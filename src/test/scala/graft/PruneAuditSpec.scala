@@ -40,7 +40,7 @@ class PruneAuditSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
-  test("E37: non-INT64 key columns are refused loudly") {
+  test("E37: non-INT64 key columns are refused loudly by the long audit") {
     val dir = java.nio.file.Files.createTempDirectory("graft-prune-str").toString
     Seq("a", "b").toDF("s").write.mode("overwrite").parquet(dir)
     val e = intercept[Exception] {
@@ -48,6 +48,71 @@ class PruneAuditSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("INT64") ||
       Option(e.getCause).exists(_.getMessage.contains("INT64")))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("E37: session-level hadoop settings provably reach the footer tasks") {
+    // the round-6 defect: executor-side `new Configuration()` sees only
+    // classpath XML, so session-held s3a credentials never reached the
+    // footer reads. The fix broadcasts the session conf; prove a TASK
+    // (not the driver) observes a key set only at session level.
+    spark.conf.set("fs.graft.probe", "task-visible")
+    try {
+      assert(PruneAudit.executorConfProbe(spark, "fs.graft.probe") == "task-visible")
+      assert(new org.apache.hadoop.conf.Configuration().get("fs.graft.probe") == null,
+        "probe key must NOT be visible to a from-scratch Configuration " +
+          "or this test proves nothing")
+      // and the audit itself still returns the oracle row under the fix
+      val dir = java.nio.file.Files.createTempDirectory("graft-prune-conf").toString
+      spark.range(0, 100).select(col("id").as("k"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val (groups, pruned, rows, _, _, _) =
+        one(PruneAudit.audit(spark, dir, "k", 200L, 300L))
+      assert(groups == 1L && pruned == 1L && rows == 100L)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    } finally spark.conf.unset("fs.graft.probe")
+  }
+
+  test("E37d: date-clustered layout prunes disjoint date ranges exactly") {
+    import java.time.LocalDate
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune-date").toString
+    val base = LocalDate.of(2024, 1, 1)
+    // four files, each a contiguous 10-day run: [Jan 1..10], [11..20], ...
+    for (i <- 0 until 4)
+      spark.range(i * 10, (i + 1) * 10)
+        .select(date_add(lit(java.sql.Date.valueOf(base)), col("id").cast("int")).as("d"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    val (groups, pruned, rows, rowsPruned, _, bytesPruned) =
+      one(PruneAudit.auditDate(spark, dir, "d",
+        base.plusDays(10), base.plusDays(19))) // exactly file 2
+    assert(groups == 4L && rows == 40L)
+    assert(pruned == 3L && rowsPruned == 30L && bytesPruned > 0L)
+    // long audit on a date column refuses loudly
+    val e = intercept[Exception] {
+      PruneAudit.audit(spark, dir, "d", 0L, 1L).collect()
+    }
+    assert(e.getMessage.contains("INT64") ||
+      Option(e.getCause).exists(_.getMessage.contains("INT64")))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("E37s: string-clustered layout prunes unsigned-lexicographic ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune-strk").toString
+    // four files with disjoint key prefixes: a*, b*, c*, d*
+    for (p <- Seq("a", "b", "c", "d"))
+      spark.range(0, 50).select(concat(lit(p), format_string("%03d", col("id"))).as("s"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    val (groups, pruned, rows, rowsPruned, _, _) =
+      one(PruneAudit.auditString(spark, dir, "s", "b", "b~")) // ~ > digits: all b*
+    assert(groups == 4L && rows == 200L)
+    assert(pruned == 3L && rowsPruned == 150L)
+    // date audit on a string column refuses loudly
+    val e = intercept[Exception] {
+      PruneAudit.auditDate(spark, dir, "s",
+        java.time.LocalDate.of(2024, 1, 1), java.time.LocalDate.of(2024, 2, 1)).collect()
+    }
+    assert(e.getMessage.contains("DATE") ||
+      Option(e.getCause).exists(_.getMessage.contains("DATE")))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
