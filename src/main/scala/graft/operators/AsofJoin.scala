@@ -75,6 +75,12 @@ object AsofJoin {
       forwardDir: Boolean,
       tolerance: Option[Column]): DataFrame = {
     val leftCols = left.columns
+    // the carried struct names the matched time "__rt" beside the
+    // payload fields — a payload column of that name would make the
+    // struct's getField calls ambiguous; refuse instead of mis-reading
+    require(!payload.contains("__rt"),
+      "payload column name __rt collides with the as-of join's matched-time " +
+        "field; rename it before joining")
     // ONE carried column: the whole right payload + the matched row's
     // time as a struct. The struct is non-null exactly when a right row
     // exists, so a matched row whose payload VALUE is null stays that

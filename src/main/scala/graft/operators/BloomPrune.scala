@@ -57,19 +57,43 @@ object BloomPrune {
 
   /** Build a serialized bloom over `xxhash64(key)` of the build side.
     * `expectedItems` sizes the filter (overshoot is safe: fpp only
-    * improves); `fpp` is the target false-positive rate at that size. */
+    * improves); `fpp` is the target false-positive rate at that size.
+    *
+    * The engine applies its own SILENT clamps: BloomFilterAggregate
+    * mins the requested items/bits against the session confs
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default
+    * 4,000,000) and `...maxNumBits` (default 2²⁶) — a request above
+    * either would build a smaller filter whose real fpp degrades
+    * invisibly. This module's contract is to refuse loudly instead,
+    * so both conf caps are enforced here as hard requirements; raise
+    * the session confs to build genuinely bigger filters. */
   def buildBloom(
       build: DataFrame, buildKey: String,
       expectedItems: Long, fpp: Double): Array[Byte] = {
     require(expectedItems > 0, "expectedItems must be positive")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    def confLong(key: String, fallback: Long): Long =
+      scala.util.Try(build.sparkSession.conf.get(key).toLong).getOrElse(fallback)
+    val engineMaxItems =
+      confLong("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)
+    val engineMaxBits =
+      confLong("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 1L << 26)
+    require(expectedItems <= engineMaxItems,
+      s"expectedItems=$expectedItems exceeds the engine cap " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$engineMaxItems — " +
+        "BloomFilterAggregate would clamp it SILENTLY and degrade the " +
+        "requested fpp; raise the conf or lower the request")
     // tiny expectedItems × lax fpp can optimize to 0 bits — an invalid
     // (and useless) filter; one word is the smallest honest bloom
     val numBits = math.max(64L, BloomFilter.optimalNumOfBits(expectedItems, fpp))
-    require(numBits <= MaxNumBits,
+    val bitCap = math.min(MaxNumBits, engineMaxBits)
+    require(numBits <= bitCap,
       s"bloom of $expectedItems items @ fpp=$fpp needs $numBits bits > " +
-        s"cap $MaxNumBits (one buffer PER MAP TASK — this size risks executor " +
-        "OOM); raise fpp or prune the build side first")
+        s"cap $bitCap (module cap $MaxNumBits — one buffer PER MAP TASK, this " +
+        s"size risks executor OOM; engine cap " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumBits=$engineMaxBits, " +
+        "beyond which the engine clamps silently); raise fpp, raise the " +
+        "conf, or prune the build side first")
     val hashed = XxHash64(Seq(GraftBridge.expression(col(buildKey))), 42L)
     val agg = new BloomFilterAggregate(
       hashed, Literal(expectedItems), Literal(numBits)).toAggregateExpression()
@@ -92,7 +116,7 @@ object BloomPrune {
   def semiJoin(
       probe: DataFrame, probeKey: String,
       build: DataFrame, buildKey: String,
-      expectedItems: Long = 1L << 22, fpp: Double = 0.02): DataFrame = {
+      expectedItems: Long = 4000000L, fpp: Double = 0.02): DataFrame = {
     requireSameKeyType(probe, probeKey, build, buildKey)
     val bloom = buildBloom(build, buildKey, expectedItems, fpp)
     probe.where(mightContain(probe, probeKey, bloom))
@@ -112,7 +136,7 @@ object BloomPrune {
   def antiJoin(
       probe: DataFrame, probeKey: String,
       build: DataFrame, buildKey: String,
-      expectedItems: Long = 1L << 22, fpp: Double = 0.02): DataFrame = {
+      expectedItems: Long = 4000000L, fpp: Double = 0.02): DataFrame = {
     requireSameKeyType(probe, probeKey, build, buildKey)
     val bloom = buildBloom(build, buildKey, expectedItems, fpp)
     val screen = mightContain(probe, probeKey, bloom)

@@ -63,7 +63,10 @@ object DmsFileCatalog {
           val path = new Path(p)
           path.getFileSystem(spark.sparkContext.hadoopConfiguration)
             .getFileStatus(path).getModificationTime
-        } catch { case _: Throwable => Long.MaxValue }
+        } catch { // fatal throwables (OOM, interrupt) must propagate, not
+          // mutate into "file written after every horizon"
+          case scala.util.control.NonFatal(_) => Long.MaxValue
+        }
       Seq(CatalogedFile(p, isLoadFile(p.split('/').last), 0L, mtime))
     case m =>
       val dir = new Path(tablePrefix(prefix, database, schema, table))

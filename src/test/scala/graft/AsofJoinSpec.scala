@@ -90,4 +90,11 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(run(4000000L) == "x")  // gap is exactly 4s = 4e6 µs
     assert(run(3999999L) == null)
   }
+  test("a payload column named __rt is refused loudly") {
+    val r2 = right.withColumnRenamed("v", "__rt")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.backward(left, r2, Seq("k"), "t", "t", Seq("__rt"))
+    }
+    assert(e.getMessage.contains("__rt"))
+  }
 }

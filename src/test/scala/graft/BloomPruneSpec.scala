@@ -76,7 +76,30 @@ class BloomPruneSpec extends SparkSpecBase {
     val e = intercept[IllegalArgumentException] {
       BloomPrune.buildBloom(build, "k", expectedItems = 1L << 40, fpp = 0.01)
     }
-    assert(e.getMessage.contains("PER MAP TASK"))
+    // a request this big first exceeds the engine's silent item clamp —
+    // the refusal must name the conf so the caller can decide
+    assert(e.getMessage.contains("maxNumItems"))
+  }
+
+  test("E35: requests above the engine's SILENT clamps are refused loudly") {
+    // items above spark.sql.optimizer.runtime.bloomFilter.maxNumItems
+    // (default 4,000,000) would be clamped invisibly by the aggregate
+    val e1 = intercept[IllegalArgumentException] {
+      BloomPrune.buildBloom(build, "k", expectedItems = 4000001L, fpp = 0.02)
+    }
+    assert(e1.getMessage.contains("maxNumItems"))
+    // ...and bits above maxNumBits likewise; shrink the session cap and
+    // a previously-fine request must now refuse, naming the conf
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "1024")
+    try {
+      val e2 = intercept[IllegalArgumentException] {
+        BloomPrune.buildBloom(build, "k", expectedItems = 100000L, fpp = 0.02)
+      }
+      assert(e2.getMessage.contains("maxNumBits"))
+    } finally
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    // within both caps still builds
+    assert(BloomPrune.buildBloom(build, "k", 1024L, 0.02).nonEmpty)
   }
 
   test("E35: key type mismatch is refused loudly") {
