@@ -45,11 +45,74 @@ object Cli {
     case Some("index") => runIndex(args.tail)
     case Some("land") => runLand(args.tail)
     case Some("profile") => runProfile(args.tail)
+    case Some("hotkeys") => runHotkeys(args.tail)
     case _ =>
       System.err.println(
         "usage: Cli validate ... | Cli index build|append|compact|screen ... | Cli land ... " +
-          "| Cli profile ... (run a subcommand without flags for its option list)")
+          "| Cli profile ... | Cli hotkeys ... (run a subcommand without flags for its option list)")
       sys.exit(2)
+  }
+
+  /** Live ingest-skew monitor — the drivable face of
+    * [[graft.streaming.HotKeysStream]]: tail a parquet FEED directory
+    * with Structured Streaming, fold each file batch into the sharded
+    * Misra-Gries state, land every per-shard summary update under
+    * `--updates`, and print the stream's current heavy-hitter
+    * candidates. One invocation drains the files available NOW
+    * (Trigger.AvailableNow) and exits; with a persistent `--checkpoint`
+    * the next invocation RESUMES the same sketch state and folds only
+    * files that appeared since — `tail -f` over a landing feed, paying
+    * only for the increment. Printed counts are MG under-estimates with
+    * the superset guarantee (every item above n_shard/(k+1) of its
+    * shard's traffic is present); re-count candidates exactly in batch
+    * when a deterministic answer is needed. */
+  private def runHotkeys(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli hotkeys --in feedDir --key c [--k 16] [--shards 8] " +
+        "[--checkpoint p] [--updates p]"
+    val opts = new Opts(args, usage)
+    val in = opts.req("in")
+    val key = opts.req("key")
+    val k = opts.int("k", 16)
+    val shards = opts.int("shards", 8)
+    val spark = localSession()
+    import graft.streaming.HotKeysStream
+    // file streams need an explicit schema: take it from the files
+    // already landed (a feed with zero files has nothing to monitor yet)
+    val schema = spark.read.parquet(in).schema
+    require(schema.fieldNames.contains(key),
+      s"column $key not in feed schema ${schema.fieldNames.mkString("[", ",", "]")}")
+    val updates = opts.getOrElse("updates",
+      java.nio.file.Files.createTempDirectory("graft_hotkeys_upd").toString)
+    val checkpoint = opts.getOrElse("checkpoint",
+      java.nio.file.Files.createTempDirectory("graft_hotkeys_ckpt").toString)
+    val feed = spark.readStream.schema(schema).parquet(in)
+    val q = HotKeysStream.hotKeys(HotKeysStream.asSharded(feed, key, shards), k)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[HotKeysStream.ShardHot], _: Long) =>
+        b.write.mode("append").parquet(updates); ()
+      }
+      .start()
+    q.awaitTermination()
+    // the landed updates accumulate across invocations; latest row per
+    // shard (n is monotone) is the live sketch
+    val live = HotKeysStream.latestPerShard(spark.read.parquet(updates))
+      .orderBy(desc("mg_count"), col("item"))
+      .localCheckpoint() // pinned: total + per-item print consume it twice
+    val total = live.select(col("shard"), col("n")).distinct()
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    println(s"[hotkeys] items_seen=$total shards=$shards k=$k " +
+      s"(candidate floor: > n_shard/${k + 1} per shard; counts are MG under-estimates)")
+    live.collect().foreach { r =>
+      if (!r.isNullAt(2))
+        println(s"[hotkeys] item=${r.getString(2)} mg_count=${r.getLong(3)} " +
+          s"shard=${r.getInt(0)} n_shard=${r.getLong(1)}")
+    }
+    println(s"[hotkeys] updates -> $updates  checkpoint -> $checkpoint " +
+      "(re-run with the same --checkpoint to fold only new files)")
   }
 
   /** Key profiler — the pre-join / pre-partition skew check: row count,

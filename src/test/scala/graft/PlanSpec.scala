@@ -427,4 +427,50 @@ class PlanSpec extends SparkSpecBase {
     assert(sketch.contains("partial_graft_misra_gries"),
       s"MG must combine map-side (partial aggregation):\n$sketch")
   }
+  test("A0h: hash-mode drill-down probe exchanges are candidate-sized (chunk gate below)") {
+    // the row-level drill-down in hash-range mode full-outer-joins the
+    // two sides by pk — at 100 TB that exchange must carry only rows of
+    // DAMAGED chunks, never the table. The gate is an exact broadcast
+    // semi-join on the (≤ 1e6/chunkSize, here ≤ 10⁴) bad chunk ids —
+    // strictly tighter than a bloom screen over the same set (no false
+    // positives, same map-side placement), so composing BloomPrune here
+    // would only loosen it. Pin: every shuffle feeding the full-outer
+    // join has the LeftSemi broadcast gate BELOW it.
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftSemi}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+    import org.apache.spark.sql.functions._
+    import graft.cdc.CdcOperator
+    val src = spark.range(0, 2000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val tgt = src.withColumn("v", when(col("k") === 7, lit(-1L)).otherwise(col("v")))
+    val report = CdcOperator.validate(src, tgt, Seq("k"), "t",
+      CdcOperator.ValidateConfig(chunkSize = 100, orderedChunks = false))
+    val row = report.head() // finalize AQE so executedPlan is the real one
+    assert(row.getAs[Long]("rows_differing") == 1L)
+    def all(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(all)
+    }
+    val nodes = all(report.queryExecution.executedPlan)
+    val fo = nodes.collect { case j: BaseJoinExec if j.joinType == FullOuter => j }
+    assert(fo.size == 1, s"expected exactly the drill-down full-outer join, got ${fo.size}")
+    fo.head.children.foreach { side =>
+      val sub = all(side)
+      val exchanges = sub.collect { case e: ShuffleExchangeLike => e }
+      assert(exchanges.nonEmpty, "full-outer side must reach its pk exchange")
+      val gated = exchanges.exists(e => all(e.asInstanceOf[SparkPlan]).exists {
+        case b: BroadcastHashJoinExec => b.joinType == LeftSemi
+        case _ => false
+      })
+      assert(gated,
+        "chunk gate must sit BELOW the pk exchange so the shuffle carries " +
+          "only damaged-chunk candidates:\n" + side.treeString)
+    }
+  }
 }
