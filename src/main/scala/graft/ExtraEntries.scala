@@ -69,6 +69,30 @@ object ExtraEntries {
           col("asof_view_event_id"), col("asof_view_value"))
     }),
 
+    // D11: point-in-interval RANGE join with NO equi key — every event
+    // attributed to the signup "activation windows" it falls inside
+    // (window = [signup ts, +1..7 min)), then rolled up per window.
+    // Grain-bucketed equi join (RangeJoin), never a nested loop; 1-minute
+    // grain ≈ the window span, so ≤ 8 replicas per interval.
+    "range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val pts = ev.select(col("event_id").as("point_id"), col("ts").as("pt_ts"))
+      val iv = ev.filter(col("event_type") === "signup")
+        .select(
+          col("event_id").as("interval_id"),
+          unix_micros(col("ts")).as("iv_start_us"),
+          (unix_micros(col("ts")) +
+            (col("event_id") % 7 + 1) * lit(60L * 1000 * 1000)).as("iv_end_us"))
+      graft.operators.RangeJoin.pointInInterval(
+        pts, col("pt_ts"), iv, col("iv_start_us"), col("iv_end_us"),
+        grainUs = 60L * 1000 * 1000)
+        .groupBy(col("interval_id"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          min(col("point_id")).as("first_point"),
+          max(col("point_id")).as("last_point"))
+    }),
+
     // D8: vocabulary statistics — term frequency + document frequency
     "text_vocab" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -283,6 +307,19 @@ object ExtraEntries {
         |            THEN v2.view_value END AS asof_view_value
         |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN v2 ON p.user_id = v2.user_id AND p.ts >= v2.ts""".stripMargin,
+
+    // the bucketed equi join must equal the plain (IEJoin-planned)
+    // range predicate; epoch_us mirrors unix_micros exactly
+    "range_join" ->
+      """WITH iv AS (
+        |  SELECT event_id AS interval_id, epoch_us(ts) AS s_us,
+        |         epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e_us
+        |  FROM events WHERE event_type = 'signup'),
+        |pt AS (SELECT event_id AS point_id, epoch_us(ts) AS p_us FROM events)
+        |SELECT interval_id, count(*) AS n_points,
+        |       min(point_id) AS first_point, max(point_id) AS last_point
+        |FROM iv JOIN pt ON pt.p_us >= iv.s_us AND pt.p_us < iv.e_us
+        |GROUP BY interval_id""".stripMargin,
 
     "text_vocab" ->
       s"""SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df

@@ -234,6 +234,21 @@ object SparkEntry {
         col("ts"), lit("2024-01-18 00:00:00").cast("timestamp"))
     }),
 
+    // A10: SCD2 history — the changefeed as a version table: every
+    // surviving version with its half-open validity interval and a
+    // current-row flag (one pk exchange + lead window; CdcApply.scd2History)
+    "cdc_scd2" -> ((s, dir) => {
+      CdcApply.scd2History(
+        eventsCdc(s, dir)
+          .select("user_id", "event_id", "ts", "value", "event_type", "Op"),
+        pk = Seq("user_id"),
+        ordering = Seq(col("ts"), col("event_id")),
+        tsCol = col("ts"))
+        .select(
+          col("user_id"), col("event_id"), col("value"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+    }),
+
     // B1: row-level diff (full-outer join on pk, null-safe compare)
     "diff_rowlevel" -> ((s, dir) => {
       DataDiff.rowDiff(Tables.orders(s, dir), perturbedOrders(s, dir), Seq("o_orderkey"))
@@ -394,6 +409,19 @@ object SparkEntry {
         |       c.c_mktsegment
         |FROM customer c LEFT JOIN last l ON c.c_custkey = l.c_custkey
         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+
+    // lead over ALL ops (updates supersede, deletes close), D rows
+    // filtered after — mirrors scd2History's window-then-filter exactly
+    "cdc_scd2" ->
+      s"""WITH cdc AS ($cdcSql),
+         |v AS (
+         |  SELECT user_id, event_id, value, event_type, op,
+         |         epoch_us(ts) AS valid_from_us,
+         |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+         |  FROM cdc)
+         |SELECT user_id, event_id, value, event_type, valid_from_us, valid_to_us,
+         |       CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         |FROM v WHERE op <> 'D'""".stripMargin,
 
     "diff_rowlevel" -> {
       val mism = ordersCols.filterNot(_ == "o_orderkey")

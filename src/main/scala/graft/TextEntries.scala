@@ -35,6 +35,21 @@ object TextEntries {
         .select((col("doc_id") + 200000L).as("doc_id"),
           concat(col("text"), lit(" graft dup tail marker")).as("text")))
 
+  /** Corpus spiked with EXCERPTS: every 13th doc also appears as its own
+    * first 150 characters — a short doc contained whole in a long one,
+    * the shape containment catches and Jaccard structurally cannot
+    * (common/n_small ≈ 1 vs common/union ≈ n_small/n_big). */
+  private def docsContain(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        substring(col("text"), 1, 150).as("text")))
+  }
+
+  private val docsContainSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 300000, substr(text, 1, 150) FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
   private val docsDupSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
@@ -79,6 +94,7 @@ object TextEntries {
   // -------------------------------------------------------------- queries
 
   val Tau: Long = 6000L // jaccard_bp threshold for near-dup pairs
+  val TauContain: Long = 8000L // containment_bp threshold (E38)
   val NumPerm = 12
   val Bands = 4
   val PackBudget = 512L // tokens per packed training sequence
@@ -148,6 +164,12 @@ object TextEntries {
     // E2: n-gram Jaccard pairs (inverted-index join)
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsNear(s, dir), "doc_id", "text", Tau)),
+
+    // E38: containment near-dup — the metric that catches a short doc
+    // embedded whole in a long one (excerpt/boilerplate supersets),
+    // same inverted-index machinery and skew cap as dedup_ngram
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docsContain(s, dir), "doc_id", "text", TauContain)),
 
     // E3: MinHash+LSH candidates, exact-verified
     "dedup_minhash" -> ((s, dir) =>
@@ -485,6 +507,9 @@ object TextEntries {
     // df <= DefaultMaxDf; exact Jaccard still scored over ALL shingles
     "dedup_ngram" -> dedupNgramSql,
 
+    // same candidate machinery, containment denominator: least(n_a, n_b)
+    "dedup_containment" -> dedupContainmentSql,
+
     // undirected transitive closure of the near-dup pairs: min reachable
     // id per doc == the converged min-label propagation
     "dedup_components" ->
@@ -542,8 +567,12 @@ object TextEntries {
          |FROM j JOIN canon ON j.component_id = canon.component_id""".stripMargin
   ) ++ oracleSql2
 
-  private lazy val dedupNgramSql =
-      s"""WITH corpus AS ($docsNearSql),
+  /** Candidate-capped n-gram pair oracle, metric-parameterized — Jaccard
+    * and containment share candidate generation exactly as the Spark
+    * operators share [[Dedup]]'s overlapPairs core. */
+  private def ngramPairsSqlOver(
+      corpusSql: String, denom: String, metricName: String, tau: Long) =
+      s"""WITH corpus AS ($corpusSql),
          |post AS (${hashedPostOverSql("corpus")}),
          |sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY 1),
          |hot AS (SELECT s FROM post GROUP BY s HAVING count(*) > ${Dedup.DefaultMaxDf}),
@@ -557,9 +586,15 @@ object TextEntries {
          |  JOIN post b ON b.doc_id = c.id_b AND b.s = a.s
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b,
-         |  CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) AS jaccard_bp
+         |  CAST(floor(common * 10000.0 / ($denom)) AS BIGINT) AS $metricName
          |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) >= $Tau""".stripMargin
+         |WHERE CAST(floor(common * 10000.0 / ($denom)) AS BIGINT) >= $tau""".stripMargin
+
+  private lazy val dedupNgramSql =
+    ngramPairsSqlOver(docsNearSql, "sa.n + sb.n - common", "jaccard_bp", Tau)
+
+  private lazy val dedupContainmentSql =
+    ngramPairsSqlOver(docsContainSql, "least(sa.n, sb.n)", "containment_bp", TauContain)
 
   /** MinHash signature min-exprs over a postings CTE exposing (doc_id, s):
     * permutation lanes hash "seed:" + the h60 key's decimal rendering —

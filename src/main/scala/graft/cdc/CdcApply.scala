@@ -132,4 +132,55 @@ object CdcApply {
       asOf: Column,
       opCol: String = "Op"): DataFrame =
     upsert(base, changes.filter(tsCol <= asOf), pk, ordering, opCol)
+
+  /** SCD2 (slowly-changing-dimension type-2) HISTORY — the changefeed as a
+    * version table instead of a final state: one row per surviving version
+    * with its validity interval, the auditable complement of
+    * [[latestState]].
+    *
+    * The reference only ever materializes the feed's endpoint (replay to
+    * current rows, postgres_operator_impl.rs:300-404); every intermediate
+    * version is destroyed by the upsert. SCD2 keeps them: each I/U event
+    * opens a version valid from its own event time until the NEXT event
+    * for the same key (of any op — an update supersedes, a delete closes),
+    * and a version nothing superseded is the key's current row. Deletes
+    * close the prior interval but emit no version themselves, so a key
+    * whose last event is a delete has history and no current row — exactly
+    * the "state at time T" source [[snapshotAsOf]] reconstructs by
+    * re-replaying; here T is an output column instead of a query parameter.
+    *
+    * Validity boundaries are integer microseconds (`unix_micros`, mirrors
+    * DuckDB's `epoch_us` — same exact-boundary trick as the as-of join),
+    * half-open `[valid_from_us, valid_to_us)`, `valid_to_us` null while
+    * current. `is_current` is 0/1 bigint for engine-portable hashing.
+    *
+    * Unlike [[latestState]] this IS a window (`lead` over the pk
+    * partition): the output keeps ~every input row, so there is no
+    * combiner win to chase — one hash exchange by pk, one per-key sort,
+    * output streams. Parallelism is the keyspace; per-task sort cost is a
+    * key's own churn, which is the irreducible cost of emitting that key's
+    * versions in order.
+    *
+    * @param ordering feed order within a key (e.g. event time + sequence);
+    *                 later rows supersede earlier ones
+    * @param tsCol    event-time column stamping the validity boundaries
+    */
+  def scd2History(
+      cdc: DataFrame,
+      pk: Seq[String],
+      ordering: Seq[Column],
+      tsCol: Column,
+      opCol: String = "Op"): DataFrame = {
+    val reserved = Seq("valid_from_us", "valid_to_us", "is_current")
+    reserved.foreach(r => require(
+      !cdc.columns.contains(r), s"scd2History: input already has a '$r' column"))
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(ordering: _*)
+    cdc
+      .withColumn("valid_from_us", unix_micros(tsCol))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .withColumn("is_current",
+        when(col("valid_to_us").isNull, lit(1L)).otherwise(lit(0L)))
+      .drop(opCol)
+  }
 }

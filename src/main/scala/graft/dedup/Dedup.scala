@@ -105,7 +105,47 @@ object Dedup {
       textCol: String,
       tauBp: Long,
       w: Int = 3,
-      maxDf: Long = DefaultMaxDf): DataFrame = {
+      maxDf: Long = DefaultMaxDf): DataFrame =
+    overlapPairs(df, idCol, textCol, w, maxDf)
+      .withColumn("jaccard_bp",
+        TextOps.bp(col("common"), col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard_bp") >= tauBp)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
+
+  /** All pairs (id_a < id_b) with shingle CONTAINMENT ≥ tauBp/10000 —
+    * containment = common / min(n_a, n_b), the overlap seen from the
+    * SMALLER document. Catches what Jaccard structurally cannot: a short
+    * doc embedded whole in a much longer one (boilerplate wrapping,
+    * quote-the-article spam, prompt+completion supersets) scores
+    * common/n_small ≈ 1 here but common/(n_a+n_b-common) ≈ n_small/n_big
+    * ≈ 0 on the Jaccard scale, so no Jaccard threshold can keep it
+    * without drowning in noise. Same inverted-index machinery, same
+    * maxDf skew cap, same h60 8-byte shuffles as [[ngramJaccardPairs]] —
+    * only the final metric differs. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tauBp: Long,
+      w: Int = 3,
+      maxDf: Long = DefaultMaxDf): DataFrame =
+    overlapPairs(df, idCol, textCol, w, maxDf)
+      .withColumn("containment_bp",
+        TextOps.bp(col("common"), least(col("n_a"), col("n_b"))))
+      .filter(col("containment_bp") >= tauBp)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "containment_bp")
+
+  /** Shared pair-overlap core for the n-gram metrics: every candidate
+    * pair (id_a < id_b) with its exact common-shingle count and both set
+    * sizes, BEFORE any metric/threshold — Jaccard and containment are
+    * one projection away, so they share candidate generation, the maxDf
+    * cap, and the execution-time recall notice. */
+  private def overlapPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int,
+      maxDf: Long): DataFrame = {
     val post = hashedPostings(df, idCol, textCol, w).cache()
     if (maxDf == Long.MaxValue) {
       // exact all-pairs: count common shingles directly in the inverted-
@@ -120,10 +160,7 @@ object Dedup {
       common
         .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "n_b"), "id_b")
-        .withColumn("jaccard_bp",
-          TextOps.bp(col("common"), col("n_a") + col("n_b") - col("common")))
-        .filter(col("jaccard_bp") >= tauBp)
-        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
+        .select("id_a", "id_b", "common", "n_a", "n_b")
     } else {
       // skew-capped: candidate pairs AND their cool-shingle overlap come
       // from one self-join on cool shingles (direct count, no distinct /
@@ -159,10 +196,7 @@ object Dedup {
         .withColumn("common", col("common_cool") + coalesce(col("common_hot"), lit(0L)))
         .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "n_b"), "id_b")
-        .withColumn("jaccard_bp",
-          TextOps.bp(col("common"), col("n_a") + col("n_b") - col("common")))
-        .filter(col("jaccard_bp") >= tauBp)
-        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
+        .select("id_a", "id_b", "common", "n_a", "n_b")
     }
   }
 

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Point-in-interval (range) join WITHOUT an equi key, grain-bucketed.
+  *
+  * Spark plans a pure non-equi join condition (`p.ts >= i.start AND p.ts <
+  * i.end`) as a broadcast nested-loop or cartesian join — every (point,
+  * interval) pair is tested, O(|P|·|I|) work and a broadcast that falls
+  * over once neither side is tiny. The reference never needs this shape
+  * (its validate joins are pk-equi, cdc_operator_payload.rs:247-293), but
+  * temporal analytics — "which maintenance window was this event inside",
+  * "attribute each reading to its campaign flight" — are exactly this
+  * join, and at 100 TB the nested loop is a non-starter.
+  *
+  * Scale path (standard interval-partitioning): quantize time into
+  * `grainUs` buckets. A point belongs to exactly ONE bucket; an interval
+  * is replicated to every bucket it overlaps (`sequence` + `explode`).
+  * The join becomes an EQUI join on the bucket id plus an exact residual
+  * range filter — hash-partitioned, AQE/skew-aware, no nested loop, and
+  * each matching (point, interval) pair is emitted exactly once because
+  * the point's single bucket meets each interval's replica set at most
+  * once. Both sides bucket with the same exact floor-division (integer
+  * `pmod` subtraction — no double rounding at bucket edges, negatives
+  * included), so boundary timestamps can't land in different buckets.
+  *
+  * Cost: interval replication = ceil(span/grain) rows — `grainUs` trades
+  * interval fan-out against per-bucket point density. The sweet spot is
+  * grain ≈ typical interval span: ~1-2 replicas per interval and point
+  * groups of span/grain density. A pathological interval (one row
+  * spanning years at second grain) would silently explode into millions
+  * of replicas; `maxBucketsPerInterval` refuses that LOUDLY at execution
+  * time (`raise_error` in the replica-count expression — codegen'd, zero
+  * cost on the happy path).
+  *
+  * Intervals are half-open `[start, end)`; empty/inverted intervals match
+  * nothing. Timestamp columns are normalized to integer microseconds
+  * (`unix_micros`, the engine-portable boundary used by the as-of join);
+  * numeric columns are taken as-is (cast to long), so the same operator
+  * serves value-range joins (price bands, id ranges).
+  */
+object RangeJoin {
+
+  private val Internal = Seq("__p_us", "__s_us", "__e_us", "__bkt")
+
+  /** Exact floor division: subtract the nonnegative `pmod` remainder, so
+    * the quotient is an exact integer in double space (inputs < 2^53) and
+    * the cast can't misround at bucket boundaries. */
+  private def bucketOf(us: Column, grainUs: Long): Column =
+    ((us - pmod(us, lit(grainUs))) / lit(grainUs)).cast("long")
+
+  /** Normalize a time/value column to long (timestamps → exact integer
+    * microseconds, mirroring the oracle's `epoch_us`). */
+  private def asLong(df: DataFrame, c: Column): Column =
+    df.select(c).schema.head.dataType match {
+      case TimestampType => unix_micros(c)
+      case _             => c.cast("long")
+    }
+
+  /** All (point, interval) pairs with `start <= point < end`. Output =
+    * every `points` column followed by every `intervals` column; the two
+    * sides must not share names (alias before joining — refused loudly).
+    *
+    * @param grainUs bucket width in the same units as the normalized
+    *                columns (microseconds for timestamps)
+    * @param maxBucketsPerInterval execution-time guard on per-interval
+    *                replication (fan-out bomb refusal, not silent truncation)
+    */
+  def pointInInterval(
+      points: DataFrame,
+      pointTs: Column,
+      intervals: DataFrame,
+      startTs: Column,
+      endTs: Column,
+      grainUs: Long,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(grainUs > 0, s"pointInInterval: grainUs must be positive, got $grainUs")
+    require(maxBucketsPerInterval > 0,
+      s"pointInInterval: maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"pointInInterval: both sides carry column(s) ${shared.mkString(", ")} — alias one side")
+    Internal.foreach { r =>
+      require(!points.columns.contains(r) && !intervals.columns.contains(r),
+        s"pointInInterval: input already has a '$r' column")
+    }
+
+    val p = points
+      .withColumn("__p_us", asLong(points, pointTs))
+      .withColumn("__bkt", bucketOf(col("__p_us"), grainUs))
+
+    val iv0 = intervals
+      .withColumn("__s_us", asLong(intervals, startTs))
+      .withColumn("__e_us", asLong(intervals, endTs))
+      .filter(col("__s_us") < col("__e_us"))
+    // last bucket = the one containing end-1 (half-open end)
+    val b0 = bucketOf(col("__s_us"), grainUs)
+    val b1 = bucketOf(col("__e_us") - 1, grainUs)
+    // the guard lives inside the sequence bound, so it cannot be pruned
+    // away and costs nothing unless the branch is taken
+    val b1Guarded = when(b1 - b0 < lit(maxBucketsPerInterval.toLong), b1)
+      .otherwise(raise_error(concat(
+        lit(s"RangeJoin: interval spans more than $maxBucketsPerInterval grain buckets " +
+          s"(grainUs=$grainUs; widen the grain or raise maxBucketsPerInterval): start_us="),
+        col("__s_us"), lit(" end_us="), col("__e_us"))).cast("long"))
+    val iv = iv0.withColumn("__bkt", explode(sequence(b0, b1Guarded)))
+
+    p.join(iv, "__bkt")
+      .filter(col("__p_us") >= col("__s_us") && col("__p_us") < col("__e_us"))
+      .drop(Internal: _*)
+  }
+}

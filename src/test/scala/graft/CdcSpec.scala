@@ -91,4 +91,48 @@ class CdcSpec extends SparkSpecBase {
     assert(rows(CdcApply.snapshotAsOf(
       base, chg, Seq("pk"), Seq(col("ts")), col("ts"), lit(0L))) == rows(base))
   }
+
+  private def scd2Feed = feed
+    .withColumn("ts", timestamp_micros(col("seq") * 1000000L))
+
+  test("A10: scd2History — one row per surviving version, intervals closed by the NEXT event of any op") {
+    val out = CdcApply.scd2History(scd2Feed, Seq("pk"), Seq(col("seq")), col("ts"))
+      .select("pk", "v", "valid_from_us", "valid_to_us", "is_current")
+      .as[(Long, String, Long, Option[Long], Long)].collect()
+      .map { case (pk, v, f, t, c) => (pk, v) -> ((f, t, c)) }.toMap
+    assert(out.size == 6) // every non-D event is a version; D rows emit nothing
+    val s = 1000000L
+    assert(out((1L, "a")) == ((1 * s, Some(2 * s), 0L))) // superseded by the update
+    assert(out((1L, "b")) == ((2 * s, None, 1L)))        // current
+    assert(out((2L, "x")) == ((1 * s, Some(2 * s), 0L))) // closed by the delete
+    assert(out((3L, "c")) == ((1 * s, None, 1L)))
+    // delete-then-reinsert: old version closed at the delete's time, the
+    // re-insert opens later — the [2s, 3s) gap IS the deleted period
+    assert(out((4L, "d")) == ((1 * s, Some(2 * s), 0L)))
+    assert(out((4L, "e")) == ((3 * s, None, 1L)))
+  }
+
+  test("A10: at most one current version per key, none for keys ending in a delete") {
+    val cur = CdcApply.scd2History(scd2Feed, Seq("pk"), Seq(col("seq")), col("ts"))
+      .groupBy("pk").agg(sum("is_current").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(cur == Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("A10: current versions reproduce latestState exactly") {
+    val hist = CdcApply.scd2History(scd2Feed, Seq("pk"), Seq(col("seq")), col("ts"))
+      .filter($"is_current" === 1L).select("pk", "v")
+      .as[(Long, String)].collect().toMap
+    val latest = CdcApply.latestState(scd2Feed, Seq("pk"), Seq(col("seq")))
+      .select("pk", "v").as[(Long, String)].collect().toMap
+    assert(hist == latest)
+  }
+
+  test("A10: reserved output column collision refused loudly") {
+    val bad = scd2Feed.withColumn("valid_to_us", lit(0L))
+    val e = intercept[IllegalArgumentException] {
+      CdcApply.scd2History(bad, Seq("pk"), Seq(col("seq")), col("ts"))
+    }
+    assert(e.getMessage.contains("valid_to_us"))
+  }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+/** Grain-bucketed point-in-interval join (SURVEY §2 D11): equality with the
+  * naive cross-filter on micro data, half-open boundary exactness, the
+  * exactly-once match guarantee across bucket-spanning intervals, the
+  * fan-out guard, and the no-nested-loop plan pin. */
+class RangeJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def points(ts: Long*): DataFrame =
+    ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("point_id", "p_ts")
+
+  private def intervals(iv: (Long, Long)*): DataFrame =
+    iv.zipWithIndex.map { case ((s, e), i) => (100L + i, s, e) }
+      .toDF("interval_id", "s_ts", "e_ts")
+
+  private def joined(p: DataFrame, iv: DataFrame, grain: Long): DataFrame =
+    RangeJoin.pointInInterval(p, col("p_ts"), iv, col("s_ts"), col("e_ts"), grain)
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("point_id", "interval_id").as[(Long, Long)].collect().toSet
+
+  test("D11: equals the naive range predicate across grains (incl. bucket-spanning intervals)") {
+    val p = points(0L, 5L, 10L, 99L, 100L, 101L, 250L, 999L)
+    val iv = intervals((0L, 10L), (5L, 105L), (100L, 101L), (240L, 260L), (400L, 500L))
+    val naive = pairs(p.join(iv, col("p_ts") >= col("s_ts") && col("p_ts") < col("e_ts")))
+    for (grain <- Seq(1L, 7L, 10L, 64L, 1000L))
+      assert(pairs(joined(p, iv, grain)) == naive, s"grain=$grain")
+  }
+
+  test("D11: half-open boundaries — start inclusive, end exclusive") {
+    val out = pairs(joined(points(10L, 20L), intervals((10L, 20L)), 3L))
+    assert(out == Set((0L, 100L))) // ts=10 in, ts=20 (the end) out
+  }
+
+  test("D11: a bucket-spanning interval matches a point exactly once") {
+    // interval spans 5 grain buckets; the point sits mid-interval
+    val out = joined(points(25L), intervals((0L, 50L)), 10L)
+    assert(out.count() == 1L)
+  }
+
+  test("D11: empty and inverted intervals match nothing") {
+    assert(joined(points(5L), intervals((5L, 5L), (9L, 3L)), 2L).count() == 0L)
+  }
+
+  test("D11: timestamp columns normalize to exact integer microseconds") {
+    val p = points(0L).withColumn("p_ts", timestamp_micros(lit(1500000L)))
+    val iv = intervals((1500000L, 1500001L), (1500001L, 1500002L))
+    assert(pairs(joined(p, iv, 1000000L)) == Set((0L, 100L)))
+  }
+
+  test("D11: fan-out bomb refused loudly at execution time") {
+    val e = intercept[Exception] {
+      joined(points(5L), intervals((0L, 1000000L)), 1L, max = 100).count()
+    }
+    assert(e.getMessage.contains("grain buckets"))
+  }
+
+  private def joined(p: DataFrame, iv: DataFrame, grain: Long, max: Int): DataFrame =
+    RangeJoin.pointInInterval(p, col("p_ts"), iv, col("s_ts"), col("e_ts"), grain, max)
+
+  test("D11: shared column names refused") {
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(
+        points(1L), col("p_ts"),
+        intervals((0L, 2L)).withColumnRenamed("s_ts", "p_ts"),
+        col("p_ts"), col("e_ts"), 10L)
+    }
+    assert(e.getMessage.contains("p_ts"))
+  }
+
+  test("D11: plan is an equi join on the bucket — no nested loop, no cartesian") {
+    val plan = joined(points(1L, 2L), intervals((0L, 100L)), 10L)
+      .queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

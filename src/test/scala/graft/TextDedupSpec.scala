@@ -58,6 +58,35 @@ class TextDedupSpec extends SparkSpecBase {
     assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", tauBp = 3400).count() == 0)
   }
 
+  test("E38: containment computes exact basis points from the smaller side") {
+    // excerpt ⊂ doc: excerpt shingles {a b c, b c d} all inside the long
+    // doc's {a b c, b c d, c d e, d e f} → containment 2/2 = 10000 bp,
+    // jaccard 2/4 = 5000 bp
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text", tauBp = 9000)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "containment_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L, 4L, 2L, 10000L)))
+  }
+
+  test("E38: containment keeps subset pairs a jaccard threshold loses") {
+    // 16-token doc vs its first 5 tokens: containment 10000 bp, jaccard
+    // 3/14 ≈ 2142 bp — the excerpt shape only containment can gate on
+    val long = (1 to 16).map(i => s"t$i").mkString(" ")
+    val excerpt = (1 to 5).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, long), (2L, excerpt)).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(df, "doc_id", "text", tauBp = 9999).count() == 1)
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", tauBp = 6000).count() == 0)
+  }
+
+  test("E38: containment respects the maxDf candidate cap like jaccard") {
+    // the only shared shingle is hot (df=3 > maxDf=2) → no candidates
+    val df = Seq((1L, "x y z a1 b1"), (2L, "x y z a2 b2"), (3L, "x y z a3 b3"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(df, "doc_id", "text", tauBp = 1, maxDf = 2).count() == 0)
+    assert(Dedup.containmentPairs(df, "doc_id", "text", tauBp = 1, maxDf = Long.MaxValue).count() == 3)
+  }
+
   test("minhash LSH finds exact duplicates with certainty") {
     val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "h i j k l m n"))
       .toDF("doc_id", "text")
