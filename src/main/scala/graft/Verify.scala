@@ -16,7 +16,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    RunPaths.currentTag = RunPaths.tag(sfDir) // oracle SQL must name the run's landings
+    RunPaths.pin(sfDir) // oracle SQL must name the run's landings
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -37,7 +37,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracle = SparkEntry.oracleSql
+    // Any oracle that reads a /tmp landing must name THIS run's landing
+    // (the one the query lambdas derived from sfDir) — a stale or default
+    // tag silently zeroes the comparison instead of erroring.
+    oracle.foreach { case (k, sql) =>
+      if (sql.contains("/tmp/graft_prune_audit/"))
+        require(sql.contains(s"/tmp/graft_prune_audit/${RunPaths.tag(sfDir)}/"),
+          s"oracle '$k' names a prune-audit landing that is not this run's " +
+            s"(expected tag ${RunPaths.tag(sfDir)})")
+    }
+    val json = oracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

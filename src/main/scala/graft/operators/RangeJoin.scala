@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
@@ -45,11 +46,18 @@ object RangeJoin {
 
   private val Internal = Seq("__p_us", "__s_us", "__e_us", "__bkt")
 
-  /** Exact floor division: subtract the nonnegative `pmod` remainder, so
-    * the quotient is an exact integer in double space (inputs < 2^53) and
-    * the cast can't misround at bucket boundaries. */
-  private def bucketOf(us: Column, grainUs: Long): Column =
-    ((us - pmod(us, lit(grainUs))) / lit(grainUs)).cast("long")
+  /** Exact floor division over the FULL long range: subtract the
+    * nonnegative `pmod` remainder (floor semantics for negatives), then
+    * divide in integer space via Catalyst's `IntegralDivide` (SQL `div`).
+    * Spark's `/` is double division — exact only below 2^53, and this
+    * operator advertises value-range joins on arbitrary longs (snowflake
+    * ids exceed 2^53), where a misrounded quotient silently lands a
+    * boundary value in the wrong bucket. */
+  private def bucketOf(us: Column, grainUs: Long): Column = {
+    val exact = GraftBridge.expression(us - pmod(us, lit(grainUs)))
+    GraftBridge.column(
+      new IntegralDivide(exact, GraftBridge.expression(lit(grainUs))))
+  }
 
   /** Normalize a time/value column to long (timestamps → exact integer
     * microseconds, mirroring the oracle's `epoch_us`). */

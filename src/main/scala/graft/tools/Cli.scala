@@ -82,10 +82,14 @@ object Cli {
     val schema = spark.read.parquet(in).schema
     require(schema.fieldNames.contains(key),
       s"column $key not in feed schema ${schema.fieldNames.mkString("[", ",", "]")}")
-    val updates = opts.getOrElse("updates",
-      java.nio.file.Files.createTempDirectory("graft_hotkeys_upd").toString)
     val checkpoint = opts.getOrElse("checkpoint",
       java.nio.file.Files.createTempDirectory("graft_hotkeys_ckpt").toString)
+    // updates must RESUME with the checkpoint: a fresh temp updates dir on
+    // the second invocation would drop shards with no new files from the
+    // printed sketch (the state resumes, the landed summaries don't). So
+    // the default is derived deterministically from the checkpoint path —
+    // same --checkpoint, same updates dir, no second flag to forget.
+    val updates = opts.getOrElse("updates", s"${checkpoint.stripSuffix("/")}_updates")
     val feed = spark.readStream.schema(schema).parquet(in)
     val q = HotKeysStream.hotKeys(HotKeysStream.asSharded(feed, key, shards), k)
       .writeStream
@@ -112,7 +116,8 @@ object Cli {
           s"shard=${r.getInt(0)} n_shard=${r.getLong(1)}")
     }
     println(s"[hotkeys] updates -> $updates  checkpoint -> $checkpoint " +
-      "(re-run with the same --checkpoint to fold only new files)")
+      "(re-run with the same --checkpoint — and the same --updates if you " +
+      "passed one — to fold only new files)")
   }
 
   /** Key profiler — the pre-join / pre-partition skew check: row count,

@@ -51,4 +51,27 @@ class CliHotkeysSpec extends SparkSpecBase {
     } finally q.stop()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("hotkeys CLI: --checkpoint alone resumes into the SAME derived updates dir") {
+    // The resume foot-gun: checkpoint pinned but updates defaulting to a
+    // fresh temp dir would drop quiet shards from the printed sketch. The
+    // default updates dir is derived from the checkpoint path, so two
+    // checkpoint-only invocations accumulate into one landing.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_hot2").toString
+    val feed = s"$dir/feed"; val ckpt = s"$dir/ckpt"
+    // shard("only", 2) is fixed; all traffic lands in ONE shard, and batch
+    // 2 touches nothing new — a fresh updates dir on invocation 2 would
+    // show zero shards
+    Seq.fill(10)("only").toDF("k").coalesce(1).write.mode("append").parquet(feed)
+    Cli.main(Array("hotkeys", "--in", feed, "--key", "k",
+      "--k", "4", "--shards", "2", "--checkpoint", ckpt))
+    Cli.main(Array("hotkeys", "--in", feed, "--key", "k",
+      "--k", "4", "--shards", "2", "--checkpoint", ckpt))
+    val upd = s"${ckpt.stripSuffix("/")}_updates"
+    val live = HotKeysStream.latestPerShard(spark.read.parquet(upd))
+    val items = live.select($"item").collect().map(_.getString(0)).filter(_ != null)
+    assert(items.contains("only"),
+      s"prior landed counts lost on checkpoint-only resume: ${items.toSeq}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

@@ -361,8 +361,16 @@ class PlanSpec extends SparkSpecBase {
 
   test("driver contract: entry() returns rows; every query has a runnable plan") {
     assert(SparkEntry.entry(spark).count() > 0)
+    // rendering oracle SQL requires the run tag pinned (Verify does this;
+    // an unpinned read throws rather than baking a wrong landing path)
+    graft.RunPaths.pin("testdata")
     // every oracle key corresponds to a query
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("RunPaths: reading the tag unpinned is loud, and pin() is what Verify renders with") {
+    val ex = intercept[IllegalStateException](graft.RunPaths.freshUnpinnedProbe())
+    assert(ex.getMessage.contains("RunPaths.pin"))
   }
 
   test("cdc_snapshot_asof: the horizon filter sits on the scan, below the join") {

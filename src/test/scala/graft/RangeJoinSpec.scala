@@ -74,6 +74,25 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(e.getMessage.contains("p_ts"))
   }
 
+  test("D11: bucket assignment is exact beyond 2^53 (value-range joins on big longs)") {
+    // 2^53 = 9007199254740992: doubles can no longer represent every long,
+    // so a double-space quotient misrounds. Snowflake-style ids live here.
+    val base = 9007199254740992L // 2^53, exactly at the cliff
+    val grain = 1000L
+    // points straddling a bucket boundary far above 2^53: the boundary
+    // value base+1000 opens bucket k+1; base+999 closes bucket k
+    val p = points(base - 1L, base, base + 999L, base + 1000L, base + 1001L,
+      Long.MaxValue - 5L)
+    val iv = intervals(
+      (base - 500L, base + 1000L),          // ends exactly at the boundary
+      (base + 1000L, base + 2000L),         // starts exactly at the boundary
+      (Long.MaxValue - 10L, Long.MaxValue)) // top of the long range
+    val naive = pairs(p.join(iv, col("p_ts") >= col("s_ts") && col("p_ts") < col("e_ts")))
+    assert(naive.nonEmpty)
+    for (g <- Seq(1L, 7L, grain))
+      assert(pairs(joined(p, iv, g)) == naive, s"grain=$g")
+  }
+
   test("D11: plan is an equi join on the bucket — no nested loop, no cartesian") {
     val plan = joined(points(1L, 2L), intervals((0L, 100L)), 10L)
       .queryExecution.explainString(FormattedMode)
