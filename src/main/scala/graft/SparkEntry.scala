@@ -249,6 +249,24 @@ object SparkEntry {
           col("valid_from_us"), col("valid_to_us"), col("is_current"))
     }),
 
+    // A10t: point-in-time read of the SCD2 history — state at T as a
+    // plain interval FILTER over the version table (no window, no
+    // exchange, no feed re-read; CdcApply.stateAt). The parity twin of
+    // cdc_snapshot_asof's re-replay, from the landed history instead.
+    "cdc_scd2_asof" -> ((s, dir) => {
+      CdcApply.stateAt(
+        CdcApply.scd2History(
+          eventsCdc(s, dir)
+            .select("user_id", "event_id", "ts", "value", "event_type", "Op"),
+          pk = Seq("user_id"),
+          ordering = Seq(col("ts"), col("event_id")),
+          tsCol = col("ts")),
+        unix_micros(lit("2024-01-18 00:00:00").cast("timestamp")))
+        .select(
+          col("user_id"), col("event_id"), col("value"), col("event_type"),
+          col("valid_from_us"))
+    }),
+
     // B1: row-level diff (full-outer join on pk, null-safe compare)
     "diff_rowlevel" -> ((s, dir) => {
       DataDiff.rowDiff(Tables.orders(s, dir), perturbedOrders(s, dir), Seq("o_orderkey"))
@@ -422,6 +440,21 @@ object SparkEntry {
          |SELECT user_id, event_id, value, event_type, valid_from_us, valid_to_us,
          |       CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
          |FROM v WHERE op <> 'D'""".stripMargin,
+
+    // the SCD2 history filtered to the version covering T — same window
+    // CTE as cdc_scd2, then the interval predicate
+    "cdc_scd2_asof" ->
+      s"""WITH cdc AS ($cdcSql),
+         |v AS (
+         |  SELECT user_id, event_id, value, event_type, op,
+         |         epoch_us(ts) AS valid_from_us,
+         |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+         |  FROM cdc)
+         |SELECT user_id, event_id, value, event_type, valid_from_us
+         |FROM v
+         |WHERE op <> 'D'
+         |  AND valid_from_us <= epoch_us(TIMESTAMP '2024-01-18 00:00:00')
+         |  AND (valid_to_us IS NULL OR epoch_us(TIMESTAMP '2024-01-18 00:00:00') < valid_to_us)""".stripMargin,
 
     "diff_rowlevel" -> {
       val mism = ordersCols.filterNot(_ == "o_orderkey")

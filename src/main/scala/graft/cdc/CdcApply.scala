@@ -183,4 +183,27 @@ object CdcApply {
         when(col("valid_to_us").isNull, lit(1L)).otherwise(lit(0L)))
       .drop(opCol)
   }
+
+  /** The state at time T read OUT of an SCD2 history: the one version per
+    * key whose half-open validity interval covers T (`valid_from_us <= T
+    * < valid_to_us`, open intervals run to ∞). A key deleted before T has
+    * no covering version and is absent — the same semantics
+    * [[snapshotAsOf]] produces by re-replaying the feed, but as a plain
+    * FILTER over an already-landed history table: no window, no exchange,
+    * no feed re-read. This is what makes SCD2 a queryable time-travel
+    * surface rather than just a landing format (the reference's validate
+    * re-replays for every horizon, cdc_operator.rs::validate) — and on a
+    * parquet landing sorted/clustered by `valid_from_us` the two interval
+    * predicates prune row groups, so a point-in-time read touches only
+    * files whose version ranges straddle T.
+    *
+    * Parity contract (tested): over the history of feed F,
+    * `stateAt(scd2History(F), T)` row-equals `latestState(F ≤ T)`.
+    *
+    * @param atUs the horizon in integer microseconds (the history's
+    *             native validity unit; `unix_micros(lit(ts))` converts)
+    */
+  def stateAt(history: DataFrame, atUs: Column): DataFrame =
+    history.filter(col("valid_from_us") <= atUs &&
+      (col("valid_to_us").isNull || atUs < col("valid_to_us")))
 }

@@ -67,6 +67,66 @@ object RangeJoin {
       case _             => c.cast("long")
     }
 
+  /** Data-derived grain recommendation — see [[suggestGrain]]. All units
+    * are the normalized long space (µs for timestamps). `warning` is set
+    * when the span distribution makes the suggestion risky: a worst-case
+    * interval would trip the replication guard, or heavy span skew means
+    * no single grain serves both tails well. */
+  final case class GrainSuggestion(
+      grainUs: Long,
+      p50SpanUs: Long,
+      p99SpanUs: Long,
+      maxSpanUs: Long,
+      p99Replicas: Long,
+      maxReplicas: Long,
+      warning: Option[String])
+
+  /** Derive `grainUs` from the data instead of hand-tuning it: the sweet
+    * spot is grain ≈ typical interval span (~1-2 replicas per interval,
+    * point buckets of comparable density), so the suggestion is the MEDIAN
+    * span, with the p99/max span tails reported as replica counts at that
+    * grain. One aggregation over the intervals (`percentile_approx` — a
+    * native codegen'd sketch agg, mergeable map-side partials, one row to
+    * the driver), so pricing the knob costs a single cheap pass, not a
+    * parameter sweep of join runs.
+    *
+    * Warnings, not silent clamps (the [[pointInInterval]] guard philosophy):
+    *  - worst-case replication `ceil(max_span/grain)+1 > maxBucketsPerInterval`
+    *    → the join WOULD refuse at execution time; widen the grain or split
+    *    the pathological intervals first.
+    *  - p99 span ≥ 100× median → span skew: one grain can't serve both
+    *    tails (short intervals want fine buckets, long ones fan out);
+    *    consider splitting the interval set by span regime.
+    */
+  def suggestGrain(
+      intervals: DataFrame,
+      startTs: Column,
+      endTs: Column,
+      maxBucketsPerInterval: Int = 4096): GrainSuggestion = {
+    val iv = intervals
+      .select(asLong(intervals, startTs).as("__s"), asLong(intervals, endTs).as("__e"))
+      .filter(col("__s") < col("__e"))
+      .select((col("__e") - col("__s")).as("__span"))
+    val row = iv.agg(
+      percentile_approx(col("__span"), array(lit(0.5), lit(0.99)), lit(10000)),
+      max(col("__span")), count(lit(1))).head()
+    require(row.getLong(2) > 0, "suggestGrain: no valid (start < end) intervals")
+    val ps = row.getSeq[Long](0)
+    val (p50, p99, maxSpan) = (ps(0), ps(1), row.getLong(1))
+    val grain = math.max(1L, p50)
+    def replicas(span: Long): Long = (span + grain - 1) / grain + 1
+    val warning =
+      if (replicas(maxSpan) > maxBucketsPerInterval)
+        Some(s"an interval spans ${replicas(maxSpan)} buckets at grain=$grain " +
+          s"(guard $maxBucketsPerInterval): the join would refuse; widen the " +
+          "grain or split pathological intervals")
+      else if (p99 >= 100L * grain)
+        Some(s"heavy span skew (p99=$p99 vs median=$p50): no single grain " +
+          "serves both tails; consider splitting the interval set by span")
+      else None
+    GrainSuggestion(grain, p50, p99, maxSpan, replicas(p99), replicas(maxSpan), warning)
+  }
+
   /** All (point, interval) pairs with `start <= point < end`. Output =
     * every `points` column followed by every `intervals` column; the two
     * sides must not share names (alias before joining — refused loudly).

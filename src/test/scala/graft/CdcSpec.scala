@@ -128,6 +128,45 @@ class CdcSpec extends SparkSpecBase {
     assert(hist == latest)
   }
 
+  test("A10t: stateAt(history, T) == latestState(feed cut at T) at EVERY horizon") {
+    // the parity contract that makes SCD2 a time-travel surface: reading
+    // the version covering T out of the history must equal re-replaying
+    // the feed cut at T. Horizons: before the feed, on every event time,
+    // between events, after the feed.
+    val hist = CdcApply.scd2History(scd2Feed, Seq("pk"), Seq(col("seq")), col("ts"))
+    val s = 1000000L
+    for (t <- Seq(0L, 1 * s, 3 * s / 2, 2 * s, 5 * s / 2, 3 * s, 100 * s)) {
+      val got = CdcApply.stateAt(hist, lit(t))
+        .select("pk", "v").as[(Long, String)].collect().toMap
+      val want = CdcApply.latestState(
+          scd2Feed.filter(unix_micros($"ts") <= t), Seq("pk"), Seq(col("seq")))
+        .select("pk", "v").as[(Long, String)].collect().toMap
+      assert(got == want, s"horizon $t µs")
+    }
+  }
+
+  test("A10t: stateAt agrees with snapshotAsOf when the history includes the base as initial load") {
+    // base rows = I events at -∞ (valid_from before every feed event):
+    // the filter-over-history reconstruction must equal the re-replay one
+    val base = Seq((1L, "a0"), (2L, "x0"), (9L, "z0")).toDF("pk", "v")
+    val chg = scd2Feed // ops at seq 1..3
+    val asIload = base
+      .withColumn("seq", lit(0L)).withColumn("Op", lit("I"))
+      .withColumn("ts", timestamp_micros(lit(0L)))
+      .select("pk", "seq", "Op", "v", "ts")
+    val hist = CdcApply.scd2History(
+      asIload.unionByName(chg), Seq("pk"), Seq(col("seq")), col("ts"))
+    val s = 1000000L
+    for (t <- Seq(0L, 1 * s, 2 * s, 3 * s, 100 * s)) {
+      val got = CdcApply.stateAt(hist, lit(t))
+        .select("pk", "v").as[(Long, String)].collect().toMap
+      val want = CdcApply.snapshotAsOf(
+          base, chg, Seq("pk"), Seq(col("seq")), unix_micros(col("ts")), lit(t))
+        .select("pk", "v").as[(Long, String)].collect().toMap
+      assert(got == want, s"horizon $t µs")
+    }
+  }
+
   test("A10: reserved output column collision refused loudly") {
     val bad = scd2Feed.withColumn("valid_to_us", lit(0L))
     val e = intercept[IllegalArgumentException] {

@@ -93,6 +93,48 @@ class RangeJoinSpec extends SparkSpecBase {
       assert(pairs(joined(p, iv, g)) == naive, s"grain=$g")
   }
 
+  test("D11g: suggestGrain lands on the median span and the join works at that grain") {
+    // 60 short intervals (span 100) + 5 longer ones (span 1000): the
+    // sweet spot is the typical span, not the mean dragged up by the tail
+    val iv = intervals(
+      ((0 until 60).map(i => (i * 1000L, i * 1000L + 100L)) ++
+        (0 until 5).map(i => (100000L + i * 2000L, 101000L + i * 2000L))): _*)
+    val g = RangeJoin.suggestGrain(iv, col("s_ts"), col("e_ts"))
+    assert(g.grainUs == 100L, g)
+    assert(g.p50SpanUs == 100L && g.maxSpanUs == 1000L)
+    assert(g.warning.isEmpty, g)
+    // the suggestion actually serves the join: equality with naive
+    val p = points(50L, 150L, 100500L, 7030L)
+    val naive = pairs(p.join(iv, col("p_ts") >= col("s_ts") && col("p_ts") < col("e_ts")))
+    assert(pairs(joined(p, iv, g.grainUs)) == naive)
+  }
+
+  test("D11g: warns when a pathological interval would trip the replication guard") {
+    // median span 10 → grain 10; one interval spanning 10_000_000 would
+    // replicate into ~1e6 buckets, far past the guard
+    val iv = intervals(
+      ((0 until 20).map(i => (i * 100L, i * 100L + 10L)) :+ (0L, 10000000L)): _*)
+    val g = RangeJoin.suggestGrain(iv, col("s_ts"), col("e_ts"))
+    assert(g.maxReplicas > 4096L)
+    assert(g.warning.exists(_.contains("refuse")), g)
+  }
+
+  test("D11g: warns on heavy span skew (p99 >= 100x median)") {
+    // 90 spans of 10, 10 spans of 100000: p99 lands in the long tail
+    val iv = intervals(
+      ((0 until 90).map(i => (i * 1000L, i * 1000L + 10L)) ++
+        (0 until 10).map(i => (1000000L + i * 200000L, 1100000L + i * 200000L))): _*)
+    val g = RangeJoin.suggestGrain(iv, col("s_ts"), col("e_ts"), maxBucketsPerInterval = 100000)
+    assert(g.warning.exists(_.contains("skew")), g)
+  }
+
+  test("D11g: no valid intervals is loud") {
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.suggestGrain(intervals((5L, 5L), (9L, 3L)), col("s_ts"), col("e_ts"))
+    }
+    assert(e.getMessage.contains("no valid"))
+  }
+
   test("D11: plan is an equi join on the bucket — no nested loop, no cartesian") {
     val plan = joined(points(1L, 2L), intervals((0L, 100L)), 10L)
       .queryExecution.explainString(FormattedMode)
