@@ -230,6 +230,25 @@ object TextEntries {
           col("canonical_id"), col("keep"))
     }),
 
+    // E38c: the containment VERDICT — components over containment pairs,
+    // keeper = the LONGEST doc (ties to smallest id): supersets survive,
+    // excerpts drop — the policy that makes sense for THIS metric (the
+    // Jaccard keeper maximizes quality among near-equals; a containment
+    // cluster is excerpt-inside-superset, where the superset holds
+    // strictly more content). Same components + argmax machinery as
+    // dedup_canonical, only the quality column differs.
+    "dedup_containment_canonical" -> ((s, dir) => {
+      val docs = docsContain(s, dir)
+      val pairs = Dedup.containmentPairs(docs, "doc_id", "text", TauContain)
+      val labels = Dedup.connectedComponents(
+        pairs.select("id_a", "id_b"), docs.select(col("doc_id").as("id")))
+      val quality = docs.select(col("doc_id").as("id"),
+        length(col("text")).cast("long").as("q"))
+      Dedup.canonicalPerComponent(labels, quality)
+        .select(col("id").as("doc_id"), col("comp").as("component_id"),
+          col("canonical_id"), col("keep"))
+    }),
+
     // E2b: incremental dedup — the near-dup variants as the incoming batch
     // screened against the original corpus (cross-side pairs only)
     "dedup_incremental" -> ((s, dir) => {
@@ -556,6 +575,30 @@ object TextEntries {
          |        CAST(floor((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) * 10000.0
          |             / length(text)) AS BIGINT) AS q
          |      FROM ($docsNearSql)),
+         |j AS (SELECT c.doc_id, c.component_id, q.q
+         |      FROM comp c JOIN q USING (doc_id)),
+         |best AS (SELECT component_id, max(q) AS mq FROM j GROUP BY 1),
+         |canon AS (SELECT j.component_id, min(j.doc_id) AS canonical_id
+         |          FROM j JOIN best ON j.component_id = best.component_id AND j.q = best.mq
+         |          GROUP BY 1)
+         |SELECT j.doc_id, j.component_id, canon.canonical_id,
+         |       (j.doc_id = canon.canonical_id) AS keep
+         |FROM j JOIN canon ON j.component_id = canon.component_id""".stripMargin,
+    // closure over containment pairs + per-cluster argmax on LENGTH
+    // (ties to smallest id) — supersets survive, excerpts drop
+    "dedup_containment_canonical" ->
+      s"""WITH RECURSIVE e0 AS (SELECT id_a, id_b FROM ($dedupContainmentSql)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+         |          UNION SELECT id_b, id_a FROM e0),
+         |nodes AS (SELECT doc_id AS id FROM ($docsContainSql)),
+         |reach(id, anc) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id AS doc_id, CAST(min(anc) AS BIGINT) AS component_id
+         |         FROM reach GROUP BY id),
+         |q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS q
+         |      FROM ($docsContainSql)),
          |j AS (SELECT c.doc_id, c.component_id, q.q
          |      FROM comp c JOIN q USING (doc_id)),
          |best AS (SELECT component_id, max(q) AS mq FROM j GROUP BY 1),

@@ -46,29 +46,39 @@ object JdbcSink {
     * partitions × statements/sec, not a single writer. */
   def applyCdc(df: DataFrame, url: String, schema: String, table: String,
       primaryKeys: Seq[String], user: String, password: String,
+      batchSize: Int = 10000, delayMsPerBatch: Long = 0L): Unit =
+    execute(SqlWriter.upsertStatements(df, schema, table, primaryKeys),
+      url, user, password, batchSize, delayMsPerBatch)
+
+  /** Execute a distributed set of SQL statements per partition — the
+    * shared landing loop behind [[applyCdc]] and the streaming SCD2
+    * landing ([[graft.streaming.Scd2Landing]]): one connection per task,
+    * addBatch/executeBatch in `batchSize` groups, optional per-task
+    * inter-batch delay (backpressure, see [[applyCdc]]). */
+  def execute(statements: org.apache.spark.sql.Dataset[String],
+      url: String, user: String, password: String,
       batchSize: Int = 10000, delayMsPerBatch: Long = 0L): Unit = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     require(delayMsPerBatch >= 0, s"delayMsPerBatch must be >= 0, got $delayMsPerBatch")
-    SqlWriter.upsertStatements(df, schema, table, primaryKeys)
-      .foreachPartition { (stmts: Iterator[String]) =>
-        if (stmts.hasNext) { // skip connection setup for empty partitions
-          val conn = DriverManager.getConnection(url, user, password)
-          try {
-            val st = conn.createStatement()
-            var inBatch = 0
-            stmts.foreach { s =>
-              st.addBatch(s)
-              inBatch += 1
-              if (inBatch == batchSize) {
-                st.executeBatch()
-                inBatch = 0
-                if (delayMsPerBatch > 0) Thread.sleep(delayMsPerBatch)
-              }
+    statements.foreachPartition { (stmts: Iterator[String]) =>
+      if (stmts.hasNext) { // skip connection setup for empty partitions
+        val conn = DriverManager.getConnection(url, user, password)
+        try {
+          val st = conn.createStatement()
+          var inBatch = 0
+          stmts.foreach { s =>
+            st.addBatch(s)
+            inBatch += 1
+            if (inBatch == batchSize) {
+              st.executeBatch()
+              inBatch = 0
+              if (delayMsPerBatch > 0) Thread.sleep(delayMsPerBatch)
             }
-            if (inBatch > 0) st.executeBatch()
-            st.close()
-          } finally conn.close()
-        }
+          }
+          if (inBatch > 0) st.executeBatch()
+          st.close()
+        } finally conn.close()
       }
+    }
   }
 }

@@ -12,6 +12,9 @@ case class McChange(id: Long, seq: Long, Op: String, name: String, amount: Doubl
 /** Document row for the continuous-ingest screening test. */
 case class IngestDoc(doc_id: Long, text: String)
 
+/** Timestamped changefeed row for the streaming SCD2 landing test. */
+case class TsChange(id: Long, seq: Long, Op: String, name: String, ts: java.sql.Timestamp)
+
 /** Streaming CDC apply + windowed aggregation (SURVEY §2 A9, D6) driven
   * through MemoryStream microbatches. */
 class StreamingSpec extends SparkSpecBase {
@@ -193,6 +196,86 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == oracle, s"landed table $got != batch oracle $oracle")
     assert(got.map(_._1) == Seq(1L, 2L, 4L), "delete must have removed key 3")
     assert(got.head._2 == "one-v5", "stale replay overwrote a newer row")
+  }
+
+  test("A10s: streaming SCD2 landing — history table equals batch scd2History across kill/restart, re-delivery is a no-op") {
+    assume(
+      try { Class.forName("org.duckdb.DuckDBDriver"); true }
+      catch { case _: Throwable => false },
+      "duckdb JDBC driver jar not present in offline cache")
+    import java.sql.{DriverManager, Timestamp}
+    val root = java.nio.file.Files.createTempDirectory("graft-scd2-stream")
+    val (srcDir, ckpt) = (s"$root/src", s"$root/ckpt")
+    val url = s"jdbc:duckdb:$root/hist.db"
+    def exec(statements: String*): Unit = {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try statements.foreach(st.execute) finally st.close()
+      } finally conn.close()
+    }
+    // history's natural key (id, valid_from_us) = the conflict target
+    exec(
+      graft.pg.Ddl.createSchema("graft_scd2"),
+      graft.pg.Ddl.createTable("graft_scd2", "history",
+        scala.collection.immutable.ListMap(
+          "id" -> "bigint", "seq" -> "bigint", "name" -> "text",
+          "ts" -> "timestamp", "valid_from_us" -> "bigint",
+          "valid_to_us" -> "bigint", "is_current" -> "bigint"),
+        Seq("id", "valid_from_us")))
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val feed1 = Seq( // within-batch supersession on id 1
+      TsChange(1, 1, "I", "one-v1", t(1000)), TsChange(1, 2, "U", "one-v2", t(2000)),
+      TsChange(2, 1, "I", "two-v1", t(1000)), TsChange(3, 1, "I", "three-v1", t(1000)))
+    val feed2 = Seq( // cross-batch supersession, a closing delete, a new key
+      TsChange(1, 3, "U", "one-v3", t(3000)), TsChange(3, 2, "D", "-", t(2000)),
+      TsChange(4, 1, "I", "four-v1", t(2000)))
+    def start() = {
+      val changes = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[TsChange].schema)
+        .parquet(srcDir)
+      graft.streaming.Scd2Landing.start(
+        changes, Seq("id"), Seq(col("seq")), col("ts"), "Op",
+        url, "graft_scd2", "history", "", "", ckpt,
+        batchSize = 2, maxConnections = 1)
+    }
+    feed1.toDF().write.mode("append").parquet(srcDir)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // kill after phase 1
+    feed2.toDF().write.mode("append").parquet(srcDir)
+    val q2 = start() // resume from the same checkpoint
+    try q2.processAllAvailable() finally q2.stop()
+    def landed(): Set[(Long, Long, String, Long, Option[Long], Long)] = {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(
+            "SELECT id, seq, name, valid_from_us, valid_to_us, is_current FROM graft_scd2.history")
+          val buf = Set.newBuilder[(Long, Long, String, Long, Option[Long], Long)]
+          while (rs.next()) {
+            val vto = rs.getLong(5)
+            val vtoOpt = if (rs.wasNull()) None else Some(vto)
+            buf += ((rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getLong(4), vtoOpt, rs.getLong(6)))
+          }
+          buf.result()
+        } finally st.close()
+      } finally conn.close()
+    }
+    val got = landed()
+    val oracle = graft.cdc.CdcApply.scd2History(
+        (feed1 ++ feed2).toDF(), Seq("id"), Seq(col("seq")), col("ts"))
+      .select($"id", $"seq", $"name", $"valid_from_us", $"valid_to_us", $"is_current")
+      .as[(Long, Long, String, Long, Option[Long], Long)].collect().toSet
+    assert(got == oracle, s"landed history $got != batch scd2History $oracle")
+    // the delete left id 3 with history but no current row; id 1 has 3 versions
+    assert(got.count(_._1 == 1L) == 3 && got.count(r => r._1 == 1L && r._6 == 1L) == 1)
+    assert(got.exists(_._1 == 3L) && !got.exists(r => r._1 == 3L && r._6 == 1L))
+    // at-least-once: re-delivering the LAST batch directly must change nothing
+    graft.streaming.Scd2Landing.landBatch(
+      feed2.toDF(), Seq("id"), Seq(col("seq")), col("ts"), "Op",
+      url, "graft_scd2", "history", "", "", batchSize = 2, maxConnections = 1)
+    assert(landed() == got, "replayed batch mutated the landed history")
   }
 
   test("E2b-idx: continuous ingest screens each microbatch against the persisted index") {

@@ -784,6 +784,30 @@ class TextDedupSpec extends SparkSpecBase {
       (8L, 8L, 8L, true), (9L, 8L, 8L, false)))
   }
 
+  test("E38c: containment verdict keeps the SUPERSET — longer doc wins even with a larger id, length ties to min id") {
+    // excerpt (short, SMALL id) embedded in a superset (long, LARGE id):
+    // a min-id policy would keep the excerpt; the length-quality argmax
+    // must keep the superset. Second cluster: equal lengths → smallest id.
+    val body = ("the quick brown fox jumps over the lazy dog and keeps running " * 8)
+    val docs = Seq(
+      (1L, body.take(120)),          // excerpt, id smaller
+      (50L, body),                   // superset, id larger — must win
+      (60L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (61L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")) // identical → tie on length → 60
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", 8000L)
+    val labels = Dedup.connectedComponents(
+      pairs.select("id_a", "id_b"), docs.select($"doc_id".as("id")))
+    val m = Dedup.canonicalPerComponent(
+        labels, docs.select($"doc_id".as("id"), length($"text").cast("long").as("q")))
+      .select("id", "canonical_id", "keep")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, c, k) => id -> ((c, k)) }.toMap
+    assert(m(1L) == ((50L, false)), s"excerpt must drop: $m")
+    assert(m(50L) == ((50L, true)), s"superset must survive: $m")
+    assert(m(60L) == ((60L, true)) && m(61L) == ((60L, false)), s"tie to min id: $m")
+  }
+
   test("E2d-canon: exactly one keeper per component, always a member") {
     val rnd = new scala.util.Random(7)
     val ids = (1L to 60L)
