@@ -100,18 +100,24 @@ object Scd2Landing {
   /** Start the continuous history landing over a raw changefeed stream
     * (NOT latestStateRows — every event is a version boundary, so the
     * feed goes to the sink whole; no streaming state beyond the source
-    * offsets, the history table itself is the state). */
+    * offsets, the history table itself is the state). `availableNow`
+    * drains the files available at start and terminates — the resumable
+    * one-shot shape the CLI uses; the default tails forever. */
   def start(
       feed: DataFrame, pk: Seq[String], ordering: Seq[Column], tsCol: Column,
       opCol: String, url: String, schemaName: String, table: String,
       user: String, password: String, checkpoint: String,
-      batchSize: Int = 10000, maxConnections: Int = 0): StreamingQuery =
-    feed.writeStream
+      batchSize: Int = 10000, maxConnections: Int = 0,
+      availableNow: Boolean = false): StreamingQuery = {
+    val writer = feed.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: Dataset[Row], _: Long) =>
         landBatch(b.toDF(), pk, ordering, tsCol, opCol, url, schemaName, table,
           user, password, batchSize, maxConnections)
       }
-      .start()
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
 }

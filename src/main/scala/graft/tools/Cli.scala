@@ -46,11 +46,73 @@ object Cli {
     case Some("land") => runLand(args.tail)
     case Some("profile") => runProfile(args.tail)
     case Some("hotkeys") => runHotkeys(args.tail)
+    case Some("scd2") => runScd2(args.tail)
     case _ =>
       System.err.println(
         "usage: Cli validate ... | Cli index build|append|compact|screen ... | Cli land ... " +
-          "| Cli profile ... | Cli hotkeys ... (run a subcommand without flags for its option list)")
+          "| Cli profile ... | Cli hotkeys ... | Cli scd2 ... (run a subcommand without flags for its option list)")
       sys.exit(2)
+  }
+
+  /** Continuous SCD2 history landing — the drivable face of
+    * [[graft.streaming.Scd2Landing]]: tail a parquet changefeed FEED
+    * directory, land every version of every key into a live JDBC history
+    * table (`ON CONFLICT (pk, valid_from_us)` inserts + guarded
+    * close-UPDATEs — see Scd2Landing's idempotence contract). One
+    * invocation drains the files available NOW (Trigger.AvailableNow)
+    * and exits; re-running with the same `--checkpoint` folds only files
+    * that appeared since — the audit-trail twin of a `hotkeys`-style
+    * resumable tail. The target table needs a UNIQUE constraint on
+    * (pk..., valid_from_us); `--create` issues the DDL first (types
+    * reflected from the feed schema via the C2 mapper). */
+  private def runScd2(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli scd2 --in feedDir --pk c1[,c2] --ts-col c --order-col c1[,c2] " +
+        "--url jdbc:... --schema s --table t [--op-col Op] [--user u] [--password p] " +
+        "[--checkpoint p] [--batch-size n] [--max-connections n] [--create]"
+    val opts = new Opts(args, usage)
+    val in = opts.req("in")
+    val pk = opts.req("pk").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val tsCol = opts.req("ts-col")
+    val orderCols = opts.req("order-col").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val (url, schemaName, table) = (opts.req("url"), opts.req("schema"), opts.req("table"))
+    val opCol = opts.getOrElse("op-col", "Op")
+    val (user, password) = (opts.getOrElse("user", ""), opts.getOrElse("password", ""))
+    val checkpoint = opts.getOrElse("checkpoint",
+      java.nio.file.Files.createTempDirectory("graft_scd2_ckpt").toString)
+    val spark = localSession()
+    val feedSchema = spark.read.parquet(in).schema
+    (pk ++ orderCols ++ Seq(tsCol, opCol)).foreach(c =>
+      require(feedSchema.fieldNames.contains(c),
+        s"column $c not in feed schema ${feedSchema.fieldNames.mkString("[", ",", "]")}"))
+    if (opts.has("create")) {
+      import scala.collection.immutable.ListMap
+      val dataCols = feedSchema.fields.filterNot(_.name == opCol)
+      val cols = ListMap(
+        (dataCols.map(f => f.name -> graft.pg.TypeMapper.sparkToPg(f.dataType)) ++
+          Seq("valid_from_us" -> "bigint", "valid_to_us" -> "bigint",
+            "is_current" -> "bigint")): _*)
+      val conn = java.sql.DriverManager.getConnection(url, user, password)
+      try {
+        val st = conn.createStatement()
+        try {
+          st.execute(graft.pg.Ddl.createSchema(schemaName))
+          st.execute(graft.pg.Ddl.createTable(schemaName, table, cols,
+            pk :+ "valid_from_us"))
+        } finally st.close()
+      } finally conn.close()
+      println(s"[scd2] created $schemaName.$table (pk ${(pk :+ "valid_from_us").mkString(",")})")
+    }
+    val feed = spark.readStream.schema(feedSchema).parquet(in)
+    val q = graft.streaming.Scd2Landing.start(
+      feed, pk, orderCols.map(col), col(tsCol), opCol,
+      url, schemaName, table, user, password, checkpoint,
+      batchSize = opts.int("batch-size", 10000),
+      maxConnections = opts.int("max-connections", 0),
+      availableNow = true)
+    q.awaitTermination()
+    println(s"[scd2] landed into $schemaName.$table  checkpoint -> $checkpoint " +
+      "(re-run with the same --checkpoint to fold only new files)")
   }
 
   /** Live ingest-skew monitor — the drivable face of

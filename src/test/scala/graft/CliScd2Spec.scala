@@ -1,0 +1,67 @@
+package graft
+
+import graft.tools.Cli
+import org.apache.spark.sql.functions._
+
+/** A0b/A10s: the `scd2` CLI drives the streaming history landing
+  * end-to-end — two invocations over a growing parquet changefeed, the
+  * second RESUMING from the checkpoint, must land exactly the history
+  * batch scd2History computes over the whole feed. */
+class CliScd2Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("scd2 CLI two-invocation round-trip equals batch scd2History") {
+    assume(
+      try { Class.forName("org.duckdb.DuckDBDriver"); true }
+      catch { case _: Throwable => false },
+      "duckdb JDBC driver jar not present in offline cache")
+    import java.sql.{DriverManager, Timestamp}
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_scd2").toString
+    val feedDir = s"$root/feed"; val ckpt = s"$root/ckpt"
+    val url = s"jdbc:duckdb:$root/hist.db"
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val feed1 = Seq(
+      TsChange(1, 1, "I", "one-v1", t(1000)), TsChange(1, 2, "U", "one-v2", t(2000)),
+      TsChange(2, 1, "I", "two-v1", t(1000)))
+    val feed2 = Seq(
+      TsChange(1, 3, "U", "one-v3", t(3000)), TsChange(2, 2, "D", "-", t(2000)),
+      TsChange(3, 1, "I", "three-v1", t(2000)))
+    def run(create: Boolean): Unit = {
+      val base = Array("scd2", "--in", feedDir, "--pk", "id", "--ts-col", "ts",
+        "--order-col", "seq", "--url", url, "--schema", "graft_cli",
+        "--table", "history", "--checkpoint", ckpt, "--max-connections", "1")
+      Cli.main(if (create) base :+ "--create" else base)
+    }
+    feed1.toDF().coalesce(1).write.mode("append").parquet(feedDir)
+    run(create = true) // invocation 1: DDL + drain feed1
+    feed2.toDF().coalesce(1).write.mode("append").parquet(feedDir)
+    run(create = false) // invocation 2: resume, fold feed2 only
+    assert(!spark.sparkContext.isStopped, "CLI must reuse, not stop, the session")
+
+    val conn = DriverManager.getConnection(url)
+    val got =
+      try {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(
+            "SELECT id, seq, name, valid_from_us, valid_to_us, is_current FROM graft_cli.history")
+          val buf = Set.newBuilder[(Long, Long, String, Long, Option[Long], Long)]
+          while (rs.next()) {
+            val vto = rs.getLong(5)
+            val vtoOpt = if (rs.wasNull()) None else Some(vto)
+            buf += ((rs.getLong(1), rs.getLong(2), rs.getString(3),
+              rs.getLong(4), vtoOpt, rs.getLong(6)))
+          }
+          buf.result()
+        } finally st.close()
+      } finally conn.close()
+    val oracle = graft.cdc.CdcApply.scd2History(
+        (feed1 ++ feed2).toDF(), Seq("id"), Seq(col("seq")), col("ts"))
+      .select($"id", $"seq", $"name", $"valid_from_us", $"valid_to_us", $"is_current")
+      .as[(Long, Long, String, Long, Option[Long], Long)].collect().toSet
+    assert(got == oracle, s"CLI-landed history $got != batch scd2History $oracle")
+    // the delete closed two-v1 and left key 2 with no current row
+    assert(!got.exists(r => r._1 == 2L && r._6 == 1L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+}
