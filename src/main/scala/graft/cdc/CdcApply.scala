@@ -105,6 +105,58 @@ object CdcApply {
   def applyDeletes(base: DataFrame, deleteKeys: DataFrame, pk: Seq[String]): DataFrame =
     base.join(deleteKeys.select(pk.map(col): _*).distinct(), pk, "left_anti")
 
+  /** Compact a changefeed to its NET effect: at most one change row per
+    * key, such that replaying the compacted feed over ANY base produces
+    * the same state as replaying the raw feed ([[upsert]]-equivalence,
+    * property-tested). This is the batch-apply trick the reference's
+    * row-at-a-time loop (postgres_operator_impl.rs:300-404) pays for on
+    * every row of a churny feed: a key updated 10,000 times in a batch
+    * needs ONE upsert at the target, not 10,000.
+    *
+    * Net-op rules (first/last op per key in feed order):
+    *   - last = 'D'  → net 'D' (tombstone; payload nulled). With
+    *     `dropEphemeral=true`, a key whose FIRST op is 'I' (born inside
+    *     the batch) emits nothing instead — valid only when the target
+    *     provably lacks the key (fresh load); the default keeps the
+    *     tombstone so compaction is safe against any base.
+    *   - last ≠ 'D' → 'I' if the first op is 'I' (key is new), else 'U';
+    *     payload is the last row image (LWW).
+    *
+    * Spark shape: ONE aggregation over ONE hash exchange by pk —
+    * `min_by(op, ord)` + `max_by(row, ord)` combine map-side, so the
+    * shuffle carries ~two candidates per key per input partition (the
+    * keyspace), not the churn. The window/`lead` formulation (scd2History)
+    * must shuffle and sort every feed row; compaction's whole point is
+    * that the output is the keyspace, so the aggregate shape wins at any
+    * churn ratio above 1.
+    */
+  def compact(
+      cdc: DataFrame,
+      pk: Seq[String],
+      ordering: Seq[Column],
+      opCol: String = "Op",
+      dropEphemeral: Boolean = false): DataFrame = {
+    val nonPk = cdc.columns.filterNot(c => pk.contains(c) || c == opCol)
+    val ord = struct(ordering: _*)
+    val agged = cdc
+      .groupBy(pk.map(col): _*)
+      .agg(
+        min_by(col(opCol), ord).as("__first_op"),
+        max_by(col(opCol), ord).as("__last_op"),
+        max_by(struct(nonPk.map(col): _*), ord).as("__last"))
+    val kept =
+      if (dropEphemeral)
+        agged.filter(!(col("__first_op") === "I" && col("__last_op") === "D"))
+      else agged
+    kept
+      .withColumn(opCol,
+        when(col("__last_op") === "D", lit("D"))
+          .when(col("__first_op") === "I", lit("I"))
+          .otherwise(lit("U")))
+      .select(pk.map(col) ++ Seq(col(opCol)) ++ nonPk.map(c =>
+        when(col(opCol) =!= "D", col("__last").getField(c)).otherwise(lit(null)).as(c)): _*)
+  }
+
   /** Point-in-time snapshot — replay only the changes at or before
     * `asOf` into the base. This is the time-travel the reference's
     * validate implicitly assumes away (it compares CURRENT states,
