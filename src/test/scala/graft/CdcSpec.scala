@@ -174,4 +174,37 @@ class CdcSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("valid_to_us"))
   }
+
+  test("A11: compact nets each key to one row with the right op and last payload") {
+    val out = CdcApply.compact(feed, Seq("pk"), Seq(col("seq")))
+      .select("pk", "Op", "v").as[(Long, String, Option[String])].collect()
+      .map { case (k, op, v) => k -> ((op, v)) }.toMap
+    assert(out == Map(
+      1L -> (("I", Some("b"))), // I,U → net insert of the last image
+      2L -> (("D", None)),      // I,D → tombstone, payload nulled (default keeps it)
+      3L -> (("I", Some("c"))), // single insert passes through
+      4L -> (("I", Some("e"))))) // I,D,I → net insert of the final image
+  }
+
+  test("A11: compact marks keys not born in the batch as U, not I") {
+    val updatesOnly = Seq((9L, 1L, "U", "p"), (9L, 2L, "U", "q")).toDF("pk", "seq", "Op", "v")
+    val out = CdcApply.compact(updatesOnly, Seq("pk"), Seq(col("seq")))
+      .select("pk", "Op", "v").as[(Long, String, String)].collect().toSeq
+    assert(out == Seq((9L, "U", "q")))
+  }
+
+  test("A11: dropEphemeral removes keys born AND deleted inside the batch") {
+    val out = CdcApply.compact(feed, Seq("pk"), Seq(col("seq")), dropEphemeral = true)
+      .select("pk").as[Long].collect().toSet
+    // key 2 was inserted and deleted within the batch → no output row at all
+    assert(out == Set(1L, 3L, 4L))
+  }
+
+  test("A11: compact is one hash aggregation — a single exchange, no window sort") {
+    val p = CdcApply.compact(feed, Seq("pk"), Seq(col("seq")))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      s"compact should shuffle exactly once by pk:\n$p")
+    assert(!p.contains("Window"), s"compact must be the aggregate shape, not a window:\n$p")
+  }
 }
