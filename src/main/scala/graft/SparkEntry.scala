@@ -267,6 +267,22 @@ object SparkEntry {
           col("valid_from_us"))
     }),
 
+    // A11: changefeed NET-EFFECT compaction — at most one change row per
+    // key (first/last op per key via min_by/max_by over ONE exchange),
+    // upsert-equivalent to the raw feed by construction (property-tested).
+    // Payload surfaced with ts as epoch-µs so both engines hash identically.
+    "cdc_compact" -> ((s, dir) => {
+      CdcApply.compact(
+        eventsCdc(s, dir)
+          .select("user_id", "event_id", "ts", "value", "event_type", "Op"),
+        pk = Seq("user_id"),
+        ordering = Seq(col("ts"), col("event_id")))
+        .select(
+          col("user_id"), col("Op").as("op"),
+          col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("event_type"))
+    }),
+
     // B1: row-level diff (full-outer join on pk, null-safe compare)
     "diff_rowlevel" -> ((s, dir) => {
       DataDiff.rowDiff(Tables.orders(s, dir), perturbedOrders(s, dir), Seq("o_orderkey"))
@@ -455,6 +471,29 @@ object SparkEntry {
          |WHERE op <> 'D'
          |  AND valid_from_us <= epoch_us(TIMESTAMP '2024-01-18 00:00:00')
          |  AND (valid_to_us IS NULL OR epoch_us(TIMESTAMP '2024-01-18 00:00:00') < valid_to_us)""".stripMargin,
+
+    // first/last op per key via two row_number passes (DuckDB mirror of
+    // min_by/max_by over the same (ts, event_id) ordering); net op =
+    // D if last is D, I if first is I, else U; payload = last image,
+    // nulled on tombstones
+    "cdc_compact" ->
+      s"""WITH cdc AS ($cdcSql),
+         |r AS (
+         |  SELECT user_id, event_id, ts, value, event_type, op,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+         |  FROM cdc),
+         |f AS (SELECT user_id, op AS first_op FROM r WHERE rn_a = 1),
+         |l AS (SELECT user_id, event_id, ts, value, event_type, op AS last_op
+         |      FROM r WHERE rn_d = 1)
+         |SELECT l.user_id,
+         |  CASE WHEN l.last_op = 'D' THEN 'D'
+         |       WHEN f.first_op = 'I' THEN 'I' ELSE 'U' END AS op,
+         |  CASE WHEN l.last_op <> 'D' THEN l.event_id END AS event_id,
+         |  CASE WHEN l.last_op <> 'D' THEN epoch_us(l.ts) END AS ts_us,
+         |  CASE WHEN l.last_op <> 'D' THEN l.value END AS value,
+         |  CASE WHEN l.last_op <> 'D' THEN l.event_type END AS event_type
+         |FROM l JOIN f ON l.user_id = f.user_id""".stripMargin,
 
     "diff_rowlevel" -> {
       val mism = ordersCols.filterNot(_ == "o_orderkey")

@@ -18,11 +18,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     RunPaths.pin(sfDir) // oracle SQL must name the run's landings
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    // A query that throws must POISON the artifact, not vanish from it:
+    // round 8 proved a 5-query breakage can read as "75/76 green" to
+    // anyone diffing only the JSON. Failures are collected, summarized,
+    // dumped to _failures.json, and turn the exit code nonzero.
+    val failures = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name -> Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -50,6 +57,15 @@ object Verify {
     val json = oracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failures.nonEmpty) {
+      val fj = failures.map { case (k, m) => s"${q(k)}: ${q(m.take(500))}" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/_failures.json"), fj)
+      System.err.println(
+        s"[verify] FAILED ${failures.size}/${SparkEntry.queries.size}: " +
+          failures.map(_._1).sorted.mkString(", "))
+    }
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -201,8 +201,9 @@ object CdcApply {
     * the "state at time T" source [[snapshotAsOf]] reconstructs by
     * re-replaying; here T is an output column instead of a query parameter.
     *
-    * Validity boundaries are integer microseconds (`unix_micros`, mirrors
-    * DuckDB's `epoch_us` — same exact-boundary trick as the as-of join),
+    * Validity boundaries are integer microseconds (TimeCols.micros —
+    * exact for both timestamp physical encodings, mirrors DuckDB's
+    * `epoch_us`, same exact-boundary trick as the as-of join),
     * half-open `[valid_from_us, valid_to_us)`, `valid_to_us` null while
     * current. `is_current` is 0/1 bigint for engine-portable hashing.
     *
@@ -228,7 +229,7 @@ object CdcApply {
       !cdc.columns.contains(r), s"scd2History: input already has a '$r' column"))
     val w = Window.partitionBy(pk.map(col): _*).orderBy(ordering: _*)
     cdc
-      .withColumn("valid_from_us", unix_micros(tsCol))
+      .withColumn("valid_from_us", graft.util.TimeCols.toMicros(cdc, tsCol))
       .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
       .filter(col(opCol) =!= "D")
       .withColumn("is_current",

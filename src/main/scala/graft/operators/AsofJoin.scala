@@ -113,12 +113,13 @@ object AsofJoin {
     val matched = tolerance match {
       case None => col("__c").isNotNull
       case Some(tol) =>
-        // integer micros for timestamps so the boundary is exact (a
-        // double epoch would round differently engine to engine and
-        // flip rows whose gap sits ON the tolerance); native units
-        // via a double cast otherwise
+        // integer micros for timestamps (either physical encoding —
+        // TimeCols.micros) so the boundary is exact; native units via a
+        // double cast for genuinely numeric axes
         def toNum(c: Column) = right.schema(rightTime).dataType match {
-          case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+          case dt @ (org.apache.spark.sql.types.TimestampType |
+                     org.apache.spark.sql.types.TimestampNTZType) =>
+            graft.util.TimeCols.micros(c, dt)
           case _ => c.cast("double")
         }
         val rt = toNum(col("__c").getField("__rt"))

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{BooleanType, NumericType, TimestampNTZType, TimestampType}
 
 /** Point-in-interval (range) join WITHOUT an equi key, grain-bucketed.
   *
@@ -59,12 +59,18 @@ object RangeJoin {
       new IntegralDivide(exact, GraftBridge.expression(lit(grainUs))))
   }
 
-  /** Normalize a time/value column to long (timestamps → exact integer
-    * microseconds, mirroring the oracle's `epoch_us`). */
+  /** Normalize a time/value column to long (timestamps of either physical
+    * encoding → exact integer microseconds via TimeCols, mirroring the
+    * oracle's `epoch_us`; integrals as-is). Other temporal-ish types are
+    * refused loudly — `cast("long")` on a timestamp would yield epoch
+    * SECONDS, a silent 10^6 unit error flowing into wrong buckets. */
   private def asLong(df: DataFrame, c: Column): Column =
     df.select(c).schema.head.dataType match {
-      case TimestampType => unix_micros(c)
-      case _             => c.cast("long")
+      case dt @ (TimestampType | TimestampNTZType) => graft.util.TimeCols.micros(c, dt)
+      case _: NumericType | BooleanType => c.cast("long")
+      case other => throw new IllegalArgumentException(
+        s"RangeJoin: range axis has unsupported type $other — pass a " +
+          "timestamp or numeric column")
     }
 
   /** Data-derived grain recommendation — see [[suggestGrain]]. All units

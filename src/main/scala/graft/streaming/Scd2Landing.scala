@@ -69,7 +69,7 @@ object Scd2Landing {
       }
     }
     val firsts = b.groupBy(pk.map(col): _*)
-      .agg(min(unix_micros(tsCol)).as("__first_us"))
+      .agg(min(graft.util.TimeCols.toMicros(b, tsCol)).as("__first_us"))
     val pkN = pk.length
     val closes = firsts.mapPartitions { rows =>
       rows.map { r =>

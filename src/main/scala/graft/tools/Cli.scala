@@ -196,13 +196,18 @@ object Cli {
     * `--hist c --lo x --hi y [--buckets 20]` prints the equi-width
     * histogram (clamped edges, nulls/NaN excluded). `--prune c --lo x
     * --hi y` audits row-group stats pruning of the landed layout
-    * ([[graft.sources.PruneAudit]] — footers only). */
+    * ([[graft.sources.PruneAudit]] — footers only). `--spans start,end`
+    * prices the D11 range-join grain knob from the interval data itself
+    * ([[graft.operators.RangeJoin.suggestGrain]]): suggested grain =
+    * median span, tail replica counts, and the loud warnings (guard trip
+    * / span skew) instead of a silent clamp. */
   private def runProfile(args: Seq[String]): Unit = {
     val usage =
       "usage: Cli profile --in p (--key c [--weight c] [--den 100] " +
         "[--in2 p --key2 c] | --cols c1,c2|all | " +
         "--hist c --lo x --hi y [--buckets 20] | " +
-        "--prune c --lo x --hi y) [--kmv-k 256] [--out p]"
+        "--prune c --lo x --hi y | " +
+        "--spans start,end [--max-buckets 4096]) [--kmv-k 256] [--out p]"
     val opts = new Opts(args, usage)
     val in = opts.req("in")
     val den = opts.int("den", 100)
@@ -216,6 +221,23 @@ object Cli {
         s"row_groups=${r.getLong(0)} pruned=${r.getLong(1)} " +
         s"rows=${r.getLong(2)} rows_pruned=${r.getLong(3)} " +
         s"bytes=${r.getLong(4)} bytes_pruned=${r.getLong(5)}")
+      return
+    }
+    if (opts.has("spans")) {
+      val spec = opts.getOrElse("spans", "").split(",").map(_.trim)
+      if (spec.length != 2 || spec.exists(_.isEmpty)) {
+        System.err.println(s"--spans needs exactly two column names\n$usage")
+        sys.exit(2)
+      }
+      val maxBuckets = opts.int("max-buckets", 4096)
+      val spark = localSession()
+      val sg = graft.operators.RangeJoin.suggestGrain(
+        spark.read.parquet(in), col(spec(0)), col(spec(1)), maxBuckets)
+      println(s"[profile] spans ${spec(0)}..${spec(1)}: grain_us=${sg.grainUs} " +
+        s"p50_span_us=${sg.p50SpanUs} p99_span_us=${sg.p99SpanUs} " +
+        s"max_span_us=${sg.maxSpanUs} p99_replicas=${sg.p99Replicas} " +
+        s"max_replicas=${sg.maxReplicas}")
+      sg.warning.foreach(w => println(s"[profile] WARNING: $w"))
       return
     }
     if (opts.has("hist")) {

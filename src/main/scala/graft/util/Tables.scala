@@ -1,6 +1,8 @@
 package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated test corpus.
   *
@@ -14,18 +16,31 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads via
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in every graft
-    * session). Rebuild a proper TimestampType with exact integer division
-    * (`div`, not `/` — epoch-nanos exceed 2^53 so double math would lose
-    * precision). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = table(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
-  }
+  /** Canonicalize an event-time column to TimestampType regardless of
+    * which physical encoding the parquet producer chose — the reference
+    * reads whatever DMS wrote (dataframe_ops.rs:49-88), and the driver's
+    * generator has shipped three encodings of `events.ts` across rounds:
+    *  - TIMESTAMP(NANOS), surfacing as INT64 under the
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` every graft session
+    *    sets → rebuild with exact integer division (`div`, not `/` —
+    *    epoch-nanos exceed 2^53, double math would lose precision);
+    *  - TIMESTAMP(MICROS) `isAdjustedToUTC=false` → TIMESTAMP_NTZ → the
+    *    cast to TimestampType is exact (identity on field values) under
+    *    the UTC session timezone every graft session pins;
+    *  - TIMESTAMP(MICROS) `isAdjustedToUTC=true` → already TimestampType.
+    * Works on streaming DataFrames too (pure column rewrite).
+    * Every downstream query lambda sees ONE canonical type. */
+  def normalizeTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType          => df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      case TimestampNTZType  => df.withColumn(c, col(c).cast(TimestampType))
+      case TimestampType     => df
+      case other => throw new IllegalArgumentException(
+        s"Tables.normalizeTs: column '$c' has unhandled time encoding $other")
+    }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(table(spark, dir, "events"), "ts")
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")

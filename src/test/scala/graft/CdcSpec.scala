@@ -181,7 +181,7 @@ class CdcSpec extends SparkSpecBase {
       .map { case (k, op, v) => k -> ((op, v)) }.toMap
     assert(out == Map(
       1L -> (("I", Some("b"))), // I,U → net insert of the last image
-      2L -> (("D", None)),      // I,D → tombstone, payload nulled (default keeps it)
+      2L -> (("D", None)),      // I,D → tombstone with nulled payload (dropEphemeral=false keeps the tombstone)
       3L -> (("I", Some("c"))), // single insert passes through
       4L -> (("I", Some("e"))))) // I,D,I → net insert of the final image
   }
@@ -198,6 +198,54 @@ class CdcSpec extends SparkSpecBase {
       .select("pk").as[Long].collect().toSet
     // key 2 was inserted and deleted within the batch → no output row at all
     assert(out == Set(1L, 3L, 4L))
+  }
+
+  test("A11 property: upsert(base, compact(F)) == upsert(base, F) on random feeds") {
+    // the scaladoc's upsert-equivalence claim, over seeded-random feeds:
+    // arbitrary op strings per key (including semantically odd ones — D on
+    // a key the base lacks, U before any I), random base coverage
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 10) {
+      val rows = (1L to 10L).flatMap { k =>
+        (1L to rnd.nextInt(5).toLong).map { s =>
+          (k, s, Seq("I", "U", "D")(rnd.nextInt(3)), s"v$trial-$k-$s")
+        }
+      }
+      if (rows.nonEmpty) {
+        val f = rows.toDF("pk", "seq", "Op", "v")
+        val base = (1L to 10L).filter(_ => rnd.nextBoolean())
+          .map(k => (k, s"base$k")).toDF("pk", "v")
+        def state(changes: org.apache.spark.sql.DataFrame) =
+          CdcApply.upsert(base, changes, Seq("pk"), Seq(col("seq")))
+            .select("pk", "v").as[(Long, String)].collect().toMap
+        val compacted = CdcApply.compact(f, Seq("pk"), Seq(col("seq")))
+        assert(state(compacted) == state(f), s"trial $trial")
+      }
+    }
+  }
+
+  test("A11 property: dropEphemeral upsert-equivalent when the base lacks batch-born keys") {
+    val rnd = new scala.util.Random(813L)
+    for (trial <- 1 to 10) {
+      val rows = (1L to 10L).flatMap { k =>
+        (1L to (1 + rnd.nextInt(4)).toLong).map { s =>
+          (k, s, Seq("I", "U", "D")(rnd.nextInt(3)), s"v$trial-$k-$s")
+        }
+      }
+      // dropEphemeral's precondition: the target provably lacks keys born
+      // in the batch — base only over keys whose FIRST feed op is not 'I'
+      val bornInBatch = rows.groupBy(_._1).collect {
+        case (k, rs) if rs.minBy(_._2)._3 == "I" => k
+      }.toSet
+      val f = rows.toDF("pk", "seq", "Op", "v")
+      val base = (1L to 10L).filterNot(bornInBatch)
+        .filter(_ => rnd.nextBoolean()).map(k => (k, s"base$k")).toDF("pk", "v")
+      def state(changes: org.apache.spark.sql.DataFrame) =
+        CdcApply.upsert(base, changes, Seq("pk"), Seq(col("seq")))
+          .select("pk", "v").as[(Long, String)].collect().toMap
+      val compacted = CdcApply.compact(f, Seq("pk"), Seq(col("seq")), dropEphemeral = true)
+      assert(state(compacted) == state(f), s"trial $trial")
+    }
   }
 
   test("A11: compact is one hash aggregation — a single exchange, no window sort") {

@@ -158,6 +158,31 @@ class CliIndexSpec extends SparkSpecBase {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("profile --spans prints the library's grain suggestion and warnings") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_spans").toString
+    // µs-valued long spans: mostly 60s intervals plus a multi-hour outlier
+    // to trip the span-skew warning path
+    val s = 1000000L
+    val rows = (1 to 200).map(i => (i * 3600 * s, i * 3600 * s + 60 * s)) :+
+      ((0L, 50000L * 3600 * s))
+    rows.toDF("st", "en").write.parquet(s"$dir/in")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Cli.main(Array("profile", "--in", s"$dir/in", "--spans", "st,en"))
+    }
+    val lib = graft.operators.RangeJoin.suggestGrain(
+      spark.read.parquet(s"$dir/in"), $"st", $"en")
+    val line = out.toString.linesIterator.find(_.contains("spans st..en"))
+      .getOrElse(fail(s"no spans line in CLI output:\n$out"))
+    assert(line.contains(s"grain_us=${lib.grainUs}"))
+    assert(line.contains(s"max_replicas=${lib.maxReplicas}"))
+    assert(lib.warning.isDefined, "the outlier interval must produce a warning")
+    assert(out.toString.linesIterator.exists(_.contains("WARNING")),
+      s"CLI must surface the library warning:\n$out")
+    assert(!spark.sparkContext.isStopped)
+  }
+
   test("profile --cols runs the one-pass table profile the library computes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cli_tprof").toString

@@ -51,6 +51,40 @@ class PruneAuditSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("A10t: a valid_from_us-clustered SCD2 landing prunes point-in-time reads") {
+    // the scaladoc claim on CdcApply.stateAt: on a landing clustered by
+    // valid_from_us the interval predicates prune row groups, so a
+    // point-in-time read touches only files whose version ranges straddle
+    // T. Land a churny history range-clustered and measure with E37.
+    import graft.cdc.CdcApply
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune-scd2").toString
+    val s = 1000000L
+    // 40 keys × 50 versions, event times spread over [0, 2000 s)
+    val feed = (for { k <- 1 to 40; v <- 0 until 50 } yield
+        (k.toLong, (v * 40 + k).toLong, "U", s"v$v"))
+      .toDF("pk", "seq", "Op", "v")
+      .withColumn("ts", timestamp_micros(col("seq") * s))
+    val hist = CdcApply.scd2History(feed, Seq("pk"), Seq(col("seq")), col("ts"))
+      .localCheckpoint() // consumed twice: landing + in-memory oracle
+    graft.sources.Compaction.zorderBy(hist, dir, Seq("valid_from_us"), numFiles = 4)
+    // stateAt's first predicate is valid_from_us <= T — an early horizon
+    // must skip every row group living entirely after it
+    val T = 300L * s
+    val (groups, pruned, _, rowsPruned, _, _) =
+      one(PruneAudit.audit(spark, dir, "valid_from_us", Long.MinValue, T))
+    assert(groups >= 4L, s"expected a multi-group landing, got $groups")
+    assert(pruned > 0L && pruned < groups,
+      s"an early horizon must prune some but not all groups ($pruned/$groups)")
+    assert(rowsPruned > 0L)
+    // and the landed history answers the point-in-time read identically
+    val landed = CdcApply.stateAt(spark.read.parquet(dir), lit(T))
+      .select("pk", "v").as[(Long, String)].collect().toSet
+    val mem = CdcApply.stateAt(hist, lit(T))
+      .select("pk", "v").as[(Long, String)].collect().toSet
+    assert(landed == mem && landed.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("E37: session-level hadoop settings provably reach the footer tasks") {
     // the round-6 defect: executor-side `new Configuration()` sees only
     // classpath XML, so session-held s3a credentials never reached the

@@ -278,6 +278,95 @@ class StreamingSpec extends SparkSpecBase {
     assert(landed() == got, "replayed batch mutated the landed history")
   }
 
+  test("A10s property: SCD2 landing converges under random batch boundaries × random crash/replay points") {
+    // the scaladoc's at-least-once argument (statement families disjoint ⇒
+    // commute ⇒ replay converges), exercised instead of asserted: random
+    // feeds cut into random batches; each batch may first crash mid-apply
+    // (a random PREFIX of its statements executes) and is then re-landed
+    // in full — possibly twice (re-delivery). Every schedule must land the
+    // exact batch scd2History of the whole feed.
+    assume(
+      try { Class.forName("org.duckdb.DuckDBDriver"); true }
+      catch { case _: Throwable => false },
+      "duckdb JDBC driver jar not present in offline cache")
+    import java.sql.{DriverManager, Timestamp}
+    val rnd = new scala.util.Random(91L)
+    for (trial <- 1 to 5) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-scd2-prop$trial")
+      val url = s"jdbc:duckdb:$root/hist.db"
+      def exec(statements: Seq[String]): Unit = {
+        val conn = DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          try statements.foreach(st.execute) finally st.close()
+        } finally conn.close()
+      }
+      exec(Seq(
+        graft.pg.Ddl.createSchema("graft_scd2"),
+        graft.pg.Ddl.createTable("graft_scd2", "history",
+          scala.collection.immutable.ListMap(
+            "id" -> "bigint", "seq" -> "bigint", "name" -> "text",
+            "ts" -> "timestamp", "valid_from_us" -> "bigint",
+            "valid_to_us" -> "bigint", "is_current" -> "bigint"),
+          Seq("id", "valid_from_us"))))
+      // globally ordered events: seq-major interleaving of keys, ts = the
+      // global position — so per-key ts follows seq (the landing's feed
+      // contract: per-key event-time ordered ACROSS batches) and any
+      // batch cut respects it; op strings arbitrary (D closes, rest version)
+      val perKey = (1L to 5L).map(k => k -> (1 + rnd.nextInt(4))).toMap
+      val ordered = perKey.toSeq
+        .flatMap { case (k, n) => (1 to n).map(s => (k, s.toLong)) }
+        .sortBy { case (k, s) => (s, k) }
+        .zipWithIndex.map { case ((k, s), i) =>
+          TsChange(k, s, Seq("I", "U", "D")(rnd.nextInt(3)), s"v$trial-$k-$s",
+            new Timestamp((i + 1) * 1000L))
+        }
+      // cut into 1..4 batches at random boundaries
+      val nBatches = 1 + rnd.nextInt(4)
+      val cuts = (Seq(0, ordered.size) ++
+        Seq.fill(nBatches - 1)(rnd.nextInt(ordered.size + 1))).distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => ordered.slice(a, b) }
+        .filter(_.nonEmpty)
+      def land(b: Seq[TsChange]): Unit = graft.streaming.Scd2Landing.landBatch(
+        b.toDF(), Seq("id"), Seq(col("seq")), col("ts"), "Op",
+        url, "graft_scd2", "history", "", "", batchSize = 2, maxConnections = 1)
+      batches.foreach { b =>
+        if (rnd.nextBoolean()) { // mid-batch crash: a statement prefix runs
+          val stmts = graft.streaming.Scd2Landing.statements(
+            b.toDF(), Seq("id"), Seq(col("seq")), col("ts"), "Op",
+            "graft_scd2", "history").collect().toSeq
+          exec(stmts.take(rnd.nextInt(stmts.size + 1)))
+        }
+        land(b)
+        if (rnd.nextBoolean()) land(b) // at-least-once re-delivery
+      }
+      val got = {
+        val conn = DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          try {
+            val rs = st.executeQuery(
+              "SELECT id, seq, name, valid_from_us, valid_to_us, is_current FROM graft_scd2.history")
+            val buf = Set.newBuilder[(Long, Long, String, Long, Option[Long], Long)]
+            while (rs.next()) {
+              val vto = rs.getLong(5)
+              val vtoOpt = if (rs.wasNull()) None else Some(vto)
+              buf += ((rs.getLong(1), rs.getLong(2), rs.getString(3),
+                rs.getLong(4), vtoOpt, rs.getLong(6)))
+            }
+            buf.result()
+          } finally st.close()
+        } finally conn.close()
+      }
+      val oracle = graft.cdc.CdcApply.scd2History(
+          ordered.toDF(), Seq("id"), Seq(col("seq")), col("ts"))
+        .select($"id", $"seq", $"name", $"valid_from_us", $"valid_to_us", $"is_current")
+        .as[(Long, Long, String, Long, Option[Long], Long)].collect().toSet
+      assert(got == oracle,
+        s"trial $trial (batches=${batches.map(_.size)}): $got != $oracle")
+    }
+  }
+
   test("E2b-idx: continuous ingest screens each microbatch against the persisted index") {
     // the steady-state pipeline end to end: corpus indexed ONCE, then a
     // stream of incoming docs is near-dup-screened per microbatch via the
@@ -524,8 +613,10 @@ class StreamingSpec extends SparkSpecBase {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same physical-encoding canonicalization the batch path uses — the
+    // driver's generator has shipped ts as nanos-long, µs-NTZ, and µs-UTC
+    val stream = graft.util.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(staged.toString), "ts")
     val q = EventAgg.hourly(stream)
       .writeStream.format("memory").queryName("ev_agg")
       .outputMode("update").start()
