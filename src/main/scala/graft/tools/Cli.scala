@@ -47,10 +47,12 @@ object Cli {
     case Some("profile") => runProfile(args.tail)
     case Some("hotkeys") => runHotkeys(args.tail)
     case Some("scd2") => runScd2(args.tail)
+    case Some("compact") => runCompact(args.tail)
     case _ =>
       System.err.println(
         "usage: Cli validate ... | Cli index build|append|compact|screen ... | Cli land ... " +
-          "| Cli profile ... | Cli hotkeys ... | Cli scd2 ... (run a subcommand without flags for its option list)")
+          "| Cli profile ... | Cli hotkeys ... | Cli scd2 ... | Cli compact ... " +
+          "(run a subcommand without flags for its option list)")
       sys.exit(2)
   }
 
@@ -65,6 +67,36 @@ object Cli {
     * resumable tail. The target table needs a UNIQUE constraint on
     * (pk..., valid_from_us); `--create` issues the DDL first (types
     * reflected from the feed schema via the C2 mapper). */
+  /** Changefeed net-effect compaction driver (A11,
+    * [[graft.cdc.CdcApply.compact]]): rewrite a raw changefeed as its
+    * net effect — at most one change row per key, upsert-equivalent to
+    * the raw feed against ANY base. The pre-apply shrink for a churny
+    * feed headed at a row-at-a-time target: a key updated 10k times in
+    * the window needs ONE statement after compaction.
+    * `--drop-ephemeral` also drops keys born AND deleted inside the feed
+    * (valid only when the target provably lacks them — fresh loads). */
+  private def runCompact(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli compact --in feedDir --out dir --pk c1[,c2] --order-col c1[,c2] " +
+        "[--op-col Op] [--drop-ephemeral] [--max-records n]"
+    val opts = new Opts(args, usage)
+    val (in, out) = (opts.req("in"), opts.req("out"))
+    val pk = opts.req("pk").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val orderCols = opts.req("order-col").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val opCol = opts.getOrElse("op-col", "Op")
+    val spark = localSession()
+    val feed = spark.read.parquet(in)
+    (pk ++ orderCols :+ opCol).foreach(c =>
+      require(feed.schema.fieldNames.contains(c),
+        s"column $c not in feed schema ${feed.schema.fieldNames.mkString("[", ",", "]")}"))
+    val compacted = graft.cdc.CdcApply.compact(
+      feed, pk, orderCols.map(col), opCol, opts.has("drop-ephemeral"))
+    graft.sources.Compaction.landSized(
+      compacted, out, opts.int("max-records", 1000000).toLong)
+    val (nIn, nOut) = (feed.count(), spark.read.parquet(out).count())
+    println(s"[compact] $nIn change rows -> $nOut net rows -> $out")
+  }
+
   private def runScd2(args: Seq[String]): Unit = {
     val usage =
       "usage: Cli scd2 --in feedDir --pk c1[,c2] --ts-col c --order-col c1[,c2] " +

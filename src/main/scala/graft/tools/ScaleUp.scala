@@ -57,7 +57,28 @@ object ScaleUp {
     write("part")((d, k) => shifted(d, k, "p_partkey"))
     write("orders")((d, k) => shifted(d, k, "o_orderkey", "o_custkey"))
     write("lineitem")((d, k) => shifted(d, k, "l_orderkey", "l_partkey", "l_suppkey"))
-    write("events")((d, k) => shifted(d, k, "event_id", "user_id"))
+    // ts shifts into DISJOINT per-copy windows: the time axis is a join
+    // key for the no-equi-key operators (range join, as-of), where
+    // overlapping copies would interact — cross-copy (point, interval)
+    // candidate mass grows QUADRATICALLY with copies sharing a window,
+    // so an unshifted scale-up measures the construction, not the scale
+    // (observed: 25× per decade on range_join vs ~1.5× once disjoint).
+    // Same reason document text gets per-copy suffixes. The stride is
+    // derived from the SOURCE's own span (+2 days slack) so chained
+    // scale-ups (sf1 → sf10, span already 10 windows wide) stay disjoint.
+    locally {
+      val ev = graft.util.Tables.normalizeTs(
+        spark.read.parquet(s"$src/events.parquet"), "ts")
+      val mm = ev.agg(min(col("ts")).cast("long"), max(col("ts")).cast("long")).head()
+      val strideDays = (mm.getLong(1) - mm.getLong(0)) / 86400L + 2
+      val all = (0 until copies).map { k =>
+        shifted(ev, k, "event_id", "user_id")
+          .withColumn("ts", col("ts") + expr(s"INTERVAL '${k * strideDays}' DAY"))
+      }.reduce(_ unionByName _)
+      all.write.mode("overwrite").parquet(s"$out/events.parquet")
+      println(s"[scaleup] events -> $out/events.parquet (${copies}x, " +
+        s"ts stride $strideDays days)")
+    }
     // per-copy token suffix in [a-z0-9] (base-36 survives normalization),
     // FIXED-WIDTH zero-padded so suffixes are prefix-free: with variable
     // width, source token "x1" in copy 1 ("x1"+"1") and "x" in copy 37

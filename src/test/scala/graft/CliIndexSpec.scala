@@ -183,6 +183,31 @@ class CliIndexSpec extends SparkSpecBase {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("compact subcommand rewrites a changefeed to the library's net effect") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_compact").toString
+    val feed = Seq(
+      (1L, 1L, "I", "a"), (1L, 2L, "U", "b"),          // churny key nets to one row
+      (2L, 1L, "I", "x"), (2L, 2L, "D", "-"),          // born-and-deleted
+      (3L, 1L, "U", "c"))                              // pre-existing key updated
+      .toDF("pk", "seq", "Op", "v")
+    feed.write.parquet(s"$dir/in")
+    Cli.main(Array("compact", "--in", s"$dir/in", "--out", s"$dir/out",
+      "--pk", "pk", "--order-col", "seq"))
+    val got = spark.read.parquet(s"$dir/out")
+      .select($"pk", $"Op", $"v").as[(Long, String, Option[String])].collect().toSet
+    val lib = graft.cdc.CdcApply.compact(
+      feed, Seq("pk"), Seq(org.apache.spark.sql.functions.col("seq")))
+      .select($"pk", $"Op", $"v").as[(Long, String, Option[String])].collect().toSet
+    assert(got == lib && got.size == 3)
+    // the ephemeral key drops under the flag
+    Cli.main(Array("compact", "--in", s"$dir/in", "--out", s"$dir/out2",
+      "--pk", "pk", "--order-col", "seq", "--drop-ephemeral"))
+    val kept = spark.read.parquet(s"$dir/out2").select($"pk").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    assert(!spark.sparkContext.isStopped)
+  }
+
   test("profile --cols runs the one-pass table profile the library computes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cli_tprof").toString
