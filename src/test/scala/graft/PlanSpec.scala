@@ -18,6 +18,27 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("l_orderkey"), "scan should not read unused columns")
   }
 
+  test("A12: a ts predicate pushes THROUGH normalizeTs into the events scan") {
+    // Tables.events casts TIMESTAMP_NTZ → TimestampType; under the pinned
+    // UTC session tz the cast is monotone, so Catalyst unwraps it
+    // (UnwrapCastInBinaryComparison) and the horizon filter must still
+    // reach PushedFilters on the NTZ scan — at 100 TB this is row-group
+    // pruning vs a full read of the feed
+    import org.apache.spark.sql.functions._
+    // only the native timestamp encodings can push (nanos-as-long rebuilds
+    // ts arithmetically — no scan column to push onto; filter sits right
+    // above the scan instead)
+    assume(spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .schema("ts").dataType != org.apache.spark.sql.types.LongType,
+      "nanos-long encoding: ts is computed, scan-pushdown pin not applicable")
+    val p = graft.util.Tables.events(spark, sf("sf0.001"))
+      .filter(col("ts") <= lit("2024-01-18 00:00:00").cast("timestamp"))
+      .select("event_id", "ts")
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(ts"),
+      s"the ts horizon must reach the parquet scan:\n$p")
+  }
+
   test("q3_join: dimension side broadcast") {
     assert(plan("q3_join").contains("BroadcastHashJoin"))
   }
