@@ -367,6 +367,35 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("D11s: the range join composes with a streaming points side (stream-static, stateless)") {
+    // the batch operator IS the streaming operator: bucketing is a pure
+    // column rewrite (schema-only type resolution, codegen'd exact
+    // division) and the bucket join is stream-static equi — append mode,
+    // no state store, each microbatch enriched independently. The static
+    // interval side replicates per bucket once per microbatch plan.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val pts = input.toDF().toDF("point_id", "t_us")
+    val iv = Seq((10L, 0L, 100L), (20L, 50L, 150L), (30L, 200L, 300L))
+      .toDF("interval_id", "s_us", "e_us")
+    val joined = graft.operators.RangeJoin.pointInInterval(
+      pts, col("t_us"), iv, col("s_us"), col("e_us"), grainUs = 50L)
+    val q = joined.writeStream.format("memory").queryName("rj_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 75L), (2L, 10L), (3L, 250L), (4L, 500L))
+      q.processAllAvailable()
+      def got() = spark.table("rj_stream")
+        .select($"point_id", $"interval_id").as[(Long, Long)].collect().toSet
+      // same pairs the batch operator emits: 75 ∈ [0,100)∩[50,150),
+      // 10 ∈ [0,100), 250 ∈ [200,300), 500 ∈ nothing
+      assert(got() == Set((1L, 10L), (1L, 20L), (2L, 10L), (3L, 30L)))
+      input.addData((5L, 149L)) // boundary probe: 149 ∈ [50,150) only
+      q.processAllAvailable()
+      assert(got() == Set((1L, 10L), (1L, 20L), (2L, 10L), (3L, 30L), (5L, 20L)))
+    } finally q.stop()
+  }
+
   test("E2b-idx: continuous ingest screens each microbatch against the persisted index") {
     // the steady-state pipeline end to end: corpus indexed ONCE, then a
     // stream of incoming docs is near-dup-screened per microbatch via the
