@@ -161,6 +161,25 @@ object VectorEntries {
         .withColumn("recall_bp", TextOps.bp(col("n_hit"), col("n_exact")))
     }),
 
+    // E39: INT8 scalar quantization of the corpus — float32 → 1 byte/dim
+    // (8x smaller vectors in flight and at rest, the candidate-pass I/O
+    // play at 100 TB). Train (per-dim integer bounds) + encode (exact
+    // integer affine codes) are engine-bit-identical; the output digests
+    // each vector's code array as exact integers so the WHOLE quantizer
+    // is oracle-checked end to end.
+    "emb_sq_codes" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (mn, mx) = Knn.sqBounds(Knn.sqTrain(e, "embedding"), Dims)
+      Knn.sqEncode(e, "vec_id", "embedding", mn, mx)
+        .select(
+          col("vid").as("vec_id"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+          aggregate(
+            transform(col("codes"), (c, i) => c * (i.cast("long") + lit(1L))),
+            lit(0L), (a, x) => a + x).as("code_wsum"),
+          array_max(col("codes")).as("code_max"))
+    }),
+
     // E12: multimodal metadata — the codec-free column fast path (pure
     // md5/length expressions, no DeserializeToObject); extractMeta's
     // mapPartitions twin is the template for true codec calls and is
@@ -180,6 +199,26 @@ object VectorEntries {
   // -------------------------------------------------------------- oracles
 
   def oracleSql: Map[String, String] = Map(
+    // per-dim integer bounds over the SAME milli-unit quantization, then
+    // the SAME clamped integer affine code: (x-mn)*255 // (mx-mn) — all
+    // int64, no float anywhere, so the digests hash-match exactly.
+    // dim is 1-based here = the 0-based element index + 1 on the Spark
+    // side, so code_wsum weights align.
+    "emb_sq_codes" ->
+      s"""WITH q AS (SELECT vec_id, $q AS q FROM embeddings),
+         |g AS (SELECT unnest(generate_series(1, $Dims)) AS i),
+         |b AS (SELECT g.i AS dim, min(q.q[g.i]) AS mn, max(q.q[g.i]) AS mx
+         |      FROM q CROSS JOIN g GROUP BY 1),
+         |c AS (SELECT q.vec_id, b.dim,
+         |        CASE WHEN b.mx > b.mn
+         |             THEN ((least(b.mx, greatest(b.mn, q.q[b.dim])) - b.mn) * 255) // (b.mx - b.mn)
+         |             ELSE 0 END AS code
+         |      FROM q CROSS JOIN b)
+         |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+         |       CAST(sum(code * dim) AS BIGINT) AS code_wsum,
+         |       CAST(max(code) AS BIGINT) AS code_max
+         |FROM c GROUP BY vec_id""".stripMargin,
+
     "dedup_embed" ->
       s"""WITH prep AS (${prepSql(embDupSql)})
          |SELECT id_a, id_b, cos_bp FROM (

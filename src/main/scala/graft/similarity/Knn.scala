@@ -298,6 +298,61 @@ object Knn {
     topkAgainstProbes(spark.read.parquet(path),
       queryProbes(queries, centroids, idCol, vecCol, dims, nprobe), k)
 
+  /** E39: INT8 scalar quantization (SQ8) training — per-dimension [min,
+    * max] over the milli-unit-quantized corpus. The storage/bandwidth
+    * scale play for embedding corpora: float32 → one byte per dimension
+    * (8x smaller in flight and at rest), the difference between an
+    * ANN candidate pass that reads 100 TB of vectors and one that reads
+    * 12.5 TB. Everything stays in exact integer space (the VectorOps
+    * convention), so codes are bit-identical in every engine — no float
+    * rounding anywhere in train or encode.
+    *
+    * One map-side-combined aggregation (posexplode → groupBy(dim) hash
+    * agg: the shuffle carries dims × input-partitions partial rows, not
+    * the corpus); output is `dims` rows (dim, mn, mx). */
+  def sqTrain(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(VectorOps.quantize(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** Collect trained bounds to driver arrays (dims rows — driver-sized by
+    * construction, like the LSH hyperplanes), for embedding as literals
+    * in the encode plan. */
+  def sqBounds(train: DataFrame, dims: Int): (Array[Long], Array[Long]) = {
+    val rows = train.select(col("dim"), col("mn"), col("mx")).collect()
+    require(rows.length == dims,
+      s"sqBounds: trained ${rows.length} dims, expected $dims")
+    val mn = new Array[Long](dims)
+    val mx = new Array[Long](dims)
+    rows.foreach { r => mn(r.getInt(0)) = r.getLong(1); mx(r.getInt(0)) = r.getLong(2) }
+    (mn, mx)
+  }
+
+  /** SQ8 encode: exact integer affine code per dimension,
+    * `((clamp(x) - mn) * 255) div (mx - mn)` ∈ [0, 255] (floor division
+    * on a clamped nonnegative numerator — no rounding-rule divergence
+    * between engines; a degenerate dimension mn = mx codes as 0). Bounds
+    * ride the plan as literal arrays: no join, no broadcast variable,
+    * fully codegen'd `transform`. Out-of-corpus vectors clamp into the
+    * trained range, the standard SQ behavior. */
+  def sqEncode(
+      df: DataFrame, idCol: String, vecCol: String,
+      mn: Array[Long], mx: Array[Long]): DataFrame = {
+    val mnA = array(mn.map(lit): _*)
+    val mxA = array(mx.map(lit): _*)
+    val codes = transform(VectorOps.quantize(col(vecCol)), (x, i) => {
+      val lo = element_at(mnA, i + 1)
+      val hi = element_at(mxA, i + 1)
+      val clamped = least(hi, greatest(lo, x))
+      when(hi > lo,
+        org.apache.spark.sql.GraftBridge.column(
+          new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            org.apache.spark.sql.GraftBridge.expression((clamped - lo) * lit(255L)),
+            org.apache.spark.sql.GraftBridge.expression(hi - lo))))
+        .otherwise(lit(0L))
+    })
+    df.select(col(idCol).as("vid"), codes.as("codes"))
+  }
+
   /** Embedding near-dup pairs: sketch-bucket candidates, exact cosine
     * verify at tauBp. Output: id_a, id_b, cos_bp. */
   def embeddingDupPairs(

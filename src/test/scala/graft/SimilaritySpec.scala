@@ -9,6 +9,28 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("E39: SQ8 codes are the exact integer affine quantization; degenerate dims and clamps") {
+    // milli-units after VectorOps.quantize: dim0 [0,2000], dim1 [1000,1000]
+    // (degenerate), dim2 [0,5000]
+    val df = Seq(
+      (1L, Array(0.0f, 1.0f, 5.0f)),
+      (2L, Array(1.0f, 1.0f, 2.5f)),
+      (3L, Array(2.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val (mn, mx) = Knn.sqBounds(Knn.sqTrain(df, "embedding"), 3)
+    assert(mn.toSeq == Seq(0L, 1000L, 0L) && mx.toSeq == Seq(2000L, 1000L, 5000L))
+    val codes = Knn.sqEncode(df, "vec_id", "embedding", mn, mx)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(codes(1L) == Seq(0L, 0L, 255L), "corpus min codes 0, max codes 255")
+    assert(codes(2L) == Seq(127L, 0L, 127L), "midpoints floor-divide exactly")
+    assert(codes(3L) == Seq(255L, 0L, 0L))
+    // an out-of-corpus vector clamps into the trained range (standard SQ)
+    val out = Knn.sqEncode(
+        Seq((9L, Array(-1.0f, 7.0f, 9.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", mn, mx)
+      .as[(Long, Seq[Long])].collect().head._2
+    assert(out == Seq(0L, 0L, 255L))
+  }
+
   test("E7: bucketed ANN results are a subset of brute-force with identical scores") {
     val dir = sf("sf0.001")
     val e = Tables.embeddings(spark, dir)
