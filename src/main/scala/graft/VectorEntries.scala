@@ -180,6 +180,26 @@ object VectorEntries {
           array_max(col("codes")).as("code_max"))
     }),
 
+    // E39r: the quantizer's RECALL gate — top-k measured in SQ8 code
+    // space vs the exact top-k, per query (the knn_recall pattern): how
+    // much ranking the 8x compression actually costs, as exact integers,
+    // before the quantized corpus serves a candidate pass.
+    "knn_sq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < 5)
+      val exact = Knn.bruteForce(e, qs, "vec_id", "embedding", K)
+        .select(col("query_id"), col("neighbor_id"))
+      val (mn, mx) = Knn.sqBounds(Knn.sqTrain(e, "embedding"), Dims)
+      val approx = Knn.sqBruteForce(e, qs, "vec_id", "embedding", mn, mx, K)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_bp", TextOps.bp(col("n_hit"), col("n_exact")))
+    }),
+
     // E12: multimodal metadata — the codec-free column fast path (pure
     // md5/length expressions, no DeserializeToObject); extractMeta's
     // mapPartitions twin is the template for true codec calls and is
@@ -198,7 +218,49 @@ object VectorEntries {
 
   // -------------------------------------------------------------- oracles
 
+  /** The SQ8 code vectors as a DuckDB CTE chain (mirrors sqTrain +
+    * sqEncode exactly — all int64): q0 milli-units, b per-dim bounds,
+    * cd per-(vector,dim) codes, cv the reassembled code arrays. */
+  private val sqCodesCte =
+    s"""q0 AS (SELECT vec_id, $q AS q FROM embeddings),
+       |g AS (SELECT unnest(generate_series(1, $Dims)) AS i),
+       |b AS (SELECT g.i AS dim, min(q0.q[g.i]) AS mn, max(q0.q[g.i]) AS mx
+       |      FROM q0 CROSS JOIN g GROUP BY 1),
+       |cd AS (SELECT q0.vec_id, b.dim,
+       |        CASE WHEN b.mx > b.mn
+       |             THEN ((least(b.mx, greatest(b.mn, q0.q[b.dim])) - b.mn) * 255) // (b.mx - b.mn)
+       |             ELSE 0 END AS code
+       |      FROM q0 CROSS JOIN b),
+       |cv AS (SELECT vec_id, list(code ORDER BY dim) AS q FROM cd GROUP BY vec_id)""".stripMargin
+
+  /** knn_sq_recall's measured leg: brute-force top-k over the CODE arrays
+    * (same prep/score/rank shape as knnBruteSql). */
+  private val knnSqBruteSql =
+    s"""WITH $sqCodesCte,
+       |prep AS (SELECT vec_id, q, ${VectorOps.duckQdot("q", "q")} AS sd FROM cv),
+       |qs AS (SELECT * FROM prep WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${VectorOps.duckCosineBp(VectorOps.duckQdot("c.q", "qs.q"), "c.sd", "qs.sd")} AS cos_bp
+       |  FROM prep c JOIN qs ON c.vec_id <> qs.vec_id)
+       |SELECT query_id, neighbor_id, rnk, cos_bp FROM (
+       |  SELECT query_id, neighbor_id, cos_bp,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $K""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // recall@k of the SQ8 code-space search against the brute-force
+    // truth — both legs already-oracled searches composed as subqueries
+    "knn_sq_recall" ->
+      s"""SELECT e.query_id, count(*) AS n_exact,
+         |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST(floor(count(a.neighbor_id) * 10000.0 / count(*)) AS BIGINT) AS recall_bp
+         |FROM ($knnBruteSql) e
+         |LEFT JOIN ($knnSqBruteSql) a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY e.query_id""".stripMargin,
+
     // per-dim integer bounds over the SAME milli-unit quantization, then
     // the SAME clamped integer affine code: (x-mn)*255 // (mx-mn) — all
     // int64, no float anywhere, so the digests hash-match exactly.

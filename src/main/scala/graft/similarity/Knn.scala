@@ -34,18 +34,44 @@ object Knn {
       VectorOps.quantize(col(vecCol)).as("qv"))
       .withColumn("self_dot", VectorOps.qdot(col("qv"), col("qv")))
 
-  /** Exact top-k cosine neighbors for each query vector (excluding self).
-    * Output: query_id, neighbor_id, rnk, cos_bp. */
-  def bruteForce(
-      corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = prepared(corpus, idCol, vecCol)
-    val q = prepared(queries, idCol, vecCol)
-      .select(col("vid").as("qid"), col("qv").as("qqv"), col("self_dot").as("qself"))
+  /** Score every (corpus, query) pair — queries broadcast — and keep the
+    * per-query top-k. Both frames carry the prepared shape:
+    * corpus (vid, qv, self_dot), queries (qid, qqv, qself). */
+  private def bruteTopK(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = c.join(broadcast(q), col("vid") =!= col("qid"))
       .withColumn("dot", VectorOps.qdot(col("qv"), col("qqv")))
       .withColumn("cos_bp", VectorOps.cosineBp(col("dot"), col("self_dot"), col("qself")))
     topkPerQuery(scored, k)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector (excluding self).
+    * Output: query_id, neighbor_id, rnk, cos_bp. */
+  def bruteForce(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    bruteTopK(
+      prepared(corpus, idCol, vecCol),
+      prepared(queries, idCol, vecCol)
+        .select(col("vid").as("qid"), col("qv").as("qqv"), col("self_dot").as("qself")),
+      k)
+
+  /** Top-k cosine neighbors measured IN SQ8 CODE SPACE (the quantizer's
+    * recall leg, E39): both sides encode through the same trained bounds
+    * and score over the one-byte codes — exactly what a memory-resident
+    * candidate pass over a quantized 100 TB corpus computes. Same
+    * broadcast + bounded-heap shape as [[bruteForce]]. */
+  def sqBruteForce(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      mn: Array[Long], mx: Array[Long], k: Int): DataFrame = {
+    def prep(df: DataFrame) = sqEncode(df, idCol, vecCol, mn, mx)
+      .select(col("vid"), col("codes").as("qv"))
+      .withColumn("self_dot", VectorOps.qdot(col("qv"), col("qv")))
+    bruteTopK(
+      prep(corpus),
+      prep(queries)
+        .select(col("vid").as("qid"), col("qv").as("qqv"), col("self_dot").as("qself")),
+      k)
   }
 
   /** Sketch-bucketed approximate neighbors: candidates share the 16-bit
