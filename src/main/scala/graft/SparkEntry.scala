@@ -267,6 +267,30 @@ object SparkEntry {
           col("valid_from_us"))
     }),
 
+    // A10m: INCREMENTAL SCD2 maintenance — extend a landed history with a
+    // new changefeed batch (CdcApply.scd2Merge): the batch windows over
+    // itself only, the history is touched by one broadcast join against
+    // the batch's first-event-per-key, and the result must row-equal the
+    // full-feed rebuild — which is exactly what the oracle computes.
+    "cdc_scd2_merge" -> ((s, dir) => {
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val cdc = eventsCdc(s, dir)
+        .select("user_id", "event_id", "ts", "value", "event_type", "Op")
+      val history = CdcApply.scd2History(
+        cdc.filter(col("ts") < split),
+        pk = Seq("user_id"),
+        ordering = Seq(col("ts"), col("event_id")),
+        tsCol = col("ts"))
+      CdcApply.scd2Merge(
+        history, cdc.filter(col("ts") >= split),
+        pk = Seq("user_id"),
+        ordering = Seq(col("ts"), col("event_id")),
+        tsCol = col("ts"))
+        .select(
+          col("user_id"), col("event_id"), col("value"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+    }),
+
     // A11: changefeed NET-EFFECT compaction — at most one change row per
     // key (first/last op per key via min_by/max_by over ONE exchange),
     // upsert-equivalent to the raw feed by construction (property-tested).
@@ -447,6 +471,19 @@ object SparkEntry {
     // lead over ALL ops (updates supersede, deletes close), D rows
     // filtered after — mirrors scd2History's window-then-filter exactly
     "cdc_scd2" ->
+      s"""WITH cdc AS ($cdcSql),
+         |v AS (
+         |  SELECT user_id, event_id, value, event_type, op,
+         |         epoch_us(ts) AS valid_from_us,
+         |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+         |  FROM cdc)
+         |SELECT user_id, event_id, value, event_type, valid_from_us, valid_to_us,
+         |       CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         |FROM v WHERE op <> 'D'""".stripMargin,
+
+    // incremental merge must equal the full-feed rebuild: the oracle IS
+    // the cdc_scd2 window over the whole feed
+    "cdc_scd2_merge" ->
       s"""WITH cdc AS ($cdcSql),
          |v AS (
          |  SELECT user_id, event_id, value, event_type, op,

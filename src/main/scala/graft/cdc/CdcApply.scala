@@ -237,6 +237,64 @@ object CdcApply {
       .drop(opCol)
   }
 
+  /** Incrementally extend an SCD2 history with a new changefeed batch —
+    * the maintenance half of [[scd2History]]: `scd2Merge(scd2History(F),
+    * B)` row-equals `scd2History(F ∪ B)` (property-tested over random
+    * feeds × random split points) whenever every batch event sorts after
+    * the history's events for its key — the append-only contract a
+    * changefeed tail satisfies by construction (the reference's loop
+    * consumes files in exactly this order, s3_operator.rs file sequencing
+    * + postgres_operator_impl.rs:300-404).
+    *
+    * Rebuilding a 100 TB history to absorb a GB-sized daily batch would
+    * re-shuffle and re-sort every key ever seen; the incremental form
+    * costs: one window over the BATCH only (batch-sized sort), one
+    * aggregate of the batch to its first-event-per-key (keyspace of the
+    * batch, map-side combined), and ONE join of the history against that
+    * (typically broadcast-sized) aggregate — touched keys' current
+    * versions close at the batch's first event time, every other history
+    * row passes through byte-identical. No history-wide window, no
+    * history shuffle.
+    *
+    * A batch event ordering-BEFORE a touched key's current version would
+    * corrupt the interval algebra (a version closing before it opened);
+    * that contract violation raises loudly at execution time instead of
+    * landing a negative-length interval.
+    */
+  def scd2Merge(
+      history: DataFrame,
+      batch: DataFrame,
+      pk: Seq[String],
+      ordering: Seq[Column],
+      tsCol: Column,
+      opCol: String = "Op"): DataFrame = {
+    val newVersions = scd2History(batch, pk, ordering, tsCol, opCol)
+    // The ordering-first batch event per key (any op — updates supersede,
+    // deletes close) carries the µs boundary that closes the key's
+    // current version. min_by keeps this correct for arbitrary ordering
+    // columns, not just ts-ordered feeds.
+    val firstUs = batch
+      .groupBy(pk.map(col): _*)
+      .agg(min_by(graft.util.TimeCols.toMicros(batch, tsCol), struct(ordering: _*))
+        .as("__first_us"))
+    val touched = col("__first_us").isNotNull && col("is_current") === 1L
+    history
+      .join(broadcast(firstUs), pk, "left")
+      .withColumn("valid_to_us",
+        when(touched && col("__first_us") < col("valid_from_us"),
+          raise_error(concat(
+            lit("scd2Merge: batch event at µs "), col("__first_us"),
+            lit(" precedes the current version opening at µs "),
+            col("valid_from_us"),
+            lit(" — the batch is not an append-only tail of this history")))
+            .cast("long"))
+          .when(touched, col("__first_us"))
+          .otherwise(col("valid_to_us")))
+      .withColumn("is_current", when(touched, lit(0L)).otherwise(col("is_current")))
+      .drop("__first_us")
+      .unionByName(newVersions)
+  }
+
   /** The state at time T read OUT of an SCD2 history: the one version per
     * key whose half-open validity interval covers T (`valid_from_us <= T
     * < valid_to_us`, open intervals run to ∞). A key deleted before T has

@@ -167,6 +167,83 @@ class CdcSpec extends SparkSpecBase {
     }
   }
 
+  test("A10m: scd2Merge(history(prefix), batch) == scd2History(full) on the fixture") {
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      CdcApply.scd2History(df, Seq("pk"), Seq(col("seq")), col("ts"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("pk", "v", "valid_from_us", "valid_to_us", "is_current")
+        .as[(Long, String, Long, Option[Long], Long)].collect().toSet
+    val merged = CdcApply.scd2Merge(
+      hist(scd2Feed.filter($"seq" <= 1)), scd2Feed.filter($"seq" > 1),
+      Seq("pk"), Seq(col("seq")), col("ts"))
+    assert(rows(merged) == rows(hist(scd2Feed)))
+  }
+
+  test("A10m property: merge == full rebuild over random feeds × random split points") {
+    // random ops, COLLIDING event times (several seqs share a ts), and a
+    // split cutting lexicographically through (ts, seq) — so ties straddle
+    // the history/batch boundary, the hardest case for the close logic
+    val rnd = new scala.util.Random(92620813L)
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      CdcApply.scd2History(df, Seq("pk"), Seq(col("ts"), col("seq")), col("ts"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("pk", "v", "valid_from_us", "valid_to_us", "is_current")
+        .as[(Long, String, Long, Option[Long], Long)].collect().toSet
+    for (trial <- 1 to 8) {
+      val raw = (1L to 8L).flatMap { k =>
+        (1L to (1 + rnd.nextInt(5)).toLong).map { s =>
+          (k, s, (s / 2 + 1) * 1000000L, // ts collides across adjacent seqs
+            Seq("I", "U", "D")(rnd.nextInt(3)), s"v$trial-$k-$s")
+        }
+      }
+      val tSplit = (1 + rnd.nextInt(3)) * 1000000L
+      val sSplit = rnd.nextInt(5).toLong
+      val (pre, post) = raw.partition { case (_, s, us, _, _) =>
+        us < tSplit || (us == tSplit && s <= sSplit)
+      }
+      if (pre.nonEmpty && post.nonEmpty) {
+        def df(r: Seq[(Long, Long, Long, String, String)]) = r
+          .toDF("pk", "seq", "us", "Op", "v")
+          .withColumn("ts", timestamp_micros($"us")).drop("us")
+        val merged = CdcApply.scd2Merge(
+          hist(df(pre)), df(post), Seq("pk"), Seq(col("ts"), col("seq")), col("ts"))
+        assert(rows(merged) == rows(hist(df(raw))), s"trial $trial")
+      }
+    }
+  }
+
+  test("A10m: one batch-sized window, no history window, broadcast close join") {
+    // the scale contract: merging a batch into a LANDED history must not
+    // re-window the history — exactly one Window (the batch's own), and
+    // the close join rides a broadcast of the batch keyspace
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2-merge").toString
+    CdcApply.scd2History(scd2Feed.filter($"seq" <= 1), Seq("pk"), Seq(col("seq")), col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val landed = spark.read.parquet(dir)
+    val p = CdcApply.scd2Merge(
+      landed, scd2Feed.filter($"seq" > 1), Seq("pk"), Seq(col("seq")), col("ts"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 1,
+      s"merge must window ONLY the batch:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the close join should broadcast the batch's first-event aggregate:\n$p")
+  }
+
+  test("A10m: an out-of-order batch (event before the current version) raises loudly") {
+    val hist = CdcApply.scd2History(
+      scd2Feed.filter($"seq" <= 2), Seq("pk"), Seq(col("seq")), col("ts"))
+    // pk 1's current version opened at 2s; a "new" batch event at 1s
+    // violates the append-only tail contract
+    val stale = Seq((1L, 9L, "U", "late"))
+      .toDF("pk", "seq", "Op", "v")
+      .withColumn("ts", timestamp_micros(lit(1000000L)))
+    val e = intercept[Exception] {
+      CdcApply.scd2Merge(hist, stale, Seq("pk"), Seq(col("seq")), col("ts"))
+        .collect()
+    }
+    assert(e.getMessage.contains("scd2Merge"), s"got: ${e.getMessage}")
+  }
+
   test("A10: reserved output column collision refused loudly") {
     val bad = scd2Feed.withColumn("valid_to_us", lit(0L))
     val e = intercept[IllegalArgumentException] {
