@@ -114,6 +114,10 @@ object TextEntries {
   val SrcK = 63 // weighted-MG counters for the source profile
   val ChunkSize = 32 // tokens per retrieval chunk (E28)
   val ChunkStride = 24
+  // max docs kept per source (E43) — sized to BIND at the driver's gate
+  // scale (sf0.01 has 25 docs/source), so the oracle checks the cap
+  // actually cutting, not just ranking
+  val SourceCap = 15
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E10: token counting — whitespace, BPE-ish regex, normalized
@@ -461,6 +465,15 @@ object TextEntries {
       TextOps.stratifiedSample(
         Tables.documents(s, dir).select("doc_id", "lang", "source"),
         "doc_id", "lang", SampleRates, SampleDefaultBp)),
+
+    // E43: per-source document CAP — the over-representation guard (at
+    // most N docs per source, priority = deterministic hash draw), on the
+    // native bounded-heap top-k plan: no per-source sort, k rows of state
+    // per source no matter how big the source
+    "data_source_cap" -> ((s, dir) =>
+      TextOps.sourceCap(
+        Tables.documents(s, dir).select("doc_id", "lang", "source"),
+        "doc_id", "source", SourceCap)),
 
     // pipeline staple: deterministic train/val/test assignment by portable
     // hash bucket (stable across runs and engines, no RNG state)
@@ -964,6 +977,15 @@ object TextEntries {
          |  CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $PackBudget.0) AS BIGINT) AS seq_id
          |FROM toks""".stripMargin
+    },
+
+    "data_source_cap" -> {
+      val pri = PortableHash.duckH32("'cap:'||CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, lang, source, rk FROM (
+         |  SELECT doc_id, lang, source,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY $pri ASC, doc_id ASC) AS rk
+         |  FROM documents) WHERE rk <= $SourceCap""".stripMargin
     },
 
     "data_sample" -> {

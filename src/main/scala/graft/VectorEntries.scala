@@ -1,7 +1,7 @@
 package graft
 
 import graft.multimodal.Media
-import graft.similarity.{Knn, VectorOps}
+import graft.similarity.{Knn, Pq, VectorOps}
 import graft.text.TextOps
 import graft.util.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -19,6 +19,9 @@ object VectorEntries {
   val NProbe = 3
   val TrainK = 8
   val TrainIters = 2
+  val PqM = 4      // PQ subspaces (dims/m = 16 dims each)
+  val PqKsub = 8   // centroids per subspace codebook
+  val PqIters = 2  // Lloyd rounds per subspace (mirrors TrainIters)
 
   /** embeddings ∪ exact duplicates of every 10th vector (+100000). */
   private def embDup(s: SparkSession, dir: String): DataFrame = {
@@ -161,6 +164,15 @@ object VectorEntries {
         .withColumn("recall_bp", TextOps.bp(col("n_hit"), col("n_exact")))
     }),
 
+    // E44: SemDeDup — cluster-scoped semantic dedup (assign to nearest
+    // centroid, pairwise cosine ONLY within the cluster, drop vectors
+    // with a lower-id neighbor ≥ tau). The dup-augmented corpus
+    // guarantees every copy shares its original's cluster and dies there.
+    "dedup_semantic" -> ((s, dir) => {
+      val cents = Knn.centroidSums(Tables.embeddings(s, dir), "label", "embedding", Dims)
+      Knn.semanticDedup(embDup(s, dir), cents, "vec_id", "embedding", TauBp, Dims)
+    }),
+
     // E39: INT8 scalar quantization of the corpus — float32 → 1 byte/dim
     // (8x smaller vectors in flight and at rest, the candidate-pass I/O
     // play at 100 TB). Train (per-dim integer bounds) + encode (exact
@@ -191,6 +203,54 @@ object VectorEntries {
         .select(col("query_id"), col("neighbor_id"))
       val (mn, mx) = Knn.sqBounds(Knn.sqTrain(e, "embedding"), Dims)
       val approx = Knn.sqBruteForce(e, qs, "vec_id", "embedding", mn, mx, K)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_bp", TextOps.bp(col("n_hit"), col("n_exact")))
+    }),
+
+    // E45: PQ codebook training — m independent integer-Lloyd runs in
+    // one job (subspace rides the aggregation key); truncated-mean
+    // centroids so both engines compute identical codebooks
+    "emb_pq_train" -> ((s, dir) =>
+      Pq.train(Tables.embeddings(s, dir), "vec_id", "embedding",
+        PqM, PqKsub, PqIters, Dims)),
+
+    // E45: PQ encode — 64 float dims → m one-byte codes (64x smaller);
+    // codes surfaced as columns so the full codebook+assignment chain is
+    // hash-checked end to end
+    "emb_pq_codes" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = Pq.train(e, "vec_id", "embedding", PqM, PqKsub, PqIters, Dims)
+      Pq.encode(e, cb, "vec_id", "embedding", PqM, Dims)
+        .select(col("vid").as("vec_id") +:
+          (0 until PqM).map(i => element_at(col("codes"), i + 1).as(s"c$i")): _*)
+    }),
+
+    // E45a: ADC search — asymmetric distance from full-precision queries
+    // to the coded corpus via per-query lookup tables (reads codes,
+    // never raw vectors: the PQ I/O story), exact int64 end to end
+    "knn_pq_adc" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = Pq.train(e, "vec_id", "embedding", PqM, PqKsub, PqIters, Dims)
+      val codes = Pq.encode(e, cb, "vec_id", "embedding", PqM, Dims)
+      Pq.adcSearch(codes, cb, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", K, PqM, Dims)
+    }),
+
+    // E45r: the PQ recall gate — ADC top-k vs the exact squared-L2
+    // top-k (the metric ADC approximates), per query, exact integers
+    "knn_pq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < 5)
+      val exact = Pq.bruteForceL2(e, qs, "vec_id", "embedding", K)
+        .select(col("query_id"), col("neighbor_id"))
+      val cb = Pq.train(e, "vec_id", "embedding", PqM, PqKsub, PqIters, Dims)
+      val codes = Pq.encode(e, cb, "vec_id", "embedding", PqM, Dims)
+      val approx = Pq.adcSearch(codes, cb, qs, "vec_id", "embedding", K, PqM, Dims)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
@@ -233,6 +293,84 @@ object VectorEntries {
        |      FROM q0 CROSS JOIN b),
        |cv AS (SELECT vec_id, list(code ORDER BY dim) AS q FROM cd GROUP BY vec_id)""".stripMargin
 
+  /** The PQ train+encode chain as a DuckDB CTE block (mirrors Pq.train /
+    * Pq.encode exactly — all int64, truncated `//` division matching
+    * Spark's `div`): sv subvectors, a0 hash init, two unrolled Lloyd
+    * rounds (centroids → argmin reassign), cb the final codebook, enc
+    * the per-(vector,subspace) code assignment. */
+  private val pqCte: String = {
+    val dsub = Dims / PqM
+    val sums = (0 until dsub).map(i => s"CAST(sum(sq[${i + 1}]) AS BIGINT) AS s_$i").mkString(", ")
+    val cents = (0 until dsub).map(i => s"s_$i // n AS c_$i").mkString(", ")
+    def dist(sv: String, c: String) = (0 until dsub)
+      .map(i => s"($sv.sq[${i + 1}] - $c.c_$i) * ($sv.sq[${i + 1}] - $c.c_$i)").mkString(" + ")
+    def round(prev: String, n: String, c: String, d: String, a: String) =
+      s"""$n AS (SELECT sub, g, CAST(count(*) AS BIGINT) AS n, $sums
+         |       FROM sv JOIN $prev USING (vec_id, sub) GROUP BY sub, g),
+         |$c AS (SELECT sub, g, n, $cents FROM $n),
+         |$d AS (SELECT sv.vec_id, sv.sub, $c.g, (${dist("sv", c)}) AS dist
+         |       FROM sv JOIN $c ON sv.sub = $c.sub),
+         |$a AS (SELECT vec_id, sub, g FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, g ASC) AS rk
+         |  FROM $d) WHERE rk = 1)""".stripMargin
+    s"""v AS (SELECT vec_id, $q AS q FROM embeddings),
+       |subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub),
+       |sv AS (SELECT vec_id, sub, q[sub*$dsub+1 : sub*$dsub+$dsub] AS sq
+       |       FROM v CROSS JOIN subs),
+       |a0 AS (SELECT vec_id, sub,
+       |         ${graft.text.PortableHash.duckH32(
+                    "CAST(vec_id AS VARCHAR)||':'||CAST(sub AS VARCHAR)")} % $PqKsub AS g
+       |       FROM sv),
+       |${round("a0", "n1", "c1", "d1", "a1")},
+       |${round("a1", "n2", "c2", "d2", "a2")},
+       |n3 AS (SELECT sub, g, CAST(count(*) AS BIGINT) AS n, $sums
+       |       FROM sv JOIN a2 USING (vec_id, sub) GROUP BY sub, g),
+       |cb AS (SELECT sub, g AS cluster, n, $cents FROM n3),
+       |enc AS (SELECT vec_id, sub, cluster FROM (
+       |  SELECT sv.vec_id, sv.sub, cb.cluster, (${dist("sv", "cb")}) AS dist,
+       |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+       |                       ORDER BY (${dist("sv", "cb")}) ASC, cb.cluster ASC) AS rk
+       |  FROM sv JOIN cb ON sv.sub = cb.sub) WHERE rk = 1)""".stripMargin
+  }
+
+  /** knn_pq_adc's oracle body — also the measured leg of knn_pq_recall. */
+  private val knnPqAdcSql: String = {
+    val dsub = Dims / PqM
+    def dist(sv: String, c: String) = (0 until dsub)
+      .map(i => s"($sv.sq[${i + 1}] - $c.c_$i) * ($sv.sq[${i + 1}] - $c.c_$i)").mkString(" + ")
+    s"""WITH $pqCte,
+       |qsv AS (SELECT * FROM sv WHERE vec_id < 5),
+       |tbl AS (SELECT qsv.vec_id AS qid, qsv.sub, cb.cluster,
+       |          (${dist("qsv", "cb")}) AS td
+       |        FROM qsv JOIN cb ON qsv.sub = cb.sub),
+       |sc AS (SELECT enc.vec_id, tbl.qid, CAST(sum(tbl.td) AS BIGINT) AS adc_dist
+       |       FROM enc JOIN tbl ON enc.sub = tbl.sub AND enc.cluster = tbl.cluster
+       |                         AND enc.vec_id <> tbl.qid
+       |       GROUP BY enc.vec_id, tbl.qid)
+       |SELECT query_id, neighbor_id, rnk, adc_dist FROM (
+       |  SELECT qid AS query_id, vec_id AS neighbor_id, adc_dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= $K""".stripMargin
+  }
+
+  /** knn_pq_recall's truth leg: exact int64 squared-L2 brute force. */
+  private val knnBruteL2Sql: String = {
+    val dist = (0 until Dims)
+      .map(i => s"(c.q[${i + 1}] - qs.q[${i + 1}]) * (c.q[${i + 1}] - qs.q[${i + 1}])").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, $q AS q FROM embeddings),
+       |qs AS (SELECT * FROM v WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(($dist) AS BIGINT) AS l2_dist
+       |  FROM v c JOIN qs ON c.vec_id <> qs.vec_id)
+       |SELECT query_id, neighbor_id, rnk, l2_dist FROM (
+       |  SELECT query_id, neighbor_id, l2_dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY l2_dist ASC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $K""".stripMargin
+  }
+
   /** knn_sq_recall's measured leg: brute-force top-k over the CODE arrays
     * (same prep/score/rank shape as knnBruteSql). */
   private val knnSqBruteSql =
@@ -250,6 +388,34 @@ object VectorEntries {
        |WHERE rnk <= $K""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // the trained PQ codebook itself — sub, cluster, n, truncated-mean
+    // coordinates; every Lloyd round is unrolled in the CTE
+    "emb_pq_train" ->
+      s"""WITH $pqCte
+         |SELECT * FROM cb""".stripMargin,
+
+    // per-vector code columns (the enc CTE pivoted to c0..c{m-1})
+    "emb_pq_codes" -> {
+      val cols = (0 until PqM)
+        .map(i => s"CAST(max(CASE WHEN sub = $i THEN cluster END) AS BIGINT) AS c$i")
+        .mkString(", ")
+      s"""WITH $pqCte
+         |SELECT vec_id, $cols FROM enc GROUP BY vec_id""".stripMargin
+    },
+
+    "knn_pq_adc" -> knnPqAdcSql,
+
+    // recall@k of ADC against the exact squared-L2 truth, both legs
+    // already-oracled searches composed as subqueries
+    "knn_pq_recall" ->
+      s"""SELECT e.query_id, count(*) AS n_exact,
+         |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST(floor(count(a.neighbor_id) * 10000.0 / count(*)) AS BIGINT) AS recall_bp
+         |FROM ($knnBruteL2Sql) e
+         |LEFT JOIN ($knnPqAdcSql) a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY e.query_id""".stripMargin,
+
     // recall@k of the SQ8 code-space search against the brute-force
     // truth — both legs already-oracled searches composed as subqueries
     "knn_sq_recall" ->
@@ -280,6 +446,31 @@ object VectorEntries {
          |       CAST(sum(code * dim) AS BIGINT) AS code_wsum,
          |       CAST(max(code) AS BIGINT) AS code_max
          |FROM c GROUP BY vec_id""".stripMargin,
+
+    // assignment CTE = emb_ivf_assign's argmin over the dup-augmented
+    // corpus, then within-cluster pairs and the greedy lower-id drop
+    "dedup_semantic" -> {
+      val sums = (0 until Dims).map(i => s"CAST(sum(q[${i + 1}]) AS BIGINT) AS s_$i").mkString(", ")
+      val dist = (0 until Dims)
+        .map(i => s"power(c.n * v.q[${i + 1}] - c.s_$i, 2)").mkString(" + ")
+      s"""WITH corpus AS ($embDupSql),
+         |v0 AS (SELECT vec_id, $q AS q FROM corpus),
+         |v AS (SELECT vec_id, q, ${VectorOps.duckQdot("q", "q")} AS sd FROM v0),
+         |c AS (SELECT label, CAST(count(*) AS BIGINT) AS n, $sums
+         |      FROM (SELECT label, $q AS q FROM embeddings) GROUP BY label),
+         |d AS (SELECT v.vec_id, v.q, v.sd, c.label,
+         |        ($dist) / CAST(c.n * c.n AS DOUBLE) AS dist
+         |      FROM v CROSS JOIN c),
+         |asg AS (SELECT vec_id, q, sd, label AS cluster FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, label ASC) AS rk
+         |  FROM d) WHERE rk = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${VectorOps.duckCosineBp(VectorOps.duckQdot("a.q", "b.q"), "a.sd", "b.sd")} >= $TauBp)
+         |SELECT vec_id, cluster FROM asg
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+    },
 
     "dedup_embed" ->
       s"""WITH prep AS (${prepSql(embDupSql)})

@@ -379,6 +379,42 @@ object Knn {
     df.select(col(idCol).as("vid"), codes.as("codes"))
   }
 
+  /** SemDeDup-style CLUSTER-SCOPED semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest centroid, then
+    * compare pairs ONLY within a cluster and drop any vector that has a
+    * higher-priority (lower-id) same-cluster neighbor at cosine ≥ tauBp.
+    * The greedy priority rule keeps exactly the first vector of every
+    * semantic-duplicate chain — deterministic, engine-portable, no RNG.
+    *
+    * The design point vs [[embeddingDupPairs]] (global sketch buckets):
+    * candidate mass here is Σ cluster² — the caller sizes K so clusters
+    * stay bounded (K ~ √n keeps cluster² ~ n), and cross-cluster
+    * near-dups are MISSED BY DESIGN, the recall/cost trade the SemDeDup
+    * paper makes for web-scale corpora. Shuffle shape: one exchange by
+    * cluster for the pair join (AQE splits skewed clusters), one
+    * broadcast-able anti-join of the drop set; the corpus is never
+    * globally self-joined.
+    *
+    * Output: vec `idCol`, cluster, for every SURVIVING vector. */
+  def semanticDedup(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, tauBp: Long, dims: Int): DataFrame = {
+    val assigned = nearestCentroids(
+      prepared(corpus, idCol, vecCol), centroids, dims, keep = 1)
+      .select(col("vid"), col("qv"), col("self_dot"), col("group").as("cluster"))
+    val l = assigned.select(col("cluster"), col("vid").as("id_a"),
+      col("qv").as("qa"), col("self_dot").as("da"))
+    val r = assigned.select(col("cluster"), col("vid").as("id_b"),
+      col("qv").as("qb"), col("self_dot").as("db"))
+    val dropped = l.join(r, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorOps.cosineBp(
+        VectorOps.qdot(col("qa"), col("qb")), col("da"), col("db")) >= tauBp)
+      .select(col("id_b").as("vid")).distinct()
+    assigned.join(dropped, Seq("vid"), "left_anti")
+      .select(col("vid").as(idCol), col("cluster"))
+  }
+
   /** Embedding near-dup pairs: sketch-bucket candidates, exact cosine
     * verify at tauBp. Output: id_a, id_b, cos_bp. */
   def embeddingDupPairs(

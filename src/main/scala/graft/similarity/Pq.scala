@@ -1,0 +1,167 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ, Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the codebook half of the classical
+  * IVF+PQ billion-scale ANN stack ([[Knn.ivfTrain]] being the coarse
+  * half, [[Knn.sqTrain]] the scalar alternative): each vector is split
+  * into `m` subvectors, each subspace gets its own `ksub`-centroid
+  * codebook, and a vector compresses to `m` one-byte codes — 64 float32
+  * dims → 4 bytes here (64× smaller), with distances served from
+  * per-query lookup tables instead of the raw vectors (ADC, asymmetric
+  * distance computation).
+  *
+  * Everything runs in the exact integer space of [[VectorOps.quantize]]
+  * (milli-unit longs): centroids are TRUNCATED integer division of sums
+  * (`div` — matches DuckDB's `//` on integers exactly), distances are
+  * pure int64 squared-L2, ties break by cluster id — so train, encode,
+  * and ADC search are all engine-bit-identical and oracle-checkable,
+  * the same discipline as the IVF/SQ8 family.
+  *
+  * Scale shape: training aggregates per (subspace, cluster) — m·ksub
+  * rows, map-side combined; assignment is a broadcast argmin over
+  * m·ksub centroid rows; ADC scoring shuffles (vector, query) partial
+  * sums, never the raw corpus; nothing is ever all-pairs.
+  */
+object Pq {
+
+  /** (vid, sub, sq) — each quantized vector split into `m` contiguous
+    * subvectors of dims/m milli-unit longs. */
+  private[similarity] def subvectors(
+      df: DataFrame, idCol: String, vecCol: String, m: Int, dims: Int): DataFrame = {
+    require(dims % m == 0, s"PQ: dims=$dims not divisible by m=$m subspaces")
+    val dsub = dims / m
+    val qv = VectorOps.quantize(col(vecCol))
+    df.select(col(idCol).as("vid"),
+      explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), slice(qv, s * dsub + 1, dsub).as("sq"))): _*))
+        .as("__e"))
+      .select(col("vid"), col("__e.sub").as("sub"), col("__e.sq").as("sq"))
+  }
+
+  /** Truncated integer division — Spark's IntegralDivide (`div`), which
+    * rounds toward zero exactly like DuckDB's integer `//`. */
+  private def tdiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** Exact int64 squared L2 between a subvector column and centroid
+    * columns c_0..c_{dsub-1}. */
+  private def dist2(sq: Column, dsub: Int): Column =
+    (0 until dsub).map { i =>
+      val d = element_at(sq, i + 1) - col(s"c_$i")
+      d * d
+    }.reduce(_ + _)
+
+  /** Centroids of an explicit (vid, sub, group) assignment: per
+    * (subspace, cluster) counts and truncated-mean coordinates.
+    * Output: sub, cluster, n, c_0..c_{dsub-1}. */
+  private def centroidsOf(sv: DataFrame, assign: DataFrame, dsub: Int): DataFrame =
+    sv.join(assign, Seq("vid", "sub"))
+      .groupBy(col("sub"), col("group"))
+      .agg(count(lit(1)).as("n"),
+        (0 until dsub).map(i => sum(element_at(col("sq"), i + 1)).as(s"s_$i")): _*)
+      .select(col("sub") +: col("group").as("cluster") +: col("n") +:
+        (0 until dsub).map(i => tdiv(col(s"s_$i"), col("n")).as(s"c_$i")): _*)
+
+  /** Reassign every (vid, sub) to its nearest centroid — broadcast argmin
+    * over the m·ksub codebook rows, min_by aggregation shape (combines
+    * map-side; ties break (dist, cluster) ascending). */
+  private def assignTo(sv: DataFrame, codebook: DataFrame, dsub: Int): DataFrame =
+    sv.join(broadcast(codebook), Seq("sub"))
+      .withColumn("__d", dist2(col("sq"), dsub))
+      .groupBy(col("vid"), col("sub"))
+      .agg(min_by(col("cluster"), struct(col("__d"), col("cluster"))).as("group"))
+
+  /** Train the PQ codebooks: `iters` Lloyd rounds per subspace from a
+    * deterministic hash init (`h32(vid:sub) % ksub`), exactly the
+    * [[Knn.ivfTrain]] recipe applied independently in each of the `m`
+    * subspaces — one job trains all m codebooks at once (the subspace is
+    * just part of the aggregation key). Early-converged subspaces are at
+    * a Lloyd fixed point, so running the remaining rounds is the
+    * identity and the fixed-round oracle stays exact.
+    * Output: sub, cluster, n, c_0..c_{dims/m-1}. */
+  def train(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int, dims: Int): DataFrame = {
+    require(ksub >= 1, s"PQ: ksub must be >= 1, got $ksub")
+    val dsub = dims / m
+    val sv = subvectors(corpus, idCol, vecCol, m, dims).localCheckpoint()
+    var assign = sv.select(col("vid"), col("sub"),
+      pmod(graft.text.PortableHash.h32(
+        concat(col("vid").cast("string"), lit(":"), col("sub").cast("string"))),
+        lit(ksub.toLong)).as("group"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      assign = assignTo(sv, centroidsOf(sv, assign, dsub), dsub).localCheckpoint()
+    }
+    centroidsOf(sv, assign, dsub)
+  }
+
+  /** Encode the corpus against a trained codebook: m one-byte codes per
+    * vector (nearest centroid per subspace, broadcast argmin), packed in
+    * subspace order. Output: vid, codes (array<bigint> of length m). */
+  def encode(
+      corpus: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int, dims: Int): DataFrame =
+    assignTo(subvectors(corpus, idCol, vecCol, m, dims), codebook, dims / m)
+      .groupBy(col("vid"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("group")))).as("__sc"))
+      .select(col("vid"),
+        transform(col("__sc"), e => e.getField("group")).as("codes"))
+
+  /** ADC top-k: exact-integer asymmetric distance from full-precision
+    * queries to the PQ-coded corpus. Per query the distance to EVERY
+    * (subspace, centroid) pair is tabulated once (queries × m × ksub
+    * rows — broadcast-sized by construction), then a coded vector's
+    * distance is the sum of m table lookups — the ADC trick that reads
+    * codes, never raw vectors, which is the entire I/O story of PQ at
+    * 100 TB. Shuffle carries (vector, query) partial sums (map-side
+    * combined); top-k rides the native bounded-heap operator.
+    * Output: query_id, neighbor_id, rnk, adc_dist. */
+  def adcSearch(
+      corpusCodes: DataFrame, codebook: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, dims: Int): DataFrame = {
+    val dsub = dims / m
+    val table = subvectors(queries, idCol, vecCol, m, dims)
+      .withColumnRenamed("vid", "qid")
+      .join(codebook, Seq("sub"))
+      .select(col("qid"), col("sub"), col("cluster"),
+        dist2(col("sq"), dsub).as("__td"))
+    val scored = corpusCodes
+      .select(col("vid"), posexplode(col("codes")).as(Seq("__p", "cluster")))
+      .withColumn("sub", col("__p").cast("int"))
+      .join(broadcast(table), Seq("sub", "cluster"))
+      .filter(col("vid") =!= col("qid"))
+      .groupBy(col("vid"), col("qid"))
+      .agg(sum(col("__td")).as("adc_dist"))
+    graft.operators.TopK.perGroup(scored, Seq("qid"),
+      Seq(col("adc_dist").asc, col("vid").asc), k, rankCol = "rnk")
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("rnk"), col("adc_dist"))
+  }
+
+  /** Exact integer squared-L2 brute-force top-k — the truth leg of the
+    * PQ recall gate (ADC approximates THIS metric, not cosine). Same
+    * broadcast + bounded-heap shape as [[Knn.bruteForce]]. */
+  def bruteForceL2(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    def prep(df: DataFrame) =
+      df.select(col(idCol).as("vid"), VectorOps.quantize(col(vecCol)).as("qv"))
+    val scored = prep(corpus)
+      .join(broadcast(prep(queries).select(col("vid").as("qid"), col("qv").as("qqv"))),
+        col("vid") =!= col("qid"))
+      .withColumn("l2_dist",
+        aggregate(zip_with(col("qv"), col("qqv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+    graft.operators.TopK.perGroup(scored, Seq("qid"),
+      Seq(col("l2_dist").asc, col("vid").asc), k, rankCol = "rnk")
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("rnk"), col("l2_dist"))
+  }
+}

@@ -112,6 +112,30 @@ object TextOps {
     df.filter(bucket < rate)
   }
 
+  /** Per-source document cap: keep at most `cap` docs per source, the
+    * over-representation guard of web-corpus pipelines (a handful of
+    * template-heavy domains can otherwise dominate the training mix).
+    * Priority is a salted portable hash of the id — a deterministic
+    * uniform draw, so the kept subset is a fair sample of the source,
+    * reproducible across runs and engines, with no RNG state.
+    *
+    * Complements [[stratifiedSample]] (rate-based: keeps a FRACTION,
+    * grows with the source) with a COUNT bound: a source's survivors
+    * never exceed `cap` no matter how large it gets. Runs on the native
+    * bounded-heap top-k plan (graft.plans.TopKPerGroup): one exchange by
+    * source, k rows of state per source, no per-source sort — on a
+    * billion-doc source the window form would sort the whole source to
+    * keep 300 rows. */
+  def sourceCap(
+      df: org.apache.spark.sql.DataFrame, idCol: String, sourceCol: String,
+      cap: Int): org.apache.spark.sql.DataFrame = {
+    val pri = PortableHash.h32(concat(lit("cap:"), col(idCol).cast("string")))
+    graft.operators.TopK.perGroup(
+      df.withColumn("__pri", pri), Seq(sourceCol),
+      Seq(col("__pri").asc, col(idCol).asc), cap)
+      .drop("__pri")
+  }
+
   /** Per-stratum quantile filter: drop the bottom `dropNum/dropDen`
     * fraction of rows per stratum by score — the "cut the worst quartile
     * per language" step of a quality pipeline. Rank-based and

@@ -31,6 +31,73 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out == Seq(0L, 0L, 255L))
   }
 
+  test("E44: semanticDedup drops lower-priority within-cluster dups, keeps cross-cluster ones") {
+    // two well-separated clusters on orthogonal axes; centroids from a
+    // labeled seed set. 1,2 near-identical (same cluster → 2 dropped);
+    // 3 is cluster A but far from 1 (survives); 10,11 identical in
+    // cluster B (11 dropped). Cross-cluster similarity never compares.
+    val seed = Seq(
+      (100L, Array(1.0f, 0.0f), 0),
+      (101L, Array(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val cents = Knn.centroidSums(seed, "label", "embedding", 2)
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.10f)),
+      (2L, Array(1.0f, 0.11f)),   // cos(1,2) ≈ 1 → dropped (id 1 wins)
+      (3L, Array(1.0f, -0.9f)),   // same cluster as 1, dissimilar → kept
+      (10L, Array(0.1f, 1.0f)),
+      (11L, Array(0.1f, 1.0f))).toDF("vec_id", "embedding") // exact dup → 11 dropped
+    val out = Knn.semanticDedup(corpus, cents, "vec_id", "embedding", 9500L, 2)
+      .as[(Long, Int)].collect().toMap
+    assert(out.keySet == Set(1L, 3L, 10L))
+    assert(out(1L) == 0 && out(3L) == 0 && out(10L) == 1)
+  }
+
+  test("E45: PQ train/encode — codebook shape, deterministic codes, exact reconstruction on separated data") {
+    import graft.similarity.Pq
+    // two tight groups per subspace half: codebook must place a centroid
+    // on each, and codes must be identical for identical vectors
+    val corpus = (0L until 16L).map { i =>
+      val hi = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array(hi, hi, hi * 2, hi * 2))
+    }.toDF("vec_id", "embedding")
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 2, ksub = 2, iters = 2, dims = 4)
+    assert(cb.count() <= 4 && cb.select("sub").distinct().count() == 2)
+    val codes = Pq.encode(corpus, cb, "vec_id", "embedding", m = 2, dims = 4)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(codes.values.forall(_.length == 2))
+    // identical vectors → identical codes; the two groups get distinct codes
+    assert(codes(0L) == codes(2L) && codes(1L) == codes(3L))
+    assert(codes(0L) != codes(1L))
+    // determinism across re-runs (hash init, integer math)
+    val again = Pq.encode(corpus,
+        Pq.train(corpus, "vec_id", "embedding", 2, 2, 2, 4),
+        "vec_id", "embedding", 2, 4)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(again == codes)
+  }
+
+  test("E45: ADC distance equals the exact table-sum and ranks separated groups correctly") {
+    import graft.similarity.Pq
+    val corpus = (0L until 16L).map { i =>
+      val hi = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array(hi, hi, hi * 2, hi * 2))
+    }.toDF("vec_id", "embedding")
+    val cb = Pq.train(corpus, "vec_id", "embedding", 2, 2, 2, 4)
+    val codes = Pq.encode(corpus, cb, "vec_id", "embedding", 2, 4)
+    val qs = corpus.filter($"vec_id" === 0L)
+    val got = Pq.adcSearch(codes, cb, qs, "vec_id", "embedding", k = 15, m = 2, dims = 4)
+      .select($"neighbor_id", $"adc_dist").as[(Long, Long)].collect().toMap
+    // same-group members (even ids) sit on their centroid: ADC distance 0;
+    // other-group members are 4 dims of 2.0 resp 4.0 milli-gap away
+    (2L until 16L by 2).foreach(i => assert(got(i) == 0L, s"even $i"))
+    (1L until 16L by 2).foreach(i =>
+      assert(got(i) == 2L * 2000L * 2000L + 2L * 4000L * 4000L, s"odd $i"))
+    // the recall gate's truth leg agrees on the grouping
+    val l2 = Pq.bruteForceL2(corpus, qs, "vec_id", "embedding", 15)
+      .select($"neighbor_id", $"l2_dist").as[(Long, Long)].collect().toMap
+    (2L until 16L by 2).foreach(i => assert(l2(i) == 0L))
+  }
+
   test("E7: bucketed ANN results are a subset of brute-force with identical scores") {
     val dir = sf("sf0.001")
     val e = Tables.embeddings(spark, dir)

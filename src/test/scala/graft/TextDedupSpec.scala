@@ -642,6 +642,26 @@ class TextDedupSpec extends SparkSpecBase {
         .select("doc_id").as[Long].collect().toSet)
   }
 
+  test("E43: source cap bounds each source at k docs, deterministic draw, native heap plan") {
+    val docs = (1L to 30L).map(i => (i, if (i <= 20) "big.com" else "small.org"))
+      .toDF("doc_id", "source")
+    val kept = TextOps.sourceCap(docs, "doc_id", "source", 5)
+    val bySrc = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc == Map("big.com" -> 5L, "small.org" -> 5L))
+    // under-cap sources survive whole
+    val loose = TextOps.sourceCap(docs, "doc_id", "source", 25)
+    assert(loose.filter($"source" === "small.org").count() == 10)
+    // deterministic: identical survivor set on re-run
+    assert(kept.select("doc_id").as[Long].collect().toSet ==
+      TextOps.sourceCap(docs, "doc_id", "source", 5)
+        .select("doc_id").as[Long].collect().toSet)
+    // the scale contract: the native bounded-heap operator, not a window
+    val p = kept.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TopKPerGroup") && !p.contains("Window"),
+      s"sourceCap must run on the native top-k plan:\n$p")
+  }
+
   test("E25: segment dedup keeps first occurrence corpus-wide and reassembles") {
     import graft.dedup.Dedup
     val d = Seq(
