@@ -241,6 +241,20 @@ object VectorEntries {
         "vec_id", "embedding", K, PqM, Dims)
     }),
 
+    // E45b: IVF+PQ — the composed billion-scale stack: coarse probes
+    // bound WHICH vectors are scored (1/K·nprobe of the corpus), ADC
+    // bounds WHAT is read per candidate (m bytes, not the floats)
+    "knn_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val coarse = Knn.centroidSums(e, "label", "embedding", Dims)
+      val cb = Pq.train(e, "vec_id", "embedding", PqM, PqKsub, PqIters, Dims)
+      val corpus = Pq.encode(e, cb, "vec_id", "embedding", PqM, Dims)
+        .join(Knn.ivfAssign(e, coarse, "vec_id", "embedding", Dims)
+          .withColumnRenamed("vec_id", "vid"), "vid")
+      Pq.ivfAdcSearch(corpus, coarse, cb, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", K, PqM, Dims, NProbe)
+    }),
+
     // E45r: the PQ recall gate — ADC top-k vs the exact squared-L2
     // top-k (the metric ADC approximates), per query, exact integers
     "knn_pq_recall" -> ((s, dir) => {
@@ -354,6 +368,47 @@ object VectorEntries {
        |WHERE rnk <= $K""".stripMargin
   }
 
+  /** knn_ivfpq's oracle: the pqCte's codebook/codes + the knn_ivf-style
+    * coarse assignment/probes (rational scaled distances), candidates
+    * restricted to probed clusters, ADC-summed, top-k. */
+  private val knnIvfPqSql: String = {
+    val dsub = Dims / PqM
+    val sums = (0 until Dims).map(i => s"CAST(sum(cq[${i + 1}]) AS BIGINT) AS s_$i").mkString(", ")
+    val cdist = (0 until Dims)
+      .map(i => s"power(cc.n * v.q[${i + 1}] - cc.s_$i, 2)").mkString(" + ")
+    def dist(sv: String, c: String) = (0 until dsub)
+      .map(i => s"($sv.sq[${i + 1}] - $c.c_$i) * ($sv.sq[${i + 1}] - $c.c_$i)").mkString(" + ")
+    s"""WITH $pqCte,
+       |cc AS (SELECT label, CAST(count(*) AS BIGINT) AS n, $sums
+       |       FROM (SELECT label, $q AS cq FROM embeddings) GROUP BY label),
+       |cd AS (SELECT v.vec_id, cc.label,
+       |         ($cdist) / CAST(cc.n * cc.n AS DOUBLE) AS dist
+       |       FROM v CROSS JOIN cc),
+       |cranked AS (SELECT vec_id, label,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, label ASC) AS rk
+       |  FROM cd),
+       |casg AS (SELECT vec_id, label AS cluster FROM cranked WHERE rk = 1),
+       |probes AS (SELECT vec_id AS qid, label AS cluster
+       |  FROM cranked WHERE vec_id < 5 AND rk <= $NProbe),
+       |qsv AS (SELECT * FROM sv WHERE vec_id < 5),
+       |tbl AS (SELECT qsv.vec_id AS qid, qsv.sub, cb.cluster AS code,
+       |          (${dist("qsv", "cb")}) AS td
+       |        FROM qsv JOIN cb ON qsv.sub = cb.sub),
+       |cand AS (SELECT casg.vec_id, p.qid
+       |         FROM casg JOIN probes p ON casg.cluster = p.cluster
+       |         WHERE casg.vec_id <> p.qid),
+       |sc AS (SELECT c.vec_id, c.qid, CAST(sum(tbl.td) AS BIGINT) AS adc_dist
+       |       FROM cand c
+       |       JOIN enc ON enc.vec_id = c.vec_id
+       |       JOIN tbl ON tbl.qid = c.qid AND tbl.sub = enc.sub AND tbl.code = enc.cluster
+       |       GROUP BY c.vec_id, c.qid)
+       |SELECT query_id, neighbor_id, rnk, adc_dist FROM (
+       |  SELECT qid AS query_id, vec_id AS neighbor_id, adc_dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= $K""".stripMargin
+  }
+
   /** knn_pq_recall's truth leg: exact int64 squared-L2 brute force. */
   private val knnBruteL2Sql: String = {
     val dist = (0 until Dims)
@@ -404,6 +459,8 @@ object VectorEntries {
     },
 
     "knn_pq_adc" -> knnPqAdcSql,
+
+    "knn_ivfpq" -> knnIvfPqSql,
 
     // recall@k of ADC against the exact squared-L2 truth, both legs
     // already-oracled searches composed as subqueries

@@ -233,7 +233,7 @@ object Knn {
 
   /** nprobe nearest-centroid probes for a query set, ready for the
     * candidate join: qid, qqv, qself, cluster. */
-  private def queryProbes(
+  private[similarity] def queryProbes(
       queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, dims: Int, nprobe: Int): DataFrame =
     nearestCentroids(prepared(queries, idCol, vecCol), centroids, dims, keep = nprobe)

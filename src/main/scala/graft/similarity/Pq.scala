@@ -145,6 +145,43 @@ object Pq {
         col("rnk"), col("adc_dist"))
   }
 
+  /** IVF+PQ — the composed billion-scale serving stack (Jégou 2011 §V):
+    * queries probe their `nprobe` nearest COARSE centroids
+    * ([[Knn.queryProbes]], the IVF half), and only vectors assigned to
+    * those clusters are scored — by ADC over their m-byte codes, never
+    * their raw floats. At 100 TB the scan reads 1/K·nprobe of the
+    * corpus (cluster-partitioned, DPP-prunable exactly like
+    * [[Knn.ivfSearchIndex]]) and each candidate costs m byte-lookups:
+    * the two multiplicative reductions the stack exists for.
+    *
+    * `corpus` carries (vid, codes, cluster) — build it once with
+    * [[encode]] + [[Knn.ivfAssign]] and persist partitioned by cluster.
+    * Output: query_id, neighbor_id, rnk, adc_dist. */
+  def ivfAdcSearch(
+      corpus: DataFrame, coarseCentroids: DataFrame, codebook: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int, dims: Int, nprobe: Int): DataFrame = {
+    val dsub = dims / m
+    val probes = Knn.queryProbes(queries, coarseCentroids, idCol, vecCol, dims, nprobe)
+      .select(col("qid"), col("cluster"))
+    val table = subvectors(queries, idCol, vecCol, m, dims)
+      .withColumnRenamed("vid", "qid")
+      .join(codebook.withColumnRenamed("cluster", "code"), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"), dist2(col("sq"), dsub).as("__td"))
+    val scored = corpus
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("vid"), col("qid"), posexplode(col("codes")).as(Seq("__p", "code")))
+      .withColumn("sub", col("__p").cast("int"))
+      .join(broadcast(table), Seq("qid", "sub", "code"))
+      .groupBy(col("vid"), col("qid"))
+      .agg(sum(col("__td")).as("adc_dist"))
+    graft.operators.TopK.perGroup(scored, Seq("qid"),
+      Seq(col("adc_dist").asc, col("vid").asc), k, rankCol = "rnk")
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("rnk"), col("adc_dist"))
+  }
+
   /** Exact integer squared-L2 brute-force top-k — the truth leg of the
     * PQ recall gate (ADC approximates THIS metric, not cosine). Same
     * broadcast + bounded-heap shape as [[Knn.bruteForce]]. */

@@ -98,6 +98,30 @@ class SimilaritySpec extends SparkSpecBase {
     (2L until 16L by 2).foreach(i => assert(l2(i) == 0L))
   }
 
+  test("E45b: IVF+PQ hits are a subset of the unpruned ADC search with identical distances") {
+    import graft.similarity.Pq
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val cb = Pq.train(e, "vec_id", "embedding", 4, 8, 2, 64)
+    val codes = Pq.encode(e, cb, "vec_id", "embedding", 4, 64)
+    val qs = e.filter($"vec_id" < 3)
+    val full = Pq.adcSearch(codes, cb, qs, "vec_id", "embedding", 60, 4, 64)
+      .select($"query_id", $"neighbor_id", $"adc_dist")
+      .as[(Long, Long, Long)].collect().map { case (q, n, d) => (q, n) -> d }.toMap
+    val coarse = Knn.centroidSums(e, "label", "embedding", 64)
+    val corpus = codes.join(
+      Knn.ivfAssign(e, coarse, "vec_id", "embedding", 64)
+        .withColumnRenamed("vec_id", "vid"), "vid")
+    val pruned = Pq.ivfAdcSearch(corpus, coarse, cb, qs,
+      "vec_id", "embedding", 10, 4, 64, 2)
+      .select($"query_id", $"neighbor_id", $"adc_dist")
+      .as[(Long, Long, Long)].collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (q, n, d) =>
+      assert(full.get((q, n)).contains(d),
+        s"ivfpq pair ($q,$n)=$d but full ADC says ${full.get((q, n))}")
+    }
+  }
+
   test("E7: bucketed ANN results are a subset of brute-force with identical scores") {
     val dir = sf("sf0.001")
     val e = Tables.embeddings(spark, dir)
