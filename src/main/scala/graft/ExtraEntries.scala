@@ -93,6 +93,38 @@ object ExtraEntries {
           max(col("point_id")).as("last_point"))
     }),
 
+    // D11o: interval-OVERLAP join — signup activation windows vs purchase
+    // "settlement windows": which campaigns were live while a purchase was
+    // settling. Both sides replicate to 1-minute grain buckets; each
+    // overlapping pair is attributed to the single bucket holding
+    // max(starts), so the bucket equi-join emits it exactly once with no
+    // distinct pass. Rolled up per signup window.
+    "range_join_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val minUs = 60L * 1000 * 1000
+      val su = ev.filter(col("event_type") === "signup")
+        .select(
+          col("event_id").as("signup_id"),
+          unix_micros(col("ts")).as("su_s_us"),
+          (unix_micros(col("ts")) + (col("event_id") % 7 + 1) * lit(minUs))
+            .as("su_e_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(
+          col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("pu_s_us"),
+          (unix_micros(col("ts")) + (col("event_id") % 5 + 1) * lit(minUs))
+            .as("pu_e_us"))
+      graft.operators.RangeJoin.intervalOverlap(
+        su, col("su_s_us"), col("su_e_us"),
+        pu, col("pu_s_us"), col("pu_e_us"),
+        grainUs = minUs)
+        .groupBy(col("signup_id"))
+        .agg(
+          count(lit(1)).as("n_overlaps"),
+          min(col("purchase_id")).as("first_purchase"),
+          max(col("purchase_id")).as("last_purchase"))
+    }),
+
     // D8: vocabulary statistics — term frequency + document frequency
     "text_vocab" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -320,6 +352,21 @@ object ExtraEntries {
         |       min(point_id) AS first_point, max(point_id) AS last_point
         |FROM iv JOIN pt ON pt.p_us >= iv.s_us AND pt.p_us < iv.e_us
         |GROUP BY interval_id""".stripMargin,
+
+    "range_join_overlap" ->
+      """WITH su AS (
+        |  SELECT event_id AS signup_id, epoch_us(ts) AS s_us,
+        |         epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e_us
+        |  FROM events WHERE event_type = 'signup'),
+        |pu AS (
+        |  SELECT event_id AS purchase_id, epoch_us(ts) AS s_us,
+        |         epoch_us(ts) + (event_id % 5 + 1) * 60000000 AS e_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT signup_id, count(*) AS n_overlaps,
+        |       min(purchase_id) AS first_purchase,
+        |       max(purchase_id) AS last_purchase
+        |FROM su JOIN pu ON su.s_us < pu.e_us AND pu.s_us < su.e_us
+        |GROUP BY signup_id""".stripMargin,
 
     "text_vocab" ->
       s"""SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df

@@ -118,6 +118,10 @@ object TextEntries {
   // scale (sf0.01 has 25 docs/source), so the oracle checks the cap
   // actually cutting, not just ranking
   val SourceCap = 15
+  // priority-sample size (E47) — well under sf0.01's 5000 docs so the
+  // threshold τ genuinely cuts (an exhaustive "sample" would test nothing)
+  val PrioritySampleK = 100
+  val Bm25K = 5 // docs kept per query (E48)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E10: token counting — whitespace, BPE-ish regex, normalized
@@ -428,6 +432,20 @@ object TextEntries {
         "doc_id", "text")
     }),
 
+    // E48: BM25 retrieval — every 100th doc's first 8 tokens become a
+    // query, ranked against the rest of the corpus; integer scores
+    // (rational tf-saturation + odds-idf, floored milli contributions)
+    "text_bm25" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.filter(col("doc_id") % 100 =!= 0).select("doc_id", "text")
+      val qs = d.filter(col("doc_id") % 100 === 0)
+        .select(
+          col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext"))
+      graft.text.Bm25.search(corpus, "doc_id", "text", qs, "query_id", "qtext",
+        k = Bm25K)
+    }),
+
     // E20: the capstone composition — quality filter → exact dedup →
     // stratified sample → sequence packing, one declarative plan end to
     // end (what a real ingest run chains; every stage is the operator
@@ -474,6 +492,19 @@ object TextEntries {
       TextOps.sourceCap(
         Tables.documents(s, dir).select("doc_id", "lang", "source"),
         "doc_id", "source", SourceCap)),
+
+    // E47: priority sampling — k docs drawn ∝ length, with Horvitz-
+    // Thompson weights for unbiased subset-sum estimation downstream;
+    // bounded-heap top-(k+1), floored doubles for a hash-stable gate
+    "data_priority_sample" -> ((s, dir) =>
+      graft.operators.PrioritySample.sample(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", length(col("text")), k = PrioritySampleK)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("w"),
+          floor(col("priority")).cast("long").as("pri_fl"),
+          floor(col("ht_weight")).cast("long").as("ht_fl"))),
 
     // pipeline staple: deterministic train/val/test assignment by portable
     // hash bucket (stable across runs and engines, no RNG state)
@@ -986,6 +1017,60 @@ object TextEntries {
          |    row_number() OVER (PARTITION BY source
          |                       ORDER BY $pri ASC, doc_id ASC) AS rk
          |  FROM documents) WHERE rk <= $SourceCap""".stripMargin
+    },
+
+    "text_bm25" ->
+      s"""WITH ct AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS t
+         |  FROM documents WHERE doc_id % 100 <> 0),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM ct),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |                 CAST(COALESCE(sum(dl), 0) AS BIGINT) AS l FROM dl),
+         |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT ct.doc_id, dl.dl, unnest(ct.t) AS tok
+         |             FROM ct JOIN dl USING (doc_id))
+         |       GROUP BY doc_id, dl, tok),
+         |qt AS (SELECT doc_id AS query_id,
+         |         array_to_string(list_slice($toksSql, 1, 8), ' ') AS qtext
+         |       FROM documents WHERE doc_id % 100 = 0),
+         |qtok AS (SELECT DISTINCT query_id, tok FROM (
+         |           SELECT query_id, unnest(string_split(qtext, ' ')) AS tok FROM qt)
+         |         WHERE tok <> ''),
+         |matched AS (SELECT tf.* FROM tf
+         |            WHERE tok IN (SELECT DISTINCT tok FROM qtok)),
+         |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+         |          FROM matched GROUP BY tok),
+         |scored AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum(CAST(floor((
+         |      (CAST(2*n - 2*df + 1 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE)) *
+         |      (CAST(44*l*tf AS DOUBLE) /
+         |       CAST(20*l*tf + 6*l + 18*dl*n AS DOUBLE))) * 1000.0) AS BIGINT))
+         |      AS BIGINT) AS score_milli
+         |  FROM matched
+         |  JOIN dfreq USING (tok) JOIN qtok USING (tok) CROSS JOIN stats
+         |  GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, n_terms, score_milli, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_milli DESC, doc_id ASC) AS rk FROM scored)
+         |WHERE rk <= $Bm25K""".stripMargin,
+
+    "data_priority_sample" -> {
+      val h = PortableHash.duckH32("'pri:'||CAST(doc_id AS VARCHAR)")
+      s"""WITH w AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS w, $h AS h
+         |  FROM documents WHERE length(text) > 0),
+         |q AS (SELECT doc_id, w,
+         |  CAST(w AS DOUBLE) * 4294967296.0 / CAST(h + 1 AS DOUBLE) AS pri FROM w),
+         |r AS (SELECT doc_id, w, pri,
+         |  row_number() OVER (ORDER BY pri DESC, doc_id ASC) AS rk FROM q),
+         |tau AS (SELECT max(CASE WHEN rk = ${PrioritySampleK + 1} THEN pri END) AS tau
+         |        FROM r WHERE rk <= ${PrioritySampleK + 1})
+         |SELECT doc_id, w,
+         |  CAST(floor(pri) AS BIGINT) AS pri_fl,
+         |  CAST(floor(greatest(CAST(w AS DOUBLE), COALESCE(tau, 0.0))) AS BIGINT) AS ht_fl
+         |FROM r, tau WHERE rk <= $PrioritySampleK""".stripMargin
     },
 
     "data_sample" -> {

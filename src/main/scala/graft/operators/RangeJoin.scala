@@ -185,4 +185,79 @@ object RangeJoin {
       .filter(col("__p_us") >= col("__s_us") && col("__p_us") < col("__e_us"))
       .drop(Internal: _*)
   }
+
+  private val OverlapInternal = Seq("__ls", "__le", "__rs", "__re", "__bkt")
+
+  /** All (left, right) interval pairs that OVERLAP: `l.start < r.end AND
+    * r.start < l.end` (both half-open `[start, end)`; touching intervals —
+    * one's end equal to the other's start — do NOT overlap). The
+    * interval×interval sibling of [[pointInInterval]]: session-vs-campaign
+    * attribution, maintenance-window conflict detection, validity-interval
+    * reconciliation between two SCD2 histories.
+    *
+    * Same grain-bucket scale path — both sides replicate to the buckets
+    * they cover, the join is EQUI on the bucket id plus the exact overlap
+    * residual — with one extra problem pointInInterval doesn't have: an
+    * overlapping pair shares EVERY bucket the overlap region covers, so
+    * the raw bucket join emits it once per shared bucket. Deduplicating
+    * with `distinct` would pay a second full shuffle of the output; instead
+    * each pair is attributed to ONE canonical bucket — the bucket holding
+    * `greatest(l.start, r.start)`, the overlap region's first instant,
+    * which provably lies in both replica sets (overlap ⇒ max(starts) <
+    * min(ends) ⇒ bucketOf(max starts) is covered by both sides) — and the
+    * join keeps a pair only where `__bkt` IS that bucket. Exactly-once
+    * output, zero extra exchanges: the filter is a codegen'd integer
+    * comparison riding the join's residual.
+    *
+    * Per-side replication is guarded by `maxBucketsPerInterval` exactly as
+    * in [[pointInInterval]] (loud `raise_error`, not silent truncation);
+    * [[suggestGrain]] prices the grain knob from either side's span
+    * distribution. Output = every `left` column then every `right` column;
+    * sides must not share names.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      leftStart: Column,
+      leftEnd: Column,
+      right: DataFrame,
+      rightStart: Column,
+      rightEnd: Column,
+      grainUs: Long,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(grainUs > 0, s"intervalOverlap: grainUs must be positive, got $grainUs")
+    require(maxBucketsPerInterval > 0,
+      s"intervalOverlap: maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"intervalOverlap: both sides carry column(s) ${shared.mkString(", ")} — alias one side")
+    OverlapInternal.foreach { r =>
+      require(!left.columns.contains(r) && !right.columns.contains(r),
+        s"intervalOverlap: input already has a '$r' column")
+    }
+
+    def replicate(df: DataFrame, startTs: Column, endTs: Column,
+        sName: String, eName: String): DataFrame = {
+      val withBounds = df
+        .withColumn(sName, asLong(df, startTs))
+        .withColumn(eName, asLong(df, endTs))
+        .filter(col(sName) < col(eName))
+      val b0 = bucketOf(col(sName), grainUs)
+      val b1 = bucketOf(col(eName) - 1, grainUs)
+      val b1Guarded = when(b1 - b0 < lit(maxBucketsPerInterval.toLong), b1)
+        .otherwise(raise_error(concat(
+          lit(s"RangeJoin: interval spans more than $maxBucketsPerInterval grain buckets " +
+            s"(grainUs=$grainUs; widen the grain or raise maxBucketsPerInterval): start_us="),
+          col(sName), lit(" end_us="), col(eName))).cast("long"))
+      withBounds.withColumn("__bkt", explode(sequence(b0, b1Guarded)))
+    }
+
+    val l = replicate(left, leftStart, leftEnd, "__ls", "__le")
+    val r = replicate(right, rightStart, rightEnd, "__rs", "__re")
+
+    l.join(r, "__bkt")
+      .filter(
+        col("__ls") < col("__re") && col("__rs") < col("__le") &&
+          col("__bkt") === bucketOf(greatest(col("__ls"), col("__rs")), grainUs))
+      .drop(OverlapInternal: _*)
+  }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.PrioritySample
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+/** Priority sampling (SURVEY §2 E47): the sample IS the top-k by the
+  * deterministic priority, the Horvitz-Thompson weight is max(w, τ) with
+  * τ the (k+1)-th priority, heavy rows enter with their own weight,
+  * degenerate inputs behave, and the plan is the native bounded heap. */
+class PrioritySampleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def rows(ws: Seq[Long]): DataFrame =
+    ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+
+  test("E47: sample = top-k by priority; ht_weight = max(w, (k+1)-th priority)") {
+    val df = rows((1L to 40L).map(i => i * 7 % 13 + 1))
+    // exhaustive run exposes every row's priority (τ is null there)
+    val all = PrioritySample.sample(df, "id", col("w"), k = 1000)
+      .select($"id", $"w", $"priority", $"ht_weight")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(all.length == 40)
+    assert(all.forall { case (_, w, _, ht) => ht == w.toDouble }) // exhaustive ⇒ ŵ = w
+    val ranked = all.sortBy { case (id, _, q, _) => (-q, id) }
+    val k = 10
+    val tau = ranked(k)._3
+    val expected = ranked.take(k).map { case (id, w, q, _) =>
+      (id, q, math.max(w.toDouble, tau)) }.toSet
+    val got = PrioritySample.sample(df, "id", col("w"), k)
+      .select($"id", $"priority", $"ht_weight")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("E47: a heavy row enters deterministically with its own weight") {
+    val df = rows(Seq.fill(30)(1L) :+ (1L << 40))
+    val got = PrioritySample.sample(df, "id", col("w"), k = 3)
+      .select($"id", $"w", $"ht_weight").as[(Long, Long, Double)].collect()
+    val heavy = got.filter(_._2 == (1L << 40))
+    assert(heavy.length == 1) // w·2³²/(h+1) ≥ w > any light priority
+    assert(heavy.head._3 == (1L << 40).toDouble) // w ≥ τ ⇒ ŵ = w, no reweighting
+    // light survivors are reweighted UP to τ (τ > 1 with 30 light rows)
+    assert(got.filter(_._2 == 1L).forall(_._3 > 1.0))
+  }
+
+  test("E47: null / zero / negative weights carry no mass") {
+    val df = Seq((1L, Some(5L)), (2L, Some(0L)), (3L, Some(-4L)), (4L, None))
+      .toDF("id", "w")
+    val got = PrioritySample.sample(df, "id", col("w"), k = 10)
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+
+  test("E47: deterministic per salt; independent samples across salts") {
+    val df = rows(Seq.fill(200)(1L))
+    def ids(salt: String) =
+      PrioritySample.sample(df, "id", col("w"), k = 5, salt = salt)
+        .select($"id").as[Long].collect().toSet
+    assert(ids("a") == ids("a"))
+    assert(ids("a") != ids("b"))
+  }
+
+  test("E47: runs on the native bounded-heap plan, no window, no global sort") {
+    val p = PrioritySample.sample(rows((1L to 50L)), "id", col("w"), k = 5)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("TopKPerGroup") && !p.contains("Window"),
+      s"PrioritySample must run on the native top-k plan:\n$p")
+  }
+}

@@ -135,6 +135,65 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(e.getMessage.contains("no valid"))
   }
 
+  private def intervalsB(iv: (Long, Long)*): DataFrame =
+    iv.zipWithIndex.map { case ((s, e), i) => (500L + i, s, e) }
+      .toDF("b_id", "b_s", "b_e")
+
+  private def overlapped(a: DataFrame, b: DataFrame, grain: Long,
+      max: Int = 4096): DataFrame =
+    RangeJoin.intervalOverlap(
+      a, col("s_ts"), col("e_ts"), b, col("b_s"), col("b_e"), grain, max)
+
+  private def opairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("interval_id", "b_id").as[(Long, Long)].collect().toSet
+
+  test("D11o: equals the naive overlap predicate across grains, each pair exactly once") {
+    val a = intervals((0L, 10L), (5L, 105L), (100L, 101L), (240L, 260L), (400L, 500L))
+    val b = intervalsB((0L, 1L), (9L, 12L), (50L, 300L), (100L, 101L), (500L, 600L))
+    val naive = a.join(b, col("s_ts") < col("b_e") && col("b_s") < col("e_ts"))
+      .select("interval_id", "b_id").as[(Long, Long)].collect()
+    assert(naive.length == naive.toSet.size)
+    for (grain <- Seq(1L, 7L, 10L, 64L, 1000L)) {
+      val got = overlapped(a, b, grain).select("interval_id", "b_id")
+        .as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"grain=$grain emitted duplicates")
+      assert(got.toSet == naive.toSet, s"grain=$grain")
+    }
+  }
+
+  test("D11o: half-open semantics — touching intervals do not overlap") {
+    // a ends exactly where b starts: [0,10) vs [10,20) share no instant
+    assert(overlapped(intervals((0L, 10L)), intervalsB((10L, 20L)), 3L).count() == 0L)
+    // one-instant overlap: [0,11) vs [10,20)
+    assert(opairs(overlapped(intervals((0L, 11L)), intervalsB((10L, 20L)), 3L)) ==
+      Set((100L, 500L)))
+  }
+
+  test("D11o: a long overlap region spanning many buckets still emits once") {
+    // overlap region [100, 1000) covers 90 ten-unit buckets
+    val out = overlapped(intervals((0L, 1000L)), intervalsB((100L, 2000L)), 10L)
+    assert(out.count() == 1L)
+  }
+
+  test("D11o: empty/inverted intervals on either side match nothing") {
+    assert(overlapped(intervals((5L, 5L)), intervalsB((0L, 100L)), 2L).count() == 0L)
+    assert(overlapped(intervals((0L, 100L)), intervalsB((9L, 3L)), 2L).count() == 0L)
+  }
+
+  test("D11o: fan-out guard fires per side") {
+    val e = intercept[Exception] {
+      overlapped(intervals((0L, 5L)), intervalsB((0L, 1000000L)), 1L, max = 100).count()
+    }
+    assert(e.getMessage.contains("grain buckets"))
+  }
+
+  test("D11o: plan is an equi join on the bucket — no nested loop, no cartesian") {
+    val plan = overlapped(intervals((0L, 100L)), intervalsB((50L, 70L)), 10L)
+      .queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("D11: plan is an equi join on the bucket — no nested loop, no cartesian") {
     val plan = joined(points(1L, 2L), intervals((0L, 100L)), 10L)
       .queryExecution.explainString(FormattedMode)
