@@ -155,6 +155,26 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     }),
 
+    // D5m: incremental rollup maintenance — the landed hourly rollup
+    // absorbs a new batch by merging PARTIAL aggregates (batch + keyspace
+    // cost), provably equal to rebuilding over the whole feed (the oracle
+    // aggregates everything). Split by event_id so both legs are real.
+    "events_rollup_merge" -> ((s, dir) => {
+      import graft.operators.Rollup
+      val ev = Tables.events(s, dir).select(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("event_type"), col("value"), col("event_id"))
+      val specs = Seq(
+        Rollup.Spec("n_events", lit(1L), Rollup.Count),
+        Rollup.Spec("sum_value", col("value").cast("decimal(18,2)"), Rollup.Sum),
+        Rollup.Spec("max_event_id", col("event_id"), Rollup.Max))
+      val keys = Seq("hour_ts", "event_type")
+      val landed = Rollup.build(ev.filter(col("event_id") % 10 =!= 0), keys, specs)
+      val batch = Rollup.build(ev.filter(col("event_id") % 10 === 0), keys, specs)
+      Rollup.merge(landed, batch, keys, specs)
+        .withColumn("sum_value", col("sum_value").cast("double"))
+    }),
+
     // A1: CDC replay to final state (single shuffle LWW window)
     "cdc_apply_latest" -> ((s, dir) => {
       CdcApply.latestState(
@@ -412,6 +432,13 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_rollup_merge" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  max(event_id) AS max_event_id
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "cdc_apply_latest" ->

@@ -255,6 +255,24 @@ object VectorEntries {
         "vec_id", "embedding", K, PqM, Dims, NProbe)
     }),
 
+    // E45d: residual IVF+PQ — IVFADC as published (Jégou 2011 §IV): the
+    // codebook quantizes r = x − c(x) instead of x, so the m·ksub budget
+    // spends itself on within-cluster variance only; the per-query ADC
+    // table is rebuilt per probed cluster from the query's residual
+    "knn_ivfpq_residual" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val coarse = Knn.centroidSums(e, "label", "embedding", Dims)
+      // residuals feed train, encode, and the cluster join — pay the
+      // assignment once (at scale a user persists this frame)
+      val resid = Pq.residuals(e, coarse, "vec_id", "embedding", Dims)
+        .localCheckpoint()
+      val cb = Pq.trainQ(resid, "vid", col("rq"), PqM, PqKsub, PqIters, Dims)
+      val corpus = Pq.encodeQ(resid, cb, "vid", col("rq"), PqM, Dims)
+        .join(resid.select(col("vid"), col("cluster")), "vid")
+      Pq.ivfAdcSearchResidual(corpus, coarse, cb, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", K, PqM, Dims, NProbe)
+    }),
+
     // E45r: the PQ recall gate — ADC top-k vs the exact squared-L2
     // top-k (the metric ADC approximates), per query, exact integers
     "knn_pq_recall" -> ((s, dir) => {
@@ -409,6 +427,89 @@ object VectorEntries {
        |WHERE rnk <= $K""".stripMargin
   }
 
+  /** knn_ivfpq_residual's oracle — the full IVFADC chain in CTEs:
+    * coarse sums → integer centroids → rational-distance assignment →
+    * residual vectors → residual-space Lloyd rounds (rsv replaces
+    * pqCte's sv, same init/tie-break discipline) → residual codes →
+    * per-(query, probed-cluster) residual ADC tables → candidate scoring
+    * restricted to probed clusters → top-k. */
+  private val knnIvfPqResidualSql: String = {
+    val dsub = Dims / PqM
+    val csums = (0 until Dims).map(i => s"CAST(sum(cq[${i + 1}]) AS BIGINT) AS s_$i").mkString(", ")
+    val cdist = (0 until Dims)
+      .map(i => s"power(cc.n * v.q[${i + 1}] - cc.s_$i, 2)").mkString(" + ")
+    val iccList = (0 until Dims).map(i => s"s_$i // n").mkString(", ")
+    val sums = (0 until dsub).map(i => s"CAST(sum(sq[${i + 1}]) AS BIGINT) AS s_$i").mkString(", ")
+    val cents = (0 until dsub).map(i => s"s_$i // n AS c_$i").mkString(", ")
+    def dist(sv: String, c: String) = (0 until dsub)
+      .map(i => s"($sv.sq[${i + 1}] - $c.c_$i) * ($sv.sq[${i + 1}] - $c.c_$i)").mkString(" + ")
+    def round(prev: String, n: String, c: String, d: String, a: String) =
+      s"""$n AS (SELECT sub, g, CAST(count(*) AS BIGINT) AS n, $sums
+         |       FROM rsv JOIN $prev USING (vec_id, sub) GROUP BY sub, g),
+         |$c AS (SELECT sub, g, n, $cents FROM $n),
+         |$d AS (SELECT rsv.vec_id, rsv.sub, $c.g, (${dist("rsv", c)}) AS dist
+         |       FROM rsv JOIN $c ON rsv.sub = $c.sub),
+         |$a AS (SELECT vec_id, sub, g FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, g ASC) AS rk
+         |  FROM $d) WHERE rk = 1)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, $q AS q FROM embeddings),
+       |cc AS (SELECT label, CAST(count(*) AS BIGINT) AS n, $csums
+       |       FROM (SELECT label, $q AS cq FROM embeddings) GROUP BY label),
+       |icc AS (SELECT label, [$iccList] AS cc FROM cc),
+       |cd AS (SELECT v.vec_id, cc.label,
+       |         ($cdist) / CAST(cc.n * cc.n AS DOUBLE) AS dist
+       |       FROM v CROSS JOIN cc),
+       |cranked AS (SELECT vec_id, label,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, label ASC) AS rk
+       |  FROM cd),
+       |casg AS (SELECT vec_id, label AS cluster FROM cranked WHERE rk = 1),
+       |probes AS (SELECT vec_id AS qid, label AS cluster
+       |  FROM cranked WHERE vec_id < 5 AND rk <= $NProbe),
+       |rv AS (SELECT v.vec_id, casg.cluster,
+       |         list_transform(generate_series(1, $Dims), i -> v.q[i] - icc.cc[i]) AS rq
+       |       FROM v JOIN casg USING (vec_id) JOIN icc ON icc.label = casg.cluster),
+       |subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub),
+       |rsv AS (SELECT vec_id, sub, rq[sub*$dsub+1 : sub*$dsub+$dsub] AS sq
+       |        FROM rv CROSS JOIN subs),
+       |a0 AS (SELECT vec_id, sub,
+       |         ${graft.text.PortableHash.duckH32(
+                    "CAST(vec_id AS VARCHAR)||':'||CAST(sub AS VARCHAR)")} % $PqKsub AS g
+       |       FROM rsv),
+       |${round("a0", "n1", "c1", "d1", "a1")},
+       |${round("a1", "n2", "c2", "d2", "a2")},
+       |n3 AS (SELECT sub, g, CAST(count(*) AS BIGINT) AS n, $sums
+       |       FROM rsv JOIN a2 USING (vec_id, sub) GROUP BY sub, g),
+       |rcb AS (SELECT sub, g AS cluster, n, $cents FROM n3),
+       |renc AS (SELECT vec_id, sub, cluster FROM (
+       |  SELECT rsv.vec_id, rsv.sub, rcb.cluster, (${dist("rsv", "rcb")}) AS dist,
+       |    row_number() OVER (PARTITION BY rsv.vec_id, rsv.sub
+       |                       ORDER BY (${dist("rsv", "rcb")}) ASC, rcb.cluster ASC) AS rk
+       |  FROM rsv JOIN rcb ON rsv.sub = rcb.sub) WHERE rk = 1),
+       |qrv AS (SELECT p.qid, p.cluster,
+       |          list_transform(generate_series(1, $Dims), i -> v.q[i] - icc.cc[i]) AS rq
+       |        FROM probes p JOIN v ON v.vec_id = p.qid
+       |        JOIN icc ON icc.label = p.cluster),
+       |qrsv AS (SELECT qid, cluster, sub, rq[sub*$dsub+1 : sub*$dsub+$dsub] AS sq
+       |         FROM qrv CROSS JOIN subs),
+       |tbl AS (SELECT qrsv.qid, qrsv.cluster, qrsv.sub, rcb.cluster AS code,
+       |          (${dist("qrsv", "rcb")}) AS td
+       |        FROM qrsv JOIN rcb ON qrsv.sub = rcb.sub),
+       |cand AS (SELECT casg.vec_id, casg.cluster, p.qid
+       |         FROM casg JOIN probes p USING (cluster)
+       |         WHERE casg.vec_id <> p.qid),
+       |sc AS (SELECT c.vec_id, c.qid, CAST(sum(tbl.td) AS BIGINT) AS adc_dist
+       |       FROM cand c
+       |       JOIN renc ON renc.vec_id = c.vec_id
+       |       JOIN tbl ON tbl.qid = c.qid AND tbl.cluster = c.cluster
+       |                AND tbl.sub = renc.sub AND tbl.code = renc.cluster
+       |       GROUP BY c.vec_id, c.qid)
+       |SELECT query_id, neighbor_id, rnk, adc_dist FROM (
+       |  SELECT qid AS query_id, vec_id AS neighbor_id, adc_dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= $K""".stripMargin
+  }
+
   /** knn_pq_recall's truth leg: exact int64 squared-L2 brute force. */
   private val knnBruteL2Sql: String = {
     val dist = (0 until Dims)
@@ -461,6 +562,8 @@ object VectorEntries {
     "knn_pq_adc" -> knnPqAdcSql,
 
     "knn_ivfpq" -> knnIvfPqSql,
+
+    "knn_ivfpq_residual" -> knnIvfPqResidualSql,
 
     // recall@k of ADC against the exact squared-L2 truth, both legs
     // already-oracled searches composed as subqueries

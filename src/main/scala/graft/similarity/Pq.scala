@@ -27,19 +27,25 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  /** (vid, sub, sq) — each quantized vector split into `m` contiguous
-    * subvectors of dims/m milli-unit longs. */
-  private[similarity] def subvectors(
-      df: DataFrame, idCol: String, vecCol: String, m: Int, dims: Int): DataFrame = {
+  /** (vid, sub, sq) from an ALREADY-integer vector expression — the shared
+    * splitter under [[subvectors]] (quantized floats) and the residual
+    * path (integer differences). */
+  private[similarity] def subvectorsQ(
+      df: DataFrame, idCol: String, qvec: Column, m: Int, dims: Int): DataFrame = {
     require(dims % m == 0, s"PQ: dims=$dims not divisible by m=$m subspaces")
     val dsub = dims / m
-    val qv = VectorOps.quantize(col(vecCol))
     df.select(col(idCol).as("vid"),
       explode(array((0 until m).map(s =>
-        struct(lit(s).as("sub"), slice(qv, s * dsub + 1, dsub).as("sq"))): _*))
+        struct(lit(s).as("sub"), slice(qvec, s * dsub + 1, dsub).as("sq"))): _*))
         .as("__e"))
       .select(col("vid"), col("__e.sub").as("sub"), col("__e.sq").as("sq"))
   }
+
+  /** (vid, sub, sq) — each quantized vector split into `m` contiguous
+    * subvectors of dims/m milli-unit longs. */
+  private[similarity] def subvectors(
+      df: DataFrame, idCol: String, vecCol: String, m: Int, dims: Int): DataFrame =
+    subvectorsQ(df, idCol, VectorOps.quantize(col(vecCol)), m, dims)
 
   /** Truncated integer division — Spark's IntegralDivide (`div`), which
     * rounds toward zero exactly like DuckDB's integer `//`. */
@@ -87,10 +93,17 @@ object Pq {
     * Output: sub, cluster, n, c_0..c_{dims/m-1}. */
   def train(
       corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int, dims: Int): DataFrame =
+    trainQ(corpus, idCol, VectorOps.quantize(col(vecCol)), m, ksub, iters, dims)
+
+  /** [[train]] over an already-integer vector expression (the residual
+    * path trains on integer differences, not quantized floats). */
+  def trainQ(
+      corpus: DataFrame, idCol: String, qvec: Column,
       m: Int, ksub: Int, iters: Int, dims: Int): DataFrame = {
     require(ksub >= 1, s"PQ: ksub must be >= 1, got $ksub")
     val dsub = dims / m
-    val sv = subvectors(corpus, idCol, vecCol, m, dims).localCheckpoint()
+    val sv = subvectorsQ(corpus, idCol, qvec, m, dims).localCheckpoint()
     var assign = sv.select(col("vid"), col("sub"),
       pmod(graft.text.PortableHash.h32(
         concat(col("vid").cast("string"), lit(":"), col("sub").cast("string"))),
@@ -108,7 +121,13 @@ object Pq {
   def encode(
       corpus: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String, m: Int, dims: Int): DataFrame =
-    assignTo(subvectors(corpus, idCol, vecCol, m, dims), codebook, dims / m)
+    encodeQ(corpus, codebook, idCol, VectorOps.quantize(col(vecCol)), m, dims)
+
+  /** [[encode]] over an already-integer vector expression. */
+  def encodeQ(
+      corpus: DataFrame, codebook: DataFrame,
+      idCol: String, qvec: Column, m: Int, dims: Int): DataFrame =
+    assignTo(subvectorsQ(corpus, idCol, qvec, m, dims), codebook, dims / m)
       .groupBy(col("vid"))
       .agg(array_sort(collect_list(struct(col("sub"), col("group")))).as("__sc"))
       .select(col("vid"),
@@ -174,6 +193,82 @@ object Pq {
       .select(col("vid"), col("qid"), posexplode(col("codes")).as(Seq("__p", "code")))
       .withColumn("sub", col("__p").cast("int"))
       .join(broadcast(table), Seq("qid", "sub", "code"))
+      .groupBy(col("vid"), col("qid"))
+      .agg(sum(col("__td")).as("adc_dist"))
+    graft.operators.TopK.perGroup(scored, Seq("qid"),
+      Seq(col("adc_dist").asc, col("vid").asc), k, rankCol = "rnk")
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("rnk"), col("adc_dist"))
+  }
+
+  /** Coarse centroids as INTEGER coordinate arrays: cc_i = s_i div n
+    * (truncated division, engine-exact) from a [[Knn.centroidSums]]-shaped
+    * frame. The residual reference points — K rows, broadcast wherever
+    * used. Output: cluster, cc (array<bigint> of length dims). */
+  def integerCentroids(coarse: DataFrame, dims: Int): DataFrame =
+    coarse.select(col("group").as("cluster"),
+      array((0 until dims).map(i => tdiv(col(s"s_$i"), col("n"))): _*).as("cc"))
+
+  /** Residual vectors r = x − c(x) against each vector's assigned coarse
+    * centroid — what IVFADC proper encodes (Jégou 2011 §IV): residuals
+    * concentrate around 0 once the coarse quantizer has soaked up the
+    * between-cluster variance, so the SAME codebook budget (m·ksub
+    * centroids) quantizes them far more finely than raw vectors. All
+    * integer: quantized milli-units minus truncated-mean centroid coords.
+    * Output: vid, cluster, rq (array<bigint>). */
+  def residuals(
+      corpus: DataFrame, coarse: DataFrame,
+      idCol: String, vecCol: String, dims: Int): DataFrame =
+    corpus.select(col(idCol).as("vid"), VectorOps.quantize(col(vecCol)).as("__qv"))
+      .join(Knn.ivfAssign(corpus, coarse, idCol, vecCol, dims)
+        .withColumnRenamed(idCol, "vid"), "vid")
+      .join(broadcast(integerCentroids(coarse, dims)), "cluster")
+      .select(col("vid"), col("cluster"),
+        zip_with(col("__qv"), col("cc"), (a, b) => a - b).as("rq"))
+
+  /** IVF+PQ with RESIDUAL encoding — IVFADC as published: codes quantize
+    * r = x − c(x) (see [[residuals]]), and the per-query ADC table is
+    * rebuilt per PROBED cluster from the query's residual against that
+    * cluster's centroid (q − c, split into subvectors, tabulated against
+    * the codebook). Table size = queries × nprobe × m × ksub — broadcast
+    * per query batch. The extra nprobe factor over [[ivfAdcSearch]]'s
+    * table buys the recall that residual concentration delivers; corpus
+    * cost is unchanged (1/K·nprobe of the codes read, m lookups each).
+    *
+    * `corpus` carries (vid, cluster, codes) where codes came from
+    * [[encodeQ]] over [[residuals]] with a [[trainQ]] residual codebook.
+    * Output: query_id, neighbor_id, rnk, adc_dist. */
+  def ivfAdcSearchResidual(
+      corpus: DataFrame, coarse: DataFrame, codebook: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int, dims: Int, nprobe: Int): DataFrame = {
+    val dsub = dims / m
+    require(dims % m == 0, s"PQ: dims=$dims not divisible by m=$m subspaces")
+    val probes = Knn.queryProbes(queries, coarse, idCol, vecCol, dims, nprobe)
+      .select(col("qid"), col("cluster"))
+    val qr = queries
+      .select(col(idCol).as("qid"), VectorOps.quantize(col(vecCol)).as("__qv"))
+      .join(probes, "qid")
+      .join(broadcast(integerCentroids(coarse, dims)), "cluster")
+      .select(col("qid"), col("cluster"),
+        zip_with(col("__qv"), col("cc"), (a, b) => a - b).as("rq"))
+    val qsv = qr.select(col("qid"), col("cluster"),
+      explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), slice(col("rq"), s * dsub + 1, dsub).as("sq"))): _*))
+        .as("__e"))
+      .select(col("qid"), col("cluster"),
+        col("__e.sub").as("sub"), col("__e.sq").as("sq"))
+    val table = qsv
+      .join(codebook.withColumnRenamed("cluster", "code"), Seq("sub"))
+      .select(col("qid"), col("cluster"), col("sub"), col("code"),
+        dist2(col("sq"), dsub).as("__td"))
+    val scored = corpus
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("vid"), col("qid"), col("cluster"),
+        posexplode(col("codes")).as(Seq("__p", "code")))
+      .withColumn("sub", col("__p").cast("int"))
+      .join(broadcast(table), Seq("qid", "cluster", "sub", "code"))
       .groupBy(col("vid"), col("qid"))
       .agg(sum(col("__td")).as("adc_dist"))
     graft.operators.TopK.perGroup(scored, Seq("qid"),

@@ -122,6 +122,49 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("E45d: with an exact residual codebook, residual IVFADC returns EXACT L2 distances") {
+    import graft.similarity.Pq
+    // two coarse clusters at ±10, each with two ±1 patterns (2 copies
+    // each, so centroids are exact). Residuals collapse to the SAME two
+    // points per subspace in every cluster — a ksub=2 codebook represents
+    // them perfectly, so ADC distance = true L2 for every candidate
+    // (raw-space PQ with the same budget cannot: 4 distinct raw values
+    // per subspace into 2 centroids). The Jégou residual argument as an
+    // exact identity instead of a statistical claim.
+    val corpus = Seq(
+      (1L, 11.0f, 0), (2L, 11.0f, 0), (3L, 9.0f, 0), (4L, 9.0f, 0),
+      (5L, -9.0f, 1), (6L, -9.0f, 1), (7L, -11.0f, 1), (8L, -11.0f, 1))
+      .map { case (id, v, lab) => (id, Array(v, v, v, v), lab) }
+      .toDF("vec_id", "embedding", "label")
+    val coarse = Knn.centroidSums(corpus, "label", "embedding", 4)
+    val resid = Pq.residuals(corpus, coarse, "vec_id", "embedding", 4)
+    // residuals are exactly ±1000 milli on every dim
+    val rqs = resid.select($"vid", $"rq").as[(Long, Seq[Long])].collect().toMap
+    assert(rqs(1L) == Seq(1000L, 1000L, 1000L, 1000L) &&
+      rqs(7L) == Seq(-1000L, -1000L, -1000L, -1000L), rqs.toString)
+    val cb = Seq(
+      (0, 0L, 2L, 1000L, 1000L), (0, 1L, 2L, -1000L, -1000L),
+      (1, 0L, 2L, 1000L, 1000L), (1, 1L, 2L, -1000L, -1000L))
+      .toDF("sub", "cluster", "n", "c_0", "c_1")
+    val codes = Pq.encodeQ(resid, cb, "vid", $"rq", m = 2, dims = 4)
+    val idx = codes.join(resid.select($"vid", $"cluster"), "vid")
+    val qs = corpus.filter($"vec_id" === 1L)
+    val got = Pq.ivfAdcSearchResidual(idx, coarse, cb, qs,
+      "vec_id", "embedding", k = 10, m = 2, dims = 4, nprobe = 2)
+      .select($"neighbor_id", $"adc_dist").as[(Long, Long)].collect().toMap
+    val exact = Pq.bruteForceL2(corpus, qs, "vec_id", "embedding", 10)
+      .select($"neighbor_id", $"l2_dist").as[(Long, Long)].collect().toMap
+    assert(got == exact, s"adc=$got l2=$exact")
+    assert(got(2L) == 0L && got(3L) == 4L * 2000L * 2000L &&
+      got(5L) == 4L * 20000L * 20000L && got(7L) == 4L * 22000L * 22000L)
+    // the trained path is deterministic across re-runs
+    val t1 = Pq.encodeQ(resid, Pq.trainQ(resid, "vid", $"rq", 2, 2, 3, 4),
+      "vid", $"rq", 2, 4).as[(Long, Seq[Long])].collect().toMap
+    val t2 = Pq.encodeQ(resid, Pq.trainQ(resid, "vid", $"rq", 2, 2, 3, 4),
+      "vid", $"rq", 2, 4).as[(Long, Seq[Long])].collect().toMap
+    assert(t1 == t2)
+  }
+
   test("E7: bucketed ANN results are a subset of brute-force with identical scores") {
     val dir = sf("sf0.001")
     val e = Tables.embeddings(spark, dir)
