@@ -273,6 +273,32 @@ object VectorEntries {
         "vec_id", "embedding", K, PqM, Dims, NProbe)
     }),
 
+    // E45dr: the residual recall gate — residual IVFADC top-k vs the
+    // exact squared-L2 truth, per query (the E45r pattern on the
+    // residual path; read next to knn_pq_recall it shows what residual
+    // encoding buys at the same m·ksub budget)
+    "knn_pqr_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < 5)
+      val exact = Pq.bruteForceL2(e, qs, "vec_id", "embedding", K)
+        .select(col("query_id"), col("neighbor_id"))
+      val coarse = Knn.centroidSums(e, "label", "embedding", Dims)
+      val resid = Pq.residuals(e, coarse, "vec_id", "embedding", Dims)
+        .localCheckpoint()
+      val cb = Pq.trainQ(resid, "vid", col("rq"), PqM, PqKsub, PqIters, Dims)
+      val corpus = Pq.encodeQ(resid, cb, "vid", col("rq"), PqM, Dims)
+        .join(resid.select(col("vid"), col("cluster")), "vid")
+      val approx = Pq.ivfAdcSearchResidual(corpus, coarse, cb, qs,
+        "vec_id", "embedding", K, PqM, Dims, NProbe)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_bp", TextOps.bp(col("n_hit"), col("n_exact")))
+    }),
+
     // E45r: the PQ recall gate — ADC top-k vs the exact squared-L2
     // top-k (the metric ADC approximates), per query, exact integers
     "knn_pq_recall" -> ((s, dir) => {
@@ -564,6 +590,16 @@ object VectorEntries {
     "knn_ivfpq" -> knnIvfPqSql,
 
     "knn_ivfpq_residual" -> knnIvfPqResidualSql,
+
+    // residual recall against the exact truth — both legs already-oracled
+    "knn_pqr_recall" ->
+      s"""SELECT e.query_id, count(*) AS n_exact,
+         |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST(floor(count(a.neighbor_id) * 10000.0 / count(*)) AS BIGINT) AS recall_bp
+         |FROM ($knnBruteL2Sql) e
+         |LEFT JOIN ($knnIvfPqResidualSql) a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY e.query_id""".stripMargin,
 
     // recall@k of ADC against the exact squared-L2 truth, both legs
     // already-oracled searches composed as subqueries
