@@ -125,6 +125,22 @@ object ExtraEntries {
           max(col("purchase_id")).as("last_purchase"))
     }),
 
+    // D11c: interval coalescing — per-user activity RUNS from per-event
+    // windows ([ts, ts + 1..7 min)): overlapping-or-touching windows
+    // merge into maximal disjoint spans (half-open union is lossless).
+    // One exchange by user, per-key sort = that user's own event count.
+    "range_coalesce" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val minUs = 60L * 1000 * 1000
+      val iv = ev.select(
+        col("user_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + (col("event_id") % 7 + 1) * lit(minUs))
+          .as("e_us"))
+      graft.operators.RangeJoin.coalesceIntervals(
+        iv, Seq("user_id"), col("s_us"), col("e_us"))
+    }),
+
     // D8: vocabulary statistics — term frequency + document frequency
     "text_vocab" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -367,6 +383,24 @@ object ExtraEntries {
         |       max(purchase_id) AS last_purchase
         |FROM su JOIN pu ON su.s_us < pu.e_us AND pu.s_us < su.e_us
         |GROUP BY signup_id""".stripMargin,
+
+    "range_coalesce" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |         epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e
+        |  FROM events),
+        |w AS (SELECT user_id, s, e,
+        |        max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM iv),
+        |r AS (SELECT user_id, s, e,
+        |        sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY s, e
+        |            ROWS UNBOUNDED PRECEDING) AS run
+        |      FROM w)
+        |SELECT user_id, min(s) AS start_us, max(e) AS end_us,
+        |       count(*) AS n_merged
+        |FROM r GROUP BY user_id, run""".stripMargin,
 
     "text_vocab" ->
       s"""SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df

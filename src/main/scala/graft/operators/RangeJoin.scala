@@ -260,4 +260,49 @@ object RangeJoin {
           col("__bkt") === bucketOf(greatest(col("__ls"), col("__rs")), grainUs))
       .drop(OverlapInternal: _*)
   }
+
+  /** COALESCE overlapping-or-touching intervals per key into maximal
+    * disjoint runs — the validity-run builder: activity spans from
+    * per-event windows, maintenance-calendar flattening, SCD2 interval
+    * hygiene before a temporal join. Half-open `[start, end)` union is
+    * contiguous when `next.start <= running max end`, so merging touching
+    * intervals ([0,10) ∪ [10,20) = [0,20)) is lossless — the run set is
+    * the connected components of the touch graph and therefore UNIQUE,
+    * independent of any tie order inside the window (the engine-parity
+    * argument for the oracle).
+    *
+    * Plan: one exchange by key, per-key sort by (start, end), a running
+    * `max(end)` marks run starts, a running sum numbers them, and one
+    * aggregation emits (key, run start, run end, n_merged). Per-key cost
+    * = that key's own interval count (the scd2History skew argument:
+    * output ≈ input, no global sort). Inverted/empty intervals (start >=
+    * end) carry no span and are dropped, mirroring the join operators.
+    *
+    * Output: key columns + `start_us`, `end_us`, `n_merged`. */
+  def coalesceIntervals(
+      df: DataFrame, keys: Seq[String], startTs: Column, endTs: Column): DataFrame = {
+    require(keys.nonEmpty, "coalesceIntervals: at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    Seq("__s", "__e", "__pm", "__run").foreach { r =>
+      require(!df.columns.contains(r),
+        s"coalesceIntervals: input already has a '$r' column")
+    }
+    val iv = df
+      .withColumn("__s", asLong(df, startTs))
+      .withColumn("__e", asLong(df, endTs))
+      .filter(col("__s") < col("__e"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__s"), col("__e"))
+    iv
+      .withColumn("__pm",
+        max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__run",
+        sum(when(col("__pm").isNull || col("__s") > col("__pm"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((keys.map(col) :+ col("__run")): _*)
+      .agg(
+        min(col("__s")).as("start_us"),
+        max(col("__e")).as("end_us"),
+        count(lit(1)).as("n_merged"))
+      .drop("__run")
+  }
 }

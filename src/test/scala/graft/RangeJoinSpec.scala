@@ -194,6 +194,50 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("D11c: coalesce merges overlapping AND touching intervals, keeps gaps, per key") {
+    val iv = Seq(
+      ("u1", 0L, 10L), ("u1", 10L, 20L), ("u1", 25L, 30L), // touch-merge, then gap
+      ("u1", 5L, 8L),                                       // contained
+      ("u2", 0L, 100L), ("u2", 10L, 20L), ("u2", 90L, 150L), // chain through containment
+      ("u2", 7L, 3L), ("u2", 4L, 4L))                        // inverted/empty dropped
+      .toDF("k", "s", "e")
+    val got = graft.operators.RangeJoin
+      .coalesceIntervals(iv, Seq("k"), col("s"), col("e"))
+      .select($"k", $"start_us", $"end_us", $"n_merged")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("u1", 0L, 20L, 3L), ("u1", 25L, 30L, 1L),
+      ("u2", 0L, 150L, 3L)))
+  }
+
+  test("D11c: random intervals — runs are disjoint, separated, and cover exactly the union") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val data = (1 to 80).map { _ =>
+        val s = rnd.nextInt(500).toLong
+        (s"k${rnd.nextInt(3)}", s, s + 1 + rnd.nextInt(40))
+      }
+      val got = graft.operators.RangeJoin
+        .coalesceIntervals(data.toDF("k", "s", "e"), Seq("k"), col("s"), col("e"))
+        .select($"k", $"start_us", $"end_us", $"n_merged")
+        .as[(String, Long, Long, Long)].collect()
+      // counts conserve the input
+      assert(got.map(_._4).sum == data.size, s"trial $trial")
+      got.groupBy(_._1).foreach { case (k, runs) =>
+        val sorted = runs.sortBy(_._2)
+        // strictly separated (not even touching — else they'd have merged)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._3 < b._2, s"trial $trial $k: $a, $b")
+          case _ =>
+        }
+        // exact union: covered points of the runs == covered points of inputs
+        val covered = sorted.flatMap(r => r._2 until r._3).toSet
+        val expect = data.filter(_._1 == k).flatMap(d => d._2 until d._3).toSet
+        assert(covered == expect, s"trial $trial $k")
+      }
+    }
+  }
+
   test("D11: plan is an equi join on the bucket — no nested loop, no cartesian") {
     val plan = joined(points(1L, 2L), intervals((0L, 100L)), 10L)
       .queryExecution.explainString(FormattedMode)
