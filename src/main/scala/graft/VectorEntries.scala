@@ -255,6 +255,18 @@ object VectorEntries {
         "vec_id", "embedding", K, PqM, Dims, NProbe)
     }),
 
+    // E46: quantizer drift — trained centroids (full corpus, by label)
+    // vs the current members (every 10th vector gone, label 7 vanished
+    // entirely → null current side): the index-rebuild trigger, measured
+    "emb_ivf_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val trained = Knn.centroidSums(e, "label", "embedding", Dims)
+      val current = Knn.centroidSums(
+        e.filter(col("vec_id") % 10 =!= 0 && col("label") =!= 7),
+        "label", "embedding", Dims)
+      Knn.centroidDrift(trained, current, Dims)
+    }),
+
     // E45d: residual IVF+PQ — IVFADC as published (Jégou 2011 §IV): the
     // codebook quantizes r = x − c(x) instead of x, so the m·ksub budget
     // spends itself on within-cluster variance only; the per-query ADC
@@ -590,6 +602,24 @@ object VectorEntries {
     "knn_ivfpq" -> knnIvfPqSql,
 
     "knn_ivfpq_residual" -> knnIvfPqResidualSql,
+
+    "emb_ivf_drift" -> {
+      val sums = (0 until Dims).map(i => s"CAST(sum(q[${i + 1}]) AS BIGINT) AS s_$i").mkString(", ")
+      val num = (0 until Dims)
+        .map(i => s"(CAST(c.n*t.s_$i - t.n*c.s_$i AS DOUBLE) * CAST(c.n*t.s_$i - t.n*c.s_$i AS DOUBLE))")
+        .mkString(" + ")
+      val den = "(CAST(t.n AS DOUBLE) * CAST(c.n AS DOUBLE))"
+      s"""WITH t AS (SELECT label, CAST(count(*) AS BIGINT) AS n, $sums
+         |           FROM (SELECT label, $q AS q FROM embeddings) GROUP BY label),
+         |c AS (SELECT label, CAST(count(*) AS BIGINT) AS n, $sums
+         |      FROM (SELECT label, $q AS q FROM embeddings
+         |            WHERE vec_id % 10 <> 0 AND label <> 7) GROUP BY label)
+         |SELECT COALESCE(t.label, c.label) AS cluster,
+         |       t.n AS n_trained, c.n AS n_current,
+         |       CASE WHEN t.n IS NOT NULL AND c.n IS NOT NULL
+         |            THEN ($num) / ($den * $den) END AS drift2
+         |FROM t FULL OUTER JOIN c ON t.label = c.label""".stripMargin
+    },
 
     // residual recall against the exact truth — both legs already-oracled
     "knn_pqr_recall" ->

@@ -402,6 +402,29 @@ object Knn {
     val assigned = nearestCentroids(
       prepared(corpus, idCol, vecCol), centroids, dims, keep = 1)
       .select(col("vid"), col("qv"), col("self_dot"), col("group").as("cluster"))
+    semanticDropCore(assigned, tauBp).select(col("vid").as(idCol), col("cluster"))
+  }
+
+  /** [[semanticDedup]] over an EXPLICIT cluster column — the entry the
+    * two-level quantizer feeds ([[treeAssign]]'s cells are the scopes),
+    * and the hook for any external clustering (labels, a persisted
+    * index's partitions). Same greedy keep-lowest-id rule, same shuffle
+    * shape. Output: idCol, cluster (surviving vectors). */
+  def semanticDedupAssigned(
+      corpus: DataFrame, idCol: String, vecCol: String, clusterCol: String,
+      tauBp: Long): DataFrame = {
+    val assigned = corpus.select(
+      col(idCol).as("vid"),
+      VectorOps.quantize(col(vecCol)).as("qv"),
+      col(clusterCol).as("cluster"))
+      .withColumn("self_dot", VectorOps.qdot(col("qv"), col("qv")))
+    semanticDropCore(assigned, tauBp).select(col("vid").as(idCol), col("cluster"))
+  }
+
+  /** Shared SemDeDup core over an assigned (vid, qv, self_dot, cluster)
+    * frame: within-cluster pairs, drop any vector with a lower-id
+    * same-cluster neighbor at ≥ tauBp cosine. */
+  private def semanticDropCore(assigned: DataFrame, tauBp: Long): DataFrame = {
     val l = assigned.select(col("cluster"), col("vid").as("id_a"),
       col("qv").as("qa"), col("self_dot").as("da"))
     val r = assigned.select(col("cluster"), col("vid").as("id_b"),
@@ -412,7 +435,119 @@ object Knn {
         VectorOps.qdot(col("qa"), col("qb")), col("da"), col("db")) >= tauBp)
       .select(col("id_b").as("vid")).distinct()
     assigned.join(dropped, Seq("vid"), "left_anti")
-      .select(col("vid").as(idCol), col("cluster"))
+      .select(col("vid"), col("cluster"))
+  }
+
+  /** TWO-LEVEL (hierarchical) coarse quantizer — the assignment-cost fix
+    * that keeps bounded-cluster SemDeDup sub-quadratic end to end: flat
+    * assignment at K = k1·k2 cells costs n·K distance rows, the tree
+    * resolves each vector in n·(k1+k2) (level-1 argmin, then argmin among
+    * that cell's k2 children only). Level 2 runs exact integer Lloyd
+    * independently inside EVERY level-1 cell in ONE job — the cell id
+    * rides the aggregation key, the [[Pq.train]] recipe — with the same
+    * hash init (`h32(vid) % k2`), truncated-integer sums, and
+    * (dist, child) tie-break as [[ivfTrain]], so the tree is
+    * engine-reproducible. Children provably refine their parent: level-2
+    * centroids aggregate only their own cell's members, so a vector's
+    * child always lives inside its level-1 cell.
+    *
+    * Returns (level1, level2): level1 in [[centroidSums]] shape (group =
+    * cell), level2 with columns cell, group (child), n, s_0..s_{dims-1}.
+    * `tools.SemDedupScale` measures flat-vs-tree at sf0.1/1/10. */
+  def ivfTrain2(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k1: Int, k2: Int, iters: Int, dims: Int): (DataFrame, DataFrame) = {
+    require(k1 >= 1 && k2 >= 1, s"k1/k2 must be >= 1, got $k1/$k2")
+    val l1 = ivfTrain(corpus, idCol, vecCol, k1, iters, dims)
+    val cells = nearestCentroids(
+      prepared(corpus, idCol, vecCol).select(col("vid"), col("qv")), l1, dims, keep = 1)
+      .select(col("vid"), col("qv"), col("group").as("cell"))
+      .localCheckpoint()
+    var assign = cells.select(col("vid"), col("cell"),
+      pmod(graft.text.PortableHash.h32(col("vid").cast("string")), lit(k2.toLong))
+        .as("child"))
+      .localCheckpoint()
+    def sums(a: DataFrame): DataFrame =
+      cells.join(a.select(col("vid"), col("child")), "vid")
+        .groupBy(col("cell"), col("child"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dims).map(i => sum(element_at(col("qv"), i + 1)).as(s"s_$i")): _*)
+    for (_ <- 0 until iters) {
+      val cents = sums(assign).withColumnRenamed("child", "group")
+      // reassign within the OWN cell only: the broadcast join key is the
+      // cell, so each vector sees just its k2 children
+      val joined = cells.join(broadcast(cents), Seq("cell"))
+        .withColumn("__d", scaledDist2(dims))
+      assign = joined.groupBy(col("vid"))
+        .agg(min_by(struct(col("cell"), col("group").as("child")),
+          struct(col("__d"), col("group"))).as("__b"))
+        .select(col("vid"), col("__b.cell").as("cell"), col("__b.child").as("child"))
+        .localCheckpoint()
+    }
+    (l1, sums(assign).withColumnRenamed("child", "group"))
+  }
+
+  /** Assign every vector through the two-level tree: level-1 argmin over
+    * k1 cells, then argmin among that cell's k2 children — n·(k1+k2)
+    * distance rows instead of flat n·(k1·k2). The composite cluster id
+    * `cell·k2 + child` is stable and disjoint across cells. Output:
+    * idCol, cluster. */
+  def treeAssign(
+      corpus: DataFrame, level1: DataFrame, level2: DataFrame,
+      idCol: String, vecCol: String, k2: Int, dims: Int): DataFrame = {
+    val p = prepared(corpus, idCol, vecCol).select(col("vid"), col("qv"))
+    val cells = nearestCentroids(p, level1, dims, keep = 1)
+      .select(col("vid"), col("qv"), col("group").as("cell"))
+    val joined = cells.join(broadcast(level2), Seq("cell"))
+      .withColumn("__d", scaledDist2(dims))
+    joined.groupBy(col("vid"))
+      .agg(min_by(struct(col("cell"), col("group").as("child")),
+        struct(col("__d"), col("group"))).as("__b"))
+      .select(col("vid").as(idCol),
+        (col("__b.cell") * lit(k2.toLong) + col("__b.child")).as("cluster"))
+  }
+
+  /** Quantizer DRIFT — the measurement behind the index-rebuild trigger
+    * the append paths ([[ivfAppendIndex]], [[Pq.appendIndex]]) delegate
+    * to the caller: per cluster, the squared distance between the
+    * TRAINED centroid and the centroid of the cluster's CURRENT members,
+    * in the same scaled-rational arithmetic as the assignment —
+    * |S/n − S'/n'|² = Σ_i (n'·S_i − n·S'_i)² / (n·n')². The differences
+    * are exact int64; each is squared and summed as an explicit
+    * left-assoc double chain, and the denominator is squared by explicit
+    * multiplication (never `pow`), so both engines run the identical
+    * IEEE sequence and the doubles hash-match.
+    *
+    * One-sided clusters surface with null counts instead of vanishing:
+    * a trained cluster with no current members (`n_current` null) means
+    * the data moved away from it; a current cluster never trained
+    * (`n_trained` null) cannot happen with argmin assignment but does
+    * when `current` comes from labels — both are rebuild signals.
+    *
+    * Cost: both inputs are K-row centroid-sum frames ([[centroidSums]] /
+    * [[ivfTrain]] output) — this is a K-row full-outer join, a scan of
+    * nothing; the corpus was already paid when the sums were built.
+    * Exact while |n'·S_i| < 2⁶³ (counts × milli-sums — holds through
+    * ~10⁹-vector clusters). Output: cluster, n_trained, n_current,
+    * drift2 (null when one-sided). CLI: `Cli ann drift` prints
+    * worst-first. */
+  def centroidDrift(trained: DataFrame, current: DataFrame, dims: Int): DataFrame = {
+    val t = trained.select((col("group").as("cluster") +: col("n").as("__nt") +:
+      (0 until dims).map(i => col(s"s_$i").as(s"__t_$i"))): _*)
+    val c = current.select((col("group").as("cluster") +: col("n").as("__nc") +:
+      (0 until dims).map(i => col(s"s_$i").as(s"__c_$i"))): _*)
+    val num = (0 until dims).map { i =>
+      val d = (col("__nc") * col(s"__t_$i") - col("__nt") * col(s"__c_$i")).cast("double")
+      d * d
+    }.reduce(_ + _)
+    val den = col("__nt").cast("double") * col("__nc").cast("double")
+    t.join(c, Seq("cluster"), "full_outer")
+      .select(
+        col("cluster"),
+        col("__nt").as("n_trained"),
+        col("__nc").as("n_current"),
+        when(col("__nt").isNotNull && col("__nc").isNotNull, num / (den * den))
+          .as("drift2"))
   }
 
   /** Embedding near-dup pairs: sketch-bucket candidates, exact cosine

@@ -201,6 +201,59 @@ object Pq {
         col("rnk"), col("adc_dist"))
   }
 
+  /** Materialize the IVF+PQ index: m-byte codes + coarse cluster,
+    * written PARTITIONED BY cluster — serving reads 1/K·nprobe of the
+    * directories (dynamic partition pruning) and m code bytes per row,
+    * the two multiplicative reductions of the stack at rest. The
+    * [[Knn.ivfWriteIndex]] pattern for coded corpora; codebook and
+    * coarse centroids stay with the caller (K + m·ksub rows — catalog
+    * scale, not corpus scale). */
+  def writeIndex(
+      corpus: DataFrame, coarse: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int, dims: Int, path: String): Unit =
+    encode(corpus, codebook, idCol, vecCol, m, dims)
+      .join(Knn.ivfAssign(corpus, coarse, idCol, vecCol, dims)
+        .withColumnRenamed(idCol, "vid"), "vid")
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** Accept NEW vectors into a persisted [[writeIndex]] index at batch
+    * cost: encoded against the SAME codebook, assigned against the SAME
+    * coarse centroids, appended into the cluster directories (DPP keeps
+    * pruning — parquet partition dirs absorb the files). Duplicate ids
+    * are refused loudly ([[Knn.ivfAppendIndex]]'s argument: each copy
+    * would compete in every probed top-k); codebook drift is the
+    * caller's rebuild trigger — measure it with [[Knn.centroidDrift]]. */
+  def appendIndex(
+      batch: DataFrame, coarse: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int, dims: Int, path: String,
+      checkIds: Boolean = true): Unit = {
+    if (checkIds) {
+      val existing = batch.sparkSession.read.parquet(path).select(col("vid"))
+      val clash = batch.select(col(idCol).as("vid"))
+        .join(existing, Seq("vid"), "left_semi")
+      require(clash.isEmpty,
+        "Pq.appendIndex: batch vector ids already present in the index (e.g. " +
+          clash.take(3).map(_.get(0)).mkString(", ") +
+          ") — appending would duplicate them in every probed top-k; " +
+          "dedupe ids or rebuild with writeIndex")
+    }
+    encode(batch, codebook, idCol, vecCol, m, dims)
+      .join(Knn.ivfAssign(batch, coarse, idCol, vecCol, dims)
+        .withColumnRenamed(idCol, "vid"), "vid")
+      .write.mode("append").partitionBy("cluster").parquet(path)
+  }
+
+  /** Serve [[ivfAdcSearch]] from a persisted [[writeIndex]] index — the
+    * broadcast probe join's cluster keys drive dynamic partition pruning
+    * on the code scan. */
+  def searchIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      coarse: DataFrame, codebook: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, dims: Int,
+      nprobe: Int): DataFrame =
+    ivfAdcSearch(spark.read.parquet(path), coarse, codebook, queries,
+      idCol, vecCol, k, m, dims, nprobe)
+
   /** Coarse centroids as INTEGER coordinate arrays: cc_i = s_i div n
     * (truncated division, engine-exact) from a [[Knn.centroidSums]]-shaped
     * frame. The residual reference points — K rows, broadcast wherever

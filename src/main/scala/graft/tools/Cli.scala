@@ -48,12 +48,132 @@ object Cli {
     case Some("hotkeys") => runHotkeys(args.tail)
     case Some("scd2") => runScd2(args.tail)
     case Some("compact") => runCompact(args.tail)
+    case Some("rollup") => runRollup(args.tail)
+    case Some("ann") => runAnn(args.tail)
     case _ =>
       System.err.println(
         "usage: Cli validate ... | Cli index build|append|compact|screen ... | Cli land ... " +
           "| Cli profile ... | Cli hotkeys ... | Cli scd2 ... | Cli compact ... " +
+          "| Cli rollup ... | Cli ann build|search|append|drift ... " +
           "(run a subcommand without flags for its option list)")
       sys.exit(2)
+  }
+
+  /** Vector-index lifecycle — the drivable face of the IVF(+PQ) stack
+    * (E7e/E45c/E46): `build` trains the coarse quantizer (iterative
+    * integer Lloyd) and lands the corpus cluster-partitioned — raw
+    * quantized vectors, or m-byte PQ codes with `--pq m,ksub,iters`;
+    * `search` serves top-k with dynamic partition pruning to the probed
+    * clusters; `append` accepts a new batch at batch cost (duplicate-id
+    * guarded); `drift` measures per-cluster centroid drift of the
+    * current members against the trained centroids, worst-first — the
+    * rebuild trigger the append path delegates to the operator. */
+  private def runAnn(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli ann build --in emb.parquet --index dir [--id vec_id] [--vec embedding] " +
+        "[--dims 64] [--clusters 8] [--iters 2] [--pq m,ksub,iters]\n" +
+        "     | Cli ann search --index dir --queries file [--k 10] [--nprobe 3] [--out p]\n" +
+        "     | Cli ann append --in batch.parquet --index dir\n" +
+        "     | Cli ann drift --in corpus.parquet --index dir [--top 10]"
+    val sub = args.headOption.getOrElse {
+      System.err.println(usage); sys.exit(2); ""
+    }
+    val opts = new Opts(args.tail, usage)
+    val spark = localSession()
+    import spark.implicits._
+    import graft.similarity.{Knn, Pq}
+
+    def metaPath(index: String) = s"$index/meta.parquet"
+    def readMeta(index: String): (String, String, Int, Option[(Int, Int)]) = {
+      val m = spark.read.parquet(metaPath(index)).head()
+      val pq =
+        if (m.isNullAt(3)) None
+        else Some((m.getAs[Number](3).intValue(), m.getAs[Number](4).intValue()))
+      (m.getString(0), m.getString(1), m.getAs[Number](2).intValue(), pq)
+    }
+    def centroids(index: String) = spark.read.parquet(s"$index/centroids.parquet")
+
+    sub match {
+      case "build" =>
+        val (in, index) = (opts.req("in"), opts.req("index"))
+        val (id, vec) = (opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"))
+        val dims = opts.int("dims", 64)
+        val k = opts.int("clusters", 8)
+        val iters = opts.int("iters", 2)
+        val corpus = spark.read.parquet(in).localCheckpoint()
+        val cents = Knn.ivfTrain(corpus, id, vec, k, iters, dims).localCheckpoint()
+        cents.write.mode("overwrite").parquet(s"$index/centroids.parquet")
+        val pq = opts.get("pq").map { spec =>
+          val Array(m, ksub, pqIters) = spec.split(',').map(_.trim.toInt)
+          val cb = Pq.train(corpus, id, vec, m, ksub, pqIters, dims).localCheckpoint()
+          cb.write.mode("overwrite").parquet(s"$index/codebook.parquet")
+          Pq.writeIndex(corpus, cents, cb, id, vec, m, dims, s"$index/vectors")
+          (m, ksub)
+        }
+        if (pq.isEmpty)
+          Knn.ivfWriteIndex(corpus, cents, id, vec, dims, s"$index/vectors")
+        Seq((id, vec, dims, pq.map(_._1), pq.map(_._2)))
+          .toDF("id", "vec", "dims", "pq_m", "pq_ksub")
+          .write.mode("overwrite").parquet(metaPath(index))
+        println(s"[ann] built ${if (pq.isDefined) "IVF+PQ" else "IVF"} index over " +
+          s"${corpus.count()} vectors, $k clusters -> $index")
+      case "search" =>
+        val (index, qsPath) = (opts.req("index"), opts.req("queries"))
+        val (id, vec, dims, pq) = readMeta(index)
+        val k = opts.int("k", 10)
+        val nprobe = opts.int("nprobe", 3)
+        val qs = spark.read.parquet(qsPath)
+        val out = pq match {
+          case Some((m, _)) =>
+            val cb = spark.read.parquet(s"$index/codebook.parquet")
+            Pq.searchIndex(spark, s"$index/vectors", centroids(index), cb, qs,
+              id, vec, k, m, dims, nprobe)
+          case None =>
+            Knn.ivfSearchIndex(spark, s"$index/vectors", centroids(index), qs,
+              id, vec, k, dims, nprobe)
+        }
+        opts.get("out") match {
+          case Some(p) =>
+            out.write.mode("overwrite").parquet(p)
+            println(s"[ann] ${out.count()} result rows -> $p")
+          case None => out.orderBy(col("query_id"), col("rnk")).collect()
+            .foreach(r => println(s"[ann] ${r.mkString(" ")}"))
+        }
+      case "append" =>
+        val (in, index) = (opts.req("in"), opts.req("index"))
+        val (id, vec, dims, pq) = readMeta(index)
+        val batch = spark.read.parquet(in)
+        pq match {
+          case Some((m, _)) =>
+            val cb = spark.read.parquet(s"$index/codebook.parquet")
+            Pq.appendIndex(batch, centroids(index), cb, id, vec, m, dims,
+              s"$index/vectors")
+          case None =>
+            Knn.ivfAppendIndex(batch, centroids(index), id, vec, dims,
+              s"$index/vectors")
+        }
+        println(s"[ann] appended ${batch.count()} vectors -> $index " +
+          "(same centroids/codebook; run `ann drift` to watch the rebuild trigger)")
+      case "drift" =>
+        val (in, index) = (opts.req("in"), opts.req("index"))
+        val (id, vec, dims, _) = readMeta(index)
+        val corpus = spark.read.parquet(in)
+        val trained = centroids(index)
+        val current = Knn.centroidSums(
+          corpus.join(
+            Knn.ivfAssign(corpus, trained, id, vec, dims), id),
+          "cluster", vec, dims)
+        val rows = Knn.centroidDrift(trained, current, dims)
+          .orderBy(col("drift2").desc_nulls_first, col("cluster"))
+          .limit(opts.int("top", 10)).collect()
+        rows.foreach { r =>
+          val d = if (r.isNullAt(3)) "ONE-SIDED" else f"${r.getDouble(3)}%.1f"
+          println(s"[ann] cluster=${r.get(0)} n_trained=${r.get(1)} " +
+            s"n_current=${r.get(2)} drift2=$d")
+        }
+      case other =>
+        System.err.println(s"unknown ann subcommand '$other'\n$usage"); sys.exit(2)
+    }
   }
 
   /** Continuous SCD2 history landing — the drivable face of
@@ -95,6 +215,47 @@ object Cli {
       compacted, out, opts.int("max-records", 1000000).toLong)
     val (nIn, nOut) = (feed.count(), spark.read.parquet(out).count())
     println(s"[compact] $nIn change rows -> $nOut net rows -> $out")
+  }
+
+  /** Continuous rollup maintenance — the drivable face of
+    * [[graft.streaming.RollupLanding]]: tail a parquet feed and keep a
+    * landed sum/count/min/max rollup current, paying each invocation only
+    * the files that arrived since the checkpoint. Re-run with the same
+    * `--checkpoint` and `--landing` to absorb the increment; replays are
+    * batch-id-gated so a crash-and-rerun never double-counts. */
+  private def runRollup(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli rollup --in feedDir --keys c1[,c2] --landing dir " +
+        "[--sum c1[,c2]] [--min c1[,c2]] [--max c1[,c2]] [--checkpoint p]"
+    val opts = new Opts(args, usage)
+    val in = opts.req("in")
+    val keys = opts.req("keys").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val landing = opts.req("landing")
+    def list(k: String) =
+      opts.getOrElse(k, "").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val (sums, mins, maxs) = (list("sum"), list("min"), list("max"))
+    val checkpoint = opts.getOrElse("checkpoint",
+      java.nio.file.Files.createTempDirectory("graft_rollup_ckpt").toString)
+    val spark = localSession()
+    val schema = spark.read.parquet(in).schema
+    (keys ++ sums ++ mins ++ maxs).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"column $c not in feed schema ${schema.fieldNames.mkString("[", ",", "]")}"))
+    import graft.operators.Rollup
+    val specs = Seq(Rollup.Spec("n_rows", lit(1L), Rollup.Count)) ++
+      sums.map(c => Rollup.Spec(s"sum_$c", col(c), Rollup.Sum)) ++
+      mins.map(c => Rollup.Spec(s"min_$c", col(c), Rollup.Min)) ++
+      maxs.map(c => Rollup.Spec(s"max_$c", col(c), Rollup.Max))
+    val measured = (keys ++ sums ++ mins ++ maxs).distinct
+    val q = graft.streaming.RollupLanding.start(
+      spark, in, schema, b => b.select(measured.map(col): _*),
+      keys, specs, landing, checkpoint)
+    q.awaitTermination()
+    val landed = graft.streaming.RollupLanding.read(spark, landing)
+    val groups = landed.map(_.count()).getOrElse(0L)
+    println(s"[rollup] $groups key groups -> $landing " +
+      s"(columns: ${specs.map(_.out).mkString(", ")}; re-run with the same " +
+      "--checkpoint and --landing to fold only new files)")
   }
 
   private def runScd2(args: Seq[String]): Unit = {

@@ -1,0 +1,62 @@
+package graft.tools
+
+import graft.similarity.Knn
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Flat-vs-tree coarse assignment measurement (SURVEY §2 E44t): at
+  * K = k1·k2 total cells, flat argmin costs n·K distance rows while the
+  * two-level tree resolves each vector in n·(k1+k2). Both paths assign
+  * against the SAME K centroids (the tree's level-2 composite set, so
+  * the comparison isolates assignment cost, not centroid quality);
+  * agreement_bp reports how often the tree's greedy level-1 descent
+  * lands on the flat argmin — the recall/cost trade of hierarchical
+  * quantizers. One JSON line per run; point it at sf0.1 / target/sf1 /
+  * target/sf10 for the decade evidence.
+  *
+  * Usage: runMain graft.tools.SemDedupScale [sfDir] [k1] [k2] [iters]
+  */
+object SemDedupScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val k1 = args.lift(1).map(_.toInt).getOrElse(8)
+    val k2 = args.lift(2).map(_.toInt).getOrElse(8)
+    val iters = args.lift(3).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val n = e.count()
+    val (l1, l2) = Knn.ivfTrain2(e, "vec_id", "embedding", k1, k2, iters, 64)
+    // the same K centroids as a FLAT set: composite id = cell·k2 + child
+    val flatCents = l2.select(
+      (col("cell") * k2.toLong + col("group")).as("group") +:
+        col("n") +: (0 until 64).map(i => col(s"s_$i")): _*)
+      .localCheckpoint()
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (flat, flatS) = timed {
+      Knn.ivfAssign(e, flatCents, "vec_id", "embedding", 64).localCheckpoint()
+    }
+    val (tree, treeS) = timed {
+      Knn.treeAssign(e, l1, l2, "vec_id", "embedding", k2, 64).localCheckpoint()
+    }
+    val agree = flat.withColumnRenamed("cluster", "__f")
+      .join(tree, "vec_id")
+      .agg(sum(when(col("__f") === col("cluster"), 1L).otherwise(0L))).head().getLong(0)
+    println(s"""{"metric":"semdedup_scale","sf":"$sfDir","n":$n,"k1":$k1,"k2":$k2,""" +
+      s""""flat_rows":${n * k1 * k2},"tree_rows":${n * (k1 + k2)},""" +
+      s""""flat_s":$flatS,"tree_s":$treeS,""" +
+      s""""agreement_bp":${if (n == 0) 0 else agree * 10000 / n}}""")
+    spark.stop()
+  }
+}

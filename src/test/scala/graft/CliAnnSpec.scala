@@ -1,0 +1,72 @@
+package graft
+
+import graft.similarity.{Knn, Pq}
+import graft.tools.Cli
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+
+/** A0b/E7e/E45c/E46: the `ann` CLI drives the vector-index lifecycle —
+  * build (raw and PQ), serve, append with the duplicate guard, and the
+  * drift readout — and every served answer equals the library call. */
+class CliAnnSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  test("ann build/search (raw IVF) round-trip equals the library answer") {
+    val dir = sf("sf0.001")
+    val emb = s"$dir/embeddings.parquet"
+    val index = tmp("graft_ann_raw")
+    val qsPath = tmp("graft_ann_q") + "/qs.parquet"
+    val outPath = tmp("graft_ann_o") + "/out.parquet"
+    val e = Tables.embeddings(spark, dir)
+    e.filter($"vec_id" < 5).write.parquet(qsPath)
+    Cli.main(Array("ann", "build", "--in", emb, "--index", index,
+      "--clusters", "6", "--iters", "2"))
+    Cli.main(Array("ann", "search", "--index", index, "--queries", qsPath,
+      "--k", "10", "--nprobe", "3", "--out", outPath))
+    val got = spark.read.parquet(outPath).collect().map(_.toSeq).toSet
+    val cents = Knn.ivfTrain(e, "vec_id", "embedding", 6, 2, 64)
+    val lib = Knn.ivfSearch(e, cents, e.filter($"vec_id" < 5),
+      "vec_id", "embedding", 10, 64, 3).collect().map(_.toSeq).toSet
+    assert(got == lib)
+    assert(got.nonEmpty)
+  }
+
+  test("ann build --pq / search / append / drift lifecycle") {
+    val dir = sf("sf0.001")
+    val e = Tables.embeddings(spark, dir)
+    val root = tmp("graft_ann_pq")
+    val basePath = s"$root/base.parquet"; val batchPath = s"$root/batch.parquet"
+    val index = s"$root/index"; val qsPath = s"$root/qs.parquet"
+    val out1 = s"$root/out1.parquet"; val out2 = s"$root/out2.parquet"
+    e.filter($"vec_id" % 7 =!= 0).write.parquet(basePath)
+    e.filter($"vec_id" % 7 === 0).write.parquet(batchPath)
+    e.filter($"vec_id" < 5).write.parquet(qsPath)
+    Cli.main(Array("ann", "build", "--in", basePath, "--index", index,
+      "--clusters", "6", "--iters", "2", "--pq", "4,8,2"))
+    Cli.main(Array("ann", "search", "--index", index, "--queries", qsPath,
+      "--k", "10", "--nprobe", "3", "--out", out1))
+    assert(spark.read.parquet(out1).count() > 0)
+    // append the held-out batch, duplicate re-append refuses
+    Cli.main(Array("ann", "append", "--in", batchPath, "--index", index))
+    val clash = intercept[IllegalArgumentException] {
+      Cli.main(Array("ann", "append", "--in", batchPath, "--index", index))
+    }
+    assert(clash.getMessage.contains("already present"))
+    // post-append serve equals the library stack over the FULL corpus
+    // with the BASE-trained centroids/codebook (read back from the index)
+    Cli.main(Array("ann", "search", "--index", index, "--queries", qsPath,
+      "--k", "10", "--nprobe", "3", "--out", out2))
+    val cents = spark.read.parquet(s"$index/centroids.parquet")
+    val cb = spark.read.parquet(s"$index/codebook.parquet")
+    val corpus = Pq.encode(e, cb, "vec_id", "embedding", 4, 64)
+      .join(Knn.ivfAssign(e, cents, "vec_id", "embedding", 64)
+        .withColumnRenamed("vec_id", "vid"), "vid")
+    val lib = Pq.ivfAdcSearch(corpus, cents, cb, e.filter($"vec_id" < 5),
+      "vec_id", "embedding", 10, 4, 64, 3).collect().map(_.toSeq).toSet
+    assert(spark.read.parquet(out2).collect().map(_.toSeq).toSet == lib)
+    // drift readout runs worst-first without error (smoke over stdout)
+    Cli.main(Array("ann", "drift", "--in", basePath, "--index", index, "--top", "3"))
+  }
+}

@@ -73,6 +73,26 @@ class RollupLandingSpec extends SparkSpecBase {
       Set(("x", 2L, Some(3L), Some(2L))))
   }
 
+  test("D5s/A0b: the rollup CLI two-invocation round-trip equals the whole-feed build") {
+    val feed = tmp("graft-rcf"); val land = tmp("graft-rcl"); val ckpt = tmp("graft-rcc")
+    val p1 = Seq(("a", 10L, 1L), ("b", 5L, 2L))
+    val p2 = Seq(("a", 7L, 4L), ("c", 2L, 5L))
+    def run(): Unit = graft.tools.Cli.main(Array(
+      "rollup", "--in", feed, "--keys", "k", "--landing", land,
+      "--sum", "v", "--max", "id", "--checkpoint", ckpt))
+    p1.toDF("k", "v", "id").write.mode("append").parquet(feed)
+    run()
+    p2.toDF("k", "v", "id").write.mode("append").parquet(feed)
+    run()
+    val got = RollupLanding.read(spark, land).get
+      .select(col("k"), col("n_rows"), col("sum_v"), col("max_id"))
+      .as[(String, Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(
+      ("a", 2L, Some(17L), Some(4L)),
+      ("b", 1L, Some(5L), Some(2L)),
+      ("c", 1L, Some(2L), Some(5L))))
+  }
+
   test("D5s: only the newest version and one predecessor survive a landing") {
     val land = tmp("graft-rlv")
     (0L to 3L).foreach(i => assert(RollupLanding.landBatch(

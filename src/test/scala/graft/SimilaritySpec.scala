@@ -288,6 +288,117 @@ class SimilaritySpec extends SparkSpecBase {
     assert(clash.getMessage.contains("already present"))
   }
 
+  test("E45c: persisted IVF+PQ index — served ≡ inline, DPP prune, append ≡ rebuild, dup refusal") {
+    import graft.similarity.Pq
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val qs = e.filter($"vec_id" < 5)
+    val coarse = Knn.centroidSums(e, "label", "embedding", 64)
+    val cb = Pq.train(e, "vec_id", "embedding", 4, 8, 2, 64)
+    val idx = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString
+    Pq.writeIndex(e, coarse, cb, "vec_id", "embedding", 4, 64, idx)
+    val served = Pq.searchIndex(spark, idx, coarse, cb, qs,
+      "vec_id", "embedding", 10, 4, 64, 3)
+    val inline = {
+      val corpus = Pq.encode(e, cb, "vec_id", "embedding", 4, 64)
+        .join(Knn.ivfAssign(e, coarse, "vec_id", "embedding", 64)
+          .withColumnRenamed("vec_id", "vid"), "vid")
+      Pq.ivfAdcSearch(corpus, coarse, cb, qs, "vec_id", "embedding", 10, 4, 64, 3)
+    }
+    assert(served.collect().toSet == inline.collect().toSet)
+    // code scan must carry the dynamic cluster partition filter
+    val pf = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+      .linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("dynamicpruningexpression(cluster"),
+      s"PQ index scan should dynamically prune by cluster partition, got: $pf")
+    // append ≡ rebuild, duplicate refusal
+    val base = e.filter($"vec_id" % 7 =!= 0)
+    val batch = e.filter($"vec_id" % 7 === 0)
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-pq-app").toString
+    Pq.writeIndex(base, coarse, cb, "vec_id", "embedding", 4, 64, idx2)
+    Pq.appendIndex(batch, coarse, cb, "vec_id", "embedding", 4, 64, idx2)
+    val appended = Pq.searchIndex(spark, idx2, coarse, cb, qs,
+      "vec_id", "embedding", 10, 4, 64, 3).collect().map(_.toSeq).toSet
+    assert(appended == served.collect().map(_.toSeq).toSet,
+      "appended PQ index must answer like the full build")
+    val clash = intercept[IllegalArgumentException] {
+      Pq.appendIndex(batch, coarse, cb, "vec_id", "embedding", 4, 64, idx2)
+    }
+    assert(clash.getMessage.contains("already present"))
+  }
+
+  test("E46: centroid drift — zero on identity, exact on a known shift, null one-sided") {
+    // trained: cluster 0 = {(1,1),(3,3)} sum (4,4) n 2; cluster 1 = {(10,0)}
+    def sums(rows: Seq[(Long, Array[Float], Int)]) =
+      Knn.centroidSums(rows.toDF("vec_id", "embedding", "label"), "label", "embedding", 2)
+    val trained = sums(Seq(
+      (1L, Array(1.0f, 1.0f), 0), (2L, Array(3.0f, 3.0f), 0), (3L, Array(10.0f, 0.0f), 1)))
+    // identity: drift2 exactly 0.0 for both clusters
+    val zero = Knn.centroidDrift(trained, trained, 2)
+      .select($"cluster", $"drift2").as[(Long, Option[Double])].collect().toMap
+    assert(zero == Map(0L -> Some(0.0), 1L -> Some(0.0)))
+    // known shift: cluster 0's members move to {(2,2)} (n'=1, S'=(2000,2000))
+    // drift per dim = (1·4000 − 2·2000)²/(2·1)² = 0 — centroid unchanged;
+    // cluster 1 moves (10,0) → (10,4): drift = (0 − 4000)²/1 = 1.6e7 on dim 1
+    val current = sums(Seq(
+      (9L, Array(2.0f, 2.0f), 0), (8L, Array(10.0f, 4.0f), 1), (7L, Array(5.0f, 5.0f), 2)))
+    val got = Knn.centroidDrift(trained, current, 2)
+      .select($"cluster", $"n_trained", $"n_current", $"drift2")
+      .as[(Long, Option[Long], Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) == ((Some(2L), Some(1L), Some(0.0))))
+    assert(got(1L) == ((Some(1L), Some(1L), Some(4000.0 * 4000.0))))
+    assert(got(2L) == ((None, Some(1L), None))) // never-trained cluster: null side
+    // vanished cluster (trained-only) also surfaces with nulls
+    val gone = Knn.centroidDrift(trained, sums(Seq((9L, Array(1.0f, 1.0f), 0))), 2)
+      .select($"cluster", $"n_current").as[(Long, Option[Long])].collect().toMap
+    assert(gone(1L).isEmpty)
+  }
+
+  test("E44/E44t: two-level quantizer — children refine their cell; tree dedup kills within-cell dups") {
+    // 4 well-separated level-1 regions on orthogonal axes, each with two
+    // internal sub-groups — k1=4, k2=2
+    val rows = for {
+      (axis, cell) <- Seq((0, 0), (1, 1), (2, 2), (3, 3))
+      sub <- 0 to 1
+      copy <- 0 to 2
+    } yield {
+      val v = Array.fill(4)(0.0f)
+      v(axis) = 10.0f
+      v((axis + 1) % 4) = if (sub == 0) 1.0f else -1.0f
+      (cell.toLong * 100 + sub * 10 + copy, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val (l1, l2) = Knn.ivfTrain2(corpus, "vec_id", "embedding", 4, 2, 3, 4)
+    assert(l2.count() <= 4L * 2L) // ≤ k1·k2 cells
+    val tree = Knn.treeAssign(corpus, l1, l2, "vec_id", "embedding", 2, 4)
+      .as[(Long, Long)].collect().toMap
+    // level-2 refines level-1: the composite's cell component equals the
+    // flat level-1 argmin for every vector
+    val flat1 = Knn.ivfAssign(corpus, l1, "vec_id", "embedding", 4)
+      .as[(Long, Long)].collect().toMap
+    tree.foreach { case (vid, cluster) =>
+      assert(cluster / 2 == flat1(vid), s"vid $vid: tree cell ${cluster / 2} != flat ${flat1(vid)}")
+    }
+    // identical vectors share a (cell, child)
+    val byVec = rows.groupBy { case (_, v) => v.toSeq }.values
+    byVec.foreach { group =>
+      val cells = group.map { case (id, _) => tree(id) }.toSet
+      assert(cells.size == 1, s"identical vectors split: $group -> $cells")
+    }
+    // tree dedup kills the within-cell dup: ids 0,1,2 are identical —
+    // semanticDedupAssigned keeps only the lowest id of each identical set
+    val assigned = corpus.join(
+      Knn.treeAssign(corpus, l1, l2, "vec_id", "embedding", 2, 4), "vec_id")
+    val kept = Knn.semanticDedupAssigned(assigned, "vec_id", "embedding", "cluster", 9999L)
+      .select($"vec_id").as[Long].collect().toSet
+    byVec.foreach { group =>
+      val ids = group.map(_._1)
+      assert(kept.intersect(ids.toSet) == Set(ids.min),
+        s"dup group $ids: kept ${kept.intersect(ids.toSet)}")
+    }
+  }
+
   test("E6: brute-force kNN self-excluded, ranked, exactly k rows per query") {
     val dir = sf("sf0.001")
     val e = Tables.embeddings(spark, dir)
