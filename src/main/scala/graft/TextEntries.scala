@@ -446,6 +446,21 @@ object TextEntries {
         k = Bm25K)
     }),
 
+    // E48b: BM25 served from the PERSISTED index — corpus tokenized once
+    // at build, the serve path reads bucketed postings + frozen stats and
+    // must answer exactly like the inline path (same oracle as text_bm25)
+    "text_bm25_indexed" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.filter(col("doc_id") % 100 =!= 0).select("doc_id", "text")
+      val qs = d.filter(col("doc_id") % 100 === 0)
+        .select(
+          col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext"))
+      graft.text.Bm25.writeIndex(corpus, "doc_id", "text", "graft_bm25_idx", buckets = 8)
+      graft.text.Bm25.searchIndex(s, "graft_bm25_idx", qs, "query_id", "qtext",
+        k = Bm25K)
+    }),
+
     // E20: the capstone composition — quality filter → exact dedup →
     // stratified sample → sequence packing, one declarative plan end to
     // end (what a real ingest run chains; every stage is the operator
@@ -519,6 +534,44 @@ object TextEntries {
   )
 
   // -------------------------------------------------------------- oracles
+
+  /** text_bm25's oracle — also the contract for the indexed serve. */
+  private val bm25Sql: String =
+      s"""WITH ct AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS t
+         |  FROM documents WHERE doc_id % 100 <> 0),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM ct),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |                 CAST(COALESCE(sum(dl), 0) AS BIGINT) AS l FROM dl),
+         |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT ct.doc_id, dl.dl, unnest(ct.t) AS tok
+         |             FROM ct JOIN dl USING (doc_id))
+         |       GROUP BY doc_id, dl, tok),
+         |qt AS (SELECT doc_id AS query_id,
+         |         array_to_string(list_slice($toksSql, 1, 8), ' ') AS qtext
+         |       FROM documents WHERE doc_id % 100 = 0),
+         |qtok AS (SELECT DISTINCT query_id, tok FROM (
+         |           SELECT query_id, unnest(string_split(qtext, ' ')) AS tok FROM qt)
+         |         WHERE tok <> ''),
+         |matched AS (SELECT tf.* FROM tf
+         |            WHERE tok IN (SELECT DISTINCT tok FROM qtok)),
+         |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+         |          FROM matched GROUP BY tok),
+         |scored AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum(CAST(floor((
+         |      (CAST(2*n - 2*df + 1 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE)) *
+         |      (CAST(44*l*tf AS DOUBLE) /
+         |       CAST(20*l*tf + 6*l + 18*dl*n AS DOUBLE))) * 1000.0) AS BIGINT))
+         |      AS BIGINT) AS score_milli
+         |  FROM matched
+         |  JOIN dfreq USING (tok) JOIN qtok USING (tok) CROSS JOIN stats
+         |  GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, n_terms, score_milli, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_milli DESC, doc_id ASC) AS rk FROM scored)
+         |WHERE rk <= $Bm25K""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "text_tokens" ->
@@ -1019,42 +1072,11 @@ object TextEntries {
          |  FROM documents) WHERE rk <= $SourceCap""".stripMargin
     },
 
-    "text_bm25" ->
-      s"""WITH ct AS (
-         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS t
-         |  FROM documents WHERE doc_id % 100 <> 0),
-         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM ct),
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |                 CAST(COALESCE(sum(dl), 0) AS BIGINT) AS l FROM dl),
-         |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
-         |       FROM (SELECT ct.doc_id, dl.dl, unnest(ct.t) AS tok
-         |             FROM ct JOIN dl USING (doc_id))
-         |       GROUP BY doc_id, dl, tok),
-         |qt AS (SELECT doc_id AS query_id,
-         |         array_to_string(list_slice($toksSql, 1, 8), ' ') AS qtext
-         |       FROM documents WHERE doc_id % 100 = 0),
-         |qtok AS (SELECT DISTINCT query_id, tok FROM (
-         |           SELECT query_id, unnest(string_split(qtext, ' ')) AS tok FROM qt)
-         |         WHERE tok <> ''),
-         |matched AS (SELECT tf.* FROM tf
-         |            WHERE tok IN (SELECT DISTINCT tok FROM qtok)),
-         |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
-         |          FROM matched GROUP BY tok),
-         |scored AS (
-         |  SELECT query_id, doc_id,
-         |    CAST(count(*) AS BIGINT) AS n_terms,
-         |    CAST(sum(CAST(floor((
-         |      (CAST(2*n - 2*df + 1 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE)) *
-         |      (CAST(44*l*tf AS DOUBLE) /
-         |       CAST(20*l*tf + 6*l + 18*dl*n AS DOUBLE))) * 1000.0) AS BIGINT))
-         |      AS BIGINT) AS score_milli
-         |  FROM matched
-         |  JOIN dfreq USING (tok) JOIN qtok USING (tok) CROSS JOIN stats
-         |  GROUP BY query_id, doc_id)
-         |SELECT query_id, doc_id, n_terms, score_milli, rk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY score_milli DESC, doc_id ASC) AS rk FROM scored)
-         |WHERE rk <= $Bm25K""".stripMargin,
+    "text_bm25" -> bm25Sql,
+
+    // the indexed serve must produce EXACTLY the inline answer
+    "text_bm25_indexed" -> bm25Sql,
+
 
     "data_priority_sample" -> {
       val h = PortableHash.duckH32("'pri:'||CAST(doc_id AS VARCHAR)")

@@ -56,7 +56,30 @@ object PrioritySample {
       idCol: String,
       weight: Column,
       k: Int,
+      salt: String = "pri"): DataFrame =
+    sampled(df, idCol, weight, Seq.empty, k, salt)
+
+  /** Per-GROUP priority sampling: an independent k-sample with its own
+    * threshold τ_g per stratum (language, source, quality tier) — the
+    * weighted, estimator-carrying sibling of
+    * [[graft.text.TextOps.sourceCap]]'s uniform count cap. Same plan with
+    * the group key on the heap exchange (k+1 rows of state per group, no
+    * per-group sort); τ becomes one row per group, broadcast back. */
+  def samplePerGroup(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      groups: Seq[String],
+      k: Int,
       salt: String = "pri"): DataFrame = {
+    require(groups.nonEmpty,
+      "PrioritySample.samplePerGroup: pass group columns (use sample() for global)")
+    sampled(df, idCol, weight, groups, k, salt)
+  }
+
+  private def sampled(
+      df: DataFrame, idCol: String, weight: Column,
+      groups: Seq[String], k: Int, salt: String): DataFrame = {
     require(k > 0, s"PrioritySample: k must be positive, got $k")
     Internal.foreach { r =>
       require(!df.columns.contains(r), s"PrioritySample: input already has a '$r' column")
@@ -73,11 +96,18 @@ object PrioritySample {
       .withColumn("priority",
         col("__w").cast("double") * lit(4294967296.0) / (col("__h") + 1).cast("double"))
     val topK1 = TopK.perGroup(
-      eligible, Seq.empty, Seq(col("priority").desc, col(idCol).asc), k + 1, rankCol = "__rk")
-    val tau = topK1.agg(
-      max(when(col("__rk") === (k + 1), col("priority"))).as("__tau"))
-    topK1.filter(col("__rk") <= k)
-      .crossJoin(broadcast(tau))
+      eligible, groups, Seq(col("priority").desc, col(idCol).asc), k + 1, rankCol = "__rk")
+    val kept =
+      if (groups.isEmpty) {
+        val tau = topK1.agg(
+          max(when(col("__rk") === (k + 1), col("priority"))).as("__tau"))
+        topK1.filter(col("__rk") <= k).crossJoin(broadcast(tau))
+      } else {
+        val tau = topK1.groupBy(groups.map(col): _*).agg(
+          max(when(col("__rk") === (k + 1), col("priority"))).as("__tau"))
+        topK1.filter(col("__rk") <= k).join(broadcast(tau), groups, "left")
+      }
+    kept
       .withColumn("ht_weight",
         greatest(col("__w").cast("double"), coalesce(col("__tau"), lit(0.0))))
       .drop("__tau")

@@ -78,6 +78,15 @@ object Bm25 {
     val stats = dl.agg(
       count(lit(1)).as("__n"), coalesce(sum(col("__dl")), lit(0L)).as("__l"))
 
+    scoreAndRank(tf, stats, queries, queryId, queryTextCol, docId, k)
+  }
+
+  /** Shared scoring tail over a postings frame (docId, __dl, __tok, __tf)
+    * and a 1-row (__n, __l) stats frame — identical between the inline
+    * path and the persisted-index serve, so they answer bit-identically. */
+  private def scoreAndRank(
+      tf: DataFrame, stats: DataFrame, queries: DataFrame,
+      queryId: String, queryTextCol: String, docId: String, k: Int): DataFrame = {
     val qtok = queries.select(
       col(queryId),
       explode(array_distinct(filter(TextOps.tokens(col(queryTextCol)), t => t =!= "")))
@@ -106,5 +115,49 @@ object Bm25 {
 
     graft.operators.TopK.perGroup(
       scored, Seq(queryId), Seq(col("score_milli").desc, col(docId).asc), k)
+  }
+
+  /** Materialize the retrieval index: the postings frame (doc, dl, term,
+    * tf) landed as a table BUCKETED BY TERM plus a 1-row stats table —
+    * corpus tokenization is paid ONCE, and every later query batch reads
+    * postings with no text in sight (the [[graft.dedup.Dedup.writeNgramIndex]]
+    * pattern for ranked retrieval). Bucketing by term makes the serve
+    * path's per-term df aggregation exchange-free on the postings scan;
+    * the only exchange a query pays is the matched-postings → (query,
+    * doc) scoring aggregation. */
+  def writeIndex(
+      corpus: DataFrame, docId: String, textCol: String,
+      name: String, buckets: Int): Unit = {
+    require(buckets > 0, s"Bm25.writeIndex: buckets must be positive, got $buckets")
+    val toks = corpus.select(
+      col(docId),
+      filter(TextOps.tokens(col(textCol)), t => t =!= "").as("__t"))
+    val tf = toks
+      .select(col(docId).as("__id"), size(col("__t")).cast("long").as("__dl"),
+        explode(col("__t")).as("__tok"))
+      .groupBy(col("__id"), col("__dl"), col("__tok"))
+      .agg(count(lit(1)).as("__tf"))
+    graft.sources.Bucketed.overwrite(tf, s"${name}_postings", buckets, Seq("__tok"))
+    val stats = toks.select(size(col("__t")).cast("long").as("__dl"))
+      .agg(count(lit(1)).as("__n"), coalesce(sum(col("__dl")), lit(0L)).as("__l"))
+      .withColumn("id_col", lit(docId))
+    graft.sources.Bucketed.overwritePlain(stats, s"${name}_meta")
+  }
+
+  /** Serve [[search]] from a persisted [[writeIndex]] index — same
+    * scoring tail, postings read from the bucketed table, corpus stats
+    * (N, L) from the frozen build-time meta (a later corpus append means
+    * rebuild — stats and df must describe the same postings). */
+  def searchIndex(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, queryId: String, queryTextCol: String,
+      k: Int): DataFrame = {
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"Bm25 index '$name' not found — build it with writeIndex first")
+    val meta = spark.table(s"${name}_meta").head()
+    val docId = meta.getAs[String]("id_col")
+    val tf = spark.table(s"${name}_postings").withColumnRenamed("__id", docId)
+    val stats = spark.table(s"${name}_meta").select(col("__n"), col("__l"))
+    scoreAndRank(tf, stats, queries, queryId, queryTextCol, docId, k)
   }
 }

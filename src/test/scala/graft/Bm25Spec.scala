@@ -57,6 +57,25 @@ class Bm25Spec extends SparkSpecBase {
     assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L)) // equal scores → id order
   }
 
+  test("E48b: the persisted index serves bit-identically to the inline path") {
+    val corpus = Seq(
+      (1L, "cat dog mouse"), (2L, "cat cat fish heron"), (3L, "bird dog"),
+      (4L, ""), (5L, "heron heron cat")).toDF("doc_id", "text")
+    val qs = Seq((10L, "cat fish"), (11L, "dog"), (12L, "")).toDF("query_id", "qtext")
+    Bm25.writeIndex(corpus, "doc_id", "text", "graft_bm25_t", buckets = 4)
+    val served = Bm25.searchIndex(spark, "graft_bm25_t", qs, "query_id", "qtext", k = 3)
+      .collect().map(_.toSeq).toSet
+    val inline = Bm25.search(corpus, "doc_id", "text", qs, "query_id", "qtext", k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(served == inline)
+    assert(served.nonEmpty)
+    // a missing index refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Bm25.searchIndex(spark, "graft_bm25_missing", qs, "query_id", "qtext", 3)
+    }
+    assert(e.getMessage.contains("not found"))
+  }
+
   test("E48: plan — broadcast joins + native heap; no sort-merge join, no per-query sort") {
     val corpus = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val qs = Seq((1L, "a")).toDF("query_id", "qtext")

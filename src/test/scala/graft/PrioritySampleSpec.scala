@@ -62,6 +62,28 @@ class PrioritySampleSpec extends SparkSpecBase {
     assert(ids("a") != ids("b"))
   }
 
+  test("E47g: per-group sampling — independent k and τ per stratum") {
+    // stratum a: 30 rows; stratum b: 2 rows (under k → exhaustive, ŵ = w)
+    val df = ((1L to 30L).map(i => (i, 5L, "a")) ++ Seq((100L, 7L, "b"), (101L, 9L, "b")))
+      .toDF("id", "w", "g")
+    val got = PrioritySample.samplePerGroup(df, "id", col("w"), Seq("g"), k = 4)
+      .select($"g", $"id", $"w", $"ht_weight")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.count(_._1 == "a") == 4)
+    assert(got.count(_._1 == "b") == 2)
+    // exhausted stratum carries no reweighting; cut stratum reweights up
+    assert(got.filter(_._1 == "b").forall(r => r._4 == r._3.toDouble))
+    assert(got.filter(_._1 == "a").forall(_._4 > 5.0))
+    // per-group τ equals the group's own (k+1)-th priority: check via the
+    // exhaustive run of stratum a alone
+    val aOnly = PrioritySample.sample(
+      df.filter($"g" === "a"), "id", col("w"), k = 1000)
+      .select($"id", $"priority").as[(Long, Double)].collect()
+      .sortBy { case (id, q) => (-q, id) }
+    val tauA = aOnly(4)._2
+    assert(got.filter(_._1 == "a").forall(_._4 == math.max(5.0, tauA)))
+  }
+
   test("E47: runs on the native bounded-heap plan, no window, no global sort") {
     val p = PrioritySample.sample(rows((1L to 50L)), "id", col("w"), k = 5)
       .queryExecution.explainString(FormattedMode)
