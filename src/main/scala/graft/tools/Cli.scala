@@ -50,6 +50,7 @@ object Cli {
     case Some("compact") => runCompact(args.tail)
     case Some("rollup") => runRollup(args.tail)
     case Some("ann") => runAnn(args.tail)
+    case Some("bm25") => runBm25(args.tail)
     case _ =>
       System.err.println(
         "usage: Cli validate ... | Cli index build|append|compact|screen ... | Cli land ... " +
@@ -173,6 +174,46 @@ object Cli {
         }
       case other =>
         System.err.println(s"unknown ann subcommand '$other'\n$usage"); sys.exit(2)
+    }
+  }
+
+  /** Ranked retrieval over a parquet corpus — the drivable face of
+    * [[graft.text.Bm25]]: `build` tokenizes the corpus once into the
+    * term-bucketed postings index; `search` ranks a parquet query set
+    * against it (top-k per query, exact-integer scores). */
+  private def runBm25(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli bm25 build --in docs.parquet --name idx [--id doc_id] [--text text] [--buckets 16]\n" +
+        "     | Cli bm25 search --name idx --queries qs.parquet --query-id c --query-text c [--k 10] [--out p]"
+    val sub = args.headOption.getOrElse {
+      System.err.println(usage); sys.exit(2); ""
+    }
+    val opts = new Opts(args.tail, usage)
+    val spark = localSession()
+    sub match {
+      case "build" =>
+        val (in, name) = (opts.req("in"), opts.req("name"))
+        val corpus = spark.read.parquet(in)
+        graft.text.Bm25.writeIndex(corpus,
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+          name, opts.int("buckets", 16))
+        println(s"[bm25] indexed ${corpus.count()} docs -> $name " +
+          "(postings bucketed by term + frozen stats)")
+      case "search" =>
+        val (name, qsPath) = (opts.req("name"), opts.req("queries"))
+        val out = graft.text.Bm25.searchIndex(spark, name,
+          spark.read.parquet(qsPath), opts.req("query-id"), opts.req("query-text"),
+          opts.int("k", 10))
+        opts.get("out") match {
+          case Some(p) =>
+            out.write.mode("overwrite").parquet(p)
+            println(s"[bm25] ${out.count()} result rows -> $p")
+          case None =>
+            out.orderBy(col(opts.req("query-id")), col("rk")).collect()
+              .foreach(r => println(s"[bm25] ${r.mkString(" ")}"))
+        }
+      case other =>
+        System.err.println(s"unknown bm25 subcommand '$other'\n$usage"); sys.exit(2)
     }
   }
 

@@ -76,6 +76,24 @@ class Bm25Spec extends SparkSpecBase {
     assert(e.getMessage.contains("not found"))
   }
 
+  test("E48b/A0b: the bm25 CLI build/search round-trip equals the library answer") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_cli").toString
+    val corpus = Seq((1L, "cat dog"), (2L, "cat cat fish"), (3L, "bird"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "cat fish")).toDF("query_id", "qtext")
+    corpus.write.parquet(s"$root/docs.parquet")
+    qs.write.parquet(s"$root/qs.parquet")
+    graft.tools.Cli.main(Array("bm25", "build", "--in", s"$root/docs.parquet",
+      "--name", "graft_bm25_cli_idx", "--buckets", "4"))
+    graft.tools.Cli.main(Array("bm25", "search", "--name", "graft_bm25_cli_idx",
+      "--queries", s"$root/qs.parquet", "--query-id", "query_id",
+      "--query-text", "qtext", "--k", "5", "--out", s"$root/out.parquet"))
+    val got = spark.read.parquet(s"$root/out.parquet").collect().map(_.toSeq).toSet
+    val lib = Bm25.search(corpus, "doc_id", "text", qs, "query_id", "qtext", 5)
+      .collect().map(_.toSeq).toSet
+    assert(got == lib && got.nonEmpty)
+  }
+
   test("E48: plan — broadcast joins + native heap; no sort-merge join, no per-query sort") {
     val corpus = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val qs = Seq((1L, "a")).toDF("query_id", "qtext")

@@ -84,6 +84,25 @@ class PrioritySampleSpec extends SparkSpecBase {
     assert(got.filter(_._1 == "a").forall(_._4 == math.max(5.0, tauA)))
   }
 
+  test("E47: Horvitz-Thompson estimator is unbiased — Σŵ averages to Σw across salts") {
+    // the whole point of carrying ht_weight: Σ over sampled rows of ŵ
+    // estimates the corpus total Σw without bias. 64 independent samples
+    // (distinct salts = distinct hash draws) of k=10 from 40 rows; the
+    // MEAN of the estimates must land near the true total while single
+    // draws scatter. Deterministic: fixed salt list, fixed data.
+    val df = rows((1L to 40L))
+    val trueTotal = (1L to 40L).sum.toDouble
+    val estimates = (1 to 64).map { i =>
+      PrioritySample.sample(df, "id", col("w"), k = 10, salt = s"unbias-$i")
+        .agg(sum($"ht_weight")).as[Double].head()
+    }
+    val mean = estimates.sum / estimates.size
+    assert(math.abs(mean - trueTotal) / trueTotal < 0.10,
+      s"mean estimate $mean vs true $trueTotal (estimates: ${estimates.take(8)}...)")
+    // and the spread is real (the estimator is not degenerate)
+    assert(estimates.distinct.size > 10)
+  }
+
   test("E47: runs on the native bounded-heap plan, no window, no global sort") {
     val p = PrioritySample.sample(rows((1L to 50L)), "id", col("w"), k = 5)
       .queryExecution.explainString(FormattedMode)

@@ -436,6 +436,45 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("E48b: continuous retrieval — query microbatches served from the persisted BM25 index") {
+    // the serving composition: corpus indexed ONCE, a stream of query
+    // texts ranked per microbatch via the exchange-friendly indexed path;
+    // the union of streamed answers must equal one inline batch search
+    import graft.text.Bm25
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "sphinx of black quartz judge my vow"),
+      (4L, "quick foxes pack quartz boxes")).toDF("doc_id", "text")
+    Bm25.writeIndex(corpus, "doc_id", "text", "graft_bm25_stream", buckets = 4)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-bm25s").toString + "/out"
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestDoc]
+    val q = input.toDF().toDF("query_id", "qtext").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Bm25.searchIndex(spark, "graft_bm25_stream", batch, "query_id", "qtext", k = 2)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      input.addData(IngestDoc(100L, "quick fox"), IngestDoc(101L, "liquor jugs"))
+      q.processAllAvailable()
+      input.addData(IngestDoc(102L, "black quartz"))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir).collect().map(_.toSeq).toSet
+      val allQs = Seq((100L, "quick fox"), (101L, "liquor jugs"), (102L, "black quartz"))
+        .toDF("query_id", "qtext")
+      val inline = Bm25.search(corpus, "doc_id", "text", allQs, "query_id", "qtext", 2)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == inline)
+      assert(streamed.nonEmpty)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_bm25_stream_postings")
+      spark.sql("DROP TABLE IF EXISTS graft_bm25_stream_meta")
+    }
+  }
+
   test("E2b-delta: continuous ingest ACCEPTS survivors into the index (screen → append loop)") {
     // the closed steady-state loop a year-long ingest runs: every
     // microbatch is screened against the index (base ∪ deltas), survivors
