@@ -122,6 +122,7 @@ object TextEntries {
   // threshold τ genuinely cuts (an exhaustive "sample" would test nothing)
   val PrioritySampleK = 100
   val Bm25K = 5 // docs kept per query (E48)
+  val BpeRounds = 20 // merge rules learned (E49, rows-only)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E10: token counting — whitespace, BPE-ish regex, normalized
@@ -444,6 +445,18 @@ object TextEntries {
           concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext"))
       graft.text.Bm25.search(corpus, "doc_id", "text", qs, "query_id", "qtext",
         k = Bm25K)
+    }),
+
+    // E49: distributed BPE merge learning — rows-only by documented
+    // design (the greedy in-word fold has no RE2-portable SQL twin;
+    // correctness rides BpeSpec's sequential-reference equivalence)
+    "text_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Bpe.train(
+        Tables.documents(s, dir).select("text"), "text",
+        rounds = BpeRounds, minCount = 5L)
+        .toDF()
+        .select(col("round"), col("left"), col("right"), col("pairCount").as("pair_count"))
     }),
 
     // E48b: BM25 served from the PERSISTED index — corpus tokenized once

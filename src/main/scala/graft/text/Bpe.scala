@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge-rule learning (Sennrich 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units") — the tokenizer-training
+  * step of an LLM data pipeline, run where the data is instead of
+  * streaming a 100 TB corpus through a single-node trainer.
+  *
+  * Classic BPE trains on the WORD FREQUENCY TABLE, not the corpus: the
+  * corpus collapses to (word, count) once — vocabulary-sized, the only
+  * corpus-scale pass — and every merge round then costs one map-side-
+  * combined pair-count aggregation over that table plus a broadcast
+  * rewrite. Per round: count adjacent symbol pairs weighted by word
+  * count (one exchange of pair partials), pick the most frequent pair
+  * (count desc, then lexicographic — deterministic), and rewrite every
+  * word's symbol sequence with the greedy LEFT-TO-RIGHT non-overlapping
+  * merge. The rewrite is a per-word left fold expressed with
+  * `aggregate()` over the symbol array — codegen'd, no UDF; sequential
+  * only WITHIN a word (bounded by word length), embarrassingly parallel
+  * across words.
+  *
+  * Determinism: ties in pair counts break lexicographically, the fold is
+  * deterministic, so the learned merge list is a pure function of the
+  * corpus. No DuckDB oracle — the greedy in-word fold needs sequential
+  * state no RE2-portable SQL expresses (lookbehind is Java-only), so the
+  * gate records rows-only (the E33 pattern) and correctness rides the
+  * randomized equivalence test against a sequential reference
+  * implementation (BpeSpec).
+  */
+object Bpe {
+
+  /** One learned rule. */
+  final case class Merge(round: Int, left: String, right: String, pairCount: Long)
+
+  /** The greedy left-to-right merge of (a, b) → a+b over a symbol array,
+    * as a codegen'd left fold: append each symbol, or — when the
+    * accumulator ends with `a` and the symbol is `b` — replace that tail
+    * with the merged symbol. A token merged in this round equals a+b and
+    * can never re-trigger (a+b ≠ a), which is exactly the non-overlap
+    * rule of sequential BPE. */
+  private[text] def mergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** (word, cnt, syms) frequency table of a corpus — the one corpus-scale
+    * pass; symbols start as single characters. */
+  def wordTable(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .select(explode(filter(TextOps.tokens(col(textCol)), t => t =!= "")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", split(col("word"), ""))
+
+  /** Learn up to `rounds` merges; stops early when the best remaining
+    * pair falls below `minCount`. Returns the merge list in order. */
+  def train(
+      corpus: DataFrame, textCol: String,
+      rounds: Int, minCount: Long = 2L): Seq[Merge] = {
+    require(rounds >= 0, s"Bpe.train: rounds must be >= 0, got $rounds")
+    var words = wordTable(corpus, textCol).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val best = words
+        .select(col("cnt"),
+          // guard single-symbol words: sequence(0, -1) DESCENDS in Spark,
+          // and explode of the null when-branch drops the row
+          explode(when(size(col("syms")) >= 2,
+            transform(sequence(lit(0), size(col("syms")) - 2),
+              i => struct(
+                element_at(col("syms"), i + 1).as("a"),
+                element_at(col("syms"), i + 2).as("b"))))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      best.headOption.filter(_.getLong(2) >= minCount) match {
+        case None => exhausted = true
+        case Some(row) =>
+          val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += Merge(r + 1, a, b, n)
+          words = words
+            .withColumn("syms", mergeFold(col("syms"), a, b))
+            .localCheckpoint()
+          r += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Encode a text column with a learned merge list: the same greedy fold
+    * applied rule by rule in training order — so encoding the training
+    * corpus reproduces training's final symbol state exactly. Output
+    * adds `bpe_syms` (array<string>) per row, whole-text (tokens
+    * re-segmented per word then concatenated). */
+  def encode(
+      df: DataFrame, textCol: String, merges: Seq[Merge],
+      out: String = "bpe_syms"): DataFrame =
+    df.withColumn("__toks", filter(TextOps.tokens(col(textCol)), t => t =!= ""))
+      .withColumn(out,
+        flatten(transform(col("__toks"),
+          w => merges.foldLeft(split(w, ""): Column)(
+            (acc, m) => mergeFold(acc, m.left, m.right)))))
+      .drop("__toks")
+}
