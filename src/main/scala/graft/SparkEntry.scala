@@ -373,6 +373,18 @@ object SparkEntry {
         Tables.orders(s, dir), perturbedOrders(s, dir), Seq("o_orderkey"),
         "orders", graft.cdc.CdcOperator.ValidateConfig(
           chunkSize = 500, orderedChunks = false))
+    }),
+
+    // A0g: SAMPLED screening validate — 40% of the hash chunks, chosen by
+    // a salted portable hash of the chunk id, so both sides sample the
+    // SAME deterministic keyspace fraction and every report number is
+    // exact on the sample. The 100 TB screening dial: catch drift daily
+    // at 40% of the cost, escalate to sampleBp=10000 on a mismatch.
+    "cdc_validate_sampled" -> ((s, dir) => {
+      graft.cdc.CdcOperator.validate(
+        Tables.orders(s, dir), perturbedOrders(s, dir), Seq("o_orderkey"),
+        "orders", graft.cdc.CdcOperator.ValidateConfig(
+          chunkSize = 500, orderedChunks = false, sampleBp = 4000))
     })
   )
 
@@ -681,6 +693,38 @@ object SparkEntry {
          |  (SELECT count(*) FROM orders) AS src_rows,
          |  (SELECT count(*) FROM tgt) AS tgt_rows,
          |  (SELECT count(*) FROM orders) = (SELECT count(*) FROM tgt) AS counts_match,
+         |  (SELECT count(*) FROM chunks WHERE NOT ok) AS chunks_mismatched,
+         |  (SELECT n FROM rd) AS rows_differing""".stripMargin
+    },
+
+    "cdc_validate_sampled" -> {
+      val rowHash = graft.text.PortableHash.duckH32(
+        "concat_ws('|', " +
+          ordersCols.map(c => s"COALESCE(CAST($c AS VARCHAR), chr(1)||'NULL')").mkString(", ") + ")")
+      val mism = ordersCols.filterNot(_ == "o_orderkey")
+        .map(c => s"s.$c IS DISTINCT FROM t.$c").mkString(" OR ")
+      val chunkOf = s"CAST(floor((${graft.text.PortableHash.duckH32(
+        "COALESCE(CAST(o_orderkey AS VARCHAR), 'NULL')")} % 1000000) / 500.0) AS BIGINT)"
+      val samp = s"(${graft.text.PortableHash.duckH32(
+        "'vsamp:'||CAST(cid AS VARCHAR)")} % 10000) < 4000"
+      s"""WITH tgt AS ($perturbedOrdersSql),
+         |ss AS (SELECT * FROM (SELECT *, $chunkOf AS cid FROM orders) WHERE $samp),
+         |ts AS (SELECT * FROM (SELECT *, $chunkOf AS cid FROM tgt) WHERE $samp),
+         |sa AS (SELECT cid AS chunk_id, count(*) AS src_rows, sum($rowHash) AS sh
+         |       FROM ss GROUP BY 1),
+         |ta AS (SELECT cid AS chunk_id, count(*) AS tgt_rows, sum($rowHash) AS th
+         |       FROM ts GROUP BY 1),
+         |chunks AS (
+         |  SELECT (src_rows IS NOT DISTINCT FROM tgt_rows AND sh IS NOT DISTINCT FROM th) AS ok
+         |  FROM sa FULL OUTER JOIN ta ON sa.chunk_id = ta.chunk_id),
+         |rd AS (
+         |  SELECT count(*) AS n
+         |  FROM ss s FULL OUTER JOIN ts t ON s.o_orderkey = t.o_orderkey
+         |  WHERE s.o_orderkey IS NULL OR t.o_orderkey IS NULL OR $mism)
+         |SELECT 'orders' AS tbl,
+         |  (SELECT count(*) FROM ss) AS src_rows,
+         |  (SELECT count(*) FROM ts) AS tgt_rows,
+         |  (SELECT count(*) FROM ss) = (SELECT count(*) FROM ts) AS counts_match,
          |  (SELECT count(*) FROM chunks WHERE NOT ok) AS chunks_mismatched,
          |  (SELECT n FROM rd) AS rows_differing""".stripMargin
     }

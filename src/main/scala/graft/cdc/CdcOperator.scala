@@ -55,12 +55,21 @@ object CdcOperator {
     * chunks are `chunkSize`-row ranges in pk order and `startPosition`
     * skips that many rows (rust_pgdatadiff payload). `false` switches to
     * hash-range chunking — positions never computed, one shuffle fewer —
-    * for the very largest tables. */
+    * for the very largest tables.
+    * @param sampleBp screening mode: validate only the chunks whose
+    *                  salted portable hash falls under `sampleBp`/10000 —
+    *                  a DETERMINISTIC fraction of the keyspace (hash
+    *                  chunks are pk-derived, so both sides sample the
+    *                  same keys and every report number is exact on the
+    *                  sample). 10000 = full validation. Requires hash
+    *                  chunking: positional chunks sample row POSITIONS,
+    *                  which shift under inserts. */
   case class ValidateConfig(
       chunkSize: Long = 1000,
       startPosition: Long = 0,
       onlyCount: Boolean = false,
-      orderedChunks: Boolean = true)
+      orderedChunks: Boolean = true,
+      sampleBp: Long = 10000)
 
   case class TableState(table: String, state: DataFrame, files: Seq[CatalogedFile])
 
@@ -337,14 +346,38 @@ object CdcOperator {
       table: String,
       cfg: ValidateConfig = ValidateConfig()): DataFrame = {
     if (cfg.onlyCount) return DataDiff.countDiff(source, target, table)
+    require(cfg.sampleBp > 0 && cfg.sampleBp <= 10000,
+      s"validate: sampleBp must be in (0, 10000], got ${cfg.sampleBp}")
+    require(cfg.sampleBp == 10000 || !cfg.orderedChunks,
+      "validate: sampled screening (sampleBp < 10000) requires hash chunking " +
+        "(orderedChunks = false) — positional chunks sample row positions, " +
+        "which shift under inserts, so the two sides would sample different keys")
     val pkStruct = struct(pk.map(col): _*)
+    // hash-mode chunk id (pk-derived, engine-portable) — also the sampling
+    // unit for screening mode; see the orderedChunks=false branch below
+    val hashPkStr = concat_ws("|",
+      pk.map(c => coalesce(col(c).cast("string"), lit("\u0001NULL"))): _*)
+    val hashChunkOf = (pmod(graft.text.PortableHash.h32(hashPkStr), lit(1000000))
+      .cast("long") / lit(cfg.chunkSize)).cast("long")
+    // screening: both sides keep only the deterministically sampled chunks
+    // BEFORE any aggregation — the chunk shuffle, the counts, and the row
+    // drill-down all shrink to the sampled fraction of the keyspace
+    val (vSource, vTarget) =
+      if (cfg.sampleBp == 10000) (source, target)
+      else {
+        val keep = pmod(
+          graft.text.PortableHash.h32(
+            concat(lit("vsamp:"), hashChunkOf.cast("string"))),
+          lit(10000L)) < cfg.sampleBp
+        (source.filter(keep), target.filter(keep))
+      }
     // (chunk report, row-restriction of a side to mismatched chunks)
     val (chunks, restrict): (DataFrame, DataFrame => DataFrame) =
       if (cfg.orderedChunks) {
         // reference semantics: chunkSize ROWS per chunk in pk order,
         // startPosition skips rows (cdc_operator.rs:247-293)
         val ch = DataDiff.orderedChunkDiffRanges(
-          source, target, pk, cfg.chunkSize, cfg.startPosition).cache()
+          vSource, vTarget, pk, cfg.chunkSize, cfg.startPosition).cache()
         // evaluated once, on first use (i.e. only when chunks DID
         // mismatch), then shared by both side restrictions
         lazy val merged = mergedOnDriver(ch, MergeCollectLimit.toInt)
@@ -364,15 +397,11 @@ object CdcOperator {
         // 'NULL' sentinel (concat_ws skips nulls silently, which would
         // merge chunks of different-arity NULL tuples); the oracle
         // mirrors the same literal.
-        val pkStr = concat_ws("|",
-          pk.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
-        val chunkOf = (pmod(graft.text.PortableHash.h32(pkStr), lit(1000000))
-          .cast("long") / lit(cfg.chunkSize)).cast("long")
-        val ch = DataDiff.chunkDiff(source, target, chunkOf)
+        val ch = DataDiff.chunkDiff(vSource, vTarget, hashChunkOf)
           .filter(col("chunk_id") >= cfg.startPosition).cache()
         val badIds = ch.filter(!col("chunks_match"))
           .select(col("chunk_id").as("__chunk"))
-        (ch, df => df.withColumn("__chunk", chunkOf)
+        (ch, df => df.withColumn("__chunk", hashChunkOf)
           .join(broadcast(badIds), Seq("__chunk"), "left_semi")
           .drop("__chunk"))
       }
@@ -386,7 +415,7 @@ object CdcOperator {
           coalesce(sum(col("tgt_rows")), lit(0L)).as("tgt_rows"))
           .select(lit(table).as("tbl"), col("src_rows"), col("tgt_rows"),
             (col("src_rows") === col("tgt_rows")).as("counts_match"))
-      else DataDiff.countDiff(source, target, table)
+      else DataDiff.countDiff(vSource, vTarget, table)
     val badChunks = chunks.filter(!col("chunks_match"))
       .agg(count(lit(1)).as("chunks_mismatched")).withColumn("tbl", lit(table))
     // rows only on mismatch: a clean chunk report short-circuits the
@@ -397,7 +426,7 @@ object CdcOperator {
         source.sparkSession.range(1)
           .select(lit(0L).as("rows_differing"), lit(table).as("tbl"))
       else
-        DataDiff.rowDiff(restrict(source), restrict(target), pk)
+        DataDiff.rowDiff(restrict(vSource), restrict(vTarget), pk)
           .groupBy("diff_status").count()
           .agg(sum(col("count")).as("rows_differing")).withColumn("tbl", lit(table))
     counts

@@ -267,6 +267,44 @@ class CdcOperatorSpec extends SparkSpecBase {
     assert(r.getAs[Long]("rows_differing") == 0L)
   }
 
+  test("A0g: sampled screening validates exactly the deterministic chunk subset") {
+    import graft.diff.DataDiff
+    import graft.text.PortableHash
+    val src = spark.range(0, 800)
+      .select($"id".as("k"), ($"id" * 7).cast("string").as("v"))
+    val tgt = src
+      .withColumn("v", when($"k" % 83 === 0, lit("tampered")).otherwise($"v"))
+      .filter($"k" =!= 111L)
+    // the sampled-keyspace oracle, derived independently: rows whose hash
+    // chunk id falls under the salted draw
+    val chunkOf = (pmod(PortableHash.h32(
+      coalesce($"k".cast("string"), lit("NULL"))), lit(1000000))
+      .cast("long") / lit(50L)).cast("long")
+    val keep = pmod(PortableHash.h32(
+      concat(lit("vsamp:"), chunkOf.cast("string"))), lit(10000L)) < 3000L
+    val (srcS, tgtS) = (src.filter(keep), tgt.filter(keep))
+    val report = CdcOperator.validate(src, tgt, Seq("k"), "t",
+      ValidateConfig(chunkSize = 50, orderedChunks = false, sampleBp = 3000)).head()
+    // counts cover exactly the sampled keyspace on both sides
+    assert(report.getAs[Long]("src_rows") == srcS.count())
+    assert(report.getAs[Long]("tgt_rows") == tgtS.count())
+    // the row drill-down finds exactly the sample's damage
+    assert(report.getAs[Long]("rows_differing") == DataDiff.rowDiff(srcS, tgtS, Seq("k")).count())
+    // the sample is a genuine subset (screening, not a re-run of full)
+    assert(report.getAs[Long]("src_rows") < 800L && report.getAs[Long]("src_rows") > 0L)
+    // full-coverage run still reports everything
+    val full = CdcOperator.validate(src, tgt, Seq("k"), "t",
+      ValidateConfig(chunkSize = 50, orderedChunks = false)).head()
+    assert(full.getAs[Long]("rows_differing") == DataDiff.rowDiff(src, tgt, Seq("k")).count())
+    assert(full.getAs[Long]("rows_differing") >= report.getAs[Long]("rows_differing"))
+    // ordered chunks + sampling is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      CdcOperator.validate(src, tgt, Seq("k"), "t",
+        ValidateConfig(chunkSize = 50, sampleBp = 3000))
+    }
+    assert(e.getMessage.contains("hash chunking"))
+  }
+
   test("gated row drill-down equals the full row diff, both chunk modes") {
     import graft.diff.DataDiff
     val src = spark.range(0, 500)
