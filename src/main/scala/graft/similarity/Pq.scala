@@ -254,6 +254,32 @@ object Pq {
     ivfAdcSearch(spark.read.parquet(path), coarse, codebook, queries,
       idCol, vecCol, k, m, dims, nprobe)
 
+  /** [[writeIndex]] for the RESIDUAL path (E45d): codes quantize
+    * r = x − c(x) against the residual codebook, landed with the coarse
+    * cluster as the partition key — the serve side reads 1/K·nprobe of
+    * the directories and rebuilds its ADC tables per probed cluster.
+    * Codebook must come from [[trainQ]] over [[residuals]] of the SAME
+    * coarse centroids. */
+  def writeIndexResidual(
+      corpus: DataFrame, coarse: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int, dims: Int, path: String): Unit = {
+    val resid = residuals(corpus, coarse, idCol, vecCol, dims)
+    encodeQ(resid, codebook, "vid", col("rq"), m, dims)
+      .join(resid.select(col("vid"), col("cluster")), "vid")
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+  }
+
+  /** Serve [[ivfAdcSearchResidual]] from a persisted
+    * [[writeIndexResidual]] index (dynamic partition pruning on the
+    * cluster directories, per-probed-cluster residual ADC tables). */
+  def searchIndexResidual(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      coarse: DataFrame, codebook: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, dims: Int,
+      nprobe: Int): DataFrame =
+    ivfAdcSearchResidual(spark.read.parquet(path), coarse, codebook, queries,
+      idCol, vecCol, k, m, dims, nprobe)
+
   /** Coarse centroids as INTEGER coordinate arrays: cc_i = s_i div n
     * (truncated division, engine-exact) from a [[Knn.centroidSums]]-shaped
     * frame. The residual reference points — K rows, broadcast wherever

@@ -739,7 +739,7 @@ object Cli {
           "[--database-schema s] [--included-tables a,b] [--excluded-tables c] " +
           "[--mode m] [--start-date ISO] [--stop-date ISO] [--start-slack-days n] " +
           "[--pk 'tbl=col1,col2;tbl2=col'] [--chunk-size n] [--start-position n] " +
-          "[--hash-chunks] [--table-parallelism n] " +
+          "[--hash-chunks] [--sample-bp n] [--table-parallelism n] " +
           "[--source-postgres-url url] [--target-postgres-url url] " +
           "[--max-connections n] [--accept-invalid-certs-first-db] " +
           "[--accept-invalid-certs-second-db] " +
@@ -926,11 +926,14 @@ object Cli {
         // --hash-chunks opts into the map-only hash-range chunking (the
         // documented scale option) instead of the reference's pk-ordered
         // positional chunks
+        // --sample-bp N screens a deterministic N/10000 keyspace fraction
+        // (requires --hash-chunks; the operator refuses positional chunks)
         val vcfg = ValidateConfig(
           chunkSize = opts.getOrElse("chunk-size", "1000").toLong,
           startPosition = opts.getOrElse("start-position", "0").toLong,
           onlyCount = opts.contains("only-count"),
-          orderedChunks = !opts.contains("hash-chunks"))
+          orderedChunks = !opts.contains("hash-chunks"),
+          sampleBp = opts.getOrElse("sample-bp", "10000").toLong)
         // tables validate OVERLAPPED on a bounded pool (eager per-table
         // actions would otherwise serialize the cluster at table count)
         val tasks = states.map { t =>

@@ -327,6 +327,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(clash.getMessage.contains("already present"))
   }
 
+  test("E45d: the persisted residual index serves identically with cluster DPP") {
+    import graft.similarity.Pq
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val qs = e.filter($"vec_id" < 5)
+    val coarse = Knn.centroidSums(e, "label", "embedding", 64)
+    val resid = Pq.residuals(e, coarse, "vec_id", "embedding", 64).localCheckpoint()
+    val cb = Pq.trainQ(resid, "vid", $"rq", 4, 8, 2, 64)
+    val idx = java.nio.file.Files.createTempDirectory("graft-pqr-idx").toString
+    Pq.writeIndexResidual(e, coarse, cb, "vec_id", "embedding", 4, 64, idx)
+    val served = Pq.searchIndexResidual(spark, idx, coarse, cb, qs,
+      "vec_id", "embedding", 10, 4, 64, 3)
+    val inline = {
+      val corpus = Pq.encodeQ(resid, cb, "vid", $"rq", 4, 64)
+        .join(resid.select($"vid", $"cluster"), "vid")
+      Pq.ivfAdcSearchResidual(corpus, coarse, cb, qs, "vec_id", "embedding", 10, 4, 64, 3)
+    }
+    assert(served.collect().toSet == inline.collect().toSet)
+    assert(served.count() > 0)
+    val pf = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+      .linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("dynamicpruningexpression(cluster"),
+      s"residual index scan should dynamically prune by cluster, got: $pf")
+  }
+
   test("E46: centroid drift — zero on identity, exact on a known shift, null one-sided") {
     // trained: cluster 0 = {(1,1),(3,3)} sum (4,4) n 2; cluster 1 = {(10,0)}
     def sums(rows: Seq[(Long, Array[Float], Int)]) =
