@@ -255,6 +255,18 @@ object VectorEntries {
         "vec_id", "embedding", K, PqM, Dims, NProbe)
     }),
 
+    // E50: PCA spectrum — rows-only by documented design (no DuckDB
+    // eigensolver; correctness rides PcaSpec). Deterministic: exact
+    // integer moments + fixed Jacobi sweeps, floored to milli
+    "emb_pca_spectrum" -> ((s, dir) => {
+      import s.implicits._
+      val m = graft.similarity.Pca.fit(Tables.embeddings(s, dir), "embedding", Dims, 16)
+      m.eigenvalues.zipWithIndex.map { case (ev, i) =>
+        (i.toLong + 1, math.floor(ev).toLong,
+          math.floor(ev * 10000.0 / m.totalVariance).toLong)
+      }.toSeq.toDF("component", "eigenvalue_milli2", "explained_bp")
+    }),
+
     // E46: quantizer drift — trained centroids (full corpus, by label)
     // vs the current members (every 10th vector gone, label 7 vanished
     // entirely → null current side): the index-rebuild trigger, measured

@@ -1,0 +1,156 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA over an embedding column — the dimensionality-
+  * reduction / whitening step of an embedding pipeline (compress before
+  * ANN, decorrelate before quantization, visualize a corpus): fit the
+  * covariance in ONE pass over the data, eigendecompose the dims×dims
+  * matrix on the driver (64×64 — catalog-sized, where it belongs), and
+  * project the corpus through the broadcast rotation as a codegen'd
+  * column expression.
+  *
+  * Scale shape: the ONLY corpus-scale work is the moment aggregation —
+  * each vector explodes to its dims(dims+1)/2 upper-triangle products
+  * (2080 longs at 64 dims), map-side combined by flat pair index, so the
+  * shuffle carries 2080 × partitions partial rows, never the corpus. The
+  * sums are EXACT int64 over milli-quantized values (products ≤ 10⁶·x²
+  * per row — overflow only beyond ~10¹² extreme-normed vectors), so the
+  * covariance every run sees is bit-identical; the eigensolver (cyclic
+  * Jacobi, fixed sweep order, deterministic sign convention) then makes
+  * the whole fit a pure function of the corpus. Projection = k dot
+  * products as literal multiply-add chains — no UDF, no broadcast
+  * variable, stays inside WholeStageCodegen.
+  *
+  * Fitting on a 100 TB corpus usually composes with a deterministic
+  * sample ([[graft.text.TextOps.stratifiedSample]]) — the covariance of
+  * a 0.1 % hash sample is statistically indistinguishable and the fit
+  * pass drops 1000×. No SQL oracle: eigendecomposition has no DuckDB
+  * twin; correctness rides PcaSpec (known-axes fixtures, orthonormality,
+  * spectrum ordering, reconstruction, determinism) and the spectrum
+  * query is rows-only (E33 pattern).
+  */
+object Pca {
+
+  /** mean (milli units), components (k × dims, unit rows, eigenvalue-
+    * descending), eigenvalues (same milli² units as the covariance). */
+  final case class Model(
+      mean: Array[Double], components: Array[Array[Double]], eigenvalues: Array[Double],
+      totalVariance: Double)
+
+  /** One-pass exact integer moments: n, per-dim sums, upper-triangle
+    * second-moment sums of the milli-quantized vectors. */
+  private def moments(
+      corpus: DataFrame, vecCol: String, dims: Int): (Long, Array[Long], Array[Array[Long]]) = {
+    val pairs = for { a <- 0 until dims; b <- a until dims } yield (a, b)
+    // quantize ONCE behind a projection boundary: the 2144 element_at
+    // references below would otherwise each re-run the whole quantize
+    // lambda (Catalyst does not CSE into repeated references — the
+    // TextOps.shinglesFromTokens lesson, §7)
+    val q = corpus.select(VectorOps.quantize(col(vecCol)).as("__qv"))
+    val qv = col("__qv")
+    // ONE aggregation with dims + dims(dims+1)/2 sum columns (2144 at 64
+    // dims) — no row explosion: partials combine map-side and a single
+    // 2144-column row reaches the driver. (The posexplode formulation
+    // multiplied the corpus 2144× before aggregating — 3× slower.)
+    val aggs = (0 until dims).map(i => sum(element_at(qv, i + 1))) ++
+      pairs.map { case (a, b) => sum(element_at(qv, a + 1) * element_at(qv, b + 1)) }
+    val row = q.agg(aggs.head, aggs.tail: _*).head()
+    val sums = (0 until (dims + pairs.size)).map(i =>
+      i -> (if (row.isNullAt(i)) 0L else row.getLong(i))).toMap
+    val n = corpus.count()
+    val s = Array.tabulate(dims)(i => sums.getOrElse(i, 0L))
+    val ss = Array.ofDim[Long](dims, dims)
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      val v = sums.getOrElse(dims + i, 0L)
+      ss(a)(b) = v; ss(b)(a) = v
+    }
+    (n, s, ss)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — fixed
+    * sweep order and rotation formulas, so identical input produces an
+    * identical decomposition. Returns (eigenvalues, eigenvectors as
+    * COLUMNS of v). */
+  private[similarity] def jacobi(
+      a0: Array[Array[Double]], sweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (sweep < sweeps && off > 1e-12) {
+      for (p <- 0 until d - 1; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-18) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (i <- 0 until d) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+        }
+        for (i <- 0 until d) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - s * aqi
+          a(q)(i) = s * api + c * aqi
+        }
+        for (i <- 0 until d) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+        }
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    for (i <- a.indices; j <- a.indices if i != j) s += a(i)(j) * a(i)(j)
+    s
+  }
+
+  /** Fit the top-k model. Eigenpairs sort by eigenvalue descending (ties
+    * by index); each component's sign is fixed so its largest-magnitude
+    * coordinate is positive — a deterministic convention (eigenvectors
+    * are defined up to sign). */
+  def fit(corpus: DataFrame, vecCol: String, dims: Int, k: Int): Model = {
+    require(k >= 1 && k <= dims, s"Pca.fit: k must be in [1, $dims], got $k")
+    val (n, s, ss) = moments(corpus, vecCol, dims)
+    require(n >= 2, s"Pca.fit: need at least 2 vectors, got $n")
+    val mean = s.map(_.toDouble / n)
+    // covariance (population): E[xy] − E[x]E[y], all from exact sums
+    val cov = Array.tabulate(dims, dims)((a, b) =>
+      ss(a)(b).toDouble / n - mean(a) * mean(b))
+    val (eig, vecs) = jacobi(cov)
+    val order = (0 until dims).sortBy(i => (-eig(i), i)).take(k)
+    val comps = order.map { j =>
+      val comp = Array.tabulate(dims)(i => vecs(i)(j))
+      val m = comp.indices.maxBy(i => (math.abs(comp(i)), -i))
+      if (comp(m) < 0) comp.map(x => -x) else comp
+    }.toArray
+    // total variance = the covariance trace, for explained-fraction reads
+    Model(mean, comps, order.map(eig(_)).toArray,
+      (0 until dims).map(i => cov(i)(i)).sum)
+  }
+
+  /** Project: out = array(k doubles), component j = Σ_i (x_i·1000 −
+    * mean_i)·v_ji — literal multiply-add chains over the quantized
+    * coordinates, codegen'd, no UDF. */
+  def transform(df: DataFrame, vecCol: String, model: Model, out: String = "pca"): DataFrame = {
+    val qv = col("__pca_qv")
+    val comps = model.components.map { comp =>
+      comp.indices.map { i =>
+        (element_at(qv, i + 1).cast("double") - lit(model.mean(i))) * lit(comp(i))
+      }.reduce(_ + _)
+    }
+    // quantize once behind a projection boundary (k·dims references below)
+    df.withColumn("__pca_qv", VectorOps.quantize(col(vecCol)))
+      .withColumn(out, array(comps: _*))
+      .drop("__pca_qv")
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.similarity.Pca
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA (SURVEY §2 E50): known-axes fixtures, orthonormal
+  * components with a descending spectrum, projection variance equals the
+  * eigenvalue, reconstruction, and determinism. */
+class PcaSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def close(a: Double, b: Double, tol: Double = 1e-6): Boolean =
+    math.abs(a - b) <= tol * math.max(1.0, math.abs(b))
+
+  test("E50: recovers the principal axis of a line-shaped 2D cloud") {
+    // points on the (1,1) diagonal ± tiny (1,-1) noise: first component
+    // must be (1,1)/√2, and the spectrum must be wildly lopsided
+    val pts = (-10 to 10).map { i =>
+      (i.toLong, Array(i.toFloat + 0.01f * (i % 3), i.toFloat - 0.01f * (i % 3)))
+    }.toDF("id", "embedding")
+    val m = Pca.fit(pts, "embedding", dims = 2, k = 2)
+    val c0 = m.components(0)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(close(c0(0), r, 1e-3) && close(c0(1), r, 1e-3), c0.toSeq.toString)
+    assert(m.eigenvalues(0) > 100 * m.eigenvalues(1),
+      m.eigenvalues.toSeq.toString)
+  }
+
+  test("E50: components are orthonormal and the spectrum descends (real embeddings)") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val m = Pca.fit(e, "embedding", dims = 64, k = 8)
+    for (i <- 0 until 8; j <- i until 8) {
+      val dot = (0 until 64).map(d => m.components(i)(d) * m.components(j)(d)).sum
+      if (i == j) assert(close(dot, 1.0, 1e-9), s"|c$i| = $dot")
+      else assert(math.abs(dot) < 1e-9, s"c${i}.c${j} = $dot")
+    }
+    m.eigenvalues.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, m.eigenvalues.toSeq.toString)
+      case _ =>
+    }
+    assert(m.eigenvalues.last >= 0.0 - 1e-6)
+  }
+
+  test("E50: projected first-component variance equals the first eigenvalue") {
+    val pts = (-10 to 10).map(i => (i.toLong, Array(i.toFloat, 2.0f * i))).toDF("id", "embedding")
+    val m = Pca.fit(pts, "embedding", 2, 1)
+    val proj = Pca.transform(pts, "embedding", m)
+      .select(element_at($"pca", 1)).as[Double].collect()
+    val mean = proj.sum / proj.length
+    val popVar = proj.map(x => (x - mean) * (x - mean)).sum / proj.length
+    assert(close(popVar, m.eigenvalues(0), 1e-9), s"$popVar vs ${m.eigenvalues(0)}")
+  }
+
+  test("E50: all-components projection reconstructs the centered data") {
+    val pts = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(-1.0f, 0.5f, 2.0f)),
+      (3L, Array(4.0f, -2.0f, 0.0f)), (4L, Array(0.0f, 1.0f, -1.0f)))
+      .toDF("id", "embedding")
+    val m = Pca.fit(pts, "embedding", 3, 3)
+    val rows = Pca.transform(pts, "embedding", m)
+      .select($"id", $"embedding", $"pca")
+      .as[(Long, Seq[Float], Seq[Double])].collect()
+    rows.foreach { case (_, x, p) =>
+      (0 until 3).foreach { i =>
+        val rec = m.mean(i) + (0 until 3).map(j => p(j) * m.components(j)(i)).sum
+        assert(close(rec, x(i) * 1000.0, 1e-6), s"dim $i: $rec vs ${x(i) * 1000.0}")
+      }
+    }
+  }
+
+  test("E50: the fit is deterministic (exact integer moments + fixed Jacobi sweeps)") {
+    val e = Tables.embeddings(spark, sf("sf0.001")).limit(200)
+    val a = Pca.fit(e, "embedding", 64, 4)
+    val b = Pca.fit(e, "embedding", 64, 4)
+    assert(a.eigenvalues.toSeq == b.eigenvalues.toSeq)
+    assert(a.components.map(_.toSeq).toSeq == b.components.map(_.toSeq).toSeq)
+    assert(a.mean.toSeq == b.mean.toSeq)
+  }
+}
