@@ -83,7 +83,11 @@ object Pca {
     while (sweep < sweeps && off > 1e-12) {
       for (p <- 0 until d - 1; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-18) {
         val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
-        val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        // sign(0) must be +1 here: equal diagonal entries (theta = 0) take
+        // the full 45° rotation — math.signum would zero t and leave the
+        // off-diagonal untouched forever
+        val sgn = if (theta >= 0.0) 1.0 else -1.0
+        val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
         val c = 1.0 / math.sqrt(t * t + 1.0)
         val s = t * c
         for (i <- 0 until d) {
@@ -141,12 +145,27 @@ object Pca {
   /** Project: out = array(k doubles), component j = Σ_i (x_i·1000 −
     * mean_i)·v_ji — literal multiply-add chains over the quantized
     * coordinates, codegen'd, no UDF. */
-  def transform(df: DataFrame, vecCol: String, model: Model, out: String = "pca"): DataFrame = {
+  /** @param whiten additionally scale each component by 1/√λ so every
+    *               output dimension has unit variance — the decorrelate-
+    *               and-equalize step before scalar/product quantization
+    *               (refused loudly on a degenerate spectrum: a zero
+    *               eigenvalue has no scale to normalize by). */
+  def transform(
+      df: DataFrame, vecCol: String, model: Model,
+      out: String = "pca", whiten: Boolean = false): DataFrame = {
+    // relative threshold: a numerically-zero eigenvalue (collinear data)
+    // comes out as rounding dust, not exactly 0.0 — dividing by its root
+    // would blow noise up to unit variance and call it signal
+    if (whiten) require(
+      model.eigenvalues.forall(_ > 1e-9 * math.max(model.totalVariance, 1.0)),
+      "Pca.transform: whitening needs a strictly positive spectrum — " +
+        s"got ${model.eigenvalues.mkString(", ")}; drop the degenerate components (lower k)")
     val qv = col("__pca_qv")
-    val comps = model.components.map { comp =>
-      comp.indices.map { i =>
+    val comps = model.components.zipWithIndex.map { case (comp, j) =>
+      val proj = comp.indices.map { i =>
         (element_at(qv, i + 1).cast("double") - lit(model.mean(i))) * lit(comp(i))
       }.reduce(_ + _)
+      if (whiten) proj / lit(math.sqrt(model.eigenvalues(j))) else proj
     }
     // quantize once behind a projection boundary (k·dims references below)
     df.withColumn("__pca_qv", VectorOps.quantize(col(vecCol)))

@@ -69,6 +69,32 @@ class PcaSpec extends SparkSpecBase {
     }
   }
 
+  test("E50: whitening gives every output dimension unit variance; degenerate spectrum refused") {
+    val pts = (-10 to 10).map(i => (i.toLong, Array(i.toFloat, 2.0f * i + 0.3f * (i % 4))))
+      .toDF("id", "embedding")
+    val m = Pca.fit(pts, "embedding", 2, 2)
+    val proj = Pca.transform(pts, "embedding", m, whiten = true)
+      .select($"pca").as[Seq[Double]].collect()
+    (0 until 2).foreach { j =>
+      val xs = proj.map(_(j))
+      val mean = xs.sum / xs.length
+      val popVar = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+      assert(close(popVar, 1.0, 1e-9), s"dim $j variance $popVar")
+    }
+    // perfectly collinear data → zero second eigenvalue → loud refusal
+    val line = (-5 to 5).map(i => (i.toLong, Array(i.toFloat, i.toFloat))).toDF("id", "embedding")
+    val m2 = Pca.fit(line, "embedding", 2, 2)
+    val e = intercept[IllegalArgumentException] {
+      Pca.transform(line, "embedding", m2, whiten = true)
+    }
+    assert(e.getMessage.contains("spectrum"))
+    // dropping the degenerate component (k=1) whitens fine
+    val ok = Pca.transform(line, "embedding", Pca.fit(line, "embedding", 2, 1), whiten = true)
+      .select($"pca").as[Seq[Double]].collect()
+    val xs = ok.map(_.head); val mn = xs.sum / xs.length
+    assert(close(xs.map(x => (x - mn) * (x - mn)).sum / xs.length, 1.0, 1e-9))
+  }
+
   test("E50: the fit is deterministic (exact integer moments + fixed Jacobi sweeps)") {
     val e = Tables.embeddings(spark, sf("sf0.001")).limit(200)
     val a = Pca.fit(e, "embedding", 64, 4)
