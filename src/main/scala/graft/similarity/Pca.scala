@@ -145,6 +145,27 @@ object Pca {
   /** Project: out = array(k doubles), component j = Σ_i (x_i·1000 −
     * mean_i)·v_ji — literal multiply-add chains over the quantized
     * coordinates, codegen'd, no UDF. */
+  /** Persist the fitted model as one parquet row (arrays of doubles —
+    * bit-exact round-trip through [[load]]); the artifact a later
+    * projection job, or a system outside Spark, consumes. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    Seq((model.mean.toSeq, model.components.map(_.toSeq).toSeq,
+      model.eigenvalues.toSeq, model.totalVariance))
+      .toDF("mean", "components", "eigenvalues", "total_variance")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val r = spark.read.parquet(path).head()
+    Model(
+      r.getSeq[Double](r.fieldIndex("mean")).toArray,
+      r.getSeq[scala.collection.Seq[Double]](r.fieldIndex("components"))
+        .map(_.toArray).toArray,
+      r.getSeq[Double](r.fieldIndex("eigenvalues")).toArray,
+      r.getDouble(r.fieldIndex("total_variance")))
+  }
+
   /** @param whiten additionally scale each component by 1/√λ so every
     *               output dimension has unit variance — the decorrelate-
     *               and-equalize step before scalar/product quantization

@@ -102,6 +102,19 @@ object Bpe {
     * corpus reproduces training's final symbol state exactly. Output
     * adds `bpe_syms` (array<string>) per row, whole-text (tokens
     * re-segmented per word then concatenated). */
+  /** Persist the learned rule list (ordered) — the tokenizer artifact a
+    * serving system loads; round-trips exactly through [[loadMerges]]. */
+  def saveMerges(
+      spark: org.apache.spark.sql.SparkSession, merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    merges.toDF().write.mode("overwrite").parquet(path)
+  }
+
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Merge].collect().sortBy(_.round).toSeq
+  }
+
   def encode(
       df: DataFrame, textCol: String, merges: Seq[Merge],
       out: String = "bpe_syms"): DataFrame =

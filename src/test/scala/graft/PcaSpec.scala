@@ -95,6 +95,21 @@ class PcaSpec extends SparkSpecBase {
     assert(close(xs.map(x => (x - mn) * (x - mn)).sum / xs.length, 1.0, 1e-9))
   }
 
+  test("E50/E49: model artifacts round-trip bit-exactly through parquet") {
+    val pts = (-10 to 10).map(i => (i.toLong, Array(i.toFloat, 2.0f * i))).toDF("id", "embedding")
+    val m = Pca.fit(pts, "embedding", 2, 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-models").toString
+    Pca.save(spark, m, s"$dir/pca")
+    val m2 = Pca.load(spark, s"$dir/pca")
+    assert(m2.mean.toSeq == m.mean.toSeq)
+    assert(m2.components.map(_.toSeq).toSeq == m.components.map(_.toSeq).toSeq)
+    assert(m2.eigenvalues.toSeq == m.eigenvalues.toSeq && m2.totalVariance == m.totalVariance)
+    import graft.text.Bpe
+    val merges = Bpe.train(Seq("low low lowest").toDF("text"), "text", 3, minCount = 1)
+    Bpe.saveMerges(spark, merges, s"$dir/bpe")
+    assert(Bpe.loadMerges(spark, s"$dir/bpe") == merges)
+  }
+
   test("E50: the fit is deterministic (exact integer moments + fixed Jacobi sweeps)") {
     val e = Tables.embeddings(spark, sf("sf0.001")).limit(200)
     val a = Pca.fit(e, "embedding", 64, 4)
