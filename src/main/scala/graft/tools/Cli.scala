@@ -51,6 +51,7 @@ object Cli {
     case Some("rollup") => runRollup(args.tail)
     case Some("ann") => runAnn(args.tail)
     case Some("bm25") => runBm25(args.tail)
+    case Some("pca") => runPca(args.tail)
     case _ =>
       System.err.println(
         "usage: Cli validate ... | Cli index build|append|compact|screen ... | Cli land ... " +
@@ -174,6 +175,44 @@ object Cli {
         }
       case other =>
         System.err.println(s"unknown ann subcommand '$other'\n$usage"); sys.exit(2)
+    }
+  }
+
+  /** PCA lifecycle — the drivable face of [[graft.similarity.Pca]]:
+    * `fit` learns mean/components/spectrum from a parquet embedding
+    * corpus and persists the model; `project` pushes any corpus through
+    * a saved model (optionally whitened) into a parquet landing. */
+  private def runPca(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli pca fit --in emb.parquet --model dir [--vec embedding] [--dims 64] [--k 16]\n" +
+        "     | Cli pca project --in emb.parquet --model dir --out dir [--vec embedding] [--whiten]"
+    val sub = args.headOption.getOrElse {
+      System.err.println(usage); sys.exit(2); ""
+    }
+    val opts = new Opts(args.tail, usage)
+    val spark = localSession()
+    import graft.similarity.Pca
+    sub match {
+      case "fit" =>
+        val (in, model) = (opts.req("in"), opts.req("model"))
+        val vec = opts.getOrElse("vec", "embedding")
+        val dims = opts.int("dims", 64)
+        val k = opts.int("k", 16)
+        val m = Pca.fit(spark.read.parquet(in), vec, dims, k)
+        Pca.save(spark, m, model)
+        val explained = m.eigenvalues.sum * 10000.0 / m.totalVariance
+        println(f"[pca] fitted k=$k of $dims dims -> $model " +
+          f"(top-$k explains ${explained / 100}%.1f%% of variance)")
+      case "project" =>
+        val (in, model, out) = (opts.req("in"), opts.req("model"), opts.req("out"))
+        val vec = opts.getOrElse("vec", "embedding")
+        val m = Pca.load(spark, model)
+        Pca.transform(spark.read.parquet(in), vec, m, whiten = opts.has("whiten"))
+          .write.mode("overwrite").parquet(out)
+        println(s"[pca] projected ${spark.read.parquet(out).count()} rows " +
+          s"through ${m.components.length} components -> $out")
+      case other =>
+        System.err.println(s"unknown pca subcommand '$other'\n$usage"); sys.exit(2)
     }
   }
 

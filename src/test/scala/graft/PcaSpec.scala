@@ -110,6 +110,22 @@ class PcaSpec extends SparkSpecBase {
     assert(Bpe.loadMerges(spark, s"$dir/bpe") == merges)
   }
 
+  test("E50/A0b: the pca CLI fit/project round-trip equals the library answer") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pca_cli").toString
+    val pts = (-10 to 10).map(i => (i.toLong, Array(i.toFloat, 2.0f * i)))
+      .toDF("id", "embedding")
+    pts.write.parquet(s"$root/emb.parquet")
+    graft.tools.Cli.main(Array("pca", "fit", "--in", s"$root/emb.parquet",
+      "--model", s"$root/model", "--dims", "2", "--k", "1"))
+    graft.tools.Cli.main(Array("pca", "project", "--in", s"$root/emb.parquet",
+      "--model", s"$root/model", "--out", s"$root/proj"))
+    val got = spark.read.parquet(s"$root/proj")
+      .select($"id", element_at($"pca", 1)).as[(Long, Double)].collect().toMap
+    val lib = Pca.transform(pts, "embedding", Pca.fit(pts, "embedding", 2, 1))
+      .select($"id", element_at($"pca", 1)).as[(Long, Double)].collect().toMap
+    assert(got == lib && got.nonEmpty)
+  }
+
   test("E50: the fit is deterministic (exact integer moments + fixed Jacobi sweeps)") {
     val e = Tables.embeddings(spark, sf("sf0.001")).limit(200)
     val a = Pca.fit(e, "embedding", 64, 4)

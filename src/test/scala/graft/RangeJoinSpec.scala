@@ -161,6 +161,24 @@ class RangeJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("D11o: randomized fuzz — equals the naive overlap join at random grains") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val a = intervals((1 to 60).map { _ =>
+        val s = rnd.nextInt(2000).toLong; (s, s + 1 + rnd.nextInt(300)) }: _*)
+      val b = intervalsB((1 to 60).map { _ =>
+        val s = rnd.nextInt(2000).toLong; (s, s + 1 + rnd.nextInt(300)) }: _*)
+      val naive = a.join(b, col("s_ts") < col("b_e") && col("b_s") < col("e_ts"))
+        .select("interval_id", "b_id").as[(Long, Long)].collect().toSet
+      for (grain <- Seq(1L + rnd.nextInt(7), 37L, 512L)) {
+        val got = overlapped(a, b, grain).select("interval_id", "b_id")
+          .as[(Long, Long)].collect()
+        assert(got.length == got.toSet.size, s"trial $trial grain=$grain dups")
+        assert(got.toSet == naive, s"trial $trial grain=$grain")
+      }
+    }
+  }
+
   test("D11o: half-open semantics — touching intervals do not overlap") {
     // a ends exactly where b starts: [0,10) vs [10,20) share no instant
     assert(overlapped(intervals((0L, 10L)), intervalsB((10L, 20L)), 3L).count() == 0L)
