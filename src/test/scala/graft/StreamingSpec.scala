@@ -475,6 +475,33 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("E50s: PCA projection composes with a streaming corpus (stateless column rewrite)") {
+    // the model is a batch-fitted artifact; projection is literal
+    // multiply-add columns, so it runs on a stream unchanged — append
+    // mode, no state store, each microbatch projected independently
+    import graft.similarity.Pca
+    val fitPts = (-10 to 10).map(i => (i.toLong, Array(i.toFloat, 2.0f * i)))
+      .toDF("id", "embedding")
+    val model = Pca.fit(fitPts, "embedding", 2, 2)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val projected = Pca.transform(
+      input.toDF().toDF("id", "embedding"), "embedding", model)
+      .select(col("id"), element_at(col("pca"), 1).as("p1"))
+    val q = projected.writeStream.format("memory").queryName("pca_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((100L, Seq(3.0f, 6.0f)), (101L, Seq(-2.0f, 1.0f)))
+      q.processAllAvailable()
+      val got = spark.table("pca_stream").as[(Long, Double)].collect().toMap
+      val batch = Pca.transform(
+        Seq((100L, Array(3.0f, 6.0f)), (101L, Array(-2.0f, 1.0f)))
+          .toDF("id", "embedding"), "embedding", model)
+        .select(col("id"), element_at(col("pca"), 1)).as[(Long, Double)].collect().toMap
+      assert(got == batch && got.size == 2)
+    } finally q.stop()
+  }
+
   test("E2b-delta: continuous ingest ACCEPTS survivors into the index (screen → append loop)") {
     // the closed steady-state loop a year-long ingest runs: every
     // microbatch is screened against the index (base ∪ deltas), survivors
