@@ -327,6 +327,35 @@ object SparkEntry {
           col("value"), col("event_type"))
     }),
 
+    // A10t × E37: the SCD2 landing-layout loop closed — land the history
+    // range-clustered on `valid_from_us` (the axis every stateAt read
+    // filters on), then prove from FOOTERS alone how many row groups a
+    // point-in-time read's `valid_from_us <= T` predicate skips. T
+    // derives from the landed domain with integer arithmetic (mn +
+    // (mx-mn)/4) so the oracle computes the identical bound; the audit
+    // lower bound = mn makes the one-sided predicate a closed range
+    // that prunes exactly where `<= T` prunes.
+    "prune_audit_scd2" -> ((s, dir) => {
+      val out = s"${RunPaths.pruneBase(dir)}/scd2_hist"
+      CdcApply.scd2History(
+        eventsCdc(s, dir)
+          .select("user_id", "event_id", "ts", "value", "event_type", "Op"),
+        pk = Seq("user_id"),
+        ordering = Seq(col("ts"), col("event_id")),
+        tsCol = col("ts"))
+        .select(
+          col("user_id"), col("event_id"), col("value"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+        .repartitionByRange(8, col("valid_from_us"))
+        .sortWithinPartitions("valid_from_us")
+        .write.mode("overwrite").parquet(out)
+      val dom = s.read.parquet(out).agg(
+        min(col("valid_from_us")), max(col("valid_from_us"))).head()
+      val (mn, mx) = (dom.getLong(0), dom.getLong(1))
+      graft.sources.PruneAudit.audit(s, out, "valid_from_us",
+        mn, mn + (mx - mn) / 4)
+    }),
+
     // B1: row-level diff (full-outer join on pk, null-safe compare)
     "diff_rowlevel" -> ((s, dir) => {
       DataDiff.rowDiff(Tables.orders(s, dir), perturbedOrders(s, dir), Seq("o_orderkey"))
@@ -547,6 +576,36 @@ object SparkEntry {
          |WHERE op <> 'D'
          |  AND valid_from_us <= epoch_us(TIMESTAMP '2024-01-18 00:00:00')
          |  AND (valid_to_us IS NULL OR epoch_us(TIMESTAMP '2024-01-18 00:00:00') < valid_to_us)""".stripMargin,
+
+    // footer audit of the query-landed SCD2 history: DuckDB sees the
+    // SAME files' metadata, derives the same integer bound from the
+    // landed domain, and the whole summary — byte counts included —
+    // compares exactly (the prune_audit pattern over the A10t landing)
+    "prune_audit_scd2" ->
+      s"""WITH dom AS (
+         |  SELECT min(valid_from_us) AS d_mn, max(valid_from_us) AS d_mx
+         |  FROM '/tmp/graft_prune_audit/${RunPaths.currentTag}/scd2_hist/*.parquet'),
+         |b AS (SELECT d_mn AS lo, d_mn + (d_mx - d_mn) // 4 AS hi FROM dom),
+         |rg AS (
+         |  SELECT file_name, row_group_id,
+         |    max(row_group_num_rows) AS rows,
+         |    sum(total_compressed_size) AS bytes,
+         |    max(CASE WHEN path_in_schema = 'valid_from_us'
+         |             THEN CAST(stats_min_value AS BIGINT) END) AS mn,
+         |    max(CASE WHEN path_in_schema = 'valid_from_us'
+         |             THEN CAST(stats_max_value AS BIGINT) END) AS mx
+         |  FROM parquet_metadata('/tmp/graft_prune_audit/${RunPaths.currentTag}/scd2_hist/*.parquet')
+         |  GROUP BY 1, 2),
+         |p AS (SELECT rows, bytes,
+         |    CASE WHEN rg.mn IS NOT NULL AND (rg.mx < b.lo OR rg.mn > b.hi)
+         |         THEN 1 ELSE 0 END AS pruned FROM rg, b)
+         |SELECT count(*) AS row_groups,
+         |  CAST(sum(pruned) AS BIGINT) AS rg_pruned,
+         |  CAST(sum(rows) AS BIGINT) AS rows_total,
+         |  CAST(sum(rows * pruned) AS BIGINT) AS rows_pruned,
+         |  CAST(sum(bytes) AS BIGINT) AS bytes_total,
+         |  CAST(sum(bytes * pruned) AS BIGINT) AS bytes_pruned
+         |FROM p""".stripMargin,
 
     // first/last op per key via two row_number passes (DuckDB mirror of
     // min_by/max_by over the same (ts, event_id) ordering); net op =

@@ -123,6 +123,41 @@ object TextEntries {
   val PrioritySampleK = 100
   val Bm25K = 5 // docs kept per query (E48)
   val BpeRounds = 20 // merge rules learned (E49, rows-only)
+  // duplicated-passage excision window (E51): the minimum duplicated
+  // span length, the role the suffix-array threshold plays in Lee 2022
+  val PassageK = 40
+  val ClassifierN = 3 // char-ngram order (E52)
+  val ClassifierScale = 1000000L // centroid weights in integer ppm
+  // E52 corpus spike: the driver's synthetic docs carry a random `lang`
+  // label over IDENTICAL token soup — no classifier can learn a label
+  // independent of the text. Real corpora differ in character
+  // distribution per language, so (the PiiSpike pattern) both engines
+  // append the same per-lang function-word phrase, twice, making the
+  // label a genuine function of the text the model must recover.
+  val LangSpikeRep = 2
+  val LangSpikes: Seq[(String, String)] = Seq(
+    "en" -> " the and is not of to in that it was",
+    "de" -> " der und das ist nicht zu in dass es war",
+    "fr" -> " le la et est ne pas dans que il fut",
+    "es" -> " el la y es no de en que lo fue",
+    "zh" -> " de shi bu le zai wo you ta zhe zhong")
+
+  /** The lang-spiked corpus (doc_id, lang, text) — E52's input, derived
+    * identically by [[langSpikedSql]]. */
+  private[graft] def langSpiked(s: SparkSession, dir: String): DataFrame = {
+    val spike = LangSpikes.foldLeft(lit(""): org.apache.spark.sql.Column) {
+      case (acc, (l, m)) => when(col("lang") === l, lit(m * LangSpikeRep)).otherwise(acc)
+    }
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"), concat(col("text"), spike).as("text"))
+  }
+
+  private[graft] lazy val langSpikedSql = {
+    val cases = LangSpikes
+      .map { case (l, m) => s"WHEN '$l' THEN '${m * LangSpikeRep}'" }
+      .mkString(" ")
+    s"SELECT doc_id, lang, text || CASE lang $cases ELSE '' END AS text FROM documents"
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E10: token counting — whitespace, BPE-ish regex, normalized
@@ -459,6 +494,38 @@ object TextEntries {
         .select(col("round"), col("left"), col("right"), col("pairCount").as("pair_count"))
     }),
 
+    // E51: cross-document duplicated-passage excision (exact substring
+    // dedup, Lee 2022) — every 40-char window shared by >= 2 docs keeps
+    // one copy (the smallest doc id) and is cut everywhere else; the
+    // base corpus already carries real shared passages, no spike needed
+    "dedup_passages" -> ((s, dir) =>
+      graft.dedup.Passage.exciseDuplicates(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", PassageK)),
+
+    // E52: contrastive-centroid classifier TRAINING — per-class char
+    // trigram weights in integer ppm, centered per gram, learned on the
+    // doc_id%5!=0 split of the lang-spiked corpus
+    "classifier_train" -> ((s, dir) =>
+      graft.text.Classifier.trainCentroid(
+        langSpiked(s, dir).filter(col("doc_id") % 5 =!= 0),
+        "lang", "text", ClassifierN, ClassifierScale)),
+
+    // E52p: classifier SERVING — held-out docs scored against the
+    // broadcast weight table, exact-integer argmax; `lang_actual` rides
+    // along so the artifact doubles as the accuracy record (100% at
+    // sf0.001 — the label is recoverable by construction, see LangSpikes)
+    "classifier_predict" -> ((s, dir) => {
+      val docs = langSpiked(s, dir)
+      val w = graft.text.Classifier.trainCentroid(
+        docs.filter(col("doc_id") % 5 =!= 0), "lang", "text",
+        ClassifierN, ClassifierScale)
+      val held = docs.filter(col("doc_id") % 5 === 0)
+      graft.text.Classifier.predictCentroid(held, "doc_id", "text", w, ClassifierN)
+        .join(held.select(col("doc_id"), col("lang").as("lang_actual")), "doc_id")
+        .select("doc_id", "lang_actual", "pred")
+    }),
+
     // E48b: BM25 served from the PERSISTED index — corpus tokenized once
     // at build, the serve path reads bucketed postings + frozen stats and
     // must answer exactly like the inline path (same oracle as text_bm25)
@@ -767,7 +834,114 @@ object TextEntries {
     }.mkString("\nUNION ALL ")
   }
 
+  /** E51 oracle — same semantics with NO hashing (DuckDB groups the raw
+    * window strings), which is the proof the Spark side's 60-bit screen
+    * is semantics-free. Reconstruction mirrors the fold: gap segments
+    * between removed spans plus the tail, concatenated in position order. */
+  private lazy val dedupPassagesSql = {
+    val k = PassageK
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |pos AS (
+       |  SELECT doc_id, text, unnest(generate_series(1, length(text) - ${k - 1})) AS pos
+       |  FROM corpus WHERE length(text) >= $k),
+       |w AS (SELECT doc_id, pos, substr(text, pos, $k) AS win FROM pos),
+       |dup AS (
+       |  SELECT win, min(doc_id) AS keeper FROM w
+       |  GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+       |occ AS (
+       |  SELECT w.doc_id, w.pos FROM w JOIN dup USING (win)
+       |  WHERE w.doc_id <> dup.keeper),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos > coalesce(max(pos + $k) OVER (
+       |        PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS b
+       |  FROM occ),
+       |isl AS (
+       |  SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM brk),
+       |iv AS (
+       |  SELECT doc_id, min(pos) AS s, max(pos) + $k AS e
+       |  FROM isl GROUP BY doc_id, island),
+       |seg AS (
+       |  SELECT doc_id,
+       |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS b,
+       |    s AS t FROM iv
+       |  UNION ALL
+       |  SELECT doc_id, max(e) AS b, NULL AS t FROM iv GROUP BY doc_id),
+       |cleaned AS (
+       |  SELECT c.doc_id,
+       |    string_agg(
+       |      CASE WHEN seg.t IS NULL THEN substr(c.text, seg.b)
+       |           ELSE substr(c.text, seg.b, seg.t - seg.b) END,
+       |      '' ORDER BY seg.b) AS text_clean
+       |  FROM corpus c JOIN seg ON seg.doc_id = c.doc_id
+       |  GROUP BY c.doc_id),
+       |removed AS (SELECT doc_id, sum(e - s) AS nr FROM iv GROUP BY doc_id)
+       |SELECT c.doc_id,
+       |  CAST(coalesce(r.nr, 0) AS BIGINT) AS n_removed,
+       |  coalesce(cl.text_clean, c.text) AS text_clean
+       |FROM corpus c
+       |LEFT JOIN cleaned cl ON cl.doc_id = c.doc_id
+       |LEFT JOIN removed r ON r.doc_id = c.doc_id""".stripMargin
+  }
+
+  /** E52 shared CTE stack: spiked corpus → train-split n-gram counts →
+    * ppm (`//` = DuckDB integral division = Spark's `div` on positives)
+    * → per-gram contrastive centering, mirroring trainCentroid. */
+  private lazy val classifierWeightsCtes = {
+    val n = ClassifierN
+    s"""corpus AS ($langSpikedSql),
+       |train AS (
+       |  SELECT lang AS cls, lower(text) AS t FROM corpus WHERE doc_id % 5 <> 0),
+       |tpos AS (
+       |  SELECT cls, t, unnest(generate_series(1, length(t) - ${n - 1})) AS i
+       |  FROM train WHERE length(t) >= $n),
+       |tg AS (SELECT cls, substr(t, i, $n) AS gram FROM tpos),
+       |counts AS (SELECT cls, gram, count(*) AS cnt FROM tg GROUP BY 1, 2),
+       |totals AS (SELECT cls, sum(cnt) AS tot FROM counts GROUP BY 1),
+       |ppm AS (
+       |  SELECT counts.cls, counts.gram,
+       |         (counts.cnt * $ClassifierScale) // totals.tot AS p
+       |  FROM counts JOIN totals USING (cls)),
+       |nc AS (SELECT count(*) AS c FROM totals),
+       |weights AS (
+       |  SELECT cls, gram,
+       |         CAST(nc.c * p - sum(p) OVER (PARTITION BY gram) AS BIGINT) AS w_ppm
+       |  FROM ppm, nc)""".stripMargin
+  }
+
   private def oracleSql2: Map[String, String] = Map(
+    "dedup_passages" -> dedupPassagesSql,
+
+    "classifier_train" ->
+      s"""WITH $classifierWeightsCtes
+         |SELECT cls, gram, w_ppm FROM weights""".stripMargin,
+
+    "classifier_predict" -> {
+      val n = ClassifierN
+      s"""WITH $classifierWeightsCtes,
+         |heldout AS (
+         |  SELECT doc_id, lang, lower(text) AS t FROM corpus WHERE doc_id % 5 = 0),
+         |hpos AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, length(t) - ${n - 1})) AS i
+         |  FROM heldout WHERE length(t) >= $n),
+         |hg AS (SELECT doc_id, substr(t, i, $n) AS gram FROM hpos),
+         |tf AS (SELECT doc_id, gram, count(*) AS tf FROM hg GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT tf.doc_id, w.cls, sum(tf.tf * w.w_ppm) AS score
+         |  FROM tf JOIN weights w USING (gram) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, max(score) AS b FROM scored GROUP BY 1),
+         |pred AS (
+         |  SELECT s.doc_id, min(s.cls) AS pred
+         |  FROM scored s JOIN best ON best.doc_id = s.doc_id AND s.score = best.b
+         |  GROUP BY 1),
+         |fb AS (SELECT min(cls) AS f FROM weights)
+         |SELECT h.doc_id, h.lang AS lang_actual, coalesce(p.pred, fb.f) AS pred
+         |FROM heldout h LEFT JOIN pred p ON p.doc_id = h.doc_id, fb""".stripMargin
+    },
+
     "dedup_minhash" -> {
       s"""WITH corpus AS ($docsNearSql),
          |post AS (${hashedPostOverSql("corpus")}),

@@ -1,0 +1,132 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.PortableHash
+
+/** Cross-document duplicated-passage EXCISION — the "exact substring
+  * deduplication" step of an LLM data pipeline (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better"): find
+  * every k-char window whose exact text appears in ≥ 2 distinct
+  * documents, keep the occurrence in the smallest doc id that carries
+  * it, and CUT the duplicated spans out of every other document —
+  * leaving exactly one copy of each shared passage in the corpus.
+  * Document-level dedup ([[Dedup]]) drops whole near-identical docs;
+  * this removes the boilerplate/quotation passages that survive it
+  * because their host documents are otherwise distinct.
+  *
+  * The paper builds a corpus-wide suffix array — a sequential,
+  * single-machine construction. The distributed re-expression works on
+  * the fixed-length window fingerprint set instead (every dup of length
+  * ≥ k contains a duplicated k-window, so k is the minimum match length
+  * exactly as the suffix-array threshold is):
+  *
+  *  1. one pass explodes each doc into (pos, 60-bit window hash) — the
+  *     only corpus-scale shuffle, 8-byte keys with map-side partial
+  *     distinct, never the window strings;
+  *  2. hashes seen in ≥ 2 docs (a corpus-duplication-rate-sized set)
+  *     broadcast back as a semi-join screen, so the second pass
+  *     re-derives window STRINGS for screened positions only and
+  *     confirms duplication string-exact — a 60-bit collision can
+  *     therefore never fabricate a false duplicate, and equal strings
+  *     always share a hash, so the result is exact while the big side
+  *     never shuffles more than 8-byte keys;
+  *  3. per doc, the to-remove positions merge into maximal spans
+  *     (gaps-and-islands over a per-doc window — partitioned by doc id,
+  *     never a global sort) and a codegen'd left fold over the span
+  *     array rebuilds the retained text. No UDF anywhere.
+  *
+  * Keeper policy: for each distinct window string, the smallest doc id
+  * containing it keeps ALL its occurrences (within-doc repetition is
+  * E22's metric, not this one); every other doc's occurrences are cut.
+  * Deterministic, order-free, and DuckDB-expressible — the oracle
+  * mirrors the semantics with no hashing at all, which is itself the
+  * proof the screen is semantics-free.
+  *
+  * Reference scope note: the reference engine has no corpus operator
+  * family; this extends the mandated LLM-pipeline surface (SURVEY §2 E).
+  */
+object Passage {
+
+  /** (id, pos, win): every k-char window of every doc, 1-based. */
+  private[dedup] def windowsOf(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("pos"),
+        col(textCol).as("__t"))
+      .select(col("id"), col("pos"), col("__t").substr(col("pos"), lit(k)).as("win"))
+
+  /** Duplicated windows, string-exact: (win, keeper) for every k-char
+    * string present in ≥ 2 distinct docs; `keeper` = min doc id. */
+  def duplicatedWindows(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val wh = windowsOf(docs, idCol, textCol, k)
+      .withColumn("h", PortableHash.h60(col("win")))
+    // pass 1: the 8-byte screen — hashes carried by >= 2 distinct docs
+    val dupH = wh.groupBy("h")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    // pass 2: string-exact confirmation over the screened subset only;
+    // dupH is duplication-rate-sized, so the join broadcasts and the
+    // corpus-scale side never exchanges window strings
+    wh.join(broadcast(dupH), "h")
+      .groupBy("win")
+      .agg(countDistinct(col("id")).as("nd"), min(col("id")).as("keeper"))
+      .filter(col("nd") >= 2)
+      .select("win", "keeper")
+  }
+
+  /** Rebuild `t` with the (sorted, disjoint) spans `ivs` removed:
+    * a left fold appending the gap before each span, then the tail. */
+  private[dedup] def cutSpans(t: Column, ivs: Column): Column =
+    aggregate(
+      ivs,
+      struct(lit(1).as("last"), lit("").as("acc")),
+      (st, iv) => struct(
+        iv.getField("e").as("last"),
+        concat(st.getField("acc"),
+          t.substr(st.getField("last"),
+            iv.getField("s") - st.getField("last"))).as("acc")),
+      st => concat(st.getField("acc"),
+        t.substr(st.getField("last"), length(t) - st.getField("last") + 1)))
+
+  /** Excise duplicated passages: returns one row per input doc with
+    * `n_removed` (chars cut, 0 if untouched) and `text_clean`. */
+  def exciseDuplicates(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"Passage.exciseDuplicates: k must be >= 2, got $k")
+    val dup = duplicatedWindows(docs, idCol, textCol, k)
+    // occurrences to remove: every screened position whose window is a
+    // confirmed duplicate and whose doc is not the keeper
+    val occ = windowsOf(docs, idCol, textCol, k)
+      .join(dup, "win")
+      .filter(col("id") =!= col("keeper"))
+      .select("id", "pos")
+    // gaps-and-islands per doc: a new span starts where pos clears every
+    // earlier window's end
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val prevMaxEnd = max(col("pos") + k)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = occ
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevMaxEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy("id", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"))
+    val perDoc = spans.groupBy("id")
+      .agg(
+        array_sort(collect_list(struct(col("s"), col("e")))).as("ivs"),
+        sum(col("e") - col("s")).cast("long").as("n_removed"))
+    docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .join(perDoc, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        when(col("ivs").isNull, col("__t"))
+          .otherwise(cutSpans(col("__t"), col("ivs"))).as("text_clean"))
+  }
+}

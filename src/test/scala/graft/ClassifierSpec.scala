@@ -1,0 +1,79 @@
+package graft
+
+import graft.text.Classifier
+import org.apache.spark.sql.functions._
+
+/** E52 contrastive-centroid classifier: weight semantics, exact-integer
+  * scoring, deterministic tie-breaks, and the train→serve round trip. */
+class ClassifierSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def weightsOf(rows: Seq[(String, String)], n: Int = 2, scale: Long = 300L) =
+    Classifier.trainCentroid(rows.toDF("cls", "text"), "cls", "text", n, scale)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("class-unique grams keep their ppm weight; shared grams center to zero") {
+    // a: "aaab" -> aa,aa,ab (tot 3); b: "cccd" -> cc,cc,cd (tot 3);
+    // every gram is class-unique, so w = 2p - p = p = floor(cnt*300/3)
+    val m = weightsOf(Seq(("a", "aaab"), ("b", "cccd")))
+    assert(m(("a", "aa")) == 200L && m(("a", "ab")) == 100L)
+    assert(m(("b", "cc")) == 200L && m(("b", "cd")) == 100L)
+    // identical distributions -> every weight exactly 0
+    val z = weightsOf(Seq(("a", "xy"), ("b", "xy")))
+    assert(z.values.forall(_ == 0L))
+  }
+
+  test("training lowercases before feature extraction") {
+    val m = weightsOf(Seq(("a", "ABAB"), ("b", "cd")))
+    // class a grams arrive lowercased; unique to a -> w = p
+    assert(m(("a", "ab")) == 200L && m(("a", "ba")) == 100L)
+    assert(!m.keys.exists { case (_, g) => g.exists(_.isUpper) })
+  }
+
+  test("prediction is the exact-integer argmax, ties to the smaller class") {
+    // symmetric classes -> all-zero weights -> tie on every doc -> "a"
+    val w = Classifier.trainCentroid(
+      Seq(("a", "xyxy"), ("b", "xyxy")).toDF("cls", "text"), "cls", "text", n = 2)
+    val pred = Classifier.predictCentroid(
+      Seq((1L, "xy")).toDF("doc_id", "text"), "doc_id", "text", w, n = 2)
+      .as[(Long, String)].collect().toMap
+    assert(pred(1L) == "a")
+  }
+
+  test("docs with no trained gram fall back to the smallest class") {
+    val w = Classifier.trainCentroid(
+      Seq(("b", "xxxx"), ("c", "yyyy")).toDF("cls", "text"), "cls", "text", n = 2)
+    val pred = Classifier.predictCentroid(
+      Seq((1L, "zz"), (2L, "")).toDF("doc_id", "text"), "doc_id", "text", w, n = 2)
+      .as[(Long, String)].collect().toMap
+    assert(pred == Map(1L -> "b", 2L -> "b"))
+  }
+
+  test("train -> serve separates distinct char distributions") {
+    val train = Seq(
+      ("de", "der hund und die katze und der mann"),
+      ("de", "das ist ein und der und"),
+      ("en", "the dog and the cat and the man"),
+      ("en", "this is a thing and the other")).toDF("cls", "text")
+    val w = Classifier.trainCentroid(train, "cls", "text", n = 2)
+    val pred = Classifier.predictCentroid(
+      Seq((1L, "der und das"), (2L, "the and this")).toDF("doc_id", "text"),
+      "doc_id", "text", w, n = 2)
+      .as[(Long, String)].collect().toMap
+    assert(pred == Map(1L -> "de", 2L -> "en"))
+  }
+
+  test("lang classification on the spiked corpus beats 95% held-out accuracy") {
+    val docs = TextEntries.langSpiked(spark, sf("sf0.001"))
+    val w = Classifier.trainCentroid(
+      docs.filter($"doc_id" % 5 =!= 0), "lang", "text", n = TextEntries.ClassifierN)
+    val scored = Classifier.predictCentroid(
+      docs.filter($"doc_id" % 5 === 0), "doc_id", "text", w,
+      n = TextEntries.ClassifierN)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+    val (hit, tot) = scored.agg(
+      sum(when($"pred" === $"lang", 1L).otherwise(0L)), count(lit(1)))
+      .as[(Long, Long)].head()
+    assert(tot > 0 && hit * 100L >= tot * 95L, s"accuracy $hit/$tot")
+  }
+}

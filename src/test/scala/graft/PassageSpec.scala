@@ -1,0 +1,110 @@
+package graft
+
+import graft.dedup.Passage
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** E51 duplicated-passage excision: hand-built cases with known spans,
+  * then randomized equivalence against a sequential reference that
+  * applies the same policy naively (group all k-windows by string,
+  * keeper = min doc id, cut merged spans everywhere else). */
+class PassageSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Sequential reference: same semantics, brute force. */
+  private def reference(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, String)] = {
+    val occs = for {
+      (id, t) <- docs
+      p <- 0 to (t.length - k) if t.length >= k
+    } yield (t.substring(p, p + k), id, p)
+    val keeper = occs.groupBy(_._1)
+      .filter { case (_, os) => os.map(_._2).distinct.size >= 2 }
+      .map { case (w, os) => w -> os.map(_._2).min }
+    val toCut = occs.collect {
+      case (w, id, p) if keeper.get(w).exists(_ != id) => (id, p)
+    }
+    val spansByDoc = toCut.groupBy(_._1).map { case (id, ps) =>
+      val sorted = ps.map(_._2).sorted
+      val spans = sorted.foldLeft(List.empty[(Int, Int)]) {
+        case (acc, p) if acc.nonEmpty && p <= acc.head._2 =>
+          (acc.head._1, math.max(acc.head._2, p + k)) :: acc.tail
+        case (acc, p) => (p, p + k) :: acc
+      }.reverse
+      id -> spans
+    }
+    docs.map { case (id, t) =>
+      val spans = spansByDoc.getOrElse(id, Nil)
+      val removed = spans.map { case (s, e) => e - s }.sum.toLong
+      val kept = new StringBuilder
+      var last = 0
+      spans.foreach { case (s, e) => kept ++= t.substring(last, s); last = e }
+      kept ++= t.substring(last)
+      id -> (removed, kept.toString)
+    }.toMap
+  }
+
+  private def run(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, String)] =
+    Passage.exciseDuplicates(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .as[(Long, Long, String)].collect()
+      .map { case (id, n, t) => id -> (n, t) }.toMap
+
+  test("a shared passage is kept in the smallest doc id and cut elsewhere") {
+    val passage = "0123456789" // k = 10 -> exactly one shared window
+    val docs = Seq(
+      1L -> s"aaa${passage}bbb",
+      2L -> s"xx${passage}yy",
+      3L -> "unrelated text entirely")
+    val got = run(docs, 10)
+    assert(got(1L) == (0L, s"aaa${passage}bbb")) // keeper: untouched
+    assert(got(2L) == (10L, "xxyy"))
+    assert(got(3L) == (0L, "unrelated text entirely"))
+  }
+
+  test("overlapping duplicated windows merge into one maximal span") {
+    // shared run of 12 chars with k=10 -> 3 overlapping windows in doc 2,
+    // excised as ONE 12-char span, not three 10-char cuts
+    val shared = "abcdefghijkl"
+    val docs = Seq(1L -> s"__${shared}__", 2L -> s"ZZ${shared}ZZ")
+    val got = run(docs, 10)
+    assert(got(1L)._1 == 0L)
+    assert(got(2L) == (12L, "ZZZZ"))
+  }
+
+  test("within-doc repetition alone is not cut (cross-doc metric)") {
+    val docs = Seq(
+      1L -> "repeatrepeatrepeatrepeat", // self-repetition, no partner doc
+      2L -> "no overlap here at all..")
+    val got = run(docs, 10)
+    assert(got(1L)._1 == 0L)
+    assert(got(2L)._1 == 0L)
+  }
+
+  test("docs shorter than k pass through untouched") {
+    val docs = Seq(1L -> "tiny", 2L -> "tiny", 3L -> "also small")
+    val got = run(docs, 10)
+    assert(got.values.forall(_._1 == 0L))
+    assert(got(1L)._2 == "tiny" && got(2L)._2 == "tiny")
+  }
+
+  test("randomized equivalence with the sequential reference") {
+    val rnd = new Random(42)
+    for (trial <- 0 until 8) {
+      val k = 4 + rnd.nextInt(4) // 4..7
+      // small alphabet forces plenty of genuine cross-doc repeats
+      def txt(n: Int) = (0 until n).map(_ => "abcab!"(rnd.nextInt(6))).mkString
+      val base = (0 until 12).map(i => i.toLong -> txt(6 + rnd.nextInt(40)))
+      // splice shared passages between random doc pairs
+      val docs = base.map { case (id, t) =>
+        if (rnd.nextBoolean() && id > 0) {
+          val donor = base(rnd.nextInt(id.toInt))._2
+          val take = math.min(donor.length, k + rnd.nextInt(8))
+          id -> (t + donor.take(take))
+        } else id -> t
+      }
+      val exp = reference(docs, k)
+      val got = run(docs, k)
+      assert(got == exp, s"trial $trial k=$k docs=$docs")
+    }
+  }
+}
