@@ -45,6 +45,27 @@ import org.apache.spark.sql.functions._
   */
 object Classifier {
 
+  /** A trained model: the weight table plus the n-gram order it was
+    * trained with — the two must travel together (scoring with a
+    * mismatched order silently matches nothing). */
+  final case class CentroidModel(weights: DataFrame, n: Int)
+
+  /** Persist a trained model: weight table + a one-row meta record
+    * (the Bpe/Pca learned-artifact pattern). */
+  def save(
+      spark: org.apache.spark.sql.SparkSession,
+      model: CentroidModel, path: String): Unit = {
+    import spark.implicits._
+    model.weights.select("cls", "gram", "w_ppm")
+      .write.mode("overwrite").parquet(s"$path/weights.parquet")
+    Seq(model.n).toDF("n").write.mode("overwrite").parquet(s"$path/meta.parquet")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): CentroidModel =
+    CentroidModel(
+      spark.read.parquet(s"$path/weights.parquet").select("cls", "gram", "w_ppm"),
+      spark.read.parquet(s"$path/meta.parquet").head().getInt(0))
+
   /** All n-char windows of `lower(c)`, 1-based; empty if too short. */
   private[text] def grams(c: Column, n: Int): Column = {
     val t = lower(c)

@@ -52,6 +52,7 @@ object Cli {
     case Some("ann") => runAnn(args.tail)
     case Some("bm25") => runBm25(args.tail)
     case Some("pca") => runPca(args.tail)
+    case Some("classify") => runClassify(args.tail)
     case _ =>
       System.err.println(
         "usage: Cli validate ... | Cli index build|append|compact|screen ... | Cli land ... " +
@@ -213,6 +214,48 @@ object Cli {
           s"through ${m.components.length} components -> $out")
       case other =>
         System.err.println(s"unknown pca subcommand '$other'\n$usage"); sys.exit(2)
+    }
+  }
+
+  /** Model-based corpus classification lifecycle — the drivable face of
+    * [[graft.text.Classifier]] (E52): `train` learns contrastive
+    * centroid weights from a labeled parquet corpus and persists them
+    * with their n-gram order (the Bpe/Pca learned-artifact pattern);
+    * `predict` scores any corpus through a saved model. */
+  private def runClassify(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli classify train --in docs.parquet --label cls --model dir [--text text] [--n 3] [--scale 1000000]\n" +
+        "     | Cli classify predict --in docs.parquet --model dir --out dir [--id doc_id] [--text text]"
+    val sub = args.headOption.getOrElse {
+      System.err.println(usage); sys.exit(2); ""
+    }
+    val opts = new Opts(args.tail, usage)
+    val spark = localSession()
+    import graft.text.Classifier
+    sub match {
+      case "train" =>
+        val (in, label, model) = (opts.req("in"), opts.req("label"), opts.req("model"))
+        val n = opts.int("n", 3)
+        val w = Classifier.trainCentroid(
+          spark.read.parquet(in), label, opts.getOrElse("text", "text"),
+          n, opts.long("scale", 1000000L))
+        Classifier.save(spark, Classifier.CentroidModel(w, n), model)
+        val (classes, grams) = {
+          val saved = spark.read.parquet(s"$model/weights.parquet")
+          (saved.select("cls").distinct().count(), saved.count())
+        }
+        println(s"[classify] trained $classes classes over $grams (class, ${n}-gram) weights -> $model")
+      case "predict" =>
+        val (in, model, out) = (opts.req("in"), opts.req("model"), opts.req("out"))
+        val m = Classifier.load(spark, model)
+        Classifier.predictCentroid(
+          spark.read.parquet(in), opts.getOrElse("id", "doc_id"),
+          opts.getOrElse("text", "text"), m.weights, m.n)
+          .write.mode("overwrite").parquet(out)
+        println(s"[classify] predicted ${spark.read.parquet(out).count()} docs " +
+          s"through the ${m.n}-gram model -> $out")
+      case other =>
+        System.err.println(s"unknown classify subcommand '$other'\n$usage"); sys.exit(2)
     }
   }
 

@@ -502,6 +502,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("E52s: classifier serving composes with a streaming corpus (per-microbatch, model frozen)") {
+    // the model is a batch-trained artifact; a doc arrives whole in one
+    // row, so each microbatch classifies independently through
+    // foreachBatch — no cross-batch state, predictions must equal the
+    // one-shot batch call over the same rows
+    import graft.text.Classifier
+    val train = Seq(("de", "der und das ist der und"), ("en", "the and is that the and"))
+      .toDF("cls", "text")
+    val model = Classifier.trainCentroid(train, "cls", "text", n = 2)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.Map.empty[Long, String]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Classifier.predictCentroid(batch, "doc_id", "text", model, n = 2)
+          .collect().foreach(r => acc.synchronized {
+            acc(r.getLong(0)) = r.getString(1)
+          })
+      }
+      .start()
+    try {
+      input.addData((1L, "der das und"), (2L, "the that and"))
+      q.processAllAvailable()
+      input.addData((3L, "und der ist"))
+      q.processAllAvailable()
+      val batchPred = Classifier.predictCentroid(
+        Seq((1L, "der das und"), (2L, "the that and"), (3L, "und der ist"))
+          .toDF("doc_id", "text"), "doc_id", "text", model, n = 2)
+        .as[(Long, String)].collect().toMap
+      assert(acc.toMap == batchPred && acc.size == 3)
+      assert(acc(1L) == "de" && acc(2L) == "en")
+    } finally q.stop()
+  }
+
   test("E2b-delta: continuous ingest ACCEPTS survivors into the index (screen → append loop)") {
     // the closed steady-state loop a year-long ingest runs: every
     // microbatch is screened against the index (base ∪ deltas), survivors
