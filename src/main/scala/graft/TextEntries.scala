@@ -126,6 +126,11 @@ object TextEntries {
   // duplicated-passage excision window (E51): the minimum duplicated
   // span length, the role the suffix-array threshold plays in Lee 2022
   val PassageK = 40
+  // winnowing (E53): k-gram size and frame width — detection guaranteed
+  // for shared spans >= k+w-1 = 27 chars at ~2/(w+1) fingerprint density
+  val WinnowK = 20
+  val WinnowW = 8
+  val WinnowTau = 2L // candidate pair = >= 2 shared fingerprints
   val ClassifierN = 3 // char-ngram order (E52)
   val ClassifierScale = 1000000L // centroid weights in integer ppm
   // E52 corpus spike: the driver's synthetic docs carry a random `lang`
@@ -502,6 +507,20 @@ object TextEntries {
       graft.dedup.Passage.exciseDuplicates(
         Tables.documents(s, dir).select("doc_id", "text"),
         "doc_id", "text", PassageK)),
+
+    // E53: winnowing fingerprints (MOSS) — each doc's guaranteed-recall
+    // sketch at ~2/(w+1) density; the sublinear screen in front of E51
+    "text_winnow" -> ((s, dir) =>
+      graft.text.Winnow.fingerprints(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", WinnowK, WinnowW)),
+
+    // E53p: the MOSS report — candidate pairs sharing >= tau winnowed
+    // fingerprints, hot fingerprints capped out of pair generation
+    "dedup_winnow" -> ((s, dir) =>
+      graft.text.Winnow.candidatePairs(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", WinnowK, WinnowW, WinnowTau)),
 
     // E52: contrastive-centroid classifier TRAINING — per-class char
     // trigram weights in integer ppm, centered per gram, learned on the
@@ -912,8 +931,50 @@ object TextEntries {
        |  FROM ppm, nc)""".stripMargin
   }
 
+  /** E53 oracle CTE stack: the same two window functions over the same
+    * portable h60 — frame minima then the reflect-back max — so the
+    * selected set is engine-independent by construction. */
+  private lazy val winnowFpsCtes = {
+    val (k, w) = (WinnowK, WinnowW)
+    val h60 = PortableHash.duckH60(s"substr(text, pos, $k)")
+    s"""corpus AS (SELECT doc_id, text FROM documents),
+       |pos AS (
+       |  SELECT doc_id, text, unnest(generate_series(1, length(text) - ${k - 1})) AS pos
+       |  FROM corpus WHERE length(text) >= $k),
+       |g AS (SELECT doc_id, pos, $h60 AS h FROM pos),
+       |mh AS (
+       |  SELECT doc_id, pos, h,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mh,
+       |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) = $w AS frame_full
+       |  FROM g),
+       |sel AS (
+       |  SELECT doc_id, pos, h,
+       |    max(CASE WHEN frame_full THEN mh END) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS selmax
+       |  FROM mh),
+       |fps AS (SELECT doc_id, pos, h AS fp FROM sel WHERE h = selmax)""".stripMargin
+  }
+
   private def oracleSql2: Map[String, String] = Map(
     "dedup_passages" -> dedupPassagesSql,
+
+    "text_winnow" ->
+      s"""WITH $winnowFpsCtes
+         |SELECT doc_id, pos, fp FROM fps""".stripMargin,
+
+    "dedup_winnow" ->
+      s"""WITH $winnowFpsCtes,
+         |dfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+         |cold AS (
+         |  SELECT fp FROM dfp GROUP BY fp
+         |  HAVING count(DISTINCT doc_id) <= ${graft.dedup.Dedup.DefaultMaxDf}),
+         |post AS (SELECT doc_id, fp FROM dfp JOIN cold USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       count(*) AS shared_fps
+         |FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $WinnowTau""".stripMargin,
 
     "classifier_train" ->
       s"""WITH $classifierWeightsCtes

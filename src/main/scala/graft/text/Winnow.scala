@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+  * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+  * algorithm): per document, hash every k-char window, slide a frame of
+  * w consecutive hashes, and keep each frame's MINIMUM. The kept set is
+  * a position-robust sketch with two guarantees the paper proves:
+  * any substring shared between two docs of length ≥ k+w−1 contributes
+  * at least one IDENTICAL fingerprint to both (no false negatives above
+  * the threshold), and the expected density is ~2/(w+1) — a corpus
+  * sketched at a guaranteed-recall detection threshold in a fraction of
+  * the positions.
+  *
+  * This is the sublinear companion to [[graft.dedup.Passage]]: passage
+  * excision screens ALL k-windows (exact, linear mass); a winnowed
+  * postings index carries ~2/(w+1) of that mass and still finds every
+  * ≥ k+w−1 shared span, which is the index you'd build FIRST over
+  * 100 TB to route near-dup candidates before any exact pass.
+  *
+  * Tie policy: the paper keeps the rightmost minimal hash per frame;
+  * rightmost-of-equals needs a composite argmin whose tie rule no two
+  * engines are guaranteed to share, so graft keeps ALL positions that
+  * achieve some full frame's minimum. Selection is then a pure
+  * predicate — `h(p) = min(frame)` for some frame containing p —
+  * deterministic in any engine, at worst epsilon denser on hash-equal
+  * repeats. Both guarantees above are unaffected (they only need "a
+  * frame minimum is kept").
+  *
+  * Shape at scale: two window functions over per-doc position order —
+  * partitioned BY DOCUMENT, so the sort is doc-local (never a global
+  * sort), pipelined in one exchange of (id, pos, 8-byte hash). Frame 1
+  * computes each full frame's min (`rows current..w−1 following` +
+  * frame-completeness count); frame 2 reflects that min back onto the
+  * positions it selects (`rows w−1 preceding..current` max of full-frame
+  * minima — equality with the position's own hash is exactly "I am some
+  * full frame's min"). No join, no explode beyond the k-gram pass, no
+  * UDF.
+  *
+  * Reference scope note: the reference engine has no corpus operator
+  * family; this extends the mandated LLM-pipeline surface (SURVEY §2 E).
+  */
+object Winnow {
+
+  /** Selected fingerprints: (`idCol`, pos, fp) — one row per kept
+    * position; docs shorter than k+w−1 chars have no full frame and
+    * yield no fingerprint (the paper's threshold is undefined there). */
+  def fingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 2, s"Winnow.fingerprints: k must be >= 2, got $k")
+    require(w >= 1, s"Winnow.fingerprints: w must be >= 1, got $w")
+    val grams = docs
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("pos"),
+        col(textCol).as("__t"))
+      .select(col("id"), col("pos"),
+        PortableHash.h60(col("__t").substr(col("pos"), lit(k))).as("h"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val fwd = byDoc.rowsBetween(0, w - 1)
+    val back = byDoc.rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("mh", min(col("h")).over(fwd))
+      .withColumn("full", count(lit(1)).over(fwd) === w)
+      .withColumn("selmax", max(when(col("full"), col("mh"))).over(back))
+      .filter(col("h") === col("selmax"))
+      // pos as long: the oracle's generate_series is BIGINT, and the
+      // driver's compare is strictest on matching physical types
+      .select(col("id").as(idCol), col("pos").cast("long").as("pos"),
+        col("h").as("fp"))
+  }
+
+  /** Candidate near-dup pairs from the winnowed index: docs sharing
+    * ≥ `minShared` distinct fingerprints, with shared count — the MOSS
+    * report, and the routing table an exact pass ([[graft.dedup.Passage]],
+    * Jaccard verify) would consume at scale. `maxDf` is the standard
+    * postings skew cap ([[graft.dedup.Dedup.DefaultMaxDf]] rationale):
+    * a boilerplate fingerprint in df docs would emit df²/2 pairs, so
+    * hot fingerprints are excluded from pair GENERATION — candidate
+    * fan-out is bounded at maxDf² per fingerprint regardless of skew. */
+  def candidatePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long,
+      maxDf: Long = graft.dedup.Dedup.DefaultMaxDf): DataFrame = {
+    val fps = fingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    val cold = fps.groupBy("fp")
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val post = fps.join(cold, "fp")
+    post.as("a").join(post.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+}
