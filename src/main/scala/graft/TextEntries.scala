@@ -536,9 +536,13 @@ object TextEntries {
     // sf0.001 — the label is recoverable by construction, see LangSpikes)
     "classifier_predict" -> ((s, dir) => {
       val docs = langSpiked(s, dir)
+      // materialize the model once (localCheckpoint, the Bpe pattern) —
+      // serving references the weight table twice (broadcast join +
+      // fallback class) and in production loads it from parquet anyway;
+      // without this the corpus-scale training pass would replay per use
       val w = graft.text.Classifier.trainCentroid(
         docs.filter(col("doc_id") % 5 =!= 0), "lang", "text",
-        ClassifierN, ClassifierScale)
+        ClassifierN, ClassifierScale).localCheckpoint()
       val held = docs.filter(col("doc_id") % 5 === 0)
       graft.text.Classifier.predictCentroid(held, "doc_id", "text", w, ClassifierN)
         .join(held.select(col("doc_id"), col("lang").as("lang_actual")), "doc_id")

@@ -115,9 +115,12 @@ object Classifier {
       .join(broadcast(weights.select(col("gram"), col("cls"), col("w_ppm"))), "gram")
       .groupBy("id", "cls")
       .agg(sum(col("tf") * col("w_ppm")).as("score"))
-    val best = scored.groupBy("id").agg(max(col("score")).as("best"))
+    // exact argmax in ONE pass over the (doc × class)-sized scored set:
+    // a doc-partitioned window max (classes per doc are a handful of
+    // rows), then min(cls) among the achievers — the agg-then-self-join
+    // shape would re-execute the whole scoring subtree for the max leg
     val pred = scored
-      .join(best, "id")
+      .withColumn("best", max(col("score")).over(Window.partitionBy("id")))
       .filter(col("score") === col("best"))
       .groupBy("id")
       .agg(min(col("cls")).as("pred"))

@@ -112,6 +112,30 @@ class PlanSpec extends SparkSpecBase {
       "repetition argmax must combine map-side")
   }
 
+  test("E51/E52/E53: round-10 operators have the intended shuffle shapes") {
+    // passage excision: the dup-hash screen comes back as a BROADCAST
+    // (the corpus-scale side never sort-merge-joins), everything codegen'd
+    val pe = plan("dedup_passages")
+    assert(pe.contains("BroadcastExchange"),
+      "the duplicated-hash screen must broadcast")
+    assert(!pe.contains("SortMergeJoin"),
+      s"no corpus-side sort-merge join expected:\n${pe.take(1500)}")
+    assert(!pe.contains("ScalaUDF") && !pe.contains("BatchEvalPython"))
+    // classifier serving: the weight table reaches the tf rows broadcast
+    val cp = plan("classifier_predict")
+    assert(cp.contains("BroadcastHashJoin"),
+      "the weight table must broadcast into serving")
+    assert(!cp.contains("ScalaUDF") && !cp.contains("BatchEvalPython"))
+    // winnowing: both frames ride ONE doc-partitioned sort — exactly one
+    // hash exchange in the whole plan, and the h60 digest is the native
+    // memoized expression (one md5 per gram, two lane reads)
+    val wn = plan("text_winnow")
+    assert("hashpartitioning".r.findAllIn(wn).length == 1,
+      s"winnow must shuffle exactly once:\n${wn.take(1500)}")
+    assert(wn.contains("graft_h32"))
+    assert(!wn.contains("ScalaUDF") && !wn.contains("BatchEvalPython"))
+  }
+
   test("E25: segment dedup joins on the h60 fingerprint, not segment text") {
     val p = plan("dedup_segments")
     // the keeper join's exchanges hash-partition on the __h hash column
