@@ -522,6 +522,20 @@ object TextEntries {
         Tables.documents(s, dir).select("doc_id", "text"),
         "doc_id", "text", WinnowK, WinnowW, WinnowTau)),
 
+    // E53-idx: the winnowed index SERVED — corpus fingerprints persisted
+    // bucketed-by-fingerprint with the df cap baked in at build, a new
+    // batch screened against them with the index side exchange-free and
+    // no corpus text touched at serve time (plan-pinned)
+    "dedup_winnow_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      graft.text.Winnow.writeIndex(
+        d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        "graft_winnow_idx", buckets = 8, WinnowK, WinnowW)
+      graft.text.Winnow.screenIndexed(
+        s, "graft_winnow_idx",
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text", WinnowTau)
+    }),
+
     // E52: contrastive-centroid classifier TRAINING — per-class char
     // trigram weights in integer ppm, centered per gram, learned on the
     // doc_id%5!=0 split of the lang-spiked corpus
@@ -935,31 +949,36 @@ object TextEntries {
        |  FROM ppm, nc)""".stripMargin
   }
 
-  /** E53 oracle CTE stack: the same two window functions over the same
-    * portable h60 — frame minima then the reflect-back max — so the
-    * selected set is engine-independent by construction. */
-  private lazy val winnowFpsCtes = {
+  /** E53 oracle CTE stack over a named corpus CTE: the same two window
+    * functions over the same portable h60 — frame minima then the
+    * reflect-back max — so the selected set is engine-independent by
+    * construction. `pre` prefixes the CTE names so two stacks (corpus +
+    * batch) compose in one query; the final CTE is `<pre>fps`. */
+  private def winnowFpsStack(corpusCte: String, pre: String): String = {
     val (k, w) = (WinnowK, WinnowW)
     val h60 = PortableHash.duckH60(s"substr(text, pos, $k)")
-    s"""corpus AS (SELECT doc_id, text FROM documents),
-       |pos AS (
+    s"""${pre}pos AS (
        |  SELECT doc_id, text, unnest(generate_series(1, length(text) - ${k - 1})) AS pos
-       |  FROM corpus WHERE length(text) >= $k),
-       |g AS (SELECT doc_id, pos, $h60 AS h FROM pos),
-       |mh AS (
+       |  FROM $corpusCte WHERE length(text) >= $k),
+       |${pre}g AS (SELECT doc_id, pos, $h60 AS h FROM ${pre}pos),
+       |${pre}mh AS (
        |  SELECT doc_id, pos, h,
        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mh,
        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) = $w AS frame_full
-       |  FROM g),
-       |sel AS (
+       |  FROM ${pre}g),
+       |${pre}sel AS (
        |  SELECT doc_id, pos, h,
        |    max(CASE WHEN frame_full THEN mh END) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS selmax
-       |  FROM mh),
-       |fps AS (SELECT doc_id, pos, h AS fp FROM sel WHERE h = selmax)""".stripMargin
+       |  FROM ${pre}mh),
+       |${pre}fps AS (SELECT doc_id, pos, h AS fp FROM ${pre}sel WHERE h = selmax)""".stripMargin
   }
+
+  private lazy val winnowFpsCtes =
+    s"""corpus AS (SELECT doc_id, text FROM documents),
+       |${winnowFpsStack("corpus", "")}""".stripMargin
 
   private def oracleSql2: Map[String, String] = Map(
     "dedup_passages" -> dedupPassagesSql,
@@ -967,6 +986,25 @@ object TextEntries {
     "text_winnow" ->
       s"""WITH $winnowFpsCtes
          |SELECT doc_id, pos, fp FROM fps""".stripMargin,
+
+    // the indexed screen must equal the direct batch-vs-corpus
+    // fingerprint join; the build-time df cap mirrors as a HAVING on
+    // the corpus postings
+    "dedup_winnow_incremental" ->
+      s"""WITH wcorpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+         |wbatch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |${winnowFpsStack("wcorpus", "c")},
+         |${winnowFpsStack("wbatch", "b")},
+         |cdfp AS (SELECT DISTINCT doc_id, fp FROM cfps),
+         |ccold AS (
+         |  SELECT fp FROM cdfp GROUP BY fp
+         |  HAVING count(DISTINCT doc_id) <= ${graft.dedup.Dedup.DefaultMaxDf}),
+         |cpost AS (SELECT doc_id, fp FROM cdfp JOIN ccold USING (fp)),
+         |bdfp AS (SELECT DISTINCT doc_id, fp FROM bfps)
+         |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |       count(*) AS shared_fps
+         |FROM bdfp b JOIN cpost c ON b.fp = c.fp
+         |GROUP BY 1, 2 HAVING count(*) >= $WinnowTau""".stripMargin,
 
     "dedup_winnow" ->
       s"""WITH $winnowFpsCtes,

@@ -99,4 +99,62 @@ object Winnow {
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
   }
+
+  /** Persist a corpus's winnowed index: `<name>_fps` — the distinct
+    * (doc, fingerprint) postings BUCKETED by fingerprint — plus a meta
+    * record of (k, w, buckets, maxDf). The E2b-idx steady state for the
+    * passage screen: each arriving batch pays only its own
+    * fingerprinting plus a join that reads the index WITHOUT shuffling
+    * it (the bucket layout IS the join partitioning — only the small
+    * batch side moves), and NO corpus text is read at serve time. The
+    * index carries ~2/(w+1) of the corpus's k-gram mass — the winnowing
+    * guarantee means a batch doc sharing ≥ k+w−1 chars with ANY indexed
+    * doc still surfaces.
+    *
+    * The df skew cap is applied at BUILD time (hot boilerplate
+    * fingerprints never enter the index) so serving needs no index-wide
+    * df aggregation — the cap is a build parameter recorded in meta,
+    * not a per-query shuffle. Delta append/compact maintenance would
+    * follow [[graft.dedup.Dedup.appendToNgramIndex]]'s recipe verbatim
+    * (same Bucketed delta tables); not duplicated here. */
+  def writeIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      name: String, buckets: Int, k: Int, w: Int,
+      maxDf: Long = graft.dedup.Dedup.DefaultMaxDf): Unit = {
+    val spark = corpus.sparkSession
+    val fps = fingerprints(corpus, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("fp").as("__fp")).distinct()
+    val cold = fps.groupBy("__fp")
+      .agg(countDistinct(col("__id")).as("df"))
+      .filter(col("df") <= maxDf).select("__fp")
+    graft.sources.Bucketed.overwrite(
+      fps.join(cold, "__fp"), s"${name}_fps", buckets, Seq("__fp"))
+    graft.sources.Bucketed.overwritePlain(
+      spark.range(1).select(
+        lit(k.toLong).as("k"), lit(w.toLong).as("w"),
+        lit(buckets.toLong).as("buckets"), lit(maxDf).as("max_df")),
+      s"${name}_meta")
+  }
+
+  /** Screen a batch against a persisted [[writeIndex]] index: pairs
+    * (batch_id, corpus_id, shared_fps) with ≥ `minShared` shared
+    * fingerprints. Refuses an index built with different (k, w) loudly
+    * instead of silently joining disjoint fingerprint spaces. */
+  def screenIndexed(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      minShared: Long): DataFrame = {
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"winnow index '$name' not found — build it with Winnow.writeIndex first")
+    val meta = spark.table(s"${name}_meta").head()
+    val (k, w) = (meta.getAs[Number]("k").intValue(), meta.getAs[Number]("w").intValue())
+    val bFps = fingerprints(batch, idCol, textCol, k, w)
+      .select(col(idCol).as("batch_id"), col("fp").as("__fp")).distinct()
+    spark.table(s"${name}_fps")
+      .select(col("__id").as("corpus_id"), col("__fp"))
+      .join(bFps, "__fp")
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

@@ -83,6 +83,77 @@ class WinnowSpec extends SparkSpecBase {
     assert(run(Seq(1L -> "x" * 27), 20, 8)(1L).nonEmpty)
   }
 
+  test("indexed screen: bucketed exchange-free serve equals the direct join, params guarded") {
+    import graft.text.Winnow
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = graft.util.Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    Winnow.writeIndex(corpus, "doc_id", "text", "graft_pin_widx",
+      buckets = 4, k = 20, w = 8)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val serve = Winnow.screenIndexed(
+        spark, "graft_pin_widx", batch, "doc_id", "text", 2L)
+      val plan = serve.queryExecution.executedPlan
+      def isIdx(f: FileSourceScanExec) =
+        f.tableIdentifier.exists(_.table.startsWith("graft_pin_widx"))
+      val idxScans = plan.collect { case f: FileSourceScanExec if isIdx(f) => f }
+      assert(idxScans.nonEmpty && idxScans.forall(_.bucketedScan),
+        "index must be read as a bucketed scan")
+      // no shuffle may sit between the index scan and the JOIN that
+      // consumes it (exchanges above the join move the candidate-sized
+      // result, which is fine) — the PlanSpec openIdx traversal
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+      var shuffledBeforeJoin = false
+      def openIdx(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => isIdx(f)
+        case _: SortMergeJoinExec | _: BroadcastHashJoinExec |
+             _: ShuffledHashJoinExec | _: BroadcastNestedLoopJoinExec =>
+          p.children.foreach(openIdx); false // join absorbs the scan
+        case e: ShuffleExchangeExec =>
+          val o = e.children.exists(openIdx)
+          if (o) shuffledBeforeJoin = true
+          o
+        case _ => p.children.map(openIdx).exists(identity)
+      }
+      openIdx(plan)
+      assert(!shuffledBeforeJoin, "corpus index was shuffled before its join")
+      // serve == the direct fingerprint join over the same subsets
+      import graft.text.{Winnow => W}
+      val cFps = W.fingerprints(corpus, "doc_id", "text", 20, 8)
+        .select($"doc_id".as("corpus_id"), $"fp").distinct()
+      val capped = cFps.groupBy("fp")
+        .agg(countDistinct($"corpus_id").as("df"))
+        .filter($"df" <= graft.dedup.Dedup.DefaultMaxDf).select("fp")
+      val bFps = W.fingerprints(batch, "doc_id", "text", 20, 8)
+        .select($"doc_id".as("batch_id"), $"fp").distinct()
+      val direct = bFps.join(cFps.join(capped, "fp"), "fp")
+        .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("shared_fps"))
+        .filter($"shared_fps" >= 2L)
+        .collect().map(_.toSeq).toSet
+      assert(serve.collect().map(_.toSeq).toSet == direct)
+      // a mismatched-parameter serve must refuse loudly, not return []
+      // (screenIndexed reads k/w from meta, so the guard is the missing
+      // index case)
+      val err = intercept[IllegalArgumentException] {
+        Winnow.screenIndexed(spark, "graft_no_such_widx", batch, "doc_id", "text", 2L)
+      }
+      assert(err.getMessage.contains("not found"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_pin_widx_fps")
+      spark.sql("DROP TABLE IF EXISTS graft_pin_widx_meta")
+    }
+  }
+
   test("candidate pairs find planted near-dups and respect the df cap") {
     def noise(seed: Int, n: Int) = {
       val r = new Random(seed); (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
