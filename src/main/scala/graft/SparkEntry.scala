@@ -54,6 +54,10 @@ object SparkEntry {
     kept.unionByName(ghosts)
   }
 
+  // D12 funnel parameters — both engines derive the same report from them
+  private val FunnelSteps = Seq("signup", "view", "purchase")
+  private val FunnelWindowUs = 48L * 3600L * 1000000L
+
   private val ordersCols =
     Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
 
@@ -143,6 +147,22 @@ object SparkEntry {
           min(col("event_id")).as("first_event"),
           max(col("event_id")).as("last_event"))
     }),
+
+    // D12: ordered funnel — signup → view → purchase, each step within
+    // 48h of the previous, earliest-qualifying-event resolution; the
+    // whole cascade is three frame-less window minima over ONE
+    // user-partitioned exchange (no join per step)
+    "events_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnel(
+        Tables.events(s, dir), "user_id", col("ts"), "event_type",
+        FunnelSteps, FunnelWindowUs)),
+
+    // D13: cohort retention — cohort = first-activity week, week index
+    // by integer epoch-µs division (no calendar/week-start semantics to
+    // disagree on), distinct actives per (cohort, offset)
+    "events_retention" -> ((s, dir) =>
+      graft.operators.Funnel.cohortRetention(
+        Tables.events(s, dir), "user_id", col("ts"))),
 
     // D5: time-bucketed rollup (batch twin of the streaming agg)
     "events_window_agg" -> ((s, dir) => {
@@ -468,6 +488,31 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(event_id) AS first_event, max(event_id) AS last_event
         |FROM s2 GROUP BY user_id, session_id""".stripMargin,
+
+    // min-qualifying cascade as three grouped minima — the windowed
+    // Spark cascade resolves the identical earliest-qualifying times
+    "events_funnel" -> {
+      val Seq(s1, s2, s3) = FunnelSteps
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |t1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = '$s1' GROUP BY 1),
+         |t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+         |       WHERE event_type = '$s2' AND us > t1 AND us <= t1 + $FunnelWindowUs GROUP BY 1),
+         |t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+         |       WHERE event_type = '$s3' AND us > t2 AND us <= t2 + $FunnelWindowUs GROUP BY 1)
+         |SELECT s1 AS users_step1, s2 AS users_step2, s3 AS users_step3,
+         |  CAST(CASE WHEN s1 > 0 THEN floor(s2 * 10000.0 / s1) ELSE 0 END AS BIGINT) AS conv2_bp,
+         |  CAST(CASE WHEN s2 > 0 THEN floor(s3 * 10000.0 / s2) ELSE 0 END AS BIGINT) AS conv3_bp
+         |FROM (SELECT (SELECT count(*) FROM t1) s1, (SELECT count(*) FROM t2) s2,
+         |             (SELECT count(*) FROM t3) s3)""".stripMargin
+    },
+
+    // '//' = DuckDB integral division = the query's `div` on positives
+    "events_retention" ->
+      """WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1)
+        |SELECT c.cohort AS cohort_week, w.wk - c.cohort AS week_k,
+        |       count(DISTINCT w.user_id) AS active_users
+        |FROM w JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
 
     "events_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,

@@ -7,7 +7,7 @@ import graft.cdc.CdcOperator.{SnapshotConfig, ValidateConfig}
 import graft.pg.{JdbcSink, PgConfig, Reflect}
 import graft.sources.DmsFileCatalog.{AbsolutePath, DateAware, FullLoadOnly, Mode}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{coalesce, col, count, desc, lit, sum}
+import org.apache.spark.sql.functions.{coalesce, col, count, desc, lit, sum, when}
 
 /** Command-line client — the graft equivalent of the reference's
   * `dms-cdc-operator-client validate` (dms-cdc-operator-client/src/main.rs),
@@ -53,6 +53,8 @@ object Cli {
     case Some("bm25") => runBm25(args.tail)
     case Some("pca") => runPca(args.tail)
     case Some("classify") => runClassify(args.tail)
+    case Some("winnow") => runWinnow(args.tail)
+    case Some("passages") => runPassages(args.tail)
     case _ =>
       System.err.println(
         "usage: Cli validate ... | Cli index build|append|compact|screen ... | Cli land ... " +
@@ -215,6 +217,65 @@ object Cli {
       case other =>
         System.err.println(s"unknown pca subcommand '$other'\n$usage"); sys.exit(2)
     }
+  }
+
+  /** Winnowed-fingerprint index lifecycle — the drivable face of
+    * [[graft.text.Winnow]] (E53): `build` lands the corpus's winnowed
+    * postings bucketed by fingerprint (df cap baked in), `screen` runs
+    * a batch against the index (exchange-free on the index side) and
+    * writes the candidate pairs. */
+  private def runWinnow(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli winnow build --in docs.parquet --name idx [--id doc_id] [--text text] [--k 20] [--w 8] [--buckets 16] [--max-df 128]\n" +
+        "     | Cli winnow screen --name idx --in batch.parquet --out dir [--id doc_id] [--text text] [--min-shared 2]"
+    val sub = args.headOption.getOrElse {
+      System.err.println(usage); sys.exit(2); ""
+    }
+    val opts = new Opts(args.tail, usage)
+    val spark = localSession()
+    import graft.text.Winnow
+    sub match {
+      case "build" =>
+        val (in, name) = (opts.req("in"), opts.req("name"))
+        val corpus = spark.read.parquet(in)
+        Winnow.writeIndex(corpus,
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+          name, opts.int("buckets", 16), opts.int("k", 20), opts.int("w", 8),
+          opts.long("max-df", graft.dedup.Dedup.DefaultMaxDf))
+        println(s"[winnow] indexed ${corpus.count()} docs -> $name " +
+          s"(${spark.table(s"${name}_fps").count()} fingerprint postings, bucketed)")
+      case "screen" =>
+        val (name, in, out) = (opts.req("name"), opts.req("in"), opts.req("out"))
+        Winnow.screenIndexed(spark, name, spark.read.parquet(in),
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+          opts.long("min-shared", 2L))
+          .write.mode("overwrite").parquet(out)
+        println(s"[winnow] ${spark.read.parquet(out).count()} candidate pairs -> $out")
+      case other =>
+        System.err.println(s"unknown winnow subcommand '$other'\n$usage"); sys.exit(2)
+    }
+  }
+
+  /** Duplicated-passage excision — the drivable face of
+    * [[graft.dedup.Passage]] (E51): read a corpus, cut every cross-doc
+    * duplicated k-window span (keeper = smallest doc id), land the
+    * cleaned corpus. */
+  private def runPassages(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli passages --in docs.parquet --out dir [--id doc_id] [--text text] [--k 40]"
+    val opts = new Opts(args, usage)
+    val spark = localSession()
+    val (in, out) = (opts.req("in"), opts.req("out"))
+    val cleaned = graft.dedup.Passage.exciseDuplicates(
+      spark.read.parquet(in),
+      opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+      opts.int("k", 40))
+    cleaned.write.mode("overwrite").parquet(out)
+    val stats = spark.read.parquet(out)
+      .agg(count(lit(1)), sum(col("n_removed")),
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L))).head()
+    println(s"[passages] ${stats.getLong(0)} docs -> $out " +
+      s"(${stats.getLong(2)} docs trimmed, ${stats.getLong(1)} chars removed)")
   }
 
   /** Model-based corpus classification lifecycle — the drivable face of
