@@ -61,6 +61,36 @@ class FunnelSpec extends SparkSpecBase {
     assert(got == Set((1L, 0L, 1L), (1L, 1L, 1L), (1L, 3L, 1L), (2L, 0L, 1L)))
   }
 
+  test("randomized equivalence with a sequential reference") {
+    val rnd = new scala.util.Random(4711)
+    for (trial <- 0 until 6) {
+      val w = (1 + rnd.nextInt(20)) * H
+      val rows = (0 until 200).map { _ =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(50).toLong * H / 2,
+          Seq("a", "b", "c", "x")(rnd.nextInt(4)))
+      }
+      // sequential reference: earliest-qualifying cascade per user
+      def t(us: Seq[(Long, String)], step: String, after: Option[Long]): Option[Long] =
+        after match {
+          case None => us.collect { case (ts, s) if s == step => ts }.minOption
+          case Some(a) => us.collect {
+            case (ts, s) if s == step && ts > a && ts <= a + w => ts }.minOption
+        }
+      val byUser = rows.groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSeq)
+      val refTs = byUser.map { case (_, us) =>
+        val t1 = t(us, "a", None)
+        val t2 = t1.flatMap(x => t(us, "b", Some(x)))
+        val t3 = t2.flatMap(x => t(us, "c", Some(x)))
+        (t1.isDefined, t2.isDefined, t3.isDefined)
+      }.toSeq
+      val (e1, e2, e3) = (refTs.count(_._1).toLong, refTs.count(_._2).toLong,
+        refTs.count(_._3).toLong)
+      val got = run(ev(rows: _*), w)
+      assert((got._1, got._2, got._3) == ((e1, e2, e3)),
+        s"trial $trial w=${w / H}h got=$got expected=($e1,$e2,$e3)")
+    }
+  }
+
   test("plan: the funnel cascade costs one user exchange, no joins") {
     val p = Funnel.funnel(
       graft.util.Tables.events(spark, sf("sf0.001")),

@@ -536,6 +536,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("E53s: winnow screen composes with a streaming ingest (per-microbatch vs frozen index)") {
+    // the index is a batch-built artifact; a doc arrives whole in one
+    // row, so each microbatch screens independently through foreachBatch
+    // against the frozen bucketed postings — screened pairs must equal
+    // the one-shot batch screen over the same rows
+    import graft.text.Winnow
+    val docs = graft.util.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .as[(Long, String)].collect().toSeq
+    Winnow.writeIndex(corpus, "doc_id", "text", "graft_stream_widx",
+      buckets = 4, k = 20, w = 8)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.Set.empty[Seq[Any]]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Winnow.screenIndexed(spark, "graft_stream_widx", b, "doc_id", "text", 2L)
+          .collect().foreach(r => acc.synchronized { acc += r.toSeq })
+      }
+      .start()
+    try {
+      val (half1, half2) = batch.splitAt(batch.size / 2)
+      input.addData(half1: _*); q.processAllAvailable()
+      input.addData(half2: _*); q.processAllAvailable()
+      val oneShot = Winnow.screenIndexed(
+        spark, "graft_stream_widx",
+        batch.toDF("doc_id", "text"), "doc_id", "text", 2L)
+        .collect().map(_.toSeq).toSet
+      assert(acc.toSet == oneShot && oneShot.nonEmpty)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_stream_widx_fps")
+      spark.sql("DROP TABLE IF EXISTS graft_stream_widx_meta")
+    }
+  }
+
   test("E2b-delta: continuous ingest ACCEPTS survivors into the index (screen → append loop)") {
     // the closed steady-state loop a year-long ingest runs: every
     // microbatch is screened against the index (base ∪ deltas), survivors
