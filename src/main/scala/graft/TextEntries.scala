@@ -522,6 +522,14 @@ object TextEntries {
         Tables.documents(s, dir).select("doc_id", "text"),
         "doc_id", "text", WinnowK, WinnowW, WinnowTau)),
 
+    // E54: source-pair content overlap — exact Jaccard of winnowed
+    // fingerprint sets per source pair, the report that decides where a
+    // cross-source dedup run will actually find shared passages
+    "source_overlap" -> ((s, dir) =>
+      graft.text.Winnow.sourceOverlap(
+        Tables.documents(s, dir).select("doc_id", "source", "text"),
+        "doc_id", "text", "source", WinnowK, WinnowW)),
+
     // E53-idx: the winnowed index SERVED — corpus fingerprints persisted
     // bucketed-by-fingerprint with the df cap baked in at build, a new
     // batch screened against them with the index side exchange-free and
@@ -986,6 +994,25 @@ object TextEntries {
     "text_winnow" ->
       s"""WITH $winnowFpsCtes
          |SELECT doc_id, pos, fp FROM fps""".stripMargin,
+
+    // pairwise Jaccard of per-source distinct fingerprint sets; the
+    // corpus CTE carries `source` through the same winnow stack
+    "source_overlap" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |${winnowFpsStack("corpus", "")},
+         |sfp AS (
+         |  SELECT DISTINCT d.source AS g, fps.fp
+         |  FROM fps JOIN documents d ON d.doc_id = fps.doc_id),
+         |sizes AS (SELECT g, count(*) AS n FROM sfp GROUP BY 1),
+         |common AS (
+         |  SELECT a.g AS source_a, b.g AS source_b, count(*) AS common
+         |  FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.g < b.g
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, common,
+         |  CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) AS overlap_bp
+         |FROM common
+         |JOIN sizes sa ON sa.g = source_a
+         |JOIN sizes sb ON sb.g = source_b""".stripMargin,
 
     // the indexed screen must equal the direct batch-vs-corpus
     // fingerprint join; the build-time df cap mirrors as a HAVING on

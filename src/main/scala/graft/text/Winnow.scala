@@ -100,6 +100,39 @@ object Winnow {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** Source-pair CONTENT-overlap matrix — the dedup-planning report:
+    * for every pair of values of `groupCol` (e.g. crawl source), the
+    * exact Jaccard of their winnowed-fingerprint sets, in basis points.
+    * Token-level overlap saturates on corpora sharing a vocabulary;
+    * fingerprints measure shared PASSAGES (≥ k+w−1 chars), which is
+    * what decides where a cross-source [[graft.dedup.Passage]] /
+    * [[candidatePairs]] run will actually find something. Cost: the
+    * per-doc fingerprint pass, one distinct (group, fp) projection,
+    * and a fingerprint-keyed self-join whose per-key fan-out is
+    * bounded by the NUMBER OF GROUPS (each fp appears once per group
+    * after the distinct) — no df cap needed, no doc-pair blow-up.
+    * For corpora too large even for the fingerprint pass, the KMV
+    * synopsis estimate ([[graft.operators.KeyOverlap]]) is the
+    * screen-of-the-screen. */
+  def sourceOverlap(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      k: Int, w: Int): DataFrame = {
+    val fps = fingerprints(docs, idCol, textCol, k, w)
+      .join(docs.select(col(idCol), col(groupCol).as("__g")), idCol)
+      .select(col("__g"), col("fp")).distinct()
+    val sizes = fps.groupBy("__g").agg(count(lit(1)).as("n"))
+    val common = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("source_a"), col("b.__g").as("source_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("__g").as("source_a"), col("n").as("n_a")), "source_a")
+      .join(sizes.select(col("__g").as("source_b"), col("n").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("common"),
+        TextOps.bp(col("common"), col("n_a") + col("n_b") - col("common"))
+          .as("overlap_bp"))
+  }
+
   /** Persist a corpus's winnowed index: `<name>_fps` — the distinct
     * (doc, fingerprint) postings BUCKETED by fingerprint — plus a meta
     * record of (k, w, buckets, maxDf). The E2b-idx steady state for the

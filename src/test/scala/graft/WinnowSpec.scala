@@ -154,6 +154,35 @@ class WinnowSpec extends SparkSpecBase {
     }
   }
 
+  test("source overlap measures shared passages between groups, exactly") {
+    def noise(seed: Int, n: Int) = {
+      val r = new Random(seed); (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val shared = noise(50, 60)
+    val docs = Seq(
+      (1L, "s1", noise(1, 40) + shared),
+      (2L, "s1", noise(2, 80)),
+      (3L, "s2", shared + noise(3, 40)),
+      (4L, "s3", noise(4, 100))).toDF("doc_id", "source", "text")
+    val got = graft.text.Winnow.sourceOverlap(docs, "doc_id", "text", "source", 5, 4)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // s1 and s2 share the planted passage's fingerprints; each also has
+    // private noise, so 0 < overlap < 10000
+    val s12 = got(("s1", "s2"))
+    assert(s12._5 > 0 && s12._6 > 0 && s12._6 < 10000)
+    // disjoint noise may still collide on a rare short gram; overlap with
+    // s3 must stay far below the planted pair's
+    got.get(("s1", "s3")).foreach(p => assert(p._6 < s12._6))
+    got.get(("s2", "s3")).foreach(p => assert(p._6 < s12._6))
+    // symmetry of the sizes: n_a matches the group's own fingerprint count
+    val fps = graft.text.Winnow.fingerprints(docs, "doc_id", "text", 5, 4)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .select($"source", $"fp").distinct()
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(s12._3 == fps("s1") && s12._4 == fps("s2"))
+  }
+
   test("candidate pairs find planted near-dups and respect the df cap") {
     def noise(seed: Int, n: Int) = {
       val r = new Random(seed); (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
