@@ -536,6 +536,47 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D12s: streaming funnel equals the batch cascade on a time-ordered feed") {
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.{Ev, UserFunnel}
+    val H = 3600L * 1000000L
+    val W = 48 * H
+    val rnd = new scala.util.Random(2718)
+    val evs = (0 until 300).map { _ =>
+      Ev(rnd.nextInt(15).toLong, rnd.nextInt(200).toLong * H / 4,
+        Seq("a", "b", "c", "x")(rnd.nextInt(4)))
+    }.sortBy(_.ts_us) // the per-user event-time-order contract
+    // sequential batch reference: the earliest-qualifying cascade
+    val expect = evs.groupBy(_.user_id).map { case (u, es) =>
+      def mn(step: String, after: Option[Long]): Option[Long] = after match {
+        case None => es.collect { case e if e.event_type == step => e.ts_us }.minOption
+        case Some(a) => es.collect {
+          case e if e.event_type == step && e.ts_us > a && e.ts_us <= a + W => e.ts_us
+        }.minOption
+      }
+      val t1 = mn("a", None); val t2 = t1.flatMap(x => mn("b", Some(x)))
+      val t3 = t2.flatMap(x => mn("c", Some(x)))
+      u -> Seq(t1, t2, t3).map(_.getOrElse(-1L))
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = FunnelStream.funnelUpdates(input.toDS(), Seq("a", "b", "c"), W)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      val (h1, h2) = evs.splitAt(evs.size / 2) // time-ordered split
+      input.addData(h1: _*); q.processAllAvailable()
+      input.addData(h2: _*); q.processAllAvailable()
+      // latest update per user = the final resolution
+      val got = spark.table("funnel_stream").as[UserFunnel].collect()
+        .zipWithIndex.groupBy(_._1.user_id)
+        .map { case (u, rows) => u -> rows.maxBy(_._2)._1.steps }
+      assert(got == expect, s"stream=$got expected=$expect")
+      // and a conversion actually happened somewhere in the fixture
+      assert(expect.values.exists(_.forall(_ >= 0)))
+    } finally q.stop()
+  }
+
   test("E53s: winnow screen composes with a streaming ingest (per-microbatch vs frozen index)") {
     // the index is a batch-built artifact; a doc arrives whole in one
     // row, so each microbatch screens independently through foreachBatch
