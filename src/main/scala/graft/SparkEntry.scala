@@ -157,6 +157,14 @@ object SparkEntry {
         Tables.events(s, dir), "user_id", col("ts"), "event_type",
         FunnelSteps, FunnelWindowUs)),
 
+    // D12u: the funnel's per-user detail — every user's resolved step
+    // times hash-compare against the oracle cascade, a far stronger
+    // gate than the one-row summary
+    "events_funnel_users" -> ((s, dir) =>
+      graft.operators.Funnel.funnelUsers(
+        Tables.events(s, dir), "user_id", col("ts"), "event_type",
+        FunnelSteps, FunnelWindowUs)),
+
     // D13: cohort retention — cohort = first-activity week, week index
     // by integer epoch-µs division (no calendar/week-start semantics to
     // disagree on), distinct actives per (cohort, offset)
@@ -506,13 +514,33 @@ object SparkEntry {
          |             (SELECT count(*) FROM t3) s3)""".stripMargin
     },
 
+    // every user's per-step times, nullable where unreached
+    "events_funnel_users" -> {
+      val Seq(s1, s2, s3) = FunnelSteps
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |t1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = '$s1' GROUP BY 1),
+         |t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+         |       WHERE event_type = '$s2' AND us > t1 AND us <= t1 + $FunnelWindowUs GROUP BY 1),
+         |t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+         |       WHERE event_type = '$s3' AND us > t2 AND us <= t2 + $FunnelWindowUs GROUP BY 1)
+         |SELECT u.user_id, t1.t1 AS step1_us, t2.t2 AS step2_us, t3.t3 AS step3_us
+         |FROM (SELECT DISTINCT user_id FROM events) u
+         |LEFT JOIN t1 USING (user_id)
+         |LEFT JOIN t2 USING (user_id)
+         |LEFT JOIN t3 USING (user_id)""".stripMargin
+    },
+
     // '//' = DuckDB integral division = the query's `div` on positives
     "events_retention" ->
       """WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
-        |c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1)
-        |SELECT c.cohort AS cohort_week, w.wk - c.cohort AS week_k,
-        |       count(DISTINCT w.user_id) AS active_users
-        |FROM w JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+        |c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1),
+        |a AS (SELECT c.cohort AS cohort_week, w.wk - c.cohort AS week_k,
+        |             count(DISTINCT w.user_id) AS active_users
+        |      FROM w JOIN c USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort AS cohort_week, count(*) AS cohort_size FROM c GROUP BY 1)
+        |SELECT a.cohort_week, a.week_k, a.active_users, s.cohort_size,
+        |  CAST(floor(a.active_users * 10000.0 / s.cohort_size) AS BIGINT) AS retention_bp
+        |FROM a JOIN s USING (cohort_week)""".stripMargin,
 
     "events_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,

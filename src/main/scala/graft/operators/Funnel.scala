@@ -36,9 +36,12 @@ object Funnel {
 
   private val WeekUs = 7L * 86400L * 1000000L
 
-  /** One summary row: users reaching each step + step-over-step
-    * conversion in basis points. `steps` must be distinct types. */
-  def funnel(
+  /** Per-user resolution: one row per user with `step<i>_us` = the
+    * cascade's epoch-µs time for step i (null = unreached). The
+    * per-user detail the summary aggregates — and the stronger
+    * correctness surface (every user's times hash-compare, not just
+    * the funnel widths). */
+  def funnelUsers(
       events: DataFrame, userCol: String, tsCol: Column, typeCol: String,
       steps: Seq[String], windowUs: Long): DataFrame = {
     require(steps.size >= 2, s"funnel: need >= 2 steps, got ${steps.size}")
@@ -55,12 +58,21 @@ object Funnel {
           col("__us") <= col(s"__t${i - 1}") + windowUs
       df.withColumn(s"__t$i", min(when(qualifies, col("__us"))).over(byUser))
     }
-    val stepAggs = steps.indices.map(i => max(col(s"__t$i")).as(s"__t$i"))
-    val perUser = cascaded
+    val stepAggs = steps.indices.map(i => max(col(s"__t$i")).as(s"step${i + 1}_us"))
+    cascaded
       .groupBy(col(userCol))
       .agg(stepAggs.head, stepAggs.tail: _*)
+  }
+
+  /** One summary row: users reaching each step + step-over-step
+    * conversion in basis points. `steps` must be distinct types. */
+  def funnel(
+      events: DataFrame, userCol: String, tsCol: Column, typeCol: String,
+      steps: Seq[String], windowUs: Long): DataFrame = {
+    val perUser = funnelUsers(events, userCol, tsCol, typeCol, steps, windowUs)
     val reached = steps.indices.map(i =>
-      sum(when(col(s"__t$i").isNotNull, 1L).otherwise(0L)).as(s"users_step${i + 1}"))
+      sum(when(col(s"step${i + 1}_us").isNotNull, 1L).otherwise(0L))
+        .as(s"users_step${i + 1}"))
     val summary = perUser.agg(reached.head, reached.tail: _*)
     // an empty previous step reports conversion 0 rather than dividing
     // by zero (ANSI mode throws; the oracle mirrors with CASE)
@@ -72,9 +84,11 @@ object Funnel {
       steps.indices.map(i => col(s"users_step${i + 1}")) ++ convs: _*)
   }
 
-  /** (cohort_week, week_k, active_users): distinct active users per
-    * cohort and integer week offset; week 0 row per cohort counts the
-    * cohort's size. Weeks are epoch-microsecond integer division. */
+  /** (cohort_week, week_k, active_users, cohort_size, retention_bp):
+    * distinct active users per cohort and integer week offset, with the
+    * retention rate against the cohort's size (= its week-0 actives,
+    * which by construction is every member). Weeks are epoch-µs
+    * integer division. */
   def cohortRetention(
       events: DataFrame, userCol: String, tsCol: Column): DataFrame = {
     // `div` (integral) rather than `/`: double division truncated can
@@ -83,9 +97,14 @@ object Funnel {
       .select(col(userCol).as("__u"), unix_micros(tsCol).as("__us"))
       .select(col("__u"), expr(s"__us div ${WeekUs}L").as("__wk"))
     val cohort = weeks.groupBy("__u").agg(min(col("__wk")).as("__cohort"))
-    weeks.join(cohort, "__u")
+    val active = weeks.join(cohort, "__u")
       .groupBy(col("__cohort").as("cohort_week"),
         (col("__wk") - col("__cohort")).as("week_k"))
       .agg(countDistinct(col("__u")).as("active_users"))
+    val sizes = cohort.groupBy(col("__cohort").as("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    active.join(sizes, "cohort_week")
+      .withColumn("retention_bp",
+        graft.text.TextOps.bp(col("active_users"), col("cohort_size")))
   }
 }

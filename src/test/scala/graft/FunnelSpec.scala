@@ -57,8 +57,10 @@ class FunnelSpec extends SparkSpecBase {
       (1L, 1 * W + 1, "a"), (1L, 2 * W + 1, "a"), (1L, 4 * W + 1, "a"),
       (2L, 2 * W + 1, "a"), (2L, 2 * W + 2, "a"))
     val got = Funnel.cohortRetention(df, "user_id", col("ts"))
-      .as[(Long, Long, Long)].collect().toSet
-    assert(got == Set((1L, 0L, 1L), (1L, 1L, 1L), (1L, 3L, 1L), (2L, 0L, 1L)))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 1L, 1L, 10000L), (1L, 1L, 1L, 1L, 10000L),
+      (1L, 3L, 1L, 1L, 10000L), (2L, 0L, 1L, 1L, 10000L)))
   }
 
   test("randomized equivalence with a sequential reference") {
