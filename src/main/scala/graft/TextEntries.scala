@@ -499,6 +499,17 @@ object TextEntries {
         .select(col("round"), col("left"), col("right"), col("pairCount").as("pair_count"))
     }),
 
+    // E49e: BPE ENCODE — the serve half of the tokenizer lifecycle: the
+    // corpus re-tokenized through rules learned on itself, summarized as
+    // symbols-per-doc. Rows-only like text_bpe_train (same fold, no SQL
+    // twin); correctness rides BpeSpec's encode ≡ training-state proof
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val merges = graft.text.Bpe.train(docs, "text", rounds = BpeRounds, minCount = 5L)
+      graft.text.Bpe.encode(docs, "text", merges)
+        .select(col("doc_id"), size(col("bpe_syms")).cast("long").as("n_syms"))
+    }),
+
     // E51: cross-document duplicated-passage excision (exact substring
     // dedup, Lee 2022) — every 40-char window shared by >= 2 docs keeps
     // one copy (the smallest doc id) and is cut everywhere else; the

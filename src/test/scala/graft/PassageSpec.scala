@@ -87,6 +87,21 @@ class PassageSpec extends SparkSpecBase {
     assert(got(1L)._2 == "tiny" && got(2L)._2 == "tiny")
   }
 
+  test("multibyte text cuts on character positions, not bytes") {
+    // é (2 UTF-8 bytes) and 中 (3 bytes) stress the char-vs-byte axis:
+    // Spark substring counts characters, so spans align with the
+    // sequential reference (and with DuckDB's substr in the oracle)
+    val passage = "héllo wörld 中文本 xx" // 18 chars, k=18 -> 1 shared window
+    val docs = Seq(
+      1L -> s"aä${passage}öz",
+      2L -> s"ü中${passage}",
+      3L -> "unrelated ascii text here")
+    val got = run(docs, 18)
+    assert(got(1L) == (0L, s"aä${passage}öz"))
+    assert(got(2L) == (18L, "ü中"))
+    assert(got(3L)._1 == 0L)
+  }
+
   test("randomized equivalence with the sequential reference") {
     val rnd = new Random(42)
     for (trial <- 0 until 8) {
