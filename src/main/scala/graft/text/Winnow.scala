@@ -117,11 +117,16 @@ object Winnow {
   def sourceOverlap(
       docs: DataFrame, idCol: String, textCol: String, groupCol: String,
       k: Int, w: Int): DataFrame = {
+    // merge hints on every corpus-scale join side: the (group, fp) set
+    // is corpus-mass — a runtime broadcast conversion (AQE reads a
+    // compressed shuffle-stat, not the hydrated relation) measured an
+    // OOM at the sf10 decade leg, and at 100 TB no side of these joins
+    // fits anywhere; only the group-count-sized `sizes` may broadcast
     val fps = fingerprints(docs, idCol, textCol, k, w)
-      .join(docs.select(col(idCol), col(groupCol).as("__g")), idCol)
+      .join(docs.select(col(idCol), col(groupCol).as("__g")).hint("merge"), idCol)
       .select(col("__g"), col("fp")).distinct()
     val sizes = fps.groupBy("__g").agg(count(lit(1)).as("n"))
-    val common = fps.as("a").join(fps.as("b"),
+    val common = fps.as("a").hint("merge").join(fps.as("b").hint("merge"),
         col("a.fp") === col("b.fp") && col("a.__g") < col("b.__g"))
       .groupBy(col("a.__g").as("source_a"), col("b.__g").as("source_b"))
       .agg(count(lit(1)).as("common"))
