@@ -93,7 +93,10 @@ object Winnow {
       .filter(col("df") <= maxDf)
       .select("fp")
     val post = fps.join(cold, "fp")
-    post.as("a").join(post.as("b"),
+    // both sides are corpus-mass postings: merge hints keep the pair
+    // join shuffle-side (same rationale as sourceOverlap — a runtime
+    // broadcast conversion of a side this size is an OOM, not a win)
+    post.as("a").hint("merge").join(post.as("b").hint("merge"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared_fps"))
