@@ -50,8 +50,10 @@ import graft.text.PortableHash
   */
 object Passage {
 
-  /** (id, pos, win): every k-char window of every doc, 1-based. */
-  private[dedup] def windowsOf(
+  /** (id, pos, win): every k-char window of every doc, 1-based. Shared
+    * with [[graft.text.Winnow]] — the two surfaces must enumerate
+    * windows identically or their oracle contracts silently diverge. */
+  private[graft] def windowsOf(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs
       .filter(length(col(textCol)) >= k)
@@ -101,9 +103,13 @@ object Passage {
     require(k >= 2, s"Passage.exciseDuplicates: k must be >= 2, got $k")
     val dup = duplicatedWindows(docs, idCol, textCol, k)
     // occurrences to remove: every screened position whose window is a
-    // confirmed duplicate and whose doc is not the keeper
+    // confirmed duplicate and whose doc is not the keeper. `dup` is the
+    // same duplication-rate-sized set pass 2 broadcasts — forcing the
+    // broadcast here too keeps the corpus-scale side from ever
+    // exchanging raw window strings (the design claim PlanSpec pins),
+    // instead of leaving the choice to statistics
     val occ = windowsOf(docs, idCol, textCol, k)
-      .join(dup, "win")
+      .join(broadcast(dup), "win")
       .filter(col("id") =!= col("keeper"))
       .select("id", "pos")
     // gaps-and-islands per doc: a new span starts where pos clears every

@@ -70,9 +70,10 @@ object Funnel {
       events: DataFrame, userCol: String, tsCol: Column, typeCol: String,
       steps: Seq[String], windowUs: Long): DataFrame = {
     val perUser = funnelUsers(events, userCol, tsCol, typeCol, steps, windowUs)
+    // count(col), not sum(when): on an EMPTY events input sum yields
+    // NULL while the SQL twin's counts yield 0 — count keeps parity
     val reached = steps.indices.map(i =>
-      sum(when(col(s"step${i + 1}_us").isNotNull, 1L).otherwise(0L))
-        .as(s"users_step${i + 1}"))
+      count(col(s"step${i + 1}_us")).as(s"users_step${i + 1}"))
     val summary = perUser.agg(reached.head, reached.tail: _*)
     // an empty previous step reports conversion 0 rather than dividing
     // by zero (ANSI mode throws; the oracle mirrors with CASE)

@@ -16,9 +16,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * microbatch the buffered group is sorted; ACROSS microbatches the
   * source must deliver each user's events time-ordered (a watermark +
   * sort upstream, or a naturally monotone feed) — the same ordering
-  * contract the A10m scd2Merge append path documents. A late event
-  * arriving out of order can only make the stream UNDER-report a
-  * conversion, never invent one.
+  * contract the A10m scd2Merge append path documents. An out-of-order
+  * arrival VOIDS exactness in either direction: a late step-0 event
+  * cannot lower an already-resolved t_0, so later steps may resolve
+  * against the wrong (larger) anchor — enforce the order upstream
+  * rather than reasoning about the drift.
   *
   * State per user: one Long per funnel step (-1 = unreached) — constant
   * in stream length, keyspace-bounded across executors, exactly the

@@ -53,13 +53,9 @@ object Winnow {
       k: Int, w: Int): DataFrame = {
     require(k >= 2, s"Winnow.fingerprints: k must be >= 2, got $k")
     require(w >= 1, s"Winnow.fingerprints: w must be >= 1, got $w")
-    val grams = docs
-      .filter(length(col(textCol)) >= k)
-      .select(col(idCol).as("id"),
-        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("pos"),
-        col(textCol).as("__t"))
-      .select(col("id"), col("pos"),
-        PortableHash.h60(col("__t").substr(col("pos"), lit(k))).as("h"))
+    // the window enumeration is Passage's — one definition, two surfaces
+    val grams = graft.dedup.Passage.windowsOf(docs, idCol, textCol, k)
+      .select(col("id"), col("pos"), PortableHash.h60(col("win")).as("h"))
     val byDoc = Window.partitionBy("id").orderBy("pos")
     val fwd = byDoc.rowsBetween(0, w - 1)
     val back = byDoc.rowsBetween(-(w - 1), 0)

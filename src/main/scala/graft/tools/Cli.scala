@@ -60,6 +60,9 @@ object Cli {
         "usage: Cli validate ... | Cli index build|append|compact|screen ... | Cli land ... " +
           "| Cli profile ... | Cli hotkeys ... | Cli scd2 ... | Cli compact ... " +
           "| Cli rollup ... | Cli ann build|search|append|drift ... " +
+          "| Cli bm25 build|search ... | Cli pca fit|project ... " +
+          "| Cli classify train|predict ... | Cli winnow build|screen ... " +
+          "| Cli passages ... " +
           "(run a subcommand without flags for its option list)")
       sys.exit(2)
   }
@@ -226,13 +229,17 @@ object Cli {
     * writes the candidate pairs. */
   private def runWinnow(args: Seq[String]): Unit = {
     val usage =
-      "usage: Cli winnow build --in docs.parquet --name idx [--id doc_id] [--text text] [--k 20] [--w 8] [--buckets 16] [--max-df 128]\n" +
-        "     | Cli winnow screen --name idx --in batch.parquet --out dir [--id doc_id] [--text text] [--min-shared 2]"
+      "usage: Cli winnow build --in docs.parquet --name idx [--id doc_id] [--text text] [--k 20] [--w 8] [--buckets 16] [--max-df 128] [--warehouse dir]\n" +
+        "     | Cli winnow screen --name idx --in batch.parquet --out dir [--id doc_id] [--text text] [--min-shared 2] [--warehouse dir]"
     val sub = args.headOption.getOrElse {
       System.err.println(usage); sys.exit(2); ""
     }
     val opts = new Opts(args.tail, usage)
-    val spark = localSession()
+    // derby-backed warehouse session (the `index` subcommand's pattern):
+    // with localSession()'s in-memory catalog the fps/meta TABLE METADATA
+    // dies with the build JVM and a later `screen` invocation would
+    // refuse with "index not found" despite the files being on disk
+    val spark = warehouseSession(opts)
     import graft.text.Winnow
     sub match {
       case "build" =>
@@ -277,6 +284,33 @@ object Cli {
     println(s"[passages] ${stats.getLong(0)} docs -> $out " +
       s"(${stats.getLong(2)} docs trimmed, ${stats.getLong(1)} chars removed)")
   }
+
+  /** A Hive(derby)-backed session whose catalog survives the JVM — the
+    * `runIndex` pattern: tables registered by one CLI invocation are
+    * visible to the next, which is what makes a build-then-screen
+    * lifecycle across separate processes work at all. Reuses an active
+    * session when embedded (tests, notebooks). */
+  private def warehouseSession(opts: Opts): SparkSession =
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).getOrElse {
+        val wh = new java.io.File(opts.getOrElse("warehouse", "target/graft_warehouse"))
+          .getAbsoluteFile
+        val s = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.ui.enabled", "false")
+          .config("spark.sql.warehouse.dir", s"$wh/tables")
+          .config("javax.jdo.option.ConnectionURL",
+            s"jdbc:derby:;databaseName=$wh/metastore_db;create=true")
+          .enableHiveSupport()
+          .getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        s
+      }
 
   /** Model-based corpus classification lifecycle — the drivable face of
     * [[graft.text.Classifier]] (E52): `train` learns contrastive
