@@ -22,7 +22,7 @@ object TextEntries {
       .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
   }
 
-  private def docsNear(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsNear(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.filter(col("doc_id") % 17 === 0)
       .select((col("doc_id") + 200000L).as("doc_id"),
@@ -656,6 +656,26 @@ object TextEntries {
           length(col("text")).cast("long").as("w"),
           floor(col("priority")).cast("long").as("pri_fl"),
           floor(col("ht_weight")).cast("long").as("ht_fl"))),
+
+    // E2c-lp: LEAKAGE-PROOF split (E2c × E2d) — the eval-hygiene rule
+    // dedup practice exists to serve: near-duplicate docs must never
+    // straddle train/test, so the split hashes the CLUSTER id (every
+    // doc labels with its component min), not the doc id. A test doc
+    // with a near-twin in train is a leaked answer, and doc-hash splits
+    // leak exactly the duplicated mass that matters most
+    "data_split_leakproof" -> ((s, dir) => {
+      val docs = docsNear(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Tau)
+      val comp = Dedup.connectedComponents(
+        pairs.select("id_a", "id_b"), docs.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp").as("component_id"))
+      val bucket = graft.text.PortableHash.h32(
+        concat(lit("split:"), col("component_id").cast("string"))) % 100
+      comp.select(
+        col("doc_id"), col("component_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+    }),
 
     // pipeline staple: deterministic train/val/test assignment by portable
     // hash bucket (stable across runs and engines, no RNG state)
@@ -1451,6 +1471,29 @@ object TextEntries {
          |       WHEN $bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin
+    },
+
+    // same transitive closure as dedup_components, split hashed on the
+    // component min — so whole clusters move between splits together
+    "data_split_leakproof" -> {
+      val bucket = PortableHash.duckH32(
+        "'split:'||CAST(component_id AS VARCHAR)") + " % 100"
+      s"""WITH RECURSIVE e0 AS (SELECT id_a, id_b FROM ($dedupNgramSql)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+         |          UNION SELECT id_b, id_a FROM e0),
+         |nodes AS (SELECT doc_id AS id FROM ($docsNearSql)),
+         |reach(id, anc) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (
+         |  SELECT id AS doc_id, CAST(min(anc) AS BIGINT) AS component_id
+         |  FROM reach GROUP BY id)
+         |SELECT doc_id, component_id,
+         |  CASE WHEN $bucket < 80 THEN 'train'
+         |       WHEN $bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM comp""".stripMargin
     },
 
     "dedup_simhash" -> {

@@ -843,4 +843,30 @@ class TextDedupSpec extends SparkSpecBase {
       assert(canon.length == 1 && members.exists(m => m._1 == canon.head && m._4))
     }
   }
+
+  test("E2c-lp: leak-proof split never separates a near-dup pair; doc-hash split does") {
+    import org.apache.spark.sql.functions._
+    val lp = SparkEntry.queries("data_split_leakproof")(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // clusters are split-atomic by construction AND by observation
+    lp.values.groupBy(_._1).foreach { case (_, members) =>
+      assert(members.map(_._2).toSet.size == 1, "a cluster straddles splits")
+    }
+    // the leak the operator exists to prevent is REAL on this corpus:
+    // the plain doc-hash split separates at least one near-dup pair
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(
+      TextEntries.docsNear(spark, sf("sf0.001")), // the query's corpus
+      "doc_id", "text", TextEntries.Tau)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    def docBucket(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(hex.take(8), 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    assert(pairs.exists { case (a, b) => docBucket(a) != docBucket(b) },
+      "fixture should contain a pair the naive split separates")
+    // and every one of those pairs is co-located by the leak-proof split
+    pairs.foreach { case (a, b) => assert(lp(a)._2 == lp(b)._2) }
+  }
 }
