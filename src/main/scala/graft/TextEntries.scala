@@ -582,6 +582,21 @@ object TextEntries {
         .select("doc_id", "lang_actual", "pred")
     }),
 
+    // E52e: classifier EVALUATION — the held-out confusion matrix, one
+    // exact-integer row per (actual, predicted) pair; closes the
+    // train → serve → eval loop in the oracle record
+    "classifier_confusion" -> ((s, dir) => {
+      val docs = langSpiked(s, dir)
+      val w = graft.text.Classifier.trainCentroid(
+        docs.filter(col("doc_id") % 5 =!= 0), "lang", "text",
+        ClassifierN, ClassifierScale).localCheckpoint()
+      val held = docs.filter(col("doc_id") % 5 === 0)
+      graft.text.Classifier.predictCentroid(held, "doc_id", "text", w, ClassifierN)
+        .join(held.select(col("doc_id"), col("lang").as("lang_actual")), "doc_id")
+        .groupBy("lang_actual", "pred")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // E48b: BM25 served from the PERSISTED index — corpus tokenized once
     // at build, the serve path reads bucketed postings + frozen stats and
     // must answer exactly like the inline path (same oracle as text_bm25)
@@ -1019,6 +1034,29 @@ object TextEntries {
     s"""corpus AS (SELECT doc_id, text FROM documents),
        |${winnowFpsStack("corpus", "")}""".stripMargin
 
+  /** E52 prediction CTE stack: weights + held-out scoring + argmax +
+    * fallback — shared by the per-doc prediction and confusion oracles. */
+  private lazy val classifierPredictCtes = {
+    val n = ClassifierN
+    s"""$classifierWeightsCtes,
+       |heldout AS (
+       |  SELECT doc_id, lang, lower(text) AS t FROM corpus WHERE doc_id % 5 = 0),
+       |hpos AS (
+       |  SELECT doc_id, t, unnest(generate_series(1, length(t) - ${n - 1})) AS i
+       |  FROM heldout WHERE length(t) >= $n),
+       |hg AS (SELECT doc_id, substr(t, i, $n) AS gram FROM hpos),
+       |tf AS (SELECT doc_id, gram, count(*) AS tf FROM hg GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT tf.doc_id, w.cls, sum(tf.tf * w.w_ppm) AS score
+       |  FROM tf JOIN weights w USING (gram) GROUP BY 1, 2),
+       |best AS (SELECT doc_id, max(score) AS b FROM scored GROUP BY 1),
+       |pred AS (
+       |  SELECT s.doc_id, min(s.cls) AS pred
+       |  FROM scored s JOIN best ON best.doc_id = s.doc_id AND s.score = best.b
+       |  GROUP BY 1),
+       |fb AS (SELECT min(cls) AS f FROM weights)""".stripMargin
+  }
+
   private def oracleSql2: Map[String, String] = Map(
     "dedup_passages" -> dedupPassagesSql,
 
@@ -1080,28 +1118,18 @@ object TextEntries {
       s"""WITH $classifierWeightsCtes
          |SELECT cls, gram, w_ppm FROM weights""".stripMargin,
 
-    "classifier_predict" -> {
-      val n = ClassifierN
-      s"""WITH $classifierWeightsCtes,
-         |heldout AS (
-         |  SELECT doc_id, lang, lower(text) AS t FROM corpus WHERE doc_id % 5 = 0),
-         |hpos AS (
-         |  SELECT doc_id, t, unnest(generate_series(1, length(t) - ${n - 1})) AS i
-         |  FROM heldout WHERE length(t) >= $n),
-         |hg AS (SELECT doc_id, substr(t, i, $n) AS gram FROM hpos),
-         |tf AS (SELECT doc_id, gram, count(*) AS tf FROM hg GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT tf.doc_id, w.cls, sum(tf.tf * w.w_ppm) AS score
-         |  FROM tf JOIN weights w USING (gram) GROUP BY 1, 2),
-         |best AS (SELECT doc_id, max(score) AS b FROM scored GROUP BY 1),
-         |pred AS (
-         |  SELECT s.doc_id, min(s.cls) AS pred
-         |  FROM scored s JOIN best ON best.doc_id = s.doc_id AND s.score = best.b
-         |  GROUP BY 1),
-         |fb AS (SELECT min(cls) AS f FROM weights)
+    "classifier_predict" ->
+      s"""WITH $classifierPredictCtes
          |SELECT h.doc_id, h.lang AS lang_actual, coalesce(p.pred, fb.f) AS pred
-         |FROM heldout h LEFT JOIN pred p ON p.doc_id = h.doc_id, fb""".stripMargin
-    },
+         |FROM heldout h LEFT JOIN pred p ON p.doc_id = h.doc_id, fb""".stripMargin,
+
+    // the same prediction stack grouped to the confusion matrix
+    "classifier_confusion" ->
+      s"""WITH $classifierPredictCtes
+         |SELECT h.lang AS lang_actual, coalesce(p.pred, fb.f) AS pred,
+         |       count(*) AS n
+         |FROM heldout h LEFT JOIN pred p ON p.doc_id = h.doc_id, fb
+         |GROUP BY 1, 2""".stripMargin,
 
     "dedup_minhash" -> {
       s"""WITH corpus AS ($docsNearSql),
