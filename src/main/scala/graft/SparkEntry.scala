@@ -57,6 +57,8 @@ object SparkEntry {
   // D12 funnel parameters — both engines derive the same report from them
   private val FunnelSteps = Seq("signup", "view", "purchase")
   private val FunnelWindowUs = 48L * 3600L * 1000000L
+  // D14 path analysis: consecutive steps further apart than this don't count
+  private val PathGapUs = 24L * 3600L * 1000000L
 
   private val ordersCols =
     Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
@@ -171,6 +173,14 @@ object SparkEntry {
     "events_retention" -> ((s, dir) =>
       graft.operators.Funnel.cohortRetention(
         Tables.events(s, dir), "user_id", col("ts"))),
+
+    // D14: event-path transition matrix — the empirical Markov chain over
+    // per-user streams (lead over ONE user exchange, then a |types|²
+    // aggregate); steps further apart than 24h are session-cut
+    "events_paths" -> ((s, dir) =>
+      graft.operators.Markov.transitions(
+        Tables.events(s, dir), "user_id", unix_micros(col("ts")), "event_type",
+        Seq(col("ts"), col("event_id")), PathGapUs)),
 
     // D5: time-bucketed rollup (batch twin of the streaming agg)
     "events_window_agg" -> ((s, dir) => {
@@ -541,6 +551,22 @@ object SparkEntry {
         |SELECT a.cohort_week, a.week_k, a.active_users, s.cohort_size,
         |  CAST(floor(a.active_users * 10000.0 / s.cohort_size) AS BIGINT) AS retention_bp
         |FROM a JOIN s USING (cohort_week)""".stripMargin,
+
+    // lead over the same (user, ts, event_id) order, 24h session cut;
+    // probabilities as integral-division basis points — all-integer output
+    "events_paths" ->
+      s"""WITH s AS (SELECT user_id, event_type AS prev_type, epoch_us(ts) AS us,
+         |    lead(event_type) OVER w AS next_type,
+         |    lead(epoch_us(ts)) OVER w AS next_us
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |c AS (SELECT prev_type, next_type, count(*) AS cnt FROM s
+         |      WHERE next_type IS NOT NULL AND next_us - us <= $PathGapUs GROUP BY 1, 2),
+         |t AS (SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1)
+         |SELECT c.prev_type, c.next_type, CAST(c.cnt AS BIGINT) AS cnt,
+         |  CAST(c.cnt * 10000 // t.tot AS BIGINT) AS p_bp,
+         |  CAST(row_number() OVER (PARTITION BY c.prev_type
+         |                          ORDER BY c.cnt DESC, c.next_type ASC) AS BIGINT) AS rk
+         |FROM c JOIN t USING (prev_type)""".stripMargin,
 
     "events_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,

@@ -139,6 +139,8 @@ object TextEntries {
   // distribution per language, so (the PiiSpike pattern) both engines
   // append the same per-lang function-word phrase, twice, making the
   // label a genuine function of the text the model must recover.
+  val PrIters = 10 // PageRank iterations (E57)
+  val PrScale = 1000000000000L // PageRank fixed-point mass (E57)
   val LangSpikeRep = 2
   val LangSpikes: Seq[(String, String)] = Seq(
     "en" -> " the and is not of to in that it was",
@@ -463,6 +465,25 @@ object TextEntries {
     // appearing in no other doc (corpus-scope complement of E22)
     "text_novelty" -> ((s, dir) =>
       TextOps.noveltyStats(Tables.documents(s, dir), "doc_id", "text")),
+
+    // E55: perplexity filtering — per-doc NLL under the corpus's own
+    // add-one bigram LM, integer nats×10⁴ (per-bigram-rounded, so the
+    // compare is bit-exact, not tolerance-based)
+    "text_perplexity" -> ((s, dir) =>
+      graft.text.LangModel.bigramNll(Tables.documents(s, dir), "doc_id", "text")),
+
+    // E56: data-mixture design signal — pairwise Jensen–Shannon
+    // divergence between per-source unigram distributions, nano-nats
+    "source_divergence" -> ((s, dir) =>
+      graft.text.LangModel.jsDivergence(Tables.documents(s, dir), "source", "text")),
+
+    // E57: integer fixed-point PageRank over the near-dup pair graph —
+    // which doc is most CENTRAL in its duplicate cluster (hubs that many
+    // variants point at), next to components' WHICH-cluster answer
+    "graph_pagerank" -> ((s, dir) =>
+      graft.operators.PageRank.pageRank(
+        Dedup.ngramJaccardPairs(docsNear(s, dir), "doc_id", "text", Tau),
+        "id_a", "id_b", PrIters, PrScale)),
 
     // E15: benchmark decontamination — corpus docs sharing shingles with
     // a (broadcast) benchmark set; every corpus doc reported
@@ -1057,8 +1078,85 @@ object TextEntries {
        |fb AS (SELECT min(cls) AS f FROM weights)""".stripMargin
   }
 
+  /** E57 oracle: the SAME integer fixed-point iterations, unrolled as
+    * CTEs from the same PrIters/PrScale constants the Spark side uses
+    * (recursive CTEs can't aggregate in the recursive term). Every
+    * operand is a positive integer, so DuckDB's flooring `//` and
+    * Spark's truncating `div` agree at every step. */
+  private lazy val pageRankSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""r$i AS (SELECT deg.src AS id, (SELECT base FROM c0) + 85 * t.sm // 100 AS r
+         |  FROM deg JOIN (SELECT u.dst, CAST(sum(p.r // d.deg) AS BIGINT) AS sm
+         |                 FROM und u JOIN r${i - 1} p ON u.src = p.id
+         |                 JOIN deg d ON u.src = d.src
+         |                 GROUP BY 1) t ON deg.src = t.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH prpairs AS (SELECT id_a, id_b FROM ($dedupNgramSql)),
+       |und AS (SELECT id_a AS src, id_b AS dst FROM prpairs
+       |        UNION ALL SELECT id_b, id_a FROM prpairs),
+       |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+       |c0 AS (SELECT $PrScale // count(*) AS pn,
+       |              (15 * ($PrScale // count(*))) // 100 AS base FROM deg),
+       |r0 AS (SELECT src AS id, (SELECT pn FROM c0) AS r FROM deg),
+       |$iters
+       |SELECT deg.src AS doc_id, CAST(deg.deg AS BIGINT) AS deg,
+       |       CAST(r$PrIters.r AS BIGINT) AS pr_fp
+       |FROM r$PrIters JOIN deg ON r$PrIters.id = deg.src""".stripMargin
+  }
+
   private def oracleSql2: Map[String, String] = Map(
     "dedup_passages" -> dedupPassagesSql,
+
+    // E55: add-one bigram LM; ln collapsed to integer nats×10⁴ per
+    // DISTINCT bigram before any sum — aggregation order cannot move the
+    // result, so the compare is bit-exact despite the transcendental
+    "text_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+         |    i -> {'w1': t[i], 'w2': t[i+1]})) AS u
+         |  FROM toks WHERE len(t) >= 2),
+         |db AS (SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2, count(*) AS k
+         |       FROM bi GROUP BY 1, 2, 3),
+         |c2 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c2 FROM db GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)),
+         |lp AS (SELECT c2.w1, c2.w2,
+         |    CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)) * 10000) AS BIGINT) AS lp_e4
+         |  FROM c2 JOIN c1 USING (w1) CROSS JOIN v),
+         |pd AS (SELECT db.doc_id, CAST(sum(db.k) AS BIGINT) AS n_bigrams,
+         |    CAST(-sum(db.k * lp.lp_e4) AS BIGINT) AS nll_e4
+         |  FROM db JOIN lp ON db.w1 = lp.w1 AND db.w2 = lp.w2 GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(COALESCE(pd.nll_e4, 0) AS BIGINT) AS nll_e4,
+         |  CAST(CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
+         |       THEN pd.nll_e4 // pd.n_bigrams ELSE 0 END AS BIGINT) AS avg_nll_e4
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // E56: JSD between per-source unigram distributions; each token term
+    // collapsed to integer nano-nats before summation (same structural
+    // expression tree as the Spark side — IEEE doubles agree, only ln's
+    // last ulp is at stake and the 10⁻⁹ grid absorbs it)
+    "source_divergence" ->
+      s"""WITH toksrc AS (SELECT source AS src, unnest($toksSql) AS w FROM documents),
+         |c AS (SELECT src, w, count(*) AS cnt FROM toksrc GROUP BY 1, 2),
+         |t AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1),
+         |pr AS (SELECT x.src AS src_a, x.tot AS tot_a, y.src AS src_b, y.tot AS tot_b
+         |       FROM t x JOIN t y ON x.src < y.src),
+         |e AS (SELECT pr.src_a, pr.src_b, pr.tot_a, pr.tot_b, c.w,
+         |    CAST(sum(CASE WHEN c.src = pr.src_a THEN c.cnt ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN c.src = pr.src_b THEN c.cnt ELSE 0 END) AS BIGINT) AS cb
+         |  FROM c JOIN pr ON c.src = pr.src_a OR c.src = pr.src_b
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |tm AS (SELECT src_a, src_b,
+         |    CAST(round((CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / CAST(tot_a AS DOUBLE)) * ln(2.0 * (CAST(ca AS DOUBLE) / CAST(tot_a AS DOUBLE)) / ((CAST(ca AS DOUBLE) / CAST(tot_a AS DOUBLE)) + (CAST(cb AS DOUBLE) / CAST(tot_b AS DOUBLE)))) ELSE 0.0 END
+         |       + CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / CAST(tot_b AS DOUBLE)) * ln(2.0 * (CAST(cb AS DOUBLE) / CAST(tot_b AS DOUBLE)) / ((CAST(ca AS DOUBLE) / CAST(tot_a AS DOUBLE)) + (CAST(cb AS DOUBLE) / CAST(tot_b AS DOUBLE)))) ELSE 0.0 END) / 2.0 * 1000000000.0) AS BIGINT) AS term_nn
+         |  FROM e)
+         |SELECT src_a, src_b, count(*) AS n_union,
+         |  CAST(sum(term_nn) AS BIGINT) AS jsd_nn,
+         |  CAST(greatest(CAST(sum(term_nn) AS BIGINT), 0) // 100000 AS BIGINT) AS jsd_bp
+         |FROM tm GROUP BY 1, 2""".stripMargin,
+
+    "graph_pagerank" -> pageRankSql,
 
     "text_winnow" ->
       s"""WITH $winnowFpsCtes

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Integer fixed-point PageRank over an undirected pair graph.
+  *
+  * Completes the graph-analytics family next to
+  * `Dedup.connectedComponents`: components say WHICH docs cluster,
+  * PageRank says which doc is most CENTRAL inside the near-dup graph —
+  * an alternative keeper signal to quality-argmax canonicalization
+  * (a hub that many variants point at is usually the original).
+  *
+  * All arithmetic is integer fixed-point so the result is bit-exact
+  * across engines (the oracle unrolls the same iterations in SQL):
+  *  - total rank mass ≈ `scaleFp`, split evenly at init
+  *    (r₀ = scaleFp div n — NORMALIZED, so intermediate sums are bounded
+  *    by scaleFp regardless of graph size: 85·scaleFp never overflows a
+  *    long, where an unnormalized per-node init would at billions of
+  *    nodes);
+  *  - iteration: r'(v) = base + 85·Σ_{u∼v}(r(u) div deg(u)) div 100,
+  *    base = 15·(scaleFp div n) div 100 — every division integral, every
+  *    operand positive, so Spark's truncating `div` and DuckDB's flooring
+  *    `//` agree.
+  *
+  * Scale shape: the edge list is materialized once (`localCheckpoint` —
+  * upstream pair generation is the expensive part and must not re-run
+  * 2×iters times) and each iteration is one join keyed on the edge
+  * source + one map-side-combinable aggregate keyed on the destination —
+  * the classic Pregel step as two exchanges over edge-count rows. Rank
+  * state is node-sized. Lineage is cut every third iteration.
+  *
+  * Precondition: `edges` holds each undirected pair once (a < b), as the
+  * dedup pair generators emit them.
+  */
+object PageRank {
+
+  def pageRank(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      iters: Int = 10,
+      scaleFp: Long = 1000000000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val n = deg.count()
+    if (n == 0) return emptyResult(spark)
+    val perNode = scaleFp / n
+    val base = 15L * perNode / 100L
+    var r = deg.select(col("src").as("id"), lit(perNode).as("r"))
+    for (i <- 1 to iters) {
+      val rd = r.withColumnRenamed("id", "src").join(deg, Seq("src"))
+        .select(col("src"), expr("r div deg").as("c"))
+      val s = und.join(rd, Seq("src")).groupBy("dst").agg(sum(col("c")).as("sm"))
+      r = s.select(col("dst").as("id"), (lit(base) + expr("85 * sm div 100")).as("r"))
+      if (i % 3 == 0) r = r.localCheckpoint()
+    }
+    r.withColumnRenamed("id", "src").join(deg, Seq("src"))
+      .select(col("src").as("doc_id"), col("deg"), col("r").as("pr_fp"))
+  }
+
+  private def emptyResult(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("deg", LongType),
+        StructField("pr_fp", LongType))))
+}

@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus language-model scoring for training-data curation.
+  *
+  * Two classic curation signals the reference's feed-validation loop has
+  * no analytics twin for, both standard in large-corpus pipelines:
+  *
+  *  - '''Perplexity filtering''' ([[bigramNll]]): train an add-one-smoothed
+  *    bigram LM on the corpus itself, score every document's negative
+  *    log-likelihood — outlier docs (boilerplate, non-language, encoding
+  *    junk) surface at both extremes of avg NLL.
+  *  - '''Source divergence''' ([[jsDivergence]]): Jensen–Shannon divergence
+  *    between per-source unigram distributions — the quantitative input to
+  *    data-mixture design (which sources are near-duplicates of each other
+  *    distribution-wise, which add diversity).
+  *
+  * Engine-portability: every transcendental is collapsed to an integer
+  * IMMEDIATELY (`round(ln(x) · 10⁴)` per distinct bigram, `round(term ·
+  * 10⁹)` per token term) and only integers are ever summed, so aggregation
+  * order cannot perturb the result — the oracle compare is bit-exact, not
+  * tolerance-based. A raw double sum would depend on partition order; a
+  * per-term-rounded integer sum does not.
+  *
+  * Scale shape: everything is groupBy over exploded n-grams (map-side
+  * combinable; shuffles carry distinct-type counts, not token instances)
+  * plus one broadcast scalar (vocabulary size / source totals). No
+  * collect, no windows over the corpus.
+  */
+object LangModel {
+
+  /** Per-document NLL under the corpus's own add-one bigram LM.
+    *
+    * p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), V = unigram vocabulary.
+    * Output: id, n_bigrams, nll_e4 (−Σ ln p in nats × 10⁴, integer),
+    * avg_nll_e4 (integral division). Docs with < 2 tokens score 0.
+    */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // materialize the token array behind a projection boundary — Catalyst
+    // does not CSE inside higher-order-function lambdas (SURVEY §7)
+    val toks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("t"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> named_struct('w1', t[i], 'w2', t[i+1]))")).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // per-doc bigram multiplicities first: the corpus-level counts then
+    // aggregate the (much smaller) distinct-per-doc frame, and the scoring
+    // join carries one row per (doc, bigram type), not per token instance
+    val docBi = bi.groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
+    val c2 = docBi.groupBy("w1", "w2").agg(sum("k").as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = toks.select(explode(col("t")).as("w")).agg(countDistinct(col("w")).as("v"))
+    val lp = c2.join(c1, "w1").crossJoin(broadcast(vocab))
+      .withColumn("lp_e4",
+        round(log((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")) * 10000)
+          .cast("long"))
+      .select("w1", "w2", "lp_e4")
+    val perDoc = docBi.join(lp, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_bigrams"), (-sum(col("k") * col("lp_e4"))).as("nll_e4"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_e4"), lit(0L)).as("nll_e4"))
+      .withColumn("avg_nll_e4",
+        when(col("n_bigrams") > 0, expr("nll_e4 div n_bigrams")).otherwise(lit(0L)))
+  }
+
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions: JSD(P,Q) = ½ KL(P‖M) + ½ KL(Q‖M), M = (P+Q)/2.
+    *
+    * Output per unordered source pair (src_a < src_b): n_union (union
+    * vocabulary size), jsd_nn (nano-nats, integer — 0 identical,
+    * ln 2 · 10⁹ ≈ 6.93·10⁸ disjoint), jsd_bp (basis points of a nat).
+    *
+    * The pair table is a broadcast of the (assumed few) sources; the one
+    * real exchange keys on (pair, token).
+    */
+  def jsDivergence(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val toksCol = TextOps.tokens(col(textCol))
+    val c = docs.select(col(srcCol).as("src"), explode(toksCol).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("cnt"))
+    val t = c.groupBy("src").agg(sum("cnt").as("tot"))
+    val pairs = t.as("x").crossJoin(t.as("y"))
+      .filter(col("x.src") < col("y.src"))
+      .select(col("x.src").as("src_a"), col("x.tot").as("tot_a"),
+        col("y.src").as("src_b"), col("y.tot").as("tot_b"))
+    val e = c.join(broadcast(pairs), col("src") === col("src_a") || col("src") === col("src_b"))
+      .groupBy("src_a", "src_b", "tot_a", "tot_b", "w")
+      .agg(
+        sum(when(col("src") === col("src_a"), col("cnt")).otherwise(lit(0L))).as("ca"),
+        sum(when(col("src") === col("src_b"), col("cnt")).otherwise(lit(0L))).as("cb"))
+    val pa = col("ca").cast("double") / col("tot_a").cast("double")
+    val pb = col("cb").cast("double") / col("tot_b").cast("double")
+    val term =
+      (when(col("ca") > 0, pa * log(lit(2.0) * pa / (pa + pb))).otherwise(lit(0.0)) +
+        when(col("cb") > 0, pb * log(lit(2.0) * pb / (pa + pb))).otherwise(lit(0.0))) / lit(2.0)
+    e.withColumn("term_nn", round(term * lit(1.0e9)).cast("long"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_union"), sum(col("term_nn")).as("jsd_nn"))
+      // per-term rounding can push a ≈0 JSD a hair negative; clamp BEFORE
+      // the integral division (div truncates, DuckDB // floors — they only
+      // agree on non-negatives)
+      .withColumn("jsd_bp", expr("greatest(jsd_nn, 0L) div 100000"))
+  }
+}

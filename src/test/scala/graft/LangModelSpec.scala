@@ -1,0 +1,53 @@
+package graft
+
+import graft.text.LangModel
+
+class LangModelSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("E55: bigram NLL matches the hand-computed add-one model") {
+    // corpus: "a b a", "b a", "x"  →  c2(a,b)=1 c2(b,a)=2, c1(a)=1 c1(b)=2, V=3
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "x")).toDF("doc_id", "text")
+    val got = LangModel.bigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // p(b|a) = (1+1)/(1+3) = 1/2 → round(ln(.5)·1e4)  = −6931
+    // p(a|b) = (2+1)/(2+3) = 3/5 → round(ln(.6)·1e4)  = −5108
+    assert(got(1L) === ((2L, 6931L + 5108L, (6931L + 5108L) / 2L)))
+    assert(got(2L) === ((1L, 5108L, 5108L)))
+    assert(got(3L) === ((0L, 0L, 0L))) // <2 tokens: scored zero, still present
+  }
+
+  test("E55: repeated bigrams weight the NLL by multiplicity") {
+    val docs = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    // single doc: c2(a,a)=3, c1(a)=3, V=1 → p=(3+1)/(3+1)=1 → lp=0 → nll=0
+    val got = LangModel.bigramNll(docs, "doc_id", "text").collect().head
+    assert((got.getLong(1), got.getLong(2)) === ((3L, 0L)))
+  }
+
+  test("E56: JSD is zero for identical sources, ln2 for disjoint, symmetric-ordered") {
+    val docs = Seq(
+      (1L, "s1", "a b c"), (2L, "s2", "a b c"), // identical distributions
+      (3L, "s3", "x y z")) // disjoint from both
+      .toDF("doc_id", "source", "text")
+    val got = LangModel.jsDivergence(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    val (nU12, jsd12, bp12) = got(("s1", "s2"))
+    assert(nU12 === 3L && jsd12 === 0L && bp12 === 0L)
+    // disjoint: JSD = ln 2 ≈ 0.6931·10⁹ nn, up to ±1 nn per rounded term
+    for (k <- Seq(("s1", "s3"), ("s2", "s3"))) {
+      val (nU, jsd, bp) = got(k)
+      assert(nU === 6L)
+      assert(math.abs(jsd - 693147181L) <= 6L, s"jsd_nn=$jsd")
+      assert(bp === jsd / 100000L)
+    }
+  }
+
+  test("E56: overlapping distributions land strictly between 0 and ln2") {
+    val docs = Seq((1L, "p", "a a b"), (2L, "q", "a b b")).toDF("doc_id", "source", "text")
+    val Array(r) = LangModel.jsDivergence(docs, "source", "text").collect()
+    val jsd = r.getLong(3)
+    assert(jsd > 0L && jsd < 693147181L)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.PageRank
+
+class PageRankSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  /** Sequential reference: the SAME integer fixed-point recurrence, one
+    * map per iteration — the distributed operator must match it exactly. */
+  private def refPr(edges: Seq[(Long, Long)], iters: Int, scale: Long): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = und.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = deg.size
+    val per = scale / n
+    val base = 15L * per / 100L
+    var r = deg.keys.map(_ -> per).toMap
+    for (_ <- 1 to iters) {
+      val sums = und.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = sums.map { case (id, s) => id -> (base + 85L * s / 100L) }
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int = 10) = {
+    val df = edges.toDF("id_a", "id_b")
+    PageRank.pageRank(df, "id_a", "id_b", iters, Scale)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("E57: distributed iterations equal the sequential recurrence exactly") {
+    // star ∪ pair ∪ triangle — three shapes in one graph
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L), (7L, 8L), (8L, 9L), (7L, 9L))
+    val exp = refPr(edges, 10, Scale)
+    val got = run(edges)
+    assert(got.keySet === exp.keySet)
+    for ((id, (_, pr)) <- got) assert(pr === exp(id), s"node $id")
+  }
+
+  test("E57: a hub outranks its leaves; symmetric nodes tie") {
+    val got = run(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    assert(got(2L)._2 === got(3L)._2 && got(3L)._2 === got(4L)._2)
+    assert(got(1L)._2 > got(2L)._2)
+    assert(got(1L)._1 === 3L && got(2L)._1 === 1L) // degrees
+  }
+
+  test("E57: disconnected components don't exchange mass") {
+    // pair {1,2} and pair {3,4}: all four symmetric → identical ranks
+    val got = run(Seq((1L, 2L), (3L, 4L)))
+    assert(got.values.map(_._2).toSet.size === 1)
+    assert(got(1L)._1 === 1L) // degree carried through
+  }
+
+  test("E57: empty edge set yields an empty, well-typed result") {
+    val empty = PageRank.pageRank(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b", 10, Scale)
+    assert(empty.columns.toSeq === Seq("doc_id", "deg", "pr_fp"))
+    assert(empty.count() === 0L)
+  }
+}
