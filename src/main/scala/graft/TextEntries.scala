@@ -472,6 +472,18 @@ object TextEntries {
     "text_perplexity" -> ((s, dir) =>
       graft.text.LangModel.bigramNll(Tables.documents(s, dir), "doc_id", "text")),
 
+    // E55-idx: perplexity SERVING from the persisted LM index — build on
+    // the %7≠0 split, score the %7=0 batch (real OOV bigrams and
+    // contexts); the serve reads the bucketed counts exchange-free and
+    // never touches the training corpus
+    "text_perplexity_indexed" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.text.LangModel.writeLmIndex(
+        d.filter(col("doc_id") % 7 =!= 0), "text", "graft_lm_idx", buckets = 8)
+      graft.text.LangModel.scoreIndexed(
+        s, "graft_lm_idx", d.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+    }),
+
     // E56: data-mixture design signal — pairwise Jensen–Shannon
     // divergence between per-source unigram distributions, nano-nats
     "source_divergence" -> ((s, dir) =>
@@ -1131,6 +1143,37 @@ object TextEntries {
          |  CAST(CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
          |       THEN pd.nll_e4 // pd.n_bigrams ELSE 0 END AS BIGINT) AS avg_nll_e4
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // E55-idx: the oracle retrains the %7≠0 counts inline and scores the
+    // batch through the same one-formula lookup (coalesced counts)
+    "text_perplexity_indexed" ->
+      s"""WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+         |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+         |ttoks AS (SELECT $toksSql AS t FROM train),
+         |tbi AS (SELECT unnest(list_transform(generate_series(1, len(t)-1),
+         |    i -> {'w1': t[i], 'w2': t[i+1]})) AS u FROM ttoks WHERE len(t) >= 2),
+         |c2 AS (SELECT u['w1'] AS w1, u['w2'] AS w2, CAST(count(*) AS BIGINT) AS c2
+         |       FROM tbi GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM ttoks)),
+         |btoks AS (SELECT doc_id, $toksSql AS t FROM batch),
+         |bbi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+         |    i -> {'w1': t[i], 'w2': t[i+1]})) AS u FROM btoks WHERE len(t) >= 2),
+         |db AS (SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2, count(*) AS k
+         |       FROM bbi GROUP BY 1, 2, 3),
+         |lp AS (SELECT db.doc_id, db.k,
+         |    CAST(round(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+         |        / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)) * 10000) AS BIGINT) AS lp_e4
+         |  FROM db LEFT JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2
+         |          LEFT JOIN c1 ON db.w1 = c1.w1
+         |          CROSS JOIN v),
+         |pd AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         |       CAST(-sum(k * lp_e4) AS BIGINT) AS nll_e4 FROM lp GROUP BY 1)
+         |SELECT b.doc_id, CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(COALESCE(pd.nll_e4, 0) AS BIGINT) AS nll_e4,
+         |  CAST(CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
+         |       THEN pd.nll_e4 // pd.n_bigrams ELSE 0 END AS BIGINT) AS avg_nll_e4
+         |FROM batch b LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     // E56: JSD between per-source unigram distributions; each token term
     // collapsed to integer nano-nats before summation (same structural

@@ -68,6 +68,64 @@ object LangModel {
         when(col("n_bigrams") > 0, expr("nll_e4 div n_bigrams")).otherwise(lit(0L)))
   }
 
+  /** Persist a trained bigram LM as a SERVING index (the E2b-idx steady
+    * state applied to perplexity): `{name}_lm` (w1, w2, c2) bucketed by
+    * the bigram join key, `{name}_ctx` (w1, c1) bucketed by context,
+    * `{name}_meta` (v = train vocabulary).
+    *
+    * COUNTS are stored, not log-probs: one serve-side formula
+    * `ln((coalesce(c2,0)+1)/(coalesce(c1,0)+V))` then covers all three
+    * lookup outcomes — seen bigram, unseen bigram under a seen context,
+    * fully-unseen context — and scoring a doc the model trained on is
+    * bit-identical to [[bigramNll]]'s inline score (tested).
+    */
+  def writeLmIndex(corpus: DataFrame, textCol: String, name: String, buckets: Int): Unit = {
+    val toks = corpus.select(TextOps.tokens(col(textCol)).as("t"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> named_struct('w1', t[i], 'w2', t[i+1]))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val v = toks.select(explode(col("t")).as("w")).agg(countDistinct(col("w")).as("v"))
+    graft.sources.Bucketed.overwrite(c2, s"${name}_lm", buckets, Seq("w1", "w2"))
+    graft.sources.Bucketed.overwrite(c1, s"${name}_ctx", buckets, Seq("w1"))
+    graft.sources.Bucketed.overwritePlain(v, s"${name}_meta")
+  }
+
+  /** Score a batch against a persisted [[writeLmIndex]] model WITHOUT
+    * touching the training corpus: the batch pays its own bigram
+    * extraction plus two left joins that read the index exchange-free
+    * (bucket layout = join partitioning; the batch side alone shuffles).
+    * Output schema = [[bigramNll]]. */
+  def scoreIndexed(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"LM index '$name' not found — build it with LangModel.writeLmIndex first")
+    val toks = batch.select(col(idCol), TextOps.tokens(col(textCol)).as("t"))
+    val docBi = toks.filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> named_struct('w1', t[i], 'w2', t[i+1]))")).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
+    val perDoc = docBi
+      .join(spark.table(s"${name}_lm"), Seq("w1", "w2"), "left")
+      .join(spark.table(s"${name}_ctx"), Seq("w1"), "left")
+      .crossJoin(broadcast(spark.table(s"${name}_meta")))
+      .withColumn("lp_e4",
+        round(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * 10000).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_bigrams"), (-sum(col("k") * col("lp_e4"))).as("nll_e4"))
+    batch.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_e4"), lit(0L)).as("nll_e4"))
+      .withColumn("avg_nll_e4",
+        when(col("n_bigrams") > 0, expr("nll_e4 div n_bigrams")).otherwise(lit(0L)))
+  }
+
   /** Pairwise Jensen–Shannon divergence between per-source unigram
     * distributions: JSD(P,Q) = ½ KL(P‖M) + ½ KL(Q‖M), M = (P+Q)/2.
     *

@@ -1,6 +1,7 @@
 package graft
 
 import graft.text.LangModel
+import org.apache.spark.sql.functions.col
 
 class LangModelSpec extends SparkSpecBase {
   import spark.implicits._
@@ -22,6 +23,44 @@ class LangModelSpec extends SparkSpecBase {
     // single doc: c2(a,a)=3, c1(a)=3, V=1 → p=(3+1)/(3+1)=1 → lp=0 → nll=0
     val got = LangModel.bigramNll(docs, "doc_id", "text").collect().head
     assert((got.getLong(1), got.getLong(2)) === ((3L, 0L)))
+  }
+
+  test("E55-idx: serving the training docs from the index is bit-identical to the inline score") {
+    val docs = graft.util.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    LangModel.writeLmIndex(docs, "text", "graft_lm_test", buckets = 4)
+    try {
+      val inline = LangModel.bigramNll(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      val served = LangModel.scoreIndexed(spark, "graft_lm_test", docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(served === inline)
+      assert(inline.nonEmpty)
+    } finally Seq("_lm", "_ctx", "_meta").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_lm_test$sfx"))
+  }
+
+  test("E55-idx: OOV bigrams and OOV contexts score through the coalesced formula") {
+    val corpus = Seq((1L, "a b")).toDF("doc_id", "text") // c2(a,b)=1 c1(a)=1 V=2
+    LangModel.writeLmIndex(corpus, "text", "graft_lm_oov", buckets = 2)
+    try {
+      val batch = Seq((10L, "a c"), (11L, "z z")).toDF("doc_id", "text")
+      val got = LangModel.scoreIndexed(spark, "graft_lm_oov", batch, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // (a,c): unseen bigram, seen ctx → (0+1)/(1+2) → round(−ln 3·1e4) = 10986
+      assert(got(10L) === ((1L, 10986L)))
+      // (z,z): unseen ctx → (0+1)/(0+2) → 6931
+      assert(got(11L) === ((1L, 6931L)))
+    } finally Seq("_lm", "_ctx", "_meta").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_lm_oov$sfx"))
+  }
+
+  test("E55-idx: a missing index refuses loudly") {
+    val batch = Seq((1L, "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      LangModel.scoreIndexed(spark, "graft_lm_nope", batch, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("graft_lm_nope"))
   }
 
   test("E56: JSD is zero for identical sources, ln2 for disjoint, symmetric-ordered") {

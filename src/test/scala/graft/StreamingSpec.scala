@@ -1035,4 +1035,62 @@ class StreamingSpec extends SparkSpecBase {
       candByShard.values.foreach(rows => assert(rows.length <= k))
     } finally q.stop()
   }
+
+  test("D14s: streamed path steps aggregate to the batch transition matrix") {
+    import graft.streaming.PathStream
+    import graft.streaming.PathStream.PEv
+    val gapUs = 3600L * 1000000L // 1h — small enough to really exercise cuts
+    val ev = graft.util.Tables.events(spark, sf("sf0.001"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val batch = graft.operators.Markov.transitions(
+      ev, "user_id", unix_micros(col("ts")), "event_type",
+      Seq(col("ts"), col("event_id")), gapUs)
+      .select("prev_type", "next_type", "cnt")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // global (µs, id) order → per-user in-order across the batch split,
+    // exactly the order the batch window uses
+    def us(t: java.sql.Timestamp) = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    val rows = ev.as[PEv].collect().sortBy(e => (us(e.ts), e.event_id))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PEv]
+    val q = PathStream.steps(input.toDS(), gapUs)
+      .writeStream.format("memory").queryName("path_steps")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      input.addData(h2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("path_steps")
+        .groupBy("prev_type", "next_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(batch.nonEmpty)
+      assert(got === batch)
+    } finally q.stop()
+  }
+
+  test("D14s: idle users expire from state; a post-gap event starts fresh, pre-gap pairs") {
+    import graft.streaming.PathStream
+    import graft.streaming.PathStream.PEv
+    // clock base far above zero: Spark's late filter drops rows with
+    // event time <= watermark, and the initial watermark is epoch 0
+    val base = 1000000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PEv]
+    val gapUs = 60L * 1000000L // 1 min
+    val q = PathStream.steps(input.toDS(), gapUs)
+      .writeStream.format("memory").queryName("path_steps2")
+      .outputMode("append").start()
+    try {
+      input.addData(PEv(1, ts(0), 1, "a"), PEv(2, ts(0), 2, "x"))
+      q.processAllAvailable()
+      // u1 returns within the gap (pairs), u2 returns far past it (no pair)
+      input.addData(PEv(1, ts(30000), 3, "b"), PEv(2, ts(10 * 60000), 4, "y"))
+      q.processAllAvailable()
+      val got = spark.table("path_steps2")
+        .select("user_id", "prev_type", "next_type")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got === Set((1L, "a", "b")))
+    } finally q.stop()
+  }
 }
