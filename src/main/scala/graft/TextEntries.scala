@@ -141,6 +141,8 @@ object TextEntries {
   // label a genuine function of the text the model must recover.
   val PrIters = 10 // PageRank iterations (E57)
   val PrScale = 1000000000000L // PageRank fixed-point mass (E57)
+  val CollocMin = 5L // bigram support floor for PMI collocations (E58)
+  val CollocK = 100 // collocations kept (E58)
   val LangSpikeRep = 2
   val LangSpikes: Seq[(String, String)] = Seq(
     "en" -> " the and is not of to in that it was",
@@ -483,6 +485,12 @@ object TextEntries {
       graft.text.LangModel.scoreIndexed(
         s, "graft_lm_idx", d.filter(col("doc_id") % 7 === 0), "doc_id", "text")
     }),
+
+    // E58: collocation mining — top-k adjacent bigrams by integer PMI
+    // (position-marginal probabilities, minCount-pruned before joins)
+    "text_collocations" -> ((s, dir) =>
+      graft.text.LangModel.collocations(
+        Tables.documents(s, dir), "text", CollocMin, CollocK)),
 
     // E56: data-mixture design signal — pairwise Jensen–Shannon
     // divergence between per-source unigram distributions, nano-nats
@@ -1174,6 +1182,27 @@ object TextEntries {
          |  CAST(CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
          |       THEN pd.nll_e4 // pd.n_bigrams ELSE 0 END AS BIGINT) AS avg_nll_e4
          |FROM batch b LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // E58: PMI with position marginals; long products FIRST, one double
+    // division — the identical expression tree on both sides
+    "text_collocations" ->
+      s"""WITH toks AS (SELECT $toksSql AS t FROM documents),
+         |bi AS (SELECT unnest(list_transform(generate_series(1, len(t)-1),
+         |    i -> {'w1': t[i], 'w2': t[i+1]})) AS u FROM toks WHERE len(t) >= 2),
+         |c12 AS (SELECT u['w1'] AS w1, u['w2'] AS w2, CAST(count(*) AS BIGINT) AS c12
+         |        FROM bi GROUP BY 1, 2),
+         |c1f AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1f FROM c12 GROUP BY 1),
+         |c2f AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2f FROM c12 GROUP BY 1),
+         |n2 AS (SELECT CAST(sum(c12) AS BIGINT) AS n2 FROM c12),
+         |scored AS (SELECT c12.w1, c12.w2, c12.c12,
+         |    CAST(round(ln(CAST(c12.c12 * n2.n2 AS DOUBLE)
+         |        / CAST(c1f.c1f * c2f.c2f AS DOUBLE)) * 10000) AS BIGINT) AS pmi_e4
+         |  FROM c12 JOIN c1f USING (w1) JOIN c2f USING (w2) CROSS JOIN n2
+         |  WHERE c12.c12 >= $CollocMin),
+         |ranked AS (SELECT *, row_number() OVER (ORDER BY pmi_e4 DESC, w1 ASC, w2 ASC) AS rk
+         |           FROM scored)
+         |SELECT w1, w2, c12, pmi_e4, CAST(rk AS BIGINT) AS rk
+         |FROM ranked WHERE rk <= $CollocK""".stripMargin,
 
     // E56: JSD between per-source unigram distributions; each token term
     // collapsed to integer nano-nats before summation (same structural

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus language-model scoring for training-data curation.
@@ -126,6 +126,42 @@ object LangModel {
         when(col("n_bigrams") > 0, expr("nll_e4 div n_bigrams")).otherwise(lit(0L)))
   }
 
+  /** Top-k collocations by pointwise mutual information over adjacent
+    * bigrams: pmi = ln(p(w1,w2) / (p₁(w1)·p₂(w2))) with position
+    * marginals (w1 as first element, w2 as second), so the three
+    * distributions live on the same bigram-instance space and integer
+    * counts determine everything: pmi_e4 = round(ln((c12·N)/(c1f·c2f))·10⁴)
+    * — long multiplications first, ONE double division, the same
+    * expression tree as the oracle.
+    *
+    * Scale shape: `minCount` prunes the bigram-type frame BEFORE the
+    * marginal joins; the global top-k is `orderBy().limit(k)` — Spark's
+    * TakeOrderedAndProject, per-partition heaps + one k-row merge, never
+    * a full sort; the rank window then runs over k rows.
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long, k: Int): DataFrame = {
+    val toks = docs.select(TextOps.tokens(col(textCol)).as("t"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> named_struct('w1', t[i], 'w2', t[i+1]))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1f = c12.groupBy("w1").agg(sum("c12").as("c1f"))
+    val c2f = c12.groupBy("w2").agg(sum("c12").as("c2f"))
+    val n2 = c12.agg(sum("c12").as("n2"))
+    val top = c12.filter(col("c12") >= minCount)
+      .join(c1f, "w1").join(c2f, "w2").crossJoin(broadcast(n2))
+      .withColumn("pmi_e4",
+        round(log((col("c12") * col("n2")).cast("double") /
+          (col("c1f") * col("c2f")).cast("double")) * 10000).cast("long"))
+      .select("w1", "w2", "c12", "pmi_e4")
+      .orderBy(col("pmi_e4").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+    top.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("pmi_e4").desc, col("w1").asc, col("w2").asc)).cast("bigint"))
+  }
+
   /** Pairwise Jensen–Shannon divergence between per-source unigram
     * distributions: JSD(P,Q) = ½ KL(P‖M) + ½ KL(Q‖M), M = (P+Q)/2.
     *
@@ -150,17 +186,49 @@ object LangModel {
       .agg(
         sum(when(col("src") === col("src_a"), col("cnt")).otherwise(lit(0L))).as("ca"),
         sum(when(col("src") === col("src_b"), col("cnt")).otherwise(lit(0L))).as("cb"))
-    val pa = col("ca").cast("double") / col("tot_a").cast("double")
-    val pb = col("cb").cast("double") / col("tot_b").cast("double")
-    val term =
-      (when(col("ca") > 0, pa * log(lit(2.0) * pa / (pa + pb))).otherwise(lit(0.0)) +
-        when(col("cb") > 0, pb * log(lit(2.0) * pb / (pa + pb))).otherwise(lit(0.0))) / lit(2.0)
-    e.withColumn("term_nn", round(term * lit(1.0e9)).cast("long"))
+    e.withColumn("term_nn", jsdTermNn(col("ca"), col("cb"), col("tot_a"), col("tot_b")))
       .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("n_union"), sum(col("term_nn")).as("jsd_nn"))
       // per-term rounding can push a ≈0 JSD a hair negative; clamp BEFORE
       // the integral division (div truncates, DuckDB // floors — they only
       // agree on non-negatives)
+      .withColumn("jsd_bp", expr("greatest(jsd_nn, 0L) div 100000"))
+  }
+
+  /** One token's JSD contribution in integer nano-nats — shared by the
+    * pairwise matrix and the drift monitor so the two can never diverge. */
+  private def jsdTermNn(ca: Column, cb: Column, totA: Column, totB: Column): Column = {
+    val pa = ca.cast("double") / totA.cast("double")
+    val pb = cb.cast("double") / totB.cast("double")
+    val term =
+      (when(ca > 0, pa * log(lit(2.0) * pa / (pa + pb))).otherwise(lit(0.0)) +
+        when(cb > 0, pb * log(lit(2.0) * pb / (pa + pb))).otherwise(lit(0.0))) / lit(2.0)
+    round(term * lit(1.0e9)).cast("long")
+  }
+
+  /** Unigram count table (w, cnt) — the reference artifact the drift
+    * monitor compares against; land it wherever fits the deployment. */
+  def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** DRIFT MONITOR: JSD of a batch's unigram distribution against a
+    * frozen reference count table — one row (n_union, jsd_nn, jsd_bp).
+    * Identical term math to [[jsDivergence]] (shared helper), so
+    * monitoring source B against reference A reproduces the pairwise
+    * matrix's (A,B) entry exactly — tested. Runs per-microbatch on a
+    * stream via foreachBatch: the reference is batch-built and frozen,
+    * each arriving batch pays one vocab-keyed join against it. */
+  def jsDivergenceVsCounts(ref: DataFrame, batch: DataFrame, textCol: String): DataFrame = {
+    val b = unigramCounts(batch, textCol)
+    val rTot = ref.agg(sum("cnt").as("tot_a"))
+    val bTot = b.agg(sum("cnt").as("tot_b"))
+    ref.select(col("w"), col("cnt").as("ca"))
+      .join(b.select(col("w"), col("cnt").as("cb")), Seq("w"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
+      .crossJoin(broadcast(rTot)).crossJoin(broadcast(bTot))
+      .withColumn("term_nn", jsdTermNn(col("ca"), col("cb"), col("tot_a"), col("tot_b")))
+      .agg(count(lit(1)).as("n_union"), sum(col("term_nn")).as("jsd_nn"))
       .withColumn("jsd_bp", expr("greatest(jsd_nn, 0L) div 100000"))
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.text.LangModel
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, when}
 
 class LangModelSpec extends SparkSpecBase {
   import spark.implicits._
@@ -63,6 +63,31 @@ class LangModelSpec extends SparkSpecBase {
     assert(e.getMessage.contains("graft_lm_nope"))
   }
 
+  test("E58: PMI collocations match hand-computed scores; support floor and ties hold") {
+    val docs = Seq((1L, "a b a b c d")).toDF("doc_id", "text")
+    // c12: (a,b)=2 (b,a)=1 (b,c)=1 (c,d)=1; N=5
+    // c1f: a=2 b=2 c=1; c2f: b=2 a=1 c=1 d=1
+    val strict = LangModel.collocations(docs, "text", minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // only (a,b) survives: ln(2·5/(2·2)) = ln 2.5 → 9163
+    assert(strict.toSeq === Seq(("a", "b", 2L, 9163L, 1L)))
+    val all = LangModel.collocations(docs, "text", minCount = 1L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    // (c,d): ln 5 → 16094 ranks first; the 9163 tie breaks by (w1,w2)
+    assert(all.toSeq.sortBy(_._4) === Seq(
+      ("c", "d", 16094L, 1L),
+      ("a", "b", 9163L, 2L),
+      ("b", "a", 9163L, 3L),
+      ("b", "c", 9163L, 4L)))
+  }
+
+  test("E58: the k cut keeps the pmi-ordered head exactly") {
+    val docs = Seq((1L, "a b a b c d")).toDF("doc_id", "text")
+    val top2 = LangModel.collocations(docs, "text", minCount = 1L, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4)))
+    assert(top2.toSeq.sortBy(_._3) === Seq(("c", "d", 1L), ("a", "b", 2L)))
+  }
+
   test("E56: JSD is zero for identical sources, ln2 for disjoint, symmetric-ordered") {
     val docs = Seq(
       (1L, "s1", "a b c"), (2L, "s2", "a b c"), // identical distributions
@@ -88,5 +113,22 @@ class LangModelSpec extends SparkSpecBase {
     val Array(r) = LangModel.jsDivergence(docs, "source", "text").collect()
     val jsd = r.getLong(3)
     assert(jsd > 0L && jsd < 693147181L)
+  }
+
+  test("E56s: the drift monitor reproduces the pairwise matrix entry exactly") {
+    val docs = graft.util.Tables.documents(spark, sf("sf0.001"))
+      .filter(col("doc_id") % 7 < 2)
+      .withColumn("source", when(col("doc_id") % 7 === 0, "ref").otherwise("live"))
+    val pairwise = LangModel.jsDivergence(docs, "source", "text")
+      .collect().map(r => r.toSeq.drop(2)).head // (n_union, jsd_nn, jsd_bp) for (live, ref)
+    val ref = LangModel.unigramCounts(docs.filter(col("source") === "live"), "text")
+    val mon = LangModel.jsDivergenceVsCounts(
+      ref, docs.filter(col("source") === "ref"), "text")
+      .collect().map(_.toSeq).head
+    assert(mon === pairwise)
+    // a batch drawn from the reference itself reads zero drift
+    val self = LangModel.jsDivergenceVsCounts(
+      ref, docs.filter(col("source") === "live"), "text").collect().head
+    assert(self.getLong(1) === 0L && self.getLong(2) === 0L)
   }
 }

@@ -1068,6 +1068,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("E56s: per-microbatch drift monitoring against a frozen reference distribution") {
+    import graft.text.LangModel
+    val docs = graft.util.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val ref = LangModel.unigramCounts(docs.filter(col("doc_id") % 2 === 0), "text")
+      .localCheckpoint() // frozen artifact
+    val live = docs.filter(col("doc_id") % 2 === 1)
+      .as[(Long, String)].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val drifts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val r = LangModel.jsDivergenceVsCounts(ref, b, "text").collect().head
+        drifts.synchronized { drifts += ((id, r.getLong(1))) }
+        ()
+      }
+      .start()
+    try {
+      val (h1, h2) = live.splitAt(live.size / 2)
+      input.addData(h1: _*); q.processAllAvailable()
+      input.addData(h2: _*); q.processAllAvailable()
+      val byBatch = drifts.toMap
+      // each microbatch's drift equals the direct batch computation
+      for ((half, id) <- Seq((h1, 0L), (h2, 1L))) {
+        val direct = LangModel.jsDivergenceVsCounts(
+          ref, half.toDF("doc_id", "text"), "text").collect().head.getLong(1)
+        assert(byBatch(id) === direct, s"batch $id")
+        assert(direct > 0L) // disjoint docs: some real drift measured
+      }
+    } finally q.stop()
+  }
+
   test("D14s: idle users expire from state; a post-gap event starts fresh, pre-gap pairs") {
     import graft.streaming.PathStream
     import graft.streaming.PathStream.PEv
