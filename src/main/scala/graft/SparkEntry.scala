@@ -182,6 +182,12 @@ object SparkEntry {
         Tables.events(s, dir), "user_id", unix_micros(col("ts")), "event_type",
         Seq(col("ts"), col("event_id")), PathGapUs)),
 
+    // D15: hourly volume anomalies — the exact-integer 3σ test
+    // (n·x − S)² > 9·(n·Q − S²) over the per-type hourly rollup
+    "events_anomalies" -> ((s, dir) =>
+      graft.operators.Anomaly.hourlyVolume(
+        Tables.events(s, dir), col("ts"), "event_type")),
+
     // D5: time-bucketed rollup (batch twin of the streaming agg)
     "events_window_agg" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -567,6 +573,20 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY c.prev_type
          |                          ORDER BY c.cnt DESC, c.next_type ASC) AS BIGINT) AS rk
          |FROM c JOIN t USING (prev_type)""".stripMargin,
+
+    // the z² test multiplied through by n²: pure integers on both sides
+    "events_anomalies" ->
+      """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |             event_type, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt*cnt) AS BIGINT) AS q
+        |       FROM h GROUP BY 1)
+        |SELECT h.event_type, h.hour_ts, h.cnt,
+        |  CAST((st.n*h.cnt - st.s)*(st.n*h.cnt - st.s) AS BIGINT) AS dev2,
+        |  CAST(9*(st.n*st.q - st.s*st.s) AS BIGINT) AS bound9,
+        |  (st.n*h.cnt - st.s)*(st.n*h.cnt - st.s) > 9*(st.n*st.q - st.s*st.s) AS is_anomaly
+        |FROM h JOIN st USING (event_type)""".stripMargin,
 
     "events_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,

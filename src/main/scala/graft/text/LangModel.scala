@@ -47,8 +47,13 @@ object LangModel {
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
     // per-doc bigram multiplicities first: the corpus-level counts then
     // aggregate the (much smaller) distinct-per-doc frame, and the scoring
-    // join carries one row per (doc, bigram type), not per token instance
+    // join carries one row per (doc, bigram type), not per token instance.
+    // Materialized ONCE — c2, and the scoring join both consume it, and
+    // without the checkpoint each consumer re-runs the corpus tokenize+
+    // explode+aggregate from scratch (Catalyst does not CSE shared
+    // DataFrame lineage): 4 corpus passes become 2 (this + vocab)
     val docBi = bi.groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
+      .localCheckpoint()
     val c2 = docBi.groupBy("w1", "w2").agg(sum("k").as("c2"))
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     val vocab = toks.select(explode(col("t")).as("w")).agg(countDistinct(col("w")).as("v"))
@@ -85,7 +90,9 @@ object LangModel {
       .select(explode(expr(
         "transform(sequence(0, size(t)-2), i -> named_struct('w1', t[i], 'w2', t[i+1]))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // one corpus pass feeds both landed tables (the c1 derivation would
+    // otherwise re-run the whole bigram extraction)
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2")).localCheckpoint()
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     val v = toks.select(explode(col("t")).as("w")).agg(countDistinct(col("w")).as("v"))
     graft.sources.Bucketed.overwrite(c2, s"${name}_lm", buckets, Seq("w1", "w2"))
@@ -145,7 +152,9 @@ object LangModel {
       .select(explode(expr(
         "transform(sequence(0, size(t)-2), i -> named_struct('w1', t[i], 'w2', t[i+1]))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // four consumers (both marginals, the total, the scored join) — one
+    // corpus pass instead of four
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).localCheckpoint()
     val c1f = c12.groupBy("w1").agg(sum("c12").as("c1f"))
     val c2f = c12.groupBy("w2").agg(sum("c12").as("c2f"))
     val n2 = c12.agg(sum("c12").as("n2"))
@@ -174,8 +183,10 @@ object LangModel {
     */
   def jsDivergence(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
     val toksCol = TextOps.tokens(col(textCol))
+    // materialized once: totals, and the pair-expansion join both read it
     val c = docs.select(col(srcCol).as("src"), explode(toksCol).as("w"))
       .groupBy("src", "w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val t = c.groupBy("src").agg(sum("cnt").as("tot"))
     val pairs = t.as("x").crossJoin(t.as("y"))
       .filter(col("x.src") < col("y.src"))
