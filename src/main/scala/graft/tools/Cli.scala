@@ -55,6 +55,8 @@ object Cli {
     case Some("classify") => runClassify(args.tail)
     case Some("winnow") => runWinnow(args.tail)
     case Some("passages") => runPassages(args.tail)
+    case Some("lm") => runLm(args.tail)
+    case Some("paths") => runPaths(args.tail)
     case _ =>
       System.err.println(
         "usage: Cli validate ... | Cli index build|append|compact|screen ... | Cli land ... " +
@@ -62,9 +64,87 @@ object Cli {
           "| Cli rollup ... | Cli ann build|search|append|drift ... " +
           "| Cli bm25 build|search ... | Cli pca fit|project ... " +
           "| Cli classify train|predict ... | Cli winnow build|screen ... " +
-          "| Cli passages ... " +
+          "| Cli passages ... | Cli lm build|score|drift ... | Cli paths ... " +
           "(run a subcommand without flags for its option list)")
       sys.exit(2)
+  }
+
+  /** Corpus LM lifecycle — the drivable face of
+    * [[graft.text.LangModel]] (E55/E55-idx/E56s): `build` trains the
+    * add-one bigram model and lands it bucketed; `score` perplexity-
+    * scores a parquet batch against it exchange-free; `drift` reads one
+    * JSD row for a batch against a frozen reference distribution. */
+  private def runLm(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli lm build --in docs.parquet --name idx [--text text] [--buckets 8]\n" +
+        "     | Cli lm score --in batch.parquet --name idx --out dir [--id doc_id] [--text text]\n" +
+        "     | Cli lm drift --ref-docs docs.parquet --in batch.parquet [--text text] [--out dir]"
+    val sub = args.headOption.getOrElse {
+      System.err.println(usage); sys.exit(2); ""
+    }
+    val opts = new Opts(args.tail, usage)
+    val spark = localSession()
+    import graft.text.LangModel
+    sub match {
+      case "build" =>
+        val (in, name) = (opts.req("in"), opts.req("name"))
+        LangModel.writeLmIndex(spark.read.parquet(in),
+          opts.getOrElse("text", "text"), name, opts.int("buckets", 8))
+        val grams = spark.table(s"${name}_lm").count()
+        val v = spark.table(s"${name}_meta").head().getAs[Number]("v")
+        println(s"[lm] trained $grams bigram types over a $v-token vocabulary -> $name")
+      case "score" =>
+        val (in, name, out) = (opts.req("in"), opts.req("name"), opts.req("out"))
+        LangModel.scoreIndexed(spark, name, spark.read.parquet(in),
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"))
+          .write.mode("overwrite").parquet(out)
+        println(s"[lm] scored ${spark.read.parquet(out).count()} docs -> $out")
+      case "drift" =>
+        val textCol = opts.getOrElse("text", "text")
+        val ref = LangModel.unigramCounts(
+          spark.read.parquet(opts.req("ref-docs")), textCol)
+        val d = LangModel.jsDivergenceVsCounts(
+          ref, spark.read.parquet(opts.req("in")), textCol)
+        opts.get("out") match {
+          case Some(p) =>
+            d.write.mode("overwrite").parquet(p)
+            println(s"[lm] drift row -> $p")
+          case None =>
+            val r = d.collect().head
+            println(s"[lm] drift n_union=${r.getLong(0)} jsd_nn=${r.getLong(1)} jsd_bp=${r.getLong(2)}")
+        }
+      case other =>
+        System.err.println(s"unknown lm subcommand '$other'\n$usage"); sys.exit(2)
+    }
+  }
+
+  /** Event-path transition report — the drivable face of
+    * [[graft.operators.Markov]] (D14): prints (or lands) the transition
+    * matrix with per-prev probabilities and ranks. */
+  private def runPaths(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli paths --in events.parquet [--user user_id] [--ts ts] [--type event_type] " +
+        "[--id event_id] [--gap-min 1440] [--top 20] [--out dir]"
+    val opts = new Opts(args, usage)
+    val spark = localSession()
+    val in = opts.req("in")
+    val (userC, tsC, typeC, idC) = (
+      opts.getOrElse("user", "user_id"), opts.getOrElse("ts", "ts"),
+      opts.getOrElse("type", "event_type"), opts.getOrElse("id", "event_id"))
+    val ev = graft.util.Tables.normalizeTs(spark.read.parquet(in), tsC)
+    val t = graft.operators.Markov.transitions(
+      ev, userC, org.apache.spark.sql.functions.unix_micros(col(tsC)), typeC,
+      Seq(col(tsC), col(idC)), opts.long("gap-min", 1440L) * 60000000L)
+    opts.get("out") match {
+      case Some(p) =>
+        t.write.mode("overwrite").parquet(p)
+        println(s"[paths] ${spark.read.parquet(p).count()} transitions -> $p")
+      case None =>
+        t.orderBy(desc("cnt")).limit(opts.int("top", 20)).collect().foreach { r =>
+          println(s"[paths] ${r.getString(0)} -> ${r.getString(1)}  " +
+            s"n=${r.getLong(2)} p=${r.getLong(3)}bp rank=${r.getLong(4)}")
+        }
+    }
   }
 
   /** Vector-index lifecycle — the drivable face of the IVF(+PQ) stack
