@@ -31,7 +31,9 @@ object ForceBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val selected = graft.SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val selected =
+      if (args.isEmpty) graft.SparkEntry.queries
+      else graft.SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // bit_xor, not sum: a 64-bit hash sum overflows under ANSI mode

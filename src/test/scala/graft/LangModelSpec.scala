@@ -55,6 +55,49 @@ class LangModelSpec extends SparkSpecBase {
       spark.sql(s"DROP TABLE IF EXISTS graft_lm_oov$sfx"))
   }
 
+  test("E55-idx: the serve reads both index tables as bucketed scans, unshuffled before their joins") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val docs = graft.util.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    LangModel.writeLmIndex(docs.filter(col("doc_id") % 7 =!= 0), "text", "graft_lm_pin", 4)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val serve = LangModel.scoreIndexed(spark, "graft_lm_pin",
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      val plan = serve.queryExecution.executedPlan
+      def isIdx(f: FileSourceScanExec) =
+        f.tableIdentifier.exists(t =>
+          t.table == "graft_lm_pin_lm" || t.table == "graft_lm_pin_ctx")
+      val idxScans = plan.collect { case f: FileSourceScanExec if isIdx(f) => f }
+      assert(idxScans.size === 2 && idxScans.forall(_.bucketedScan),
+        "both index tables must be read as bucketed scans")
+      var shuffledBeforeJoin = false
+      def openIdx(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => isIdx(f)
+        case _: SortMergeJoinExec | _: BroadcastHashJoinExec |
+            _: ShuffledHashJoinExec | _: BroadcastNestedLoopJoinExec =>
+          p.children.foreach(openIdx); false // join absorbs the scan
+        case e: ShuffleExchangeExec =>
+          val o = e.children.exists(openIdx)
+          if (o) shuffledBeforeJoin = true
+          o
+        case _ => p.children.map(openIdx).exists(identity)
+      }
+      openIdx(plan)
+      assert(!shuffledBeforeJoin, "an index table was shuffled before its join")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      Seq("_lm", "_ctx", "_meta").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_lm_pin$sfx"))
+    }
+  }
+
   test("E55-idx: a missing index refuses loudly") {
     val batch = Seq((1L, "a b")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
