@@ -182,6 +182,24 @@ object SparkEntry {
         Tables.events(s, dir), "user_id", unix_micros(col("ts")), "event_type",
         Seq(col("ts"), col("event_id")), PathGapUs)),
 
+    // D16: per-user trailing-window activity — daily rollup + a 7-day
+    // RANGE frame (not ROWS: absent days must still age out); integer
+    // epoch-day axis so the frame bounds mean the same in both engines
+    "events_rolling" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("n_7d", sum(col("n_events")).over(w))
+        .withColumn("active_days_7d", count(lit(1)).over(w).cast("bigint"))
+        .withColumn("sum_value_7d", sum(col("sv")).over(w).cast("double"))
+        .drop("sv")
+    }),
+
     // D15: hourly volume anomalies — the exact-integer 3σ test
     // (n·x − S)² > 9·(n·Q − S²) over the per-type hourly rollup
     "events_anomalies" -> ((s, dir) =>
@@ -573,6 +591,19 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY c.prev_type
          |                          ORDER BY c.cnt DESC, c.next_type ASC) AS BIGINT) AS rk
          |FROM c JOIN t USING (prev_type)""".stripMargin,
+
+    // '//' = integral epoch-day; RANGE 6 PRECEDING on that integer axis
+    "events_rolling" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(day AS BIGINT) AS day, n_events,
+        |  CAST(sum(n_events) OVER w AS BIGINT) AS n_7d,
+        |  CAST(count(*) OVER w AS BIGINT) AS active_days_7d,
+        |  CAST(sum(sv) OVER w AS DOUBLE) AS sum_value_7d
+        |FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // the z² test multiplied through by n²: pure integers on both sides
     "events_anomalies" ->

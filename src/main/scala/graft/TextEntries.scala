@@ -1111,11 +1111,11 @@ object TextEntries {
          |                 JOIN deg d ON u.src = d.src
          |                 GROUP BY 1) t ON deg.src = t.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH prpairs AS (SELECT id_a, id_b FROM ($dedupNgramSql)),
-       |und AS (SELECT id_a AS src, id_b AS dst FROM prpairs
+    s"""WITH prpairs AS MATERIALIZED (SELECT id_a, id_b FROM ($dedupNgramSql)),
+       |und AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM prpairs
        |        UNION ALL SELECT id_b, id_a FROM prpairs),
-       |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
-       |c0 AS (SELECT $PrScale // count(*) AS pn,
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+       |c0 AS MATERIALIZED (SELECT $PrScale // count(*) AS pn,
        |              (15 * ($PrScale // count(*))) // 100 AS base FROM deg),
        |r0 AS (SELECT src AS id, (SELECT pn FROM c0) AS r FROM deg),
        |$iters
@@ -1131,13 +1131,13 @@ object TextEntries {
     // DISTINCT bigram before any sum — aggregation order cannot move the
     // result, so the compare is bit-exact despite the transcendental
     "text_perplexity" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id, $toksSql AS t FROM documents),
          |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
          |    i -> {'w1': t[i], 'w2': t[i+1]})) AS u
          |  FROM toks WHERE len(t) >= 2),
-         |db AS (SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2, count(*) AS k
+         |db AS MATERIALIZED (SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2, count(*) AS k
          |       FROM bi GROUP BY 1, 2, 3),
-         |c2 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c2 FROM db GROUP BY 1, 2),
+         |c2 AS MATERIALIZED (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c2 FROM db GROUP BY 1, 2),
          |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
          |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)),
          |lp AS (SELECT c2.w1, c2.w2,
@@ -1157,17 +1157,17 @@ object TextEntries {
     "text_perplexity_indexed" ->
       s"""WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
          |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
-         |ttoks AS (SELECT $toksSql AS t FROM train),
+         |ttoks AS MATERIALIZED (SELECT $toksSql AS t FROM train),
          |tbi AS (SELECT unnest(list_transform(generate_series(1, len(t)-1),
          |    i -> {'w1': t[i], 'w2': t[i+1]})) AS u FROM ttoks WHERE len(t) >= 2),
-         |c2 AS (SELECT u['w1'] AS w1, u['w2'] AS w2, CAST(count(*) AS BIGINT) AS c2
+         |c2 AS MATERIALIZED (SELECT u['w1'] AS w1, u['w2'] AS w2, CAST(count(*) AS BIGINT) AS c2
          |       FROM tbi GROUP BY 1, 2),
          |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
          |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM ttoks)),
          |btoks AS (SELECT doc_id, $toksSql AS t FROM batch),
          |bbi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
          |    i -> {'w1': t[i], 'w2': t[i+1]})) AS u FROM btoks WHERE len(t) >= 2),
-         |db AS (SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2, count(*) AS k
+         |db AS MATERIALIZED (SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2, count(*) AS k
          |       FROM bbi GROUP BY 1, 2, 3),
          |lp AS (SELECT db.doc_id, db.k,
          |    CAST(round(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
@@ -1189,7 +1189,7 @@ object TextEntries {
       s"""WITH toks AS (SELECT $toksSql AS t FROM documents),
          |bi AS (SELECT unnest(list_transform(generate_series(1, len(t)-1),
          |    i -> {'w1': t[i], 'w2': t[i+1]})) AS u FROM toks WHERE len(t) >= 2),
-         |c12 AS (SELECT u['w1'] AS w1, u['w2'] AS w2, CAST(count(*) AS BIGINT) AS c12
+         |c12 AS MATERIALIZED (SELECT u['w1'] AS w1, u['w2'] AS w2, CAST(count(*) AS BIGINT) AS c12
          |        FROM bi GROUP BY 1, 2),
          |c1f AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1f FROM c12 GROUP BY 1),
          |c2f AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2f FROM c12 GROUP BY 1),
@@ -1210,8 +1210,8 @@ object TextEntries {
     // last ulp is at stake and the 10⁻⁹ grid absorbs it)
     "source_divergence" ->
       s"""WITH toksrc AS (SELECT source AS src, unnest($toksSql) AS w FROM documents),
-         |c AS (SELECT src, w, count(*) AS cnt FROM toksrc GROUP BY 1, 2),
-         |t AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1),
+         |c AS MATERIALIZED (SELECT src, w, count(*) AS cnt FROM toksrc GROUP BY 1, 2),
+         |t AS MATERIALIZED (SELECT src, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1),
          |pr AS (SELECT x.src AS src_a, x.tot AS tot_a, y.src AS src_b, y.tot AS tot_b
          |       FROM t x JOIN t y ON x.src < y.src),
          |e AS (SELECT pr.src_a, pr.src_b, pr.tot_a, pr.tot_b, c.w,

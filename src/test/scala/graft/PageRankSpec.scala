@@ -54,6 +54,25 @@ class PageRankSpec extends SparkSpecBase {
     assert(got(1L)._1 === 1L) // degree carried through
   }
 
+  test("E57 property: exact equality vs the sequential recurrence on random graphs") {
+    val rnd = new scala.util.Random(57335711L)
+    for (trial <- 1 to 5) {
+      val n = 6 + rnd.nextInt(15)
+      val edges = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.25
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val iters = 3 + rnd.nextInt(5)
+        val exp = refPr(edges, iters, Scale)
+        val got = run(edges, iters)
+        assert(got.keySet === exp.keySet, s"trial $trial nodes")
+        for ((id, (_, pr)) <- got)
+          assert(pr === exp(id), s"trial $trial node $id (n=$n iters=$iters)")
+      }
+    }
+  }
+
   test("E57: empty edge set yields an empty, well-typed result") {
     val empty = PageRank.pageRank(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b", 10, Scale)
