@@ -228,6 +228,12 @@ object TextEntries {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(docsNear(s, dir), "doc_id", "text", Tau, NumPerm, Bands)),
 
+    // E59: prefix-filtered Jaccard pairs — the LOSSLESS candidate
+    // strategy (each doc indexes only its rarest p = n−ceil(τn)+1
+    // shingles); must hash-match the UNCAPPED exact all-pairs oracle
+    "dedup_ngram_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsPrefix(docsNear(s, dir), "doc_id", "text", Tau)),
+
     // E4: SimHash pairs, hamming <= 3 with exact banded recall
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docsAll(s, dir), "doc_id", "text")),
@@ -945,6 +951,21 @@ object TextEntries {
   private lazy val dedupNgramSql =
     ngramPairsSqlOver(docsNearSql, "sa.n + sb.n - common", "jaccard_bp", Tau)
 
+  /** E59 oracle: UNCAPPED exact all-pairs — the prefix filter is
+    * lossless, so its answer must equal the no-cap ground truth (the
+    * oracle needn't model the prefix at all). */
+  private lazy val dedupNgramExactSql =
+    s"""WITH corpus AS ($docsNearSql),
+       |post AS MATERIALIZED (${hashedPostOverSql("corpus")}),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY 1),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       |  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b,
+       |  CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) AS jaccard_bp
+       |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) >= $Tau""".stripMargin
+
   private lazy val dedupContainmentSql =
     ngramPairsSqlOver(docsContainSql, "least(sa.n, sb.n)", "containment_bp", TauContain)
 
@@ -1229,6 +1250,8 @@ object TextEntries {
          |FROM tm GROUP BY 1, 2""".stripMargin,
 
     "graph_pagerank" -> pageRankSql,
+
+    "dedup_ngram_prefix" -> dedupNgramExactSql,
 
     "text_winnow" ->
       s"""WITH $winnowFpsCtes

@@ -869,4 +869,36 @@ class TextDedupSpec extends SparkSpecBase {
     // and every one of those pairs is co-located by the leak-proof split
     pairs.foreach { case (a, b) => assert(lp(a)._2 == lp(b)._2) }
   }
+
+  test("E59 property: prefix filtering equals exact all-pairs across random corpora and taus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(593317L)
+    for (trial <- 1 to 3) {
+      // small vocab so real overlaps occur; doc lengths straddle the
+      // whole-doc-shingle fallback (n < w) and normal shingling
+      val docs = (1L to 40L).map { i =>
+        val n = 2 + rnd.nextInt(20)
+        (i, (0 until n).map(_ => "w" + rnd.nextInt(25)).mkString(" "))
+      }.toDF("doc_id", "text")
+      for (tau <- Seq(2000L, 5000L, 8000L, 10000L)) {
+        val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", tau,
+            maxDf = Long.MaxValue)
+          .collect().map(_.toSeq).toSet
+        val pre = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", tau)
+          .collect().map(_.toSeq).toSet
+        assert(pre === exact, s"trial $trial tau=$tau")
+      }
+    }
+  }
+
+  test("E59: prefix answer on the real corpus is the exact all-pairs answer") {
+    val real = TextEntries.docsNear(spark, sf("sf0.001"))
+    val exact = Dedup.ngramJaccardPairs(real, "doc_id", "text", 6000L,
+        maxDf = Long.MaxValue)
+      .collect().map(_.toSeq).toSet
+    val pre = Dedup.ngramJaccardPairsPrefix(real, "doc_id", "text", 6000L)
+      .collect().map(_.toSeq).toSet
+    assert(pre === exact)
+    assert(pre.nonEmpty)
+  }
 }
