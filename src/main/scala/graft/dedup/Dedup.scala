@@ -140,19 +140,57 @@ object Dedup {
       w: Int = 3): DataFrame = {
     require(tauBp > 0 && tauBp <= 10000, s"tauBp must be in (0, 10000], got $tauBp")
     val post = hashedPostings(df, idCol, textCol, w).cache()
+    // df for SHARED shingles only (df ≥ 2), left-joined with default 1:
+    // on a real corpus most shingles are singletons, and joining the full
+    // df table back would sort a postings-sized side against a near-
+    // postings-sized side — the shared-only table is the small minority
+    // that can actually tie-break ranks differently
     val dfreq = post.groupBy("__sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
     val byRarity = Window.partitionBy("__id").orderBy(col("__df"), col("__sh"))
-    val prefix = post.join(dfreq, "__sh")
+    val prefix = post.join(dfreq, Seq("__sh"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(1L)))
       .withColumn("__rk", row_number().over(byRarity))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("__id")))
       // p = n − ceil(τ·n) + 1, ceil by integer arithmetic
       .filter(col("__rk") <= col("__n") - expr(s"(($tauBp * __n) + 9999) div 10000") + 1)
-      .select("__id", "__sh")
-    val cand = prefix.select(col("__id").as("id_a"), col("__sh"))
-      .join(prefix.select(col("__id").as("id_b"), col("__sh")), "__sh")
+      .select(col("__id"), col("__sh"), col("__n"),
+        (col("__n") - expr(s"(($tauBp * __n) + 9999) div 10000") + 1).as("__p"))
+    // prefix-overlap counted DIRECTLY in the self-join (the aggregation
+    // IS the candidate set — no distinct + postings re-join, which on a
+    // coincidence-heavy corpus explodes candidate×postings rows), then
+    // the POSITIONAL bound prunes before any verify: a qualifying pair
+    // needs common ≥ α = ceil(τ(n_a+n_b)/(1+τ)), and common can't exceed
+    // prefix-overlap + min(suffix_a, suffix_b) — one random shared rare
+    // shingle between two ordinary-length docs fails this immediately
+    val cp = prefix
+      .select(col("__id").as("id_a"), col("__sh"), col("__n").as("n_a"), col("__p").as("p_a"))
+      .join(prefix
+        .select(col("__id").as("id_b"), col("__sh"), col("__n").as("n_b"), col("__p").as("p_b")),
+        "__sh")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    verifiedJaccard(cand, post, tauBp)
+      .groupBy("id_a", "id_b", "n_a", "n_b", "p_a", "p_b")
+      .agg(count(lit(1)).as("__cp"))
+      .filter(col("__cp") +
+        least(col("n_a") - col("p_a"), col("n_b") - col("p_b")) >=
+        expr(s"($tauBp * (n_a + n_b) + ${10000 + tauBp} - 1) div ${10000 + tauBp}"))
+      .select("id_a", "id_b")
+    // exact verify on the survivors: each doc's sorted shingle array
+    // joins in ONCE per side (pair-count rows carrying ~n·8 bytes), and
+    // a codegen'd array_intersect computes the full common — no
+    // candidate×postings explosion
+    val docArrs = post.groupBy("__id")
+      .agg(sort_array(collect_list(col("__sh"))).as("__arr"))
+    cp
+      .join(docArrs.select(col("__id").as("id_a"), col("__arr").as("__arr_a")), "id_a")
+      .join(docArrs.select(col("__id").as("id_b"), col("__arr").as("__arr_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("__arr_a"), col("__arr_b"))).cast("long"))
+      .withColumn("n_a", size(col("__arr_a")).cast("long"))
+      .withColumn("n_b", size(col("__arr_b")).cast("long"))
+      .withColumn("jaccard_bp",
+        TextOps.bp(col("common"), col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard_bp") >= tauBp)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
   }
 
   /** All pairs (id_a < id_b) with shingle CONTAINMENT ≥ tauBp/10000 —

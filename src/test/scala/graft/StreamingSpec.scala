@@ -1068,6 +1068,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("E55s: the persisted LM perplexity-scores a stream per-microbatch, streamed == batch") {
+    import graft.text.LangModel
+    val docs = graft.util.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    LangModel.writeLmIndex(docs.filter(col("doc_id") % 7 =!= 0), "text",
+      "graft_stream_lm", buckets = 4)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .as[(Long, String)].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.Set.empty[Seq[Any]]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        LangModel.scoreIndexed(spark, "graft_stream_lm", b, "doc_id", "text")
+          .collect().foreach(r => acc.synchronized { acc += r.toSeq })
+        ()
+      }
+      .start()
+    try {
+      val (h1, h2) = batch.splitAt(batch.size / 2)
+      input.addData(h1: _*); q.processAllAvailable()
+      input.addData(h2: _*); q.processAllAvailable()
+      val oneShot = LangModel.scoreIndexed(spark, "graft_stream_lm",
+        batch.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+      assert(acc.toSet === oneShot && oneShot.nonEmpty)
+    } finally {
+      q.stop()
+      Seq("_lm", "_ctx", "_meta").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_stream_lm$sfx"))
+    }
+  }
+
   test("E56s: per-microbatch drift monitoring against a frozen reference distribution") {
     import graft.text.LangModel
     val docs = graft.util.Tables.documents(spark, sf("sf0.001"))
