@@ -154,25 +154,30 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("__id")))
       // p = n − ceil(τ·n) + 1, ceil by integer arithmetic
       .filter(col("__rk") <= col("__n") - expr(s"(($tauBp * __n) + 9999) div 10000") + 1)
-      .select(col("__id"), col("__sh"), col("__n"),
-        (col("__n") - expr(s"(($tauBp * __n) + 9999) div 10000") + 1).as("__p"))
+      .select(col("__id"), col("__sh"), col("__n"), col("__rk"))
     // prefix-overlap counted DIRECTLY in the self-join (the aggregation
     // IS the candidate set — no distinct + postings re-join, which on a
     // coincidence-heavy corpus explodes candidate×postings rows), then
     // the POSITIONAL bound prunes before any verify: a qualifying pair
-    // needs common ≥ α = ceil(τ(n_a+n_b)/(1+τ)), and common can't exceed
-    // prefix-overlap + min(suffix_a, suffix_b) — one random shared rare
-    // shingle between two ordinary-length docs fails this immediately
+    // needs common ≥ α = ceil(τ(n_a+n_b)/(1+τ)). Every shared shingle
+    // NOT matched prefix-to-prefix lives in at least one doc's suffix,
+    // so it is globally GREATER than every prefix-matched shingle — in
+    // each doc it must sit at a rank strictly above that doc's largest
+    // matched rank. Hence common ≤ cp + min(n_a − max_rk_a, n_b −
+    // max_rk_b). (Bounding with the prefix LENGTHS instead — min(n−p) —
+    // is unsound: a shared shingle in prefix_a ∩ suffix_b consumes only
+    // b's slack, and the min over-prunes true pairs.)
     val cp = prefix
-      .select(col("__id").as("id_a"), col("__sh"), col("__n").as("n_a"), col("__p").as("p_a"))
+      .select(col("__id").as("id_a"), col("__sh"), col("__n").as("n_a"), col("__rk").as("rk_a"))
       .join(prefix
-        .select(col("__id").as("id_b"), col("__sh"), col("__n").as("n_b"), col("__p").as("p_b")),
+        .select(col("__id").as("id_b"), col("__sh"), col("__n").as("n_b"), col("__rk").as("rk_b")),
         "__sh")
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b", "p_a", "p_b")
-      .agg(count(lit(1)).as("__cp"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("__cp"),
+        max(col("rk_a")).as("__mra"), max(col("rk_b")).as("__mrb"))
       .filter(col("__cp") +
-        least(col("n_a") - col("p_a"), col("n_b") - col("p_b")) >=
+        least(col("n_a") - col("__mra"), col("n_b") - col("__mrb")) >=
         expr(s"($tauBp * (n_a + n_b) + ${10000 + tauBp} - 1) div ${10000 + tauBp}"))
       .select("id_a", "id_b")
     // exact verify on the survivors: each doc's sorted shingle array

@@ -891,6 +891,27 @@ class TextDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("E59 regression: positional bound must use matched ranks, not prefix lengths") {
+    import spark.implicits._
+    // A's 4 shingles are all shared (df=2); B adds 4 df=1 boundary
+    // shingles that are globally RARER, pushing the shared ones deep
+    // into B's suffix. The qualifying pair (J = 4/9... = 0.5 ≥ 0.35) has
+    // cp = 2 prefix-prefix matches, and the prefix-LENGTH bound
+    // cp + min(n_a−p_a, n_b−p_b) = 2 + min(1, 2) = 3 < α = 4 pruned it;
+    // the matched-rank bound 2 + min(4−2, 8−6) = 4 keeps it.
+    val a = "x1 x2 x3 x4 x5 x6"
+    val b = a + " y1 y2 y3 y4"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pre = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3500L)
+      .collect().map(_.toSeq).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3500L,
+        maxDf = Long.MaxValue)
+      .collect().map(_.toSeq).toSet
+    assert(exact.size === 1, "fixture must contain exactly the engineered pair")
+    assert(exact.head(2) === 4L, "common") // 4 shared shingles
+    assert(pre === exact)
+  }
+
   test("E59: prefix answer on the real corpus is the exact all-pairs answer") {
     val real = TextEntries.docsNear(spark, sf("sf0.001"))
     val exact = Dedup.ngramJaccardPairs(real, "doc_id", "text", 6000L,
