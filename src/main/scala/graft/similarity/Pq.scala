@@ -36,7 +36,7 @@ object Pq {
     val dsub = dims / m
     df.select(col(idCol).as("vid"),
       explode(array((0 until m).map(s =>
-        struct(lit(s).as("sub"), slice(qvec, s * dsub + 1, dsub).as("sq"))): _*))
+        struct(lit(s.toLong).as("sub"), slice(qvec, s * dsub + 1, dsub).as("sq"))): _*))
         .as("__e"))
       .select(col("vid"), col("__e.sub").as("sub"), col("__e.sq").as("sq"))
   }
