@@ -173,6 +173,12 @@ object Dedup {
         .select(col("__id").as("id_b"), col("__sh"), col("__n").as("n_b"), col("__rk").as("rk_b")),
         "__sh")
       .filter(col("id_a") < col("id_b"))
+      // LENGTH filter (AllPairs): J ≥ τ forces common ≥ τ·max(n_a,n_b)
+      // and common ≤ min(n_a,n_b), so min·10000 ≥ max·τBp — a per-pair
+      // predicate on columns already in the joined row, pruning
+      // mismatched-size candidates BEFORE the aggregation pays for them
+      .filter(least(col("n_a"), col("n_b")) * 10000 >=
+        greatest(col("n_a"), col("n_b")) * tauBp)
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("__cp"),
         max(col("rk_a")).as("__mra"), max(col("rk_b")).as("__mrb"))
