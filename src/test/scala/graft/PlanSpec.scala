@@ -526,4 +526,19 @@ class PlanSpec extends SparkSpecBase {
           "only damaged-chunk candidates:\n" + side.treeString)
     }
   }
+
+  test("dedup_ngram_prefix: every join is key-equi, never a fan-out theta join") {
+    // the lossless path's scale claim rests on ALL pair work being
+    // hash-partitionable: the prefix-prefix self-join keys on the shared
+    // shingle, the verify pass keys on the pair ids — a cartesian or
+    // broadcast-nested-loop anywhere means the positional/length filters
+    // became post-join predicates and the plan explodes at corpus scale
+    val p = plan("dedup_ngram_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "prefix pair generation must not fan out")
+    // the length + positional prunes act on the aggregated candidate set
+    // BEFORE the verify joins: the final exact intersection must see
+    // pair-count rows, so the docArrs joins sit ABOVE the cp aggregate
+    assert(p.contains("array_intersect"), "exact verify must be the codegen'd intersection")
+  }
 }
