@@ -373,6 +373,25 @@ object SparkEntry {
           col("valid_from_us"), col("valid_to_us"), col("is_current"))
     }),
 
+    // A10w: duration-weighted rollup of the SCD2 history onto a daily
+    // grid — "average held value per day, weighted by how long each
+    // version held", the read stateAt can't answer. Versions explode to
+    // the days they overlap (guarded fan-out), ONE hash agg; exact
+    // integer centi·µs arithmetic end to end, one final double cast.
+    "cdc_scd2_weighted" -> ((s, dir) => {
+      CdcApply.scd2TimeWeighted(
+        CdcApply.scd2History(
+          eventsCdc(s, dir)
+            .select("user_id", "event_id", "ts", "value", "event_type", "Op"),
+          pk = Seq("user_id"),
+          ordering = Seq(col("ts"), col("event_id")),
+          tsCol = col("ts")),
+        valueCol = col("value"),
+        grainUs = 86400000000L,           // 1 day
+        horizonUs = 1706745600000000L,    // 2024-02-01T00:00:00Z closes open versions
+        groupCols = Seq(col("event_type")))
+    }),
+
     // A11: changefeed NET-EFFECT compaction — at most one change row per
     // key (first/last op per key via min_by/max_by over ONE exchange),
     // upsert-equivalent to the raw feed by construction (property-tested).
@@ -726,6 +745,37 @@ object SparkEntry {
          |WHERE op <> 'D'
          |  AND valid_from_us <= epoch_us(TIMESTAMP '2024-01-18 00:00:00')
          |  AND (valid_to_us IS NULL OR epoch_us(TIMESTAMP '2024-01-18 00:00:00') < valid_to_us)""".stripMargin,
+
+    // duration-weighted daily rollup of the history: same window CTE as
+    // cdc_scd2, intervals clipped at the horizon, unnested to the days
+    // they overlap, exact centi·µs integer weights (HUGEINT in DuckDB,
+    // decimal(38,0) in Spark), ONE final double cast of the same integer
+    "cdc_scd2_weighted" ->
+      s"""WITH cdc AS ($cdcSql),
+         |v AS (
+         |  SELECT user_id, value, event_type, op,
+         |         epoch_us(ts) AS valid_from_us,
+         |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+         |  FROM cdc),
+         |h AS (
+         |  SELECT event_type,
+         |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+         |         valid_from_us,
+         |         least(coalesce(valid_to_us, 1706745600000000), 1706745600000000) AS to_us
+         |  FROM v WHERE op <> 'D'),
+         |e AS (
+         |  SELECT event_type, vc, valid_from_us, to_us,
+         |         unnest(generate_series(valid_from_us // 86400000000, (to_us - 1) // 86400000000)) AS b
+         |  FROM h WHERE to_us > valid_from_us),
+         |w AS (
+         |  SELECT event_type, vc, b,
+         |         least((b + 1) * 86400000000, to_us) - greatest(b * 86400000000, valid_from_us) AS ov
+         |  FROM e)
+         |SELECT b * 86400000000 AS bucket_us, event_type,
+         |       CAST(sum(ov) AS BIGINT) AS weight_us,
+         |       CAST(sum(CAST(vc AS HUGEINT) * ov) AS DOUBLE) AS weighted_sum_centi_us,
+         |       CAST(sum(CAST(vc AS HUGEINT) * ov) * 10 // sum(ov) AS BIGINT) AS wavg_milli
+         |FROM w GROUP BY 1, 2""".stripMargin,
 
     // footer audit of the query-landed SCD2 history: DuckDB sees the
     // SAME files' metadata, derives the same integer bound from the

@@ -317,4 +317,73 @@ object CdcApply {
   def stateAt(history: DataFrame, atUs: Column): DataFrame =
     history.filter(col("valid_from_us") <= atUs &&
       (col("valid_to_us").isNull || atUs < col("valid_to_us")))
+
+  /** Duration-weighted rollup of an SCD2 history onto a fixed time grid —
+    * the "what was the average X, weighted by how long it held" read that
+    * point-in-time snapshots ([[stateAt]]) structurally can't answer: a
+    * version worth 10 that held for 23 hours must count 23× the version
+    * worth 500 that held for one. Deleted spans (no covering version)
+    * contribute no weight, exactly as the interval algebra says.
+    *
+    * Each version row explodes to the grid buckets its
+    * `[valid_from_us, min(valid_to_us, horizonUs))` interval overlaps
+    * (`sequence` + `explode`, fan-out = interval span / grain, guarded),
+    * weight = exact overlap in µs; then ONE hash aggregation by (bucket,
+    * groupCols). All arithmetic is engine-portable integers: values go
+    * through decimal(18,2) → centi-units, the weighted mean is integer
+    * floor division — no per-row double rounding anywhere.
+    *
+    * At 100 TB the fan-out is the thing to watch: rows × (span/grain)
+    * must not explode. The guard raises loudly per-row when a single
+    * interval would emit more than `maxBucketsPerRow` buckets (a
+    * years-long current version × minute grain is a misconfiguration,
+    * not a workload), and the aggregation combines map-side so the
+    * shuffle carries ~(buckets × groups), not the exploded rows.
+    *
+    * Output: bucket_us (bucket start, µs), groupCols…, weight_us,
+    * weighted_sum_centi_us (exact integer Σ centivalue·weight, one final
+    * double cast), wavg_milli (exact ⌊1000·Σ(v·w)/Σw⌋).
+    *
+    * Reference anchor: the reference can only re-replay per horizon
+    * (cdc_operator.rs::validate); a weighted rollup over its row-loop
+    * landing would be a client-side scan per bucket. */
+  def scd2TimeWeighted(
+      history: DataFrame,
+      valueCol: Column,
+      grainUs: Long,
+      horizonUs: Long,
+      groupCols: Seq[Column] = Nil,
+      maxBucketsPerRow: Long = 65536L): DataFrame = {
+    require(grainUs > 0, s"scd2TimeWeighted: grainUs must be positive, got $grainUs")
+    val from = col("valid_from_us")
+    val to = least(coalesce(col("valid_to_us"), lit(horizonUs)), lit(horizonUs))
+    val b0 = expr(s"valid_from_us div $grainUs")
+    val bHi = expr(s"__to_m1 div $grainUs")
+    history
+      .withColumn("__vc", (valueCol.cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("__to", to)
+      .filter(col("__to") > from) // clip: intervals opening at/after the horizon
+      .withColumn("__to_m1", col("__to") - 1)
+      .withColumn("__nb", bHi - b0 + 1)
+      .withColumn("__guard", when(col("__nb") > maxBucketsPerRow,
+        raise_error(concat(lit(s"scd2TimeWeighted: an interval spans more than " +
+          s"$maxBucketsPerRow buckets at grain ${grainUs}us — raise the grain " +
+          "or maxBucketsPerRow ("), col("__nb").cast("string"), lit(" buckets)"))))
+        .otherwise(lit(null)))
+      .filter(col("__guard").isNull)
+      .withColumn("__b", explode(sequence(b0, bHi)))
+      .withColumn("__w",
+        least((col("__b") + 1) * grainUs, col("__to")) -
+          greatest(col("__b") * grainUs, from))
+      .groupBy((col("__b") * grainUs).as("bucket_us") +: groupCols: _*)
+      .agg(
+        sum(col("__w")).as("weight_us"),
+        sum((col("__vc") * col("__w")).cast("decimal(38,0)")).as("__ws"))
+      // the sum stays an exact integer (centi-value·µs) until ONE final
+      // double cast — both engines round the same exact integer once;
+      // dividing first would round twice and can differ in the last ulp
+      .withColumn("weighted_sum_centi_us", col("__ws").cast("double"))
+      .withColumn("wavg_milli", expr("__ws * 10 div weight_us"))
+      .drop("__ws")
+  }
 }

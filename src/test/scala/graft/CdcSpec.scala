@@ -332,4 +332,60 @@ class CdcSpec extends SparkSpecBase {
       s"compact should shuffle exactly once by pk:\n$p")
     assert(!p.contains("Window"), s"compact must be the aggregate shape, not a window:\n$p")
   }
+
+  test("A10w: time-weighted rollup — hand-computed buckets, delete gap, horizon clip") {
+    // grain 100, horizon 400; one key's versions:
+    //   [20,150) v=1.00 | [150,230) v=2.00 | deleted [230,260) | [260,∞) v=3.00
+    val hist = Seq(
+      (1L, 1.00, 20L, Some(150L)),
+      (1L, 2.00, 150L, Some(230L)),
+      (1L, 3.00, 260L, None: Option[Long])
+    ).toDF("pk", "value", "valid_from_us", "valid_to_us")
+    val out = CdcApply.scd2TimeWeighted(hist, col("value"),
+        grainUs = 100L, horizonUs = 400L)
+      .select("bucket_us", "weight_us", "weighted_sum_centi_us", "wavg_milli")
+      .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    // b0: 80µs of 1.00      → ws = 100·80          wavg = 1000
+    // b1: 50 of 1.00 + 50 of 2.00 → 5000+10000     wavg = 1500
+    // b2: 30 of 2.00 + 40 of 3.00 → 6000+12000, weight 70 (30µs deleted) → ⌊180000/70⌋
+    // b3: 100 of 3.00 (open version clipped at 400)
+    assert(out == Map(
+      0L   -> ((0L, 80L, 8000.0, 1000L)),
+      100L -> ((100L, 100L, 15000.0, 1500L)),
+      200L -> ((200L, 70L, 18000.0, 2571L)),
+      300L -> ((300L, 100L, 30000.0, 3000L))))
+  }
+
+  test("A10w property: bucket weights conserve each interval's clipped span") {
+    val rnd = new scala.util.Random(407133L)
+    for (trial <- 1 to 3) {
+      val H = 1000L
+      val rows = (1L to 30L).map { k =>
+        val f = rnd.nextInt(900).toLong
+        val t = if (rnd.nextBoolean()) Some(f + 1 + rnd.nextInt(300)) else None
+        (k, (1 + rnd.nextInt(500)) / 100.0, f, t)
+      }
+      val hist = rows.toDF("pk", "value", "valid_from_us", "valid_to_us")
+      val grain = 1L + rnd.nextInt(200)
+      val got = CdcApply.scd2TimeWeighted(hist, col("value"), grain, H)
+        .agg(sum("weight_us")).as[Long].head()
+      val want = rows.map { case (_, _, f, t) =>
+        math.max(0L, math.min(t.getOrElse(H), H) - f)
+      }.sum
+      assert(got == want, s"trial $trial grain=$grain")
+    }
+  }
+
+  test("A10w: a span wider than maxBucketsPerRow raises loudly") {
+    val hist = Seq((1L, 1.00, 0L, Some(400L)))
+      .toDF("pk", "value", "valid_from_us", "valid_to_us")
+    val e = intercept[Exception] {
+      CdcApply.scd2TimeWeighted(hist, col("value"), grainUs = 100L,
+        horizonUs = 400L, maxBucketsPerRow = 2L).collect()
+    }
+    assert(e.getMessage != null)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("scd2TimeWeighted")), msgs(e).mkString(" | "))
+  }
 }
