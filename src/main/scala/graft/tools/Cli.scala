@@ -7,7 +7,7 @@ import graft.cdc.CdcOperator.{SnapshotConfig, ValidateConfig}
 import graft.pg.{JdbcSink, PgConfig, Reflect}
 import graft.sources.DmsFileCatalog.{AbsolutePath, DateAware, FullLoadOnly, Mode}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{coalesce, col, count, desc, lit, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, desc, lit, max, sum, when}
 
 /** Command-line client — the graft equivalent of the reference's
   * `dms-cdc-operator-client validate` (dms-cdc-operator-client/src/main.rs),
@@ -556,7 +556,57 @@ object Cli {
       "--checkpoint and --landing to fold only new files)")
   }
 
-  private def runScd2(args: Seq[String]): Unit = {
+  private def runScd2(args: Seq[String]): Unit = args.headOption match {
+    case Some("weighted") => runScd2Weighted(args.tail)
+    case _ => runScd2Landing(args)
+  }
+
+  /** Duration-weighted rollup report over a changefeed — the drivable
+    * face of [[graft.cdc.CdcApply.scd2TimeWeighted]]: history from the
+    * feed, then exact µs-weighted value per grid bucket. */
+  private def runScd2Weighted(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli scd2 weighted --in feedDir --pk c1[,c2] --ts-col c " +
+        "--order-col c1[,c2] --value-col c --grain-us n [--horizon-us n] " +
+        "[--op-col Op] [--group-col c1[,c2]] [--out dir] [--max-buckets n] [--top n]"
+    val opts = new Opts(args, usage)
+    val in = opts.req("in")
+    val pk = opts.req("pk").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val tsCol = opts.req("ts-col")
+    val orderCols = opts.req("order-col").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val valueCol = opts.req("value-col")
+    val grainUs = opts.lng("grain-us")
+    val opCol = opts.getOrElse("op-col", "Op")
+    val groupCols = opts.getOrElse("group-col", "")
+      .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val spark = localSession()
+    val feed = spark.read.parquet(in)
+    (pk ++ orderCols ++ groupCols ++ Seq(tsCol, opCol, valueCol)).foreach(c =>
+      require(feed.columns.contains(c),
+        s"column $c not in feed schema ${feed.columns.mkString("[", ",", "]")}"))
+    val hist = graft.cdc.CdcApply.scd2History(
+      feed, pk, orderCols.map(col), col(tsCol), opCol)
+    // default horizon: just past the feed's last event, so open versions
+    // get exactly the validity the feed has witnessed (one tiny agg)
+    val horizonUs = opts.get("horizon-us").map(_.toLong).getOrElse(
+      hist.agg(max(col("valid_from_us"))).head().getLong(0) + 1L)
+    val out = graft.cdc.CdcApply.scd2TimeWeighted(
+      hist, col(valueCol), grainUs, horizonUs,
+      groupCols.map(col), opts.long("max-buckets", 65536L))
+    opts.get("out") match {
+      case Some(dir) =>
+        out.write.mode("overwrite").parquet(dir)
+        println(s"[scd2] weighted rollup -> $dir (grain ${grainUs}us, horizon ${horizonUs}us)")
+      case None =>
+        val top = opts.int("top", 20)
+        out.orderBy(col("bucket_us"))
+          .limit(top).collect().foreach { r => println(s"[scd2] $r") }
+        println(s"[scd2] first $top buckets (grain ${grainUs}us, horizon ${horizonUs}us; " +
+          "--out dir to land the full rollup)")
+    }
+  }
+
+  private def runScd2Landing(args: Seq[String]): Unit = {
     val usage =
       "usage: Cli scd2 --in feedDir --pk c1[,c2] --ts-col c --order-col c1[,c2] " +
         "--url jdbc:... --schema s --table t [--op-col Op] [--user u] [--password p] " +

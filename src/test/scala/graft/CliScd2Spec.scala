@@ -64,4 +64,35 @@ class CliScd2Spec extends SparkSpecBase {
     assert(!got.exists(r => r._1 == 2L && r._6 == 1L))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("scd2 weighted CLI lands the rollup CdcApply.scd2TimeWeighted computes") {
+    import java.sql.Timestamp
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_scd2w").toString
+    def t(us: Long) = new Timestamp(us / 1000L) // whole-ms fixture times
+    val feed = Seq(
+      (1L, 1L, "I", 1.00, t(100000000L)),
+      (1L, 2L, "U", 2.00, t(150000000L)),
+      (1L, 3L, "D", 0.00, t(230000000L)),
+      (2L, 1L, "I", 4.00, t(120000000L)))
+      .toDF("id", "seq", "Op", "value", "ts")
+    feed.coalesce(1).write.parquet(s"$root/feed")
+    Cli.main(Array("scd2", "weighted", "--in", s"$root/feed",
+      "--pk", "id", "--ts-col", "ts", "--order-col", "seq",
+      "--value-col", "value", "--grain-us", "100000000",
+      "--horizon-us", "300000000", "--out", s"$root/roll"))
+    val got = spark.read.parquet(s"$root/roll")
+      .select("bucket_us", "weight_us", "weighted_sum_centi_us", "wavg_milli")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val want = graft.cdc.CdcApply.scd2TimeWeighted(
+        graft.cdc.CdcApply.scd2History(feed, Seq("id"), Seq(col("seq")), col("ts")),
+        col("value"), 100000000L, 300000000L)
+      .select("bucket_us", "weight_us", "weighted_sum_centi_us", "wavg_milli")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == want)
+    // spot check: bucket [1e8, 2e8) holds key1 v=1.00 for 50s then v=2.00
+    // for 50s, plus key2 v=4.00 for 80s — wavg = ⌊1000·(50·1+50·2+80·4)/180⌋
+    val b1 = got.find(_._1 == 100000000L).get
+    assert(b1._2 == 180000000L && b1._3 == 4.7e10 && b1._4 == 2611L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
