@@ -690,6 +690,16 @@ object TextEntries {
       TextOps.quantileFilter(scored, "lang", "stop_bp", "doc_id", 1, 4)
     }),
 
+    // E60: deterministic global shuffle + contiguous sharding — the
+    // training-order writer: seeded portable-hash permutation rank (one
+    // range exchange via the positional machinery, no global window),
+    // shards = ⌊pos·n/total⌋ so sizes differ by ≤1 and each shard is a
+    // dense contiguous range of the permutation
+    "data_shuffle" -> ((s, dir) =>
+      graft.operators.CorpusShuffle.shuffleShards(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        seed = 7L, nShards = 8)),
+
     // E19: corpus rebalancing — deterministic per-language downsampling
     // (en kept at 40%, zh boosted to 100%, everything else 70%)
     "data_sample" -> ((s, dir) =>
@@ -1662,6 +1672,17 @@ object TextEntries {
          |  CAST(floor(pri) AS BIGINT) AS pri_fl,
          |  CAST(floor(greatest(CAST(w AS DOUBLE), COALESCE(tau, 0.0))) AS BIGINT) AS ht_fl
          |FROM r, tau WHERE rk <= $PrioritySampleK""".stripMargin
+    },
+
+    "data_shuffle" -> {
+      val key = PortableHash.duckH60("'shuffle:7:'||CAST(doc_id AS VARCHAR)")
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (ORDER BY $key, doc_id) - 1 AS pos
+         |  FROM documents)
+         |SELECT doc_id, pos,
+         |       pos * 8 // (SELECT count(*) FROM documents) AS shard
+         |FROM r""".stripMargin
     },
 
     "data_sample" -> {
