@@ -125,6 +125,20 @@ object ExtraEntries {
           max(col("purchase_id")).as("last_purchase"))
     }),
 
+    // E61: edit-distance join via deletion-neighborhood blocking — all
+    // unordered customer-name pairs within Levenshtein 1 (digit typos).
+    // The naive condition would plan a 1500×1500 nested loop; blocking
+    // makes it a hash-equi join on 8-byte variant keys + an exact
+    // threshold-bounded residual, duplicates killed output-side.
+    "fuzzy_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val a = c.select(col("c_custkey").as("a_id"), col("c_name").as("a_name"))
+      val b = c.select(col("c_custkey").as("b_id"), col("c_name").as("b_name"))
+      graft.operators.FuzzyJoin.editDistanceJoin(a, "a_name", b, "b_name", maxDist = 1)
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "a_name", "b_id", "b_name", "edit_dist")
+    }),
+
     // D11c: interval coalescing — per-user activity RUNS from per-event
     // windows ([ts, ts + 1..7 min)): overlapping-or-touching windows
     // merge into maximal disjoint spans (half-open union is lossless).
@@ -383,6 +397,14 @@ object ExtraEntries {
         |       max(purchase_id) AS last_purchase
         |FROM su JOIN pu ON su.s_us < pu.e_us AND pu.s_us < su.e_us
         |GROUP BY signup_id""".stripMargin,
+
+    "fuzzy_join" ->
+      """SELECT a.c_custkey AS a_id, a.c_name AS a_name,
+        |       b.c_custkey AS b_id, b.c_name AS b_name,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+        |FROM customer a, customer b
+        |WHERE a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
 
     "range_coalesce" ->
       """WITH iv AS (

@@ -250,6 +250,36 @@ object SparkEntry {
           col("event_type").as("last_type"))
     }),
 
+    // A13: pre-replay feed sanity audit — op-sequence violations the
+    // reference's row-at-a-time loop silently absorbs (resent batches,
+    // missing full-load, double deliveries) surfaced as a 4-row report
+    "cdc_audit" -> ((s, dir) =>
+      CdcApply.auditFeed(
+        eventsCdc(s, dir),
+        pk = Seq("user_id"),
+        ordering = Seq(col("ts"), col("event_id")))),
+
+    // A14: replay ACROSS a DDL boundary — the feed's early era predates
+    // ADD COLUMN value (the column is absent there), the late era carries
+    // it; alignEvolved pads the early era with typed nulls so one
+    // one-exchange replay covers both. Users last touched pre-DDL land
+    // with a null value, exactly the post-ALTER table state.
+    "cdc_evolve" -> ((s, dir) => {
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val cdc = eventsCdc(s, dir)
+      val early = cdc.filter(col("ts") < split).drop("value")
+      val late = cdc.filter(col("ts") >= split)
+      CdcApply.latestState(
+        CdcApply.alignEvolved(Seq(early, late)),
+        pk = Seq("user_id"),
+        ordering = Seq(col("ts"), col("event_id")))
+        .select(
+          col("user_id"),
+          col("event_id").as("last_event_id"),
+          col("value").as("last_value"),
+          col("event_type").as("last_type"))
+    }),
+
     // A2: upsert a late batch into the replayed early state; must equal a
     // full replay (CDC merge associativity)
     "cdc_upsert" -> ((s, dir) => {
@@ -657,6 +687,52 @@ object SparkEntry {
          |  SELECT user_id, event_id, value, event_type, op,
          |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
          |  FROM cdc)
+         |SELECT user_id, event_id AS last_event_id, value AS last_value, event_type AS last_type
+         |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    // the same lag pass over the same per-key order; the VALUES spine
+    // keeps zero-count anomaly rows present in both engines
+    "cdc_audit" ->
+      s"""WITH cdc AS ($cdcSql),
+         |w AS (
+         |  SELECT user_id, op,
+         |         lag(op) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_op,
+         |         COALESCE((ts, event_id) =
+         |           lag((ts, event_id)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+         |           FALSE) AS dup
+         |  FROM cdc),
+         |f AS (
+         |  SELECT 'dup_ord' AS anomaly, user_id FROM w WHERE dup
+         |  UNION ALL
+         |  SELECT 'orphan_op', user_id FROM w WHERE prev_op IS NULL AND op <> 'I'
+         |  UNION ALL
+         |  SELECT 'insert_on_live', user_id FROM w
+         |  WHERE op = 'I' AND prev_op IS NOT NULL AND prev_op <> 'D'
+         |  UNION ALL
+         |  SELECT 'delete_on_dead', user_id FROM w WHERE op = 'D' AND prev_op = 'D'),
+         |agg AS (
+         |  SELECT anomaly, count(*) AS n, count(DISTINCT user_id) AS n_keys
+         |  FROM f GROUP BY anomaly)
+         |SELECT k.anomaly, COALESCE(agg.n, 0) AS n, COALESCE(agg.n_keys, 0) AS n_keys
+         |FROM (VALUES ('dup_ord'), ('orphan_op'), ('insert_on_live'),
+         |             ('delete_on_dead')) k(anomaly)
+         |LEFT JOIN agg ON agg.anomaly = k.anomaly""".stripMargin,
+
+    // the two schema eras rebuilt literally: early rows carry a typed NULL
+    // where the pre-DDL feed lacked the column, then the same LWW replay
+    "cdc_evolve" ->
+      s"""WITH cdc AS ($cdcSql),
+         |f AS (
+         |  SELECT user_id, event_id, ts, event_type, props,
+         |         CAST(NULL AS DOUBLE) AS value, op
+         |  FROM cdc WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+         |  UNION ALL
+         |  SELECT user_id, event_id, ts, event_type, props, value, op
+         |  FROM cdc WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+         |r AS (
+         |  SELECT user_id, event_id, value, event_type, op,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM f)
          |SELECT user_id, event_id AS last_event_id, value AS last_value, event_type AS last_type
          |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
 

@@ -157,6 +157,115 @@ object CdcApply {
         when(col(opCol) =!= "D", col("__last").getField(c)).otherwise(lit(null)).as(c)): _*)
   }
 
+  /** Changefeed SANITY AUDIT — the pre-replay health report the
+    * reference has no answer to: its row-at-a-time loop silently
+    * *absorbs* malformed feeds (an INSERT for a live key becomes an
+    * upsert, a DELETE for a dead key is a no-op,
+    * postgres_operator_impl.rs:300-404), so feed corruption — a lost
+    * file, a resent batch, an out-of-order task restart — lands as
+    * quietly-wrong data. This audit makes the feed's op-sequence
+    * violations a first-class report BEFORE replay:
+    *
+    *   - `dup_ord`        — two rows with identical (pk, ordering): the
+    *                        LWW winner is ambiguous; replay is
+    *                        nondeterministic until resolved
+    *   - `orphan_op`      — a key's FIRST op is not 'I': the feed starts
+    *                        mid-history (missing full-load or lost file)
+    *   - `insert_on_live` — an 'I' for a key whose previous op left it
+    *                        live: a resent/overlapping batch
+    *   - `delete_on_dead` — a 'D' directly after a 'D': double delivery
+    *
+    * One exchange by pk + per-key sort (the scd2History window shape —
+    * per-key cost is that key's own rows), flags from a single `lag`
+    * pass, then an aggregation over only the FLAGGED rows; all four
+    * anomaly rows always present (zero-count included) so a consumer
+    * can gate on `n > 0` without existence checks. When `dup_ord > 0`
+    * the other counts can vary within the tied group — feed order is
+    * genuinely ambiguous there, which is exactly what `dup_ord` reports.
+    *
+    * Output: `anomaly`, `n` (flagged rows), `n_keys` (distinct pks). */
+  def auditFeed(
+      cdc: DataFrame,
+      pk: Seq[String],
+      ordering: Seq[Column],
+      opCol: String = "Op"): DataFrame = {
+    require(pk.nonEmpty, "auditFeed: at least one pk column")
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(ordering: _*)
+    val ordS = struct(ordering: _*)
+    val flagged = cdc.select(
+      struct(pk.map(col): _*).as("__k"),
+      col(opCol).as("__op"),
+      lag(col(opCol), 1).over(w).as("__prev"),
+      coalesce(lag(ordS, 1).over(w) === ordS, lit(false)).as("__dup"))
+    val melted = flagged.select(col("__k"), explode(array(
+      struct(lit("dup_ord").as("anomaly"), col("__dup").as("flag")),
+      struct(lit("orphan_op").as("anomaly"),
+        (col("__prev").isNull && col("__op") =!= "I").as("flag")),
+      struct(lit("insert_on_live").as("anomaly"),
+        (col("__op") === "I" && col("__prev").isNotNull && col("__prev") =!= "D").as("flag")),
+      struct(lit("delete_on_dead").as("anomaly"),
+        (col("__op") === "D" && col("__prev") === "D").as("flag")))).as("a"))
+      .filter(col("a.flag"))
+      .groupBy(col("a.anomaly").as("anomaly"))
+      .agg(count(lit(1)).as("__n"), countDistinct(col("__k")).as("__nk"))
+    val kinds = cdc.sparkSession.range(1).select(explode(array(
+      Seq("dup_ord", "orphan_op", "insert_on_live", "delete_on_dead")
+        .map(lit): _*)).as("anomaly"))
+    kinds.join(melted, Seq("anomaly"), "left")
+      .select(col("anomaly"),
+        coalesce(col("__n"), lit(0L)).as("n"),
+        coalesce(col("__nk"), lit(0L)).as("n_keys"))
+  }
+
+  /** Align the SCHEMA ERAS of an evolved changefeed so one replay can
+    * run across a DDL boundary — the tolerant complement to the strict
+    * schema guard. A long-lived DMS feed is not one schema: `ALTER TABLE
+    * ADD COLUMN` mid-stream means early files lack the column and late
+    * files carry it (a drop is the mirror image). The reference ABORTS
+    * the table on any such drift (cdc_operator.rs:171-186) — correct for
+    * validation, useless for replaying history across the DDL; graft
+    * keeps that strict policy as the default ([[SchemaGuard]]) and
+    * offers this explicit opt-in for the replay-across-DDL case.
+    *
+    * Each feed era is padded to the union schema with TYPED nulls
+    * (missing-column semantics under `ADD COLUMN` are exactly NULL for
+    * pre-DDL rows), columns ordered by first appearance across eras,
+    * then unioned — a narrow, zero-shuffle plan: the aligned feed goes
+    * into [[latestState]]/[[scd2History]] at the usual one-exchange
+    * cost. A column whose TYPE differs between eras is refused loudly:
+    * null-padding can't express a type change, and a silent cast is the
+    * corruption the schema guard exists to stop.
+    *
+    * Spark's own `mergeSchema=true` parquet option solves the same
+    * problem at scan time when all eras live in one directory tree;
+    * this operator covers the catalog case — era file sets discovered
+    * separately (the A6 catalog's date-partitioned listing) and read as
+    * separate frames. The two compose: a mergeSchema scan IS a one-era
+    * input here (proven equal in the spec).
+    */
+  def alignEvolved(feeds: Seq[DataFrame]): DataFrame = {
+    require(feeds.nonEmpty, "alignEvolved: at least one feed era")
+    val order = scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.types.DataType]()
+    feeds.zipWithIndex.foreach { case (df, i) =>
+      df.schema.fields.foreach { f =>
+        order.get(f.name) match {
+          case None => order(f.name) = f.dataType
+          case Some(dt) => require(dt == f.dataType,
+            s"alignEvolved: column '${f.name}' changes type across eras " +
+              s"($dt vs ${f.dataType} in era $i) — type drift cannot be " +
+              "null-padded; resolve it explicitly before aligning")
+        }
+      }
+    }
+    val cols = order.toSeq
+    feeds.map { df =>
+      val have = df.columns.toSet
+      df.select(cols.map { case (n, dt) =>
+        if (have(n)) col(n) else lit(null).cast(dt).as(n)
+      }: _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Point-in-time snapshot — replay only the changes at or before
     * `asOf` into the base. This is the time-travel the reference's
     * validate implicitly assumes away (it compares CURRENT states,
