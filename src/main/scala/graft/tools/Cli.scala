@@ -48,6 +48,8 @@ object Cli {
     case Some("hotkeys") => runHotkeys(args.tail)
     case Some("scd2") => runScd2(args.tail)
     case Some("compact") => runCompact(args.tail)
+    case Some("audit") => runAudit(args.tail)
+    case Some("shuffle") => runShuffle(args.tail)
     case Some("rollup") => runRollup(args.tail)
     case Some("ann") => runAnn(args.tail)
     case Some("bm25") => runBm25(args.tail)
@@ -61,6 +63,7 @@ object Cli {
       System.err.println(
         "usage: Cli validate ... | Cli index build|append|compact|screen ... | Cli land ... " +
           "| Cli profile ... | Cli hotkeys ... | Cli scd2 ... | Cli compact ... " +
+          "| Cli audit ... | Cli shuffle ... " +
           "| Cli rollup ... | Cli ann build|search|append|drift ... " +
           "| Cli bm25 build|search ... | Cli pca fit|project ... " +
           "| Cli classify train|predict ... | Cli winnow build|screen ... " +
@@ -513,6 +516,68 @@ object Cli {
       compacted, out, opts.int("max-records", 1000000).toLong)
     val (nIn, nOut) = (feed.count(), spark.read.parquet(out).count())
     println(s"[compact] $nIn change rows -> $nOut net rows -> $out")
+  }
+
+  /** Pre-replay feed health — the drivable face of
+    * [[graft.cdc.CdcApply.auditFeed]] (A13): read a parquet changefeed,
+    * print the op-sequence violation report (dup ordering keys, orphan
+    * ops, insert-on-live, delete-on-dead), optionally land it. With
+    * `--strict`, exit code 1 when anything is flagged, so pipelines can
+    * gate replay on a clean audit (opt-in: the CLI is also driven
+    * embedded, where exiting would kill the host JVM). */
+  private def runAudit(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli audit --in feedDir --pk c1[,c2] --order-col c1[,c2] " +
+        "[--op-col Op] [--out dir] [--strict]"
+    val opts = new Opts(args, usage)
+    val in = opts.req("in")
+    val pk = opts.req("pk").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val orderCols = opts.req("order-col").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val opCol = opts.getOrElse("op-col", "Op")
+    val spark = localSession()
+    val feed = spark.read.parquet(in)
+    (pk ++ orderCols :+ opCol).foreach(c =>
+      require(feed.schema.fieldNames.contains(c),
+        s"column $c not in feed schema ${feed.schema.fieldNames.mkString("[", ",", "]")}"))
+    val report = graft.cdc.CdcApply.auditFeed(feed, pk, orderCols.map(col), opCol)
+    val rows = report.collect() // fixed 4-row report
+    rows.foreach(r => println(
+      f"[audit] ${r.getString(0)}%-15s n=${r.getLong(1)} keys=${r.getLong(2)}"))
+    opts.get("out").foreach(o =>
+      report.coalesce(1).write.mode("overwrite").parquet(o))
+    val flaggedRows = rows.map(_.getLong(1)).sum
+    println(s"[audit] total flagged rows: $flaggedRows")
+    if (flaggedRows > 0 && opts.has("strict")) sys.exit(1)
+  }
+
+  /** Training-order landing — the drivable face of
+    * [[graft.operators.CorpusShuffle]] (E60): deterministic seeded
+    * shuffle of a corpus cut into balanced contiguous shards, landed as
+    * `shard=N` directories with rows sorted by shuffle rank, so each
+    * trainer rank streams its own directory sequentially. */
+  private def runShuffle(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli shuffle --in corpus.parquet --out dir --id doc_id " +
+        "[--seed 7] [--shards 8]"
+    val opts = new Opts(args, usage)
+    val (in, out, id) = (opts.req("in"), opts.req("out"), opts.req("id"))
+    val spark = localSession()
+    val corpus = spark.read.parquet(in)
+    require(corpus.schema.fieldNames.contains(id),
+      s"column $id not in corpus schema ${corpus.schema.fieldNames.mkString("[", ",", "]")}")
+    val nShards = opts.int("shards", 8)
+    val sharded = graft.operators.CorpusShuffle.shuffleShards(
+      corpus, id, opts.long("seed", 7L), nShards)
+    // co-locate each shard, keep shuffle order inside it: one file per
+    // shard directory, rows sorted by rank
+    sharded
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val sizes = spark.read.parquet(out).groupBy("shard").count()
+      .orderBy("shard").collect()
+      .map(r => s"${r.get(0)}:${r.getLong(1)}").mkString(" ")
+    println(s"[shuffle] landed ${sizes} -> $out")
   }
 
   /** Continuous rollup maintenance — the drivable face of
