@@ -155,6 +155,21 @@ object ExtraEntries {
         iv, Seq("user_id"), col("s_us"), col("e_us"))
     }),
 
+    // D17: per-user DAILY resampling of the purchase-value series — one
+    // row per user per epoch-aligned day inside the user's own span,
+    // valued by LOCF and by linear interpolation (the gap-fill read a
+    // bucket rollup can't express: sampleless days still emit). Both
+    // windows ride one exchange; even the interpolated double is
+    // oracle-exact (identical IEEE expression tree), surfaced bp-floored.
+    "events_resample" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      graft.operators.Resample.gridFill(
+        ev, Seq("user_id"), col("ts"), col("value"),
+        tieBreak = col("event_id"), grainUs = 86400000000L)
+        .select(col("user_id"), col("tick_us"), col("v_locf"),
+          floor(col("v_interp") * 10000.0).cast("long").as("v_interp_bp"))
+    }),
+
     // D8: vocabulary statistics — term frequency + document frequency
     "text_vocab" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -423,6 +438,44 @@ object ExtraEntries {
         |SELECT user_id, min(s) AS start_us, max(e) AS end_us,
         |       count(*) AS n_merged
         |FROM r GROUP BY user_id, run""".stripMargin,
+
+    // the same union-onto-one-axis + carry formulation: ticks and samples
+    // share the time axis, IGNORE NULLS window scans carry the straddling
+    // sample in each direction; sample-before-tick ordering at an equal
+    // instant matches Spark's (__side asc), and tie-null ordering never
+    // decides (ticks and samples always differ in side)
+    "events_resample" ->
+      """WITH s AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS t, event_id AS tie, value AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT k, (min(t) + 86399999999) // 86400000000 AS lo,
+        |         max(t) // 86400000000 AS hi
+        |  FROM s GROUP BY k),
+        |ticks AS (
+        |  SELECT k, unnest(generate_series(lo, hi)) * 86400000000 AS t
+        |  FROM b WHERE lo <= hi),
+        |u AS (
+        |  SELECT k, t, CAST(NULL AS BIGINT) AS tie, CAST(NULL AS DOUBLE) AS v, 1 AS side
+        |  FROM ticks
+        |  UNION ALL SELECT k, t, tie, v, 0 AS side FROM s),
+        |w AS (
+        |  SELECT k, t, side,
+        |    last_value(v IGNORE NULLS) OVER fw AS pv,
+        |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER fw AS pt,
+        |    last_value(v IGNORE NULLS) OVER bw AS nv,
+        |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER bw AS nt
+        |  FROM u
+        |  WINDOW
+        |    fw AS (PARTITION BY k ORDER BY t ASC, side ASC, tie ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    bw AS (PARTITION BY k ORDER BY t DESC, side ASC, tie DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT k AS user_id, t AS tick_us, pv AS v_locf,
+        |  CAST(floor((CASE WHEN nt = pt THEN pv
+        |    ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |    END) * 10000.0) AS BIGINT) AS v_interp_bp
+        |FROM w WHERE side = 1""".stripMargin,
 
     "text_vocab" ->
       s"""SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df

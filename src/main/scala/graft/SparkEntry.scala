@@ -422,6 +422,46 @@ object SparkEntry {
         groupCols = Seq(col("event_type")))
     }),
 
+    // A15: TEMPORAL ALIGNMENT of two SCD2 histories on the shared key —
+    // the SQL:2011 temporal inner join: per user, every maximal interval
+    // where BOTH attribute streams (the feed split by event_id parity)
+    // have a live version, validity clipped to the intersection. One
+    // key-equi join with the overlap residual; no bucket replication.
+    "cdc_scd2_align" -> ((s, dir) => {
+      val cdc = eventsCdc(s, dir)
+        .select("user_id", "event_id", "ts", "value", "event_type", "Op")
+      def histOf(parity: Int, p: String) = CdcApply.scd2History(
+        cdc.filter(col("event_id") % 2 === parity),
+        pk = Seq("user_id"),
+        ordering = Seq(col("ts"), col("event_id")),
+        tsCol = col("ts"))
+        .select(col("user_id"),
+          col("event_id").as(s"${p}_event_id"),
+          col("value").as(s"${p}_value"),
+          col("valid_from_us"), col("valid_to_us"))
+      CdcApply.scd2Align(histOf(0, "a"), histOf(1, "b"), Seq("user_id"))
+        .select("user_id", "a_event_id", "a_value", "b_event_id", "b_value",
+          "valid_from_us", "valid_to_us")
+    }),
+
+    // B4: TEMPORAL DIFF of two SCD2 histories — left = the full feed's
+    // history, right = a lossy replica's (5% of events dropped): one row
+    // per maximal interval where the two histories disagree, classified
+    // mismatch / only_left / only_right. The all-of-time validate: the
+    // reference compares the two CURRENT states, this compares every
+    // instant the feeds ever covered.
+    "cdc_scd2_diff" -> ((s, dir) => {
+      val cdc = eventsCdc(s, dir)
+        .select("user_id", "event_id", "ts", "value", "Op")
+      def histOf(feed: DataFrame) = CdcApply.scd2History(
+        feed, pk = Seq("user_id"),
+        ordering = Seq(col("ts"), col("event_id")), tsCol = col("ts"))
+        .select("user_id", "event_id", "value", "valid_from_us", "valid_to_us")
+      CdcApply.scd2Diff(
+        histOf(cdc), histOf(cdc.filter(col("event_id") % 20 =!= 0)),
+        pk = Seq("user_id"), compare = Seq("event_id", "value"))
+    }),
+
     // A11: changefeed NET-EFFECT compaction — at most one change row per
     // key (first/last op per key via min_by/max_by over ONE exchange),
     // upsert-equivalent to the raw feed by construction (property-tested).
@@ -905,6 +945,73 @@ object SparkEntry {
          |  CASE WHEN l.last_op <> 'D' THEN l.value END AS value,
          |  CASE WHEN l.last_op <> 'D' THEN l.event_type END AS event_type
          |FROM l JOIN f ON l.user_id = f.user_id""".stripMargin,
+
+    // two parity-split histories (each the cdc_scd2 window over its own
+    // feed half), overlap-joined on the key, validity clipped to the
+    // intersection; an open end (NULL) is +∞ on both sides
+    "cdc_scd2_align" ->
+      s"""WITH cdc AS ($cdcSql),
+         |a0 AS (
+         |  SELECT user_id, event_id AS a_event_id, value AS a_value, op,
+         |         epoch_us(ts) AS a_from,
+         |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS a_to
+         |  FROM cdc WHERE event_id % 2 = 0),
+         |b0 AS (
+         |  SELECT user_id, event_id AS b_event_id, value AS b_value, op,
+         |         epoch_us(ts) AS b_from,
+         |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b_to
+         |  FROM cdc WHERE event_id % 2 = 1),
+         |a AS (SELECT * FROM a0 WHERE op <> 'D'),
+         |b AS (SELECT * FROM b0 WHERE op <> 'D')
+         |SELECT a.user_id, a_event_id, a_value, b_event_id, b_value,
+         |       greatest(a_from, b_from) AS valid_from_us,
+         |       CASE WHEN a_to IS NULL THEN b_to
+         |            WHEN b_to IS NULL THEN a_to
+         |            ELSE least(a_to, b_to) END AS valid_to_us
+         |FROM a JOIN b ON a.user_id = b.user_id
+         |WHERE a_from < coalesce(b_to, 9223372036854775807)
+         |  AND b_from < coalesce(a_to, 9223372036854775807)""".stripMargin,
+
+    // the same segment construction: boundary spine = every version
+    // start/end from both sides (UNION dedups), lead closes each segment
+    // (last stays open = NULL), each side left-joined on key + containment;
+    // versions are half-open so zero-length ones never cover a segment
+    "cdc_scd2_diff" ->
+      s"""WITH cdc AS ($cdcSql),
+         |l0 AS (
+         |  SELECT user_id, event_id, value, op, epoch_us(ts) AS f,
+         |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+         |  FROM cdc),
+         |l AS (SELECT * FROM l0 WHERE op <> 'D'),
+         |r0 AS (
+         |  SELECT user_id, event_id, value, op, epoch_us(ts) AS f,
+         |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+         |  FROM cdc WHERE event_id % 20 <> 0),
+         |r AS (SELECT * FROM r0 WHERE op <> 'D'),
+         |b AS (
+         |  SELECT user_id, f AS b FROM l UNION SELECT user_id, t FROM l WHERE t IS NOT NULL
+         |  UNION SELECT user_id, f FROM r UNION SELECT user_id, t FROM r WHERE t IS NOT NULL),
+         |seg AS (
+         |  SELECT user_id, b AS s,
+         |         lead(b) OVER (PARTITION BY user_id ORDER BY b) AS e
+         |  FROM b),
+         |j AS (
+         |  SELECT seg.user_id, seg.s, seg.e,
+         |         l.event_id AS l_event_id, l.value AS l_value, l.f IS NOT NULL AS ll,
+         |         r.event_id AS r_event_id, r.value AS r_value, r.f IS NOT NULL AS rl
+         |  FROM seg
+         |  LEFT JOIN l ON l.user_id = seg.user_id
+         |    AND l.f <= seg.s AND seg.s < coalesce(l.t, 9223372036854775807)
+         |  LEFT JOIN r ON r.user_id = seg.user_id
+         |    AND r.f <= seg.s AND seg.s < coalesce(r.t, 9223372036854775807))
+         |SELECT user_id, s AS valid_from_us, e AS valid_to_us,
+         |  CASE WHEN ll AND rl THEN 'mismatch'
+         |       WHEN ll THEN 'only_left' ELSE 'only_right' END AS diff_kind,
+         |  l_event_id, r_event_id, l_value, r_value
+         |FROM j
+         |WHERE (ll OR rl) AND NOT (ll AND rl
+         |  AND l_event_id IS NOT DISTINCT FROM r_event_id
+         |  AND l_value IS NOT DISTINCT FROM r_value)""".stripMargin,
 
     "diff_rowlevel" -> {
       val mism = ordersCols.filterNot(_ == "o_orderkey")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.dedup.{Decontaminate, Dedup}
+import graft.dedup.{Decontaminate, Dedup, Survivorship}
 import graft.text.{Packing, PortableHash, TextOps}
 import graft.util.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -246,6 +246,34 @@ object TextEntries {
       Dedup.connectedComponents(
         pairs.select("id_a", "id_b"), docs.select(col("doc_id").as("id")))
         .select(col("id").as("doc_id"), col("comp").as("component_id"))
+    }),
+
+    // E62: SURVIVORSHIP — the golden record per near-dup cluster: field-
+    // wise merge under per-column rules (mode for the categoricals, max
+    // length, min id as the surviving key) — the MDM read E2d-canon's
+    // whole-row election can't express. Spiked dups inherit their base
+    // doc's metadata via the derived base id; n_chars re-derived from the
+    // member's own text so the near-dup tail actually differentiates.
+    "dedup_golden" -> ((s, dir) => {
+      val docs = docsNear(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Tau)
+      val comp = Dedup.connectedComponents(
+        pairs.select("id_a", "id_b"), docs.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp").as("component_id"))
+      val baseMeta = Tables.documents(s, dir)
+        .select(col("doc_id").as("base_id"), col("lang"), col("source"))
+      val members = docs.join(comp, "doc_id")
+        .withColumn("base_id",
+          when(col("doc_id") >= 200000L, col("doc_id") - 200000L)
+            .otherwise(col("doc_id")))
+        .join(baseMeta, "base_id")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("component_id", "doc_id", "lang", "source", "n_chars")
+      Survivorship.goldenRecord(members, "component_id", Seq(
+        "lang" -> Survivorship.ModeRule,
+        "source" -> Survivorship.ModeRule,
+        "n_chars" -> Survivorship.MaxRule,
+        "doc_id" -> Survivorship.MinRule))
     }),
 
     // E2d-inc: INCREMENTAL clustering — labels for the old docs come from
@@ -867,6 +895,48 @@ object TextEntries {
          |  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id AS doc_id, CAST(min(anc) AS BIGINT) AS component_id
          |FROM reach GROUP BY id""".stripMargin,
+
+    // same closure → per-cluster field-wise survivorship: mode = (count
+    // desc, value asc) via row_number — exactly the operator's min_by
+    // over (−count, value) tie order; extremal fields in one aggregate
+    "dedup_golden" ->
+      s"""WITH RECURSIVE e0 AS (SELECT id_a, id_b FROM ($dedupNgramSql)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+         |          UNION SELECT id_b, id_a FROM e0),
+         |nodes AS (SELECT doc_id AS id FROM ($docsNearSql)),
+         |reach(id, anc) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id AS doc_id, CAST(min(anc) AS BIGINT) AS component_id
+         |         FROM reach GROUP BY id),
+         |m AS (
+         |  SELECT c.component_id, n.doc_id, d.lang, d.source,
+         |         CAST(length(n.text) AS BIGINT) AS n_chars
+         |  FROM comp c
+         |  JOIN ($docsNearSql) n ON n.doc_id = c.doc_id
+         |  JOIN documents d ON d.doc_id =
+         |    CASE WHEN n.doc_id >= 200000 THEN n.doc_id - 200000 ELSE n.doc_id END),
+         |gl AS (SELECT component_id, lang FROM (
+         |  SELECT component_id, lang,
+         |         row_number() OVER (PARTITION BY component_id
+         |           ORDER BY count(*) DESC, lang ASC) AS rn
+         |  FROM m WHERE lang IS NOT NULL GROUP BY component_id, lang)
+         |  WHERE rn = 1),
+         |gsrc AS (SELECT component_id, source FROM (
+         |  SELECT component_id, source,
+         |         row_number() OVER (PARTITION BY component_id
+         |           ORDER BY count(*) DESC, source ASC) AS rn
+         |  FROM m WHERE source IS NOT NULL GROUP BY component_id, source)
+         |  WHERE rn = 1),
+         |ga AS (SELECT component_id, max(n_chars) AS n_chars,
+         |              min(doc_id) AS doc_id, count(*) AS n_members
+         |       FROM m GROUP BY component_id)
+         |SELECT ga.component_id, gl.lang, gsrc.source, ga.n_chars,
+         |       ga.doc_id, ga.n_members
+         |FROM ga
+         |LEFT JOIN gl USING (component_id)
+         |LEFT JOIN gsrc USING (component_id)""".stripMargin,
 
     // the incremental merge must land exactly where a full recompute
     // lands — same closure, same oracle text as dedup_components

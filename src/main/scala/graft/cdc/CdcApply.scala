@@ -495,4 +495,157 @@ object CdcApply {
       .withColumn("wavg_milli", expr("__ws * 10 div weight_us"))
       .drop("__ws")
   }
+
+  /** A15: TEMPORAL ALIGNMENT of two SCD2 histories on a shared key — the
+    * SQL:2011 temporal inner join. For every key, emit one row per
+    * maximal interval where BOTH histories have a live version, carrying
+    * both payloads and the clipped validity `[max(starts), min(ends))`
+    * (an open `valid_to_us` = ∞; the output end is null only when both
+    * inputs are open). The read behind "which plan was each customer on
+    * while each address was current" — [[stateAt]] answers it for ONE
+    * instant, this aligns ALL of time in one pass.
+    *
+    * The reference's validate compares two CURRENT states
+    * (cdc_operator.rs:171-224); aligning full histories is the temporal
+    * generalization it has no primitive for.
+    *
+    * Plan: a plain equi-join on the key columns with the overlap
+    * predicate (`l.from < r.end && r.from < l.end`, half-open — touching
+    * versions share no instant and do NOT match) riding as the join
+    * residual — one exchange per side, hashed by key, versions of a key
+    * meet in one partition. No bucket replication (cf.
+    * [[graft.operators.RangeJoin.intervalOverlap]]): the key equi-side
+    * already co-locates, and per-key version counts are churn-bounded, so
+    * the within-key pair work is quadratic only in one key's OWN version
+    * count — the same skew argument as [[scd2History]]'s window. Output
+    * size is linear in total version count: intersecting two per-key
+    * interval PARTITIONS yields ≤ n_l + n_r − 1 overlaps per key.
+    *
+    * Both inputs must carry `valid_from_us` / `valid_to_us` (the
+    * [[scd2History]] contract); non-key payload columns must not collide
+    * — alias one side. `is_current` (derivable: end is null) and other
+    * shared names are refused loudly.
+    */
+  def scd2Align(left: DataFrame, right: DataFrame, pk: Seq[String]): DataFrame = {
+    val validity = Seq("valid_from_us", "valid_to_us")
+    require(pk.nonEmpty, "scd2Align: at least one key column")
+    Seq("left" -> left, "right" -> right).foreach { case (side, df) =>
+      (pk ++ validity).foreach(c => require(df.columns.contains(c),
+        s"scd2Align: $side side lacks column '$c' (scd2History contract)"))
+    }
+    val shared = left.columns.toSet.intersect(right.columns.toSet) -- pk -- validity
+    require(shared.isEmpty,
+      s"scd2Align: both sides carry payload column(s) ${shared.mkString(", ")} — alias one side")
+
+    val open = Long.MaxValue
+    def bounded(side: String) = Seq(
+      col("valid_from_us").as(s"__${side}f"),
+      coalesce(col("valid_to_us"), lit(open)).as(s"__${side}t"))
+    val lPay = left.columns.filterNot(c => pk.contains(c) || validity.contains(c))
+    val rPay = right.columns.filterNot(c => pk.contains(c) || validity.contains(c))
+    val l = left.select(pk.map(col) ++ lPay.map(col) ++ bounded("l"): _*)
+    val r = right.select(pk.map(col) ++ rPay.map(col) ++ bounded("r"): _*)
+    l.join(r, pk)
+      .filter(col("__lf") < col("__rt") && col("__rf") < col("__lt"))
+      .withColumn("valid_from_us", greatest(col("__lf"), col("__rf")))
+      .withColumn("valid_to_us", {
+        val e = least(col("__lt"), col("__rt"))
+        when(e === open, lit(null).cast("long")).otherwise(e)
+      })
+      .drop("__lf", "__lt", "__rf", "__rt")
+  }
+
+  /** B4: TEMPORAL DIFF of two SCD2 histories — the all-of-time
+    * generalization of the reference's validate (cdc_operator.rs:171-224
+    * compares two CURRENT states; this compares EVERY instant). Output:
+    * one row per maximal interval of constant (left version, right
+    * version) where the two histories DISAGREE, classified as
+    * `mismatch` (both live, compared payloads differ), `only_left`
+    * (left live, right has no covering version), `only_right`. Intervals
+    * where both sides are live with equal payloads, or neither is live,
+    * are silent — an empty result IS "the replicas agreed at all times".
+    * The lagging/lossy-replica audit: `stateAt(l,T) ≠ stateAt(r,T)`
+    * exactly when some diff row covers T (property-tested).
+    *
+    * Plan — three exchanges, no windows, output linear in version count:
+    *  1. boundary spine: every version start/end from both sides,
+    *     deduped and sorted per key inside ONE map-side-combined
+    *     `collect_set` aggregate (state = the key's own distinct
+    *     boundary instants, churn-bounded like [[scd2History]]'s sort);
+    *     adjacent boundaries become half-open segments via
+    *     `zip_with`+`explode` — no window, no second exchange.
+    *  2. each side left-joins the segments on the key equi-columns with
+    *     the containment residual (`from <= seg.start < end`) — the
+    *     segment side already carries the aggregate's hash partitioning,
+    *     so Catalyst reuses it; per-key work is (segments × versions) of
+    *     that key's OWN churn.
+    * Every boundary is some version's endpoint, so consecutive segments
+    * differ in at least one side's covering version: emitted intervals
+    * are maximal by construction.
+    *
+    * Contract: inputs are [[scd2History]] outputs (per-key versions form
+    * a PARTITION — non-overlapping). Overlapping versions would match a
+    * segment twice and duplicate rows; the partition property is
+    * guaranteed by construction for any scd2History/scd2Merge landing.
+    * Both sides must carry the same `compare` columns; comparison is
+    * null-safe (`<=>`). Zero-length versions (`from == to`, a same-µs
+    * supersede) cover no instant and never match — exact half-open
+    * semantics.
+    */
+  def scd2Diff(
+      left: DataFrame,
+      right: DataFrame,
+      pk: Seq[String],
+      compare: Seq[String]): DataFrame = {
+    val validity = Seq("valid_from_us", "valid_to_us")
+    require(pk.nonEmpty, "scd2Diff: at least one key column")
+    require(compare.nonEmpty, "scd2Diff: at least one compare column")
+    Seq("left" -> left, "right" -> right).foreach { case (side, df) =>
+      (pk ++ validity ++ compare).foreach(c => require(df.columns.contains(c),
+        s"scd2Diff: $side side lacks column '$c'"))
+    }
+    val open = Long.MaxValue
+    def prep(df: DataFrame, p: String) = df.select(
+      pk.map(c => col(c).as(s"__${p}_$c")) ++ Seq(
+        col("valid_from_us").as(s"__${p}f"),
+        coalesce(col("valid_to_us"), lit(open)).as(s"__${p}t")) ++
+        compare.map(c => col(c).as(s"${p}_$c")): _*)
+    val l = prep(left, "l")
+    val r = prep(right, "r")
+
+    def boundsOf(df: DataFrame, p: String) = {
+      val keys = pk.map(c => col(s"__${p}_$c").as(c))
+      df.select(keys :+ col(s"__${p}f").as("__b"): _*)
+        .unionByName(df.filter(col(s"__${p}t") =!= open)
+          .select(keys :+ col(s"__${p}t").as("__b"): _*))
+    }
+    val segs = boundsOf(l, "l").unionByName(boundsOf(r, "r"))
+      .groupBy(pk.map(col): _*)
+      .agg(array_sort(collect_set(col("__b"))).as("__bs"))
+      .withColumn("__seg", explode(zip_with(
+        col("__bs"),
+        concat(slice(col("__bs"), lit(2), size(col("__bs"))), array(lit(open))),
+        (s, e) => struct(s.as("s"), e.as("e")))))
+      .select(pk.map(col) :+ col("__seg.s").as("__s") :+ col("__seg.e").as("__e"): _*)
+
+    def cover(segsDf: DataFrame, side: DataFrame, p: String) = {
+      val cond = pk.map(c => col(c) === col(s"__${p}_$c")).reduce(_ && _) &&
+        col(s"__${p}f") <= col("__s") && col("__s") < col(s"__${p}t")
+      segsDf.join(side, cond, "left").drop(pk.map(c => s"__${p}_$c"): _*)
+    }
+    val joined = cover(cover(segs, l, "l"), r, "r")
+
+    val lLive = col("__lf").isNotNull
+    val rLive = col("__rf").isNotNull
+    val payloadsEqual = compare.map(c => col(s"l_$c") <=> col(s"r_$c")).reduce(_ && _)
+    joined
+      .filter((lLive || rLive) && !(lLive && rLive && payloadsEqual))
+      .select(pk.map(col) ++ Seq(
+        col("__s").as("valid_from_us"),
+        when(col("__e") === open, lit(null).cast("long"))
+          .otherwise(col("__e")).as("valid_to_us"),
+        when(lLive && rLive, "mismatch")
+          .when(lLive, "only_left").otherwise("only_right").as("diff_kind")) ++
+        compare.flatMap(c => Seq(col(s"l_$c"), col(s"r_$c"))): _*)
+  }
 }
