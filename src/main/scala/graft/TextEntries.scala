@@ -46,6 +46,24 @@ object TextEntries {
         substring(col("text"), 1, 150).as("text")))
   }
 
+  /** Corpus spiked with TWO tailed near-dup copies of every 13th doc —
+    * {base, +400000, +500000} are pairwise similar, so the pair graph
+    * carries real 3-cliques for the triangle audit (E63). */
+  private def docsTri(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 400000L).as("doc_id"),
+        concat(col("text"), lit(" graft tri tail one")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(" graft tri tail two")).as("text")))
+  }
+
+  private val docsTriSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 400000, text || ' graft tri tail one' FROM documents WHERE doc_id % 13 = 0
+      |UNION ALL SELECT doc_id + 500000, text || ' graft tri tail two' FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
   private val docsContainSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL SELECT doc_id + 300000, substr(text, 1, 150) FROM documents WHERE doc_id % 13 = 0""".stripMargin
@@ -246,6 +264,18 @@ object TextEntries {
       Dedup.connectedComponents(
         pairs.select("id_a", "id_b"), docs.select(col("doc_id").as("id")))
         .select(col("id").as("doc_id"), col("comp").as("component_id"))
+    }),
+
+    // E63: TRIANGLES + local clustering coefficient over the near-dup
+    // pair graph — the candidate-graph density audit: a true dup cluster
+    // is near-clique (lcc → 10000 bp), a low-lcc star is one hub chaining
+    // unrelated docs (the over-merge failure mode of components). Corpus
+    // spiked with TWO tailed copies of every 13th doc so 3-cliques exist.
+    "graph_triangles" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docsTri(s, dir), "doc_id", "text", Tau)
+      graft.operators.Triangles.perNode(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("degree"),
+          col("triangles"), col("lcc_bp"))
     }),
 
     // E62: SURVIVORSHIP — the golden record per near-dup cluster: field-
@@ -895,6 +925,28 @@ object TextEntries {
          |  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id AS doc_id, CAST(min(anc) AS BIGINT) AS component_id
          |FROM reach GROUP BY id""".stripMargin,
+
+    // canonical a<b edges straight from the pair oracle; triangles as the
+    // ordered 3-clique join (a<b<c, each counted once), corners exploded
+    // back per node; lcc in integer basis points, exact floor division
+    "graph_triangles" ->
+      s"""WITH p AS (${ngramPairsSqlOver(docsTriSql, "sa.n + sb.n - common", "jaccard_bp", Tau)}),
+         |e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM p),
+         |d AS (SELECT id, count(*) AS degree FROM (
+         |  SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY 1),
+         |t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |      FROM e e1
+         |      JOIN e e2 ON e2.a = e1.b
+         |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tc AS (SELECT id, count(*) AS tri FROM (
+         |  SELECT u AS id FROM t UNION ALL SELECT v FROM t
+         |  UNION ALL SELECT w FROM t) GROUP BY 1)
+         |SELECT d.id AS doc_id, d.degree,
+         |  CAST(coalesce(tc.tri, 0) AS BIGINT) AS triangles,
+         |  CAST(CASE WHEN d.degree >= 2
+         |       THEN 2 * coalesce(tc.tri, 0) * 10000 // (d.degree * (d.degree - 1))
+         |       ELSE 0 END AS BIGINT) AS lcc_bp
+         |FROM d LEFT JOIN tc ON tc.id = d.id""".stripMargin,
 
     // same closure → per-cluster field-wise survivorship: mode = (count
     // desc, value asc) via row_number — exactly the operator's min_by
