@@ -623,7 +623,70 @@ object Cli {
 
   private def runScd2(args: Seq[String]): Unit = args.headOption match {
     case Some("weighted") => runScd2Weighted(args.tail)
+    case Some("diff") => runScd2Diff(args.tail)
     case _ => runScd2Landing(args)
+  }
+
+  /** Temporal validate — the drivable face of
+    * [[graft.cdc.CdcApply.scd2Diff]]: compare two changefeeds (or two
+    * landed SCD2 histories with `--history`) across ALL of time, report
+    * every interval where they disagree. The reference's validate
+    * compares the two CURRENT states (cdc_operator.rs:171-224); this is
+    * the same CLI verb extended to the whole timeline. */
+  private def runScd2Diff(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli scd2 diff --left dir --right dir --pk c1[,c2] --compare c1[,c2] " +
+        "(--history | --ts-col c --order-col c1[,c2] [--op-col Op]) " +
+        "[--out dir] [--top n]"
+    val opts = new Opts(args, usage)
+    val (leftDir, rightDir) = (opts.req("left"), opts.req("right"))
+    val pk = opts.req("pk").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val compare = opts.req("compare").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val spark = localSession()
+    def histOf(dir: String): org.apache.spark.sql.DataFrame = {
+      val df = spark.read.parquet(dir)
+      if (opts.has("history")) {
+        Seq("valid_from_us", "valid_to_us").foreach(c => require(df.columns.contains(c),
+          s"--history input $dir lacks '$c' (use feed mode with --ts-col/--order-col?)"))
+        df
+      } else {
+        val tsCol = opts.req("ts-col")
+        val orderCols = opts.req("order-col").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        val opCol = opts.getOrElse("op-col", "Op")
+        (pk ++ orderCols ++ compare ++ Seq(tsCol, opCol)).foreach(c =>
+          require(df.columns.contains(c),
+            s"column $c not in $dir schema ${df.columns.mkString("[", ",", "]")}"))
+        graft.cdc.CdcApply.scd2History(df, pk, orderCols.map(col), col(tsCol), opCol)
+      }
+    }
+    val keep = (pk ++ compare :+ "valid_from_us") :+ "valid_to_us"
+    val diff = graft.cdc.CdcApply.scd2Diff(
+      histOf(leftDir).select(keep.map(col): _*),
+      histOf(rightDir).select(keep.map(col): _*), pk, compare)
+    opts.get("out") match {
+      case Some(dir) =>
+        diff.write.mode("overwrite").parquet(dir)
+        println(s"[scd2-diff] intervals -> $dir")
+      case None =>
+        // one tiny agg: per-kind interval count + bounded disagreement µs
+        val summary = diff.groupBy(col("diff_kind")).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("valid_to_us").isNotNull,
+            col("valid_to_us") - col("valid_from_us"))).as("bounded_us"),
+          sum(when(col("valid_to_us").isNull, 1L).otherwise(0L)).as("open"))
+          .orderBy(col("diff_kind")).collect()
+        if (summary.isEmpty) println("[scd2-diff] histories agree at every instant")
+        else {
+          summary.foreach { r =>
+            println(s"[scd2-diff] ${r.getString(0)}: ${r.getLong(1)} intervals, " +
+              s"${Option(r.get(2)).getOrElse(0L)}us bounded, ${r.getLong(3)} open")
+          }
+          val top = opts.int("top", 10)
+          diff.orderBy(pk.map(col) :+ col("valid_from_us"): _*)
+            .limit(top).collect().foreach(r => println(s"[scd2-diff] $r"))
+          println(s"[scd2-diff] first $top intervals (--out dir to land all)")
+        }
+    }
   }
 
   /** Duration-weighted rollup report over a changefeed — the drivable

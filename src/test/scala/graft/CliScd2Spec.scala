@@ -95,4 +95,51 @@ class CliScd2Spec extends SparkSpecBase {
     assert(b1._2 == 180000000L && b1._3 == 4.7e10 && b1._4 == 2611L)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("scd2 diff CLI (feed mode) lands what CdcApply.scd2Diff computes") {
+    import java.sql.Timestamp
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_scd2d").toString
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val full = Seq(
+      TsChange(1, 1, "I", "a", t(1000)), TsChange(1, 2, "U", "b", t(2000)),
+      TsChange(2, 1, "I", "x", t(1500)), TsChange(2, 2, "D", "-", t(2500)),
+      TsChange(3, 1, "I", "z", t(1000)))
+    val lossy = full.filterNot(c => c.id == 1 && c.seq == 2) // lost one update
+      .filterNot(c => c.id == 3) // lost a whole key
+    full.toDF().coalesce(1).write.parquet(s"$root/left")
+    lossy.toDF().coalesce(1).write.parquet(s"$root/right")
+    Cli.main(Array("scd2", "diff", "--left", s"$root/left", "--right", s"$root/right",
+      "--pk", "id", "--compare", "name", "--ts-col", "ts", "--order-col", "seq",
+      "--out", s"$root/diff"))
+    val got = spark.read.parquet(s"$root/diff")
+      .select("id", "valid_from_us", "valid_to_us", "diff_kind", "l_name", "r_name")
+      .as[(Long, Long, Option[Long], String, Option[String], Option[String])]
+      .collect().toSet
+    def hist(rows: Seq[TsChange]) = graft.cdc.CdcApply.scd2History(
+      rows.toDF(), Seq("id"), Seq(col("seq")), col("ts"))
+      .select("id", "name", "valid_from_us", "valid_to_us")
+    val want = graft.cdc.CdcApply.scd2Diff(hist(full), hist(lossy), Seq("id"), Seq("name"))
+      .select("id", "valid_from_us", "valid_to_us", "diff_kind", "l_name", "r_name")
+      .as[(Long, Long, Option[Long], String, Option[String], Option[String])]
+      .collect().toSet
+    assert(got == want && got.nonEmpty)
+    // the lost update: left=b, right still a → mismatch from t=2000
+    assert(got.exists(r => r._1 == 1L && r._4 == "mismatch"
+      && r._5 == Some("b") && r._6 == Some("a")))
+    // the lost key: only_left for key 3's whole open version
+    assert(got.exists(r => r._1 == 3L && r._4 == "only_left" && r._3.isEmpty))
+    // summary mode (no --out) must not throw; history mode round-trips too
+    Cli.main(Array("scd2", "diff", "--left", s"$root/left", "--right", s"$root/right",
+      "--pk", "id", "--compare", "name", "--ts-col", "ts", "--order-col", "seq"))
+    hist(full).write.parquet(s"$root/lh")
+    hist(lossy).write.parquet(s"$root/rh")
+    Cli.main(Array("scd2", "diff", "--left", s"$root/lh", "--right", s"$root/rh",
+      "--pk", "id", "--compare", "name", "--history", "--out", s"$root/diff2"))
+    val got2 = spark.read.parquet(s"$root/diff2")
+      .select("id", "valid_from_us", "valid_to_us", "diff_kind", "l_name", "r_name")
+      .as[(Long, Long, Option[Long], String, Option[String], Option[String])]
+      .collect().toSet
+    assert(got2 == want)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
