@@ -170,6 +170,17 @@ object ExtraEntries {
           floor(col("v_interp") * 10000.0).cast("long").as("v_interp_bp"))
     }),
 
+    // D18: per-type value TREND — exact-integer OLS slope (milli-units
+    // per day) + r² in bp from one map-side-combined power-sum pass; the
+    // "did the content drift" monitor next to events_anomalies' volume 3σ
+    "events_trend" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Trend.perGroup(
+        ev, Seq("event_type"),
+        graft.util.TimeCols.toMicros(ev, col("ts")), col("value"),
+        xOffsetS = 1500000000L)
+    }),
+
     // D8: vocabulary statistics — term frequency + document frequency
     "text_vocab" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -476,6 +487,34 @@ object ExtraEntries {
         |    ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
         |    END) * 10000.0) AS BIGINT) AS v_interp_bp
         |FROM w WHERE side = 1""".stripMargin,
+
+    // the same power sums in HUGEINT (128-bit, exact), the same
+    // sign-split floor-free integer division, the same end-stage double
+    // expression for r² — identical IEEE tree on identical integers
+    "events_trend" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         CAST(epoch_us(ts) // 1000000 - 1500000000 AS HUGEINT) AS x,
+        |         CAST(floor(value * 1000) AS HUGEINT) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(x) AS sx, sum(y) AS sy,
+        |         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        |  FROM s GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n,
+        |         n*sxy - sx*sy AS num, n*sxx - sx*sx AS dx, n*syy - sy*sy AS dy
+        |  FROM a)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN dx > 0 THEN
+        |    (CASE WHEN num < 0 THEN -1 ELSE 1 END) * ((86400 * abs(num)) // dx)
+        |  END AS BIGINT) AS slope_milli_per_day,
+        |  CAST(CASE WHEN dx > 0 AND dy > 0 THEN
+        |    floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) * 10000.0
+        |          / (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)))
+        |  END AS BIGINT) AS r2_bp
+        |FROM d""".stripMargin,
 
     "text_vocab" ->
       s"""SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
