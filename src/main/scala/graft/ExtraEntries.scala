@@ -181,6 +181,13 @@ object ExtraEntries {
         xOffsetS = 1500000000L)
     }),
 
+    // D19: event-type CO-OCCURRENCE — "users who do A also do B":
+    // support/confidence/lift in exact integer bp over per-user baskets;
+    // pair generation local to each basket row (no self-join)
+    "events_cooccur" -> ((s, dir) =>
+      graft.operators.Cooccur.pairs(
+        Tables.events(s, dir), "user_id", "event_type")),
+
     // D8: vocabulary statistics — term frequency + document frequency
     "text_vocab" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -487,6 +494,26 @@ object ExtraEntries {
         |    ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
         |    END) * 10000.0) AS BIGINT) AS v_interp_bp
         |FROM w WHERE side = 1""".stripMargin,
+
+    // pair = ordered self-join per user over the deduped (id, item)
+    // set; all divisions non-negative so // mirrors div exactly; lift's
+    // int64-overflowing product rides HUGEINT
+    "events_cooccur" ->
+      """WITH it AS (SELECT DISTINCT user_id AS id, event_type AS item FROM events),
+        |n AS (SELECT count(DISTINCT id) AS N FROM it),
+        |c AS (SELECT item, count(*) AS cnt FROM it GROUP BY 1),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_n
+        |      FROM it a JOIN it b ON a.id = b.id AND a.item < b.item GROUP BY 1, 2)
+        |SELECT item_a, item_b, pair_n, ca.cnt AS n_a, cb.cnt AS n_b,
+        |  pair_n * 10000 // N AS support_bp,
+        |  pair_n * 10000 // ca.cnt AS conf_ab_bp,
+        |  pair_n * 10000 // cb.cnt AS conf_ba_bp,
+        |  CAST(CAST(pair_n AS HUGEINT) * N * 10000
+        |       // (CAST(ca.cnt AS HUGEINT) * cb.cnt) AS BIGINT) AS lift_bp
+        |FROM p
+        |JOIN c ca ON ca.item = item_a
+        |JOIN c cb ON cb.item = item_b
+        |CROSS JOIN n""".stripMargin,
 
     // the same power sums in HUGEINT (128-bit, exact), the same
     // sign-split floor-free integer division, the same end-stage double
