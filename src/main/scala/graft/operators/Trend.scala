@@ -45,14 +45,24 @@ object Trend {
       groupCols: Seq[String],
       xUs: Column,
       y: Column,
+      xOffsetS: Long): DataFrame =
+    finish(powerSums(df, groupCols, xUs, y, xOffsetS), groupCols)
+
+  /** The five OLS power sums per group — a plain (thus also STREAMING-
+    * legal) grouped aggregation; [[graft.streaming.TrendStream]] runs
+    * this same expression tree incrementally, so the split is the
+    * batch/stream sharing seam, not an implementation detail. */
+  private[graft] def powerSums(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xUs: Column,
+      y: Column,
       xOffsetS: Long): DataFrame = {
     require(groupCols.nonEmpty, "Trend.perGroup: at least one group column")
     val dec = DecimalType(38, 0)
-    val prepared = df
-      .withColumn("__xus", xUs)
+    df.withColumn("__xus", xUs)
       .withColumn("__x", (expr("__xus div 1000000") - lit(xOffsetS)).cast(dec))
       .withColumn("__y", floor(y * lit(1000)).cast(dec))
-    val sums = prepared
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).cast(dec).as("__n"),
@@ -61,21 +71,25 @@ object Trend {
         sum(col("__x") * col("__y")).as("__sxy"),
         sum(col("__x") * col("__x")).as("__sxx"),
         sum(col("__y") * col("__y")).as("__syy"))
+  }
+
+  /** Slope + r² from the exact power sums (shared batch/stream finish). */
+  private[graft] def finish(sums: DataFrame, groupCols: Seq[String]): DataFrame =
+    sums
       .withColumn("__num", col("__n") * col("__sxy") - col("__sx") * col("__sy"))
       .withColumn("__dx", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
       .withColumn("__dy", col("__n") * col("__syy") - col("__sy") * col("__sy"))
-    sums.select(
-      groupCols.map(col) ++ Seq(
-        col("__n").cast("long").as("n"),
-        when(col("__dx") > 0,
-          when(col("__num") < 0, lit(-1L)).otherwise(lit(1L)) *
-            expr("86400 * abs(__num) div __dx"))
-          .otherwise(lit(null).cast("long")).as("slope_milli_per_day"),
-        when(col("__dx") > 0 && col("__dy") > 0,
-          floor(col("__num").cast("double") * col("__num").cast("double") *
-            lit(10000.0) /
-            (col("__dx").cast("double") * col("__dy").cast("double")))
-            .cast("long"))
-          .otherwise(lit(null).cast("long")).as("r2_bp")): _*)
-  }
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("__n").cast("long").as("n"),
+          when(col("__dx") > 0,
+            when(col("__num") < 0, lit(-1L)).otherwise(lit(1L)) *
+              expr("86400 * abs(__num) div __dx"))
+            .otherwise(lit(null).cast("long")).as("slope_milli_per_day"),
+          when(col("__dx") > 0 && col("__dy") > 0,
+            floor(col("__num").cast("double") * col("__num").cast("double") *
+              lit(10000.0) /
+              (col("__dx").cast("double") * col("__dy").cast("double")))
+              .cast("long"))
+            .otherwise(lit(null).cast("long")).as("r2_bp")): _*)
 }
