@@ -188,6 +188,16 @@ object ExtraEntries {
       graft.operators.Cooccur.pairs(
         Tables.events(s, dir), "user_id", "event_type")),
 
+    // D20: strongest hourly-volume CHANGEPOINT per event type — WHERE
+    // the level shifted (D15 flags which hours are anomalous; this
+    // locates the split): all-integer binary-segmentation statistic,
+    // earliest-hour tie-break, one rollup + tiny-frame window + argmax
+    "events_changepoint" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Changepoint.strongestShift(
+        ev, Seq("event_type"), graft.util.TimeCols.toMicros(ev, col("ts")))
+    }),
+
     // D8: vocabulary statistics — term frequency + document frequency
     "text_vocab" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -494,6 +504,35 @@ object ExtraEntries {
         |    ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
         |    END) * 10000.0) AS BIGINT) AS v_interp_bp
         |FROM w WHERE side = 1""".stripMargin,
+
+    // identical statistic in HUGEINT; argmax mirrored as row_number over
+    // (score DESC, hour ASC); score surfaced as the double image of the
+    // same exact integer on both engines
+    "events_changepoint" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, h, c,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS k,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY h) AS sk,
+        |         count(*) OVER (PARTITION BY event_type) AS n,
+        |         sum(c) OVER (PARTITION BY event_type) AS s
+        |  FROM b),
+        |t AS (
+        |  SELECT event_type, h, k, sk, n, s,
+        |         (CAST(k*s - n*sk AS HUGEINT) * CAST(k*s - n*sk AS HUGEINT) * 1000000)
+        |           // (CAST(k AS HUGEINT) * CAST(n - k AS HUGEINT)) AS t
+        |  FROM w WHERE k < n),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY t DESC, h ASC) AS rn
+        |  FROM t)
+        |SELECT event_type, h AS split_bucket, CAST(t AS DOUBLE) AS score,
+        |  CAST(sk * 1000 // k AS BIGINT) AS mean_before_milli,
+        |  CAST((s - sk) * 1000 // (n - k) AS BIGINT) AS mean_after_milli,
+        |  n AS n_buckets
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // pair = ordered self-join per user over the deduped (id, item)
     // set; all divisions non-negative so // mirrors div exactly; lift's
