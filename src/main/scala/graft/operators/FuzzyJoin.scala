@@ -43,6 +43,15 @@ import org.apache.spark.sql.functions._
   * distance ≤ `maxDist`). Duplicate full rows within one side collapse
   * in the final distinct — give rows a unique id column if that
   * matters.
+  *
+  * Scale caveat — the ANSWER can be quadratic: m rows sharing one key
+  * value (or within `maxDist` of it) are m·(m−1)/2 true pairs, and no
+  * complete join can emit fewer. If near-identical keys are expected in
+  * bulk (replicated feeds, boilerplate names), exact-dedup each side
+  * first (E1) and fuzzy-join the representatives — blocking cost and
+  * output both return to candidate-mass-linear. Measured: 10 verbatim
+  * copies of a customer table turn a 72 s join into a 2,463 s one purely
+  * through the 100× true-pair mass (BENCH_decade_r13.jsonl).
   */
 object FuzzyJoin {
 

@@ -59,6 +59,7 @@ object Cli {
     case Some("passages") => runPassages(args.tail)
     case Some("lm") => runLm(args.tail)
     case Some("paths") => runPaths(args.tail)
+    case Some("monitor") => runMonitor(args.tail)
     case _ =>
       System.err.println(
         "usage: Cli validate ... | Cli index build|append|compact|screen ... | Cli land ... " +
@@ -619,6 +620,53 @@ object Cli {
     println(s"[rollup] $groups key groups -> $landing " +
       s"(columns: ${specs.map(_.out).mkString(", ")}; re-run with the same " +
       "--checkpoint and --landing to fold only new files)")
+  }
+
+  /** One-command feed observability report — the drivable face of the
+    * D15/D20/D18 family: per group, the 3σ-anomalous hours, the
+    * strongest volume changepoint, and (with `--value-col`) the exact
+    * OLS value trend. The reference's validate says whether two tables
+    * match; this says whether and WHEN a feed itself moved. */
+  private def runMonitor(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli monitor --in dir --ts-col c --group-col c " +
+        "[--value-col c] [--offset-s n] [--out dir] [--top n]"
+    val opts = new Opts(args, usage)
+    val in = opts.req("in")
+    val tsCol = opts.req("ts-col")
+    val groupCol = opts.req("group-col")
+    val spark = localSession()
+    val df = spark.read.parquet(in)
+    (Seq(tsCol, groupCol) ++ opts.get("value-col")).foreach(c =>
+      require(df.columns.contains(c),
+        s"column $c not in $in schema ${df.columns.mkString("[", ",", "]")}"))
+    val tsUs = graft.util.TimeCols.toMicros(df, col(tsCol))
+    val anomalies = graft.operators.Anomaly
+      .hourlyVolume(df, col(tsCol), groupCol)
+      .filter(col("is_anomaly"))
+    val shifts = graft.operators.Changepoint
+      .strongestShift(df, Seq(groupCol), tsUs)
+    val trend = opts.get("value-col").map(v => graft.operators.Trend
+      .perGroup(df, Seq(groupCol), tsUs, col(v), opts.long("offset-s", 0L)))
+    opts.get("out") match {
+      case Some(dir) =>
+        anomalies.write.mode("overwrite").parquet(s"$dir/anomalies")
+        shifts.write.mode("overwrite").parquet(s"$dir/changepoints")
+        trend.foreach(_.write.mode("overwrite").parquet(s"$dir/trend"))
+        println(s"[monitor] anomalies/changepoints${if (trend.isDefined) "/trend" else ""} -> $dir")
+      case None =>
+        val top = opts.int("top", 10)
+        println(s"[monitor] anomalous hours (3σ exact-integer test):")
+        anomalies.orderBy(col("event_type"), col("hour_ts"))
+          .limit(top).collect().foreach(r => println(s"[monitor] $r"))
+        println(s"[monitor] strongest volume changepoint per $groupCol:")
+        shifts.orderBy(col("score").desc).collect()
+          .foreach(r => println(s"[monitor] $r"))
+        trend.foreach { t =>
+          println(s"[monitor] value trend per $groupCol (milli-units/day, r2 bp):")
+          t.orderBy(col(groupCol)).collect().foreach(r => println(s"[monitor] $r"))
+        }
+    }
   }
 
   private def runScd2(args: Seq[String]): Unit = args.headOption match {

@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   *    the dedup queries would measure the construction, not the scale);
   *  - embeddings rotate circularly by the copy index — norms and
   *    intra-copy geometry exact, cross-copy cosines uncorrelated;
+  *  - entity names (c_name, s_name) get per-copy suffixes pairwise ≥ 3
+  *    edits apart, so edit-distance joins keep their within-copy ground
+  *    truth instead of gaining a quadratic cross-copy duplicate mass;
   *  - dimension tables (region, nation) stay single-copy, as a real
   *    scale-up would.
   *
@@ -52,8 +55,25 @@ object ScaleUp {
     for (t <- Seq("region", "nation"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
-    write("customer")((d, k) => shifted(d, k, "c_custkey"))
-    write("supplier")((d, k) => shifted(d, k, "s_suppkey"))
+    // entity NAMES get a per-copy suffix whose pairwise edit distance is
+    // ≥ 3 (each fixed-width base-36 digit tripled: two distinct suffixes
+    // differ in ≥ 3 character positions; copy 0 differs in length) — the
+    // fuzzy-join analogue of the ts-disjointness note below: 10 copies
+    // of the SAME name are 45 true ed=0 pairs, so an unsuffixed scale-up
+    // makes the edit-distance join's ground truth itself quadratic and
+    // measures the construction, not the scale (observed: fuzzy_join
+    // 34× per decade unsuffixed vs the join's real candidate growth).
+    val nameWidth = Integer.toString(math.max(copies - 1, 1), 36).length
+    def nameSuffix(k: Int): String = {
+      val s = Integer.toString(k, 36)
+      val padded = "0" * (nameWidth - s.length) + s
+      " " + padded.flatMap(c => s"$c$c$c")
+    }
+    def renamed(d: DataFrame, k: Int, nameCol: String): DataFrame =
+      if (k == 0) d
+      else d.withColumn(nameCol, concat(col(nameCol), lit(nameSuffix(k))))
+    write("customer")((d, k) => renamed(shifted(d, k, "c_custkey"), k, "c_name"))
+    write("supplier")((d, k) => renamed(shifted(d, k, "s_suppkey"), k, "s_name"))
     write("part")((d, k) => shifted(d, k, "p_partkey"))
     write("orders")((d, k) => shifted(d, k, "o_orderkey", "o_custkey"))
     write("lineitem")((d, k) => shifted(d, k, "l_orderkey", "l_partkey", "l_suppkey"))

@@ -1,0 +1,60 @@
+package graft
+
+import graft.tools.Cli
+import org.apache.spark.sql.functions._
+
+/** A0b/D15/D18/D20: the `monitor` CLI lands exactly what the three
+  * library operators compute. */
+class CliMonitorSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("monitor CLI lands anomalies, changepoints, and trend matching the library") {
+    import java.sql.Timestamp
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_mon").toString
+    val H = 3600L * 1000L // ms per hour
+    // type "a": 23 quiet hours then a 12× spike hour (a long baseline —
+    // with few hours the spike inflates its own variance and 3σ masks);
+    // value ramps per hour
+    val rows =
+      (0 until 23).flatMap(h => Seq.fill(3)(("a", new Timestamp(h * H), h * 2.0))) ++
+        Seq.fill(36)(("a", new Timestamp(23 * H), 12.0)) ++
+        (0 until 7).map(h => ("b", new Timestamp(h * H), 5.0))
+    val df = rows.toDF("event_type", "ts", "value")
+    df.coalesce(1).write.parquet(s"$root/feed")
+    Cli.main(Array("monitor", "--in", s"$root/feed", "--ts-col", "ts",
+      "--group-col", "event_type", "--value-col", "value",
+      "--out", s"$root/rep"))
+    val tsUs = graft.util.TimeCols.toMicros(df, col("ts"))
+
+    val gotAnom = spark.read.parquet(s"$root/rep/anomalies")
+      .select("event_type", "hour_ts").as[(String, String)].collect().toSet
+    val wantAnom = graft.operators.Anomaly.hourlyVolume(df, col("ts"), "event_type")
+      .filter(col("is_anomaly"))
+      .select("event_type", "hour_ts").as[(String, String)].collect().toSet
+    assert(gotAnom == wantAnom && gotAnom.exists(_._1 == "a"))
+
+    val gotShift = spark.read.parquet(s"$root/rep/changepoints")
+      .select("event_type", "split_bucket").as[(String, Long)].collect().toSet
+    val wantShift = graft.operators.Changepoint
+      .strongestShift(df, Seq("event_type"), tsUs)
+      .select("event_type", "split_bucket").as[(String, Long)].collect().toSet
+    assert(gotShift == wantShift)
+    // the spike is both the anomaly and the located split boundary
+    assert(gotShift.contains(("a", 22L)))
+
+    val gotTrend = spark.read.parquet(s"$root/rep/trend")
+      .select("event_type", "n", "slope_milli_per_day")
+      .as[(String, Long, Option[Long])].collect().toSet
+    val wantTrend = graft.operators.Trend
+      .perGroup(df, Seq("event_type"), tsUs, col("value"), 0L)
+      .select("event_type", "n", "slope_milli_per_day")
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(gotTrend == wantTrend)
+    // flat type b: slope exactly 0
+    assert(wantTrend.exists(t => t._1 == "b" && t._3 == Some(0L)))
+    // print mode must not throw
+    Cli.main(Array("monitor", "--in", s"$root/feed", "--ts-col", "ts",
+      "--group-col", "event_type"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+}
