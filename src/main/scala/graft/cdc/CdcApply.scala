@@ -610,8 +610,13 @@ object CdcApply {
         col("valid_from_us").as(s"__${p}f"),
         coalesce(col("valid_to_us"), lit(open)).as(s"__${p}t")) ++
         compare.map(c => col(c).as(s"${p}_$c")): _*)
-    val l = prep(left, "l")
-    val r = prep(right, "r")
+    // each side feeds the boundary spine AND its cover join — without a
+    // checkpoint Spark re-computes the whole upstream (scan + history
+    // window) once per consumer (seen in the plan audit: 4 Window nodes
+    // for 2 histories); the materialized versions are far smaller than
+    // their producing plan (the Triangles/E2d-canon pattern)
+    val l = prep(left, "l").localCheckpoint()
+    val r = prep(right, "r").localCheckpoint()
 
     def boundsOf(df: DataFrame, p: String) = {
       val keys = pk.map(c => col(s"__${p}_$c").as(c))
