@@ -4,6 +4,7 @@ import graft.operators.AsofJoin
 import graft.text.TextOps
 import graft.util.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Additional validation/warehouse operators (SURVEY §2 D7–D9):
@@ -227,6 +228,25 @@ object ExtraEntries {
       graft.operators.SampledQuantiles.perGroup(
         Tables.events(s, dir), "event_type", "event_id", "value", 256,
         Seq(0.25 -> "p25_bp", 0.5 -> "p50_bp", 0.75 -> "p75_bp"))),
+
+    // D22: inter-event DWELL quantiles — exact p50/p90/p99 of the gap
+    // since the user's previous event, per arriving event type: the
+    // "how long do users idle before doing X" read. One user-keyed
+    // window (lag), then the D10 exact-percentile aggregate; first
+    // events have no predecessor and drop.
+    "events_dwell" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("__us"), col("event_id"))
+      def pus(p: Double, n: String) =
+        floor(expr(s"percentile(__gap, $p)")).cast("long").as(n)
+      ev.withColumn("__us", graft.util.TimeCols.toMicros(ev, col("ts")))
+        .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+        .filter(col("__gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(pus(0.5, "p50_us"), pus(0.9, "p90_us"), pus(0.99, "p99_us"),
+          count(lit(1)).as("n"))
+    }),
 
     // D9: referential-integrity audit — orphan counts per FK relation
     // (left-anti joins; parents broadcast when small)
@@ -594,6 +614,21 @@ object ExtraEntries {
         |  CAST(floor(quantile_cont(value, 0.75) * 10000.0) AS BIGINT) AS p75_bp,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // same lag-over-user formulation; quantile_cont is DuckDB's twin of
+    // Spark's exact linear-interpolating percentile (the D10 precedent)
+    "events_dwell" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(floor(quantile_cont(gap, 0.5)) AS BIGINT) AS p50_us,
+        |  CAST(floor(quantile_cont(gap, 0.9)) AS BIGINT) AS p90_us,
+        |  CAST(floor(quantile_cont(gap, 0.99)) AS BIGINT) AS p99_us,
+        |  count(*) AS n
+        |FROM g WHERE gap IS NOT NULL GROUP BY event_type""".stripMargin,
 
     "q_quantiles_sampled" ->
       s"""WITH h AS (SELECT event_type, event_id, value,
