@@ -535,6 +535,14 @@ object SparkEntry {
       DataDiff.countDiff(Tables.orders(s, dir), perturbedOrders(s, dir), "orders")
     }),
 
+    // E64: PSI drift between the two diff-fixture snapshots — "has the
+    // population moved" where B1-B3 ask "are the rows equal": integer
+    // nats×10⁴ per bin before any sum, so the transcendental statistic
+    // still hash-matches
+    "table_drift" -> ((s, dir) =>
+      graft.operators.PsiDrift.psi(
+        Tables.orders(s, dir), perturbedOrders(s, dir), Seq("o_totalprice"))),
+
     // A0: the full validate orchestration as one report row — counts,
     // positional chunk compare, row-level drill-down GATED to mismatched
     // chunks (rows-on-mismatch). The oracle computes the UNGATED row
@@ -1079,6 +1087,48 @@ object SparkEntry {
          |       (SELECT count(*) FROM orders) AS src_rows,
          |       (SELECT count(*) FROM tgt) AS tgt_rows,
          |       (SELECT count(*) FROM orders) = (SELECT count(*) FROM tgt) AS counts_match""".stripMargin,
+
+    // same reference-anchored equi-width bins (clamped edges), Laplace
+    // +1, per-bin ⌊ln·10⁴⌋ BEFORE the sum, HUGEINT products — the s·l
+    // terms are non-negative so // mirrors div
+    "table_drift" ->
+      s"""WITH stats AS (
+         |  SELECT min(CAST(o_totalprice AS DOUBLE)) AS mn,
+         |         max(CAST(o_totalprice AS DOUBLE)) AS mx
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |rb AS (
+         |  SELECT CASE WHEN mx = mn THEN 0 ELSE
+         |    least(9, greatest(0, CAST(floor(
+         |      (CAST(o_totalprice AS DOUBLE) - mn) * 10.0 / (mx - mn)) AS BIGINT)))
+         |  END AS bin
+         |  FROM orders CROSS JOIN stats WHERE o_totalprice IS NOT NULL),
+         |cb AS (
+         |  SELECT CASE WHEN mx = mn THEN 0 ELSE
+         |    least(9, greatest(0, CAST(floor(
+         |      (CAST(o_totalprice AS DOUBLE) - mn) * 10.0 / (mx - mn)) AS BIGINT)))
+         |  END AS bin
+         |  FROM ($perturbedOrdersSql) CROSS JOIN stats WHERE o_totalprice IS NOT NULL),
+         |ac AS (SELECT bin, count(*) AS c FROM rb GROUP BY 1),
+         |bc AS (SELECT bin, count(*) AS c FROM cb GROUP BY 1),
+         |j AS (
+         |  SELECT s.bin, coalesce(ac.c, 0) + 1 AS a, coalesce(bc.c, 0) + 1 AS b
+         |  FROM (SELECT unnest(generate_series(0, 9)) AS bin) s
+         |  LEFT JOIN ac USING (bin) LEFT JOIN bc USING (bin)),
+         |w AS (
+         |  SELECT bin, a, b,
+         |         sum(a) OVER () AS ta, sum(b) OVER () AS tb
+         |  FROM j),
+         |t AS (
+         |  SELECT CAST(a AS HUGEINT) * tb AS ab, CAST(b AS HUGEINT) * ta AS ba,
+         |         ta, tb
+         |  FROM w)
+         |SELECT 'o_totalprice' AS col_name,
+         |  CAST(sum((ab - ba) * CAST(floor(ln(CAST(ab AS DOUBLE) / CAST(ba AS DOUBLE))
+         |       * 10000.0) AS HUGEINT))
+         |    // (CAST(max(ta) AS HUGEINT) * CAST(max(tb) AS HUGEINT)) AS BIGINT) AS psi_e4,
+         |  CAST(max(ta) - 10 AS BIGINT) AS n_ref,
+         |  CAST(max(tb) - 10 AS BIGINT) AS n_cur
+         |FROM t""".stripMargin,
 
     "cdc_validate" -> {
       val rowHash = graft.text.PortableHash.duckH32(

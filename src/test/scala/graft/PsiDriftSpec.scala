@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.PsiDrift
+import org.apache.spark.sql.functions._
+
+/** E64: PSI drift between two table snapshots. */
+class PsiDriftSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def run(ref: Seq[Double], cur: Seq[Double], buckets: Int = 10) =
+    PsiDrift.psi(ref.toDF("x"), cur.toDF("x"), Seq("x"), buckets)
+      .select("col_name", "psi_e4", "n_ref", "n_cur")
+      .as[(String, Long, Long, Long)].collect().head
+
+  test("identical snapshots have exactly zero PSI") {
+    val xs = (0 until 200).map(i => i * 0.5)
+    val (c, psi, nr, nc) = run(xs, xs)
+    assert(c == "x" && psi == 0L && nr == 200L && nc == 200L)
+  }
+
+  test("a shifted population scores positive; out-of-range mass clamps to edge bins") {
+    val ref = (0 until 100).map(_.toDouble)
+    val cur = (0 until 100).map(_ + 500.0) // all beyond ref max → bin 9
+    val (_, psi, _, _) = run(ref, cur)
+    assert(psi > 20000L, s"expected a large PSI, got $psi") // way past the 0.25 rule
+  }
+
+  test("property: matches a BigInt/Math.log brute force (mixed drift)") {
+    val rnd = new scala.util.Random(6464)
+    val ref = Seq.fill(300)(rnd.nextDouble() * 100)
+    val cur = Seq.fill(260)(rnd.nextDouble() * 120 - 5) // wider + shifted
+    val B = 10
+    val (_, psi, nr, nc) = run(ref, cur, B)
+    assert(nr == 300L && nc == 260L)
+    val mn = ref.min; val mx = ref.max
+    def bin(x: Double) =
+      if (mx == mn) 0 else math.min(B - 1, math.max(0, math.floor((x - mn) * B / (mx - mn)).toInt))
+    val a = (0 until B).map(i => BigInt(ref.count(bin(_) == i) + 1))
+    val b = (0 until B).map(i => BigInt(cur.count(bin(_) == i) + 1))
+    val (ta, tb) = (a.sum, b.sum)
+    val want = (0 until B).map { i =>
+      val ab = a(i) * tb; val ba = b(i) * ta
+      val l = BigInt(math.floor(math.log(ab.toDouble / ba.toDouble) * 10000.0).toLong)
+      (ab - ba) * l
+    }.sum / (ta * tb)
+    assert(psi == want.toLong, s"psi $psi vs brute $want")
+  }
+
+  test("missing columns and degenerate bucket counts are refused") {
+    val df = Seq(1.0).toDF("x")
+    val e1 = intercept[IllegalArgumentException](PsiDrift.psi(df, df, Seq("nope")))
+    assert(e1.getMessage.contains("nope"))
+    val e2 = intercept[IllegalArgumentException](PsiDrift.psi(df, df, Seq("x"), 1))
+    assert(e2.getMessage.contains("buckets"))
+  }
+}
