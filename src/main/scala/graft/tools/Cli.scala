@@ -60,6 +60,7 @@ object Cli {
     case Some("lm") => runLm(args.tail)
     case Some("paths") => runPaths(args.tail)
     case Some("monitor") => runMonitor(args.tail)
+    case Some("drift") => runDrift(args.tail)
     case _ =>
       System.err.println(
         "usage: Cli validate ... | Cli index build|append|compact|screen ... | Cli land ... " +
@@ -620,6 +621,36 @@ object Cli {
     println(s"[rollup] $groups key groups -> $landing " +
       s"(columns: ${specs.map(_.out).mkString(", ")}; re-run with the same " +
       "--checkpoint and --landing to fold only new files)")
+  }
+
+  /** Snapshot-drift report — the drivable face of E64
+    * [[graft.operators.PsiDrift]]: PSI per numeric column between a
+    * reference parquet snapshot and a current one. The validate verb
+    * answers "are the rows equal"; this answers "has the population
+    * moved" even when every row is individually valid. */
+  private def runDrift(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli drift --ref dir --cur dir --cols c1[,c2] [--buckets n] [--out dir]"
+    val opts = new Opts(args, usage)
+    val spark = localSession()
+    val ref = spark.read.parquet(opts.req("ref"))
+    val cur = spark.read.parquet(opts.req("cur"))
+    val cols = opts.req("cols").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val out = graft.operators.PsiDrift.psi(ref, cur, cols, opts.int("buckets", 10))
+    opts.get("out") match {
+      case Some(dir) =>
+        out.write.mode("overwrite").parquet(dir)
+        println(s"[drift] PSI report -> $dir")
+      case None =>
+        out.orderBy(col("psi_e4").desc).collect().foreach { r =>
+          val flag =
+            if (r.getLong(1) >= 2500) "SHIFTED" // the 0.25 rule, in 1e-4 nats
+            else if (r.getLong(1) >= 1000) "watch"
+            else "stable"
+          println(s"[drift] ${r.getString(0)}: psi_e4=${r.getLong(1)} ($flag) " +
+            s"n_ref=${r.getLong(2)} n_cur=${r.getLong(3)}")
+        }
+    }
   }
 
   /** One-command feed observability report — the drivable face of the

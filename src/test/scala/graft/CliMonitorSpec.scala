@@ -57,4 +57,25 @@ class CliMonitorSpec extends SparkSpecBase {
       "--group-col", "event_type"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("drift CLI lands the PSI report PsiDrift computes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_drift").toString
+    val ref = (0 until 200).map(i => i * 1.0).toDF("v")
+    val cur = (0 until 180).map(i => i * 1.0 + 40).toDF("v")
+    ref.coalesce(1).write.parquet(s"$root/ref")
+    cur.coalesce(1).write.parquet(s"$root/cur")
+    Cli.main(Array("drift", "--ref", s"$root/ref", "--cur", s"$root/cur",
+      "--cols", "v", "--out", s"$root/rep"))
+    val got = spark.read.parquet(s"$root/rep")
+      .select("col_name", "psi_e4", "n_ref", "n_cur")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = graft.operators.PsiDrift
+      .psi(spark.read.parquet(s"$root/ref"), spark.read.parquet(s"$root/cur"), Seq("v"))
+      .select("col_name", "psi_e4", "n_ref", "n_cur")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want && got.head._2 > 0L)
+    // print mode must not throw
+    Cli.main(Array("drift", "--ref", s"$root/ref", "--cur", s"$root/cur", "--cols", "v"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
