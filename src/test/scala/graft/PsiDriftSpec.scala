@@ -46,6 +46,35 @@ class PsiDriftSpec extends SparkSpecBase {
     assert(psi == want.toLong, s"psi $psi vs brute $want")
   }
 
+  test("E64s: per-microbatch PSI vs a frozen reference (foreachBatch, the E56s shape)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ref = (0 until 200).map(i => i * 0.5).toDF("x").localCheckpoint()
+    val live = Seq.tabulate(120)(i => i * 0.9 + 10.0)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Double]
+    val scores = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = input.toDF().toDF("x").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val r = PsiDrift.psi(ref, b, Seq("x")).collect().head
+        scores.synchronized { scores += ((id, r.getLong(1))) }
+        ()
+      }.start()
+    try {
+      val (h1, h2) = live.splitAt(50)
+      input.addData(h1: _*); q.processAllAvailable()
+      input.addData(h2: _*); q.processAllAvailable()
+      val byBatch = scores.toMap
+      // each microbatch scores exactly what the batch operator scores on
+      // it — offline-calibrated thresholds transfer unchanged
+      for ((half, id) <- Seq((h1, 0L), (h2, 1L))) {
+        val direct = PsiDrift.psi(ref, half.toDF("x"), Seq("x"))
+          .collect().head.getLong(1)
+        assert(byBatch(id) == direct, s"batch $id")
+        assert(direct > 0L) // shifted halves: real drift measured
+      }
+    } finally q.stop()
+  }
+
   test("missing columns and degenerate bucket counts are refused") {
     val df = Seq(1.0).toDF("x")
     val e1 = intercept[IllegalArgumentException](PsiDrift.psi(df, df, Seq("nope")))
