@@ -535,6 +535,31 @@ object SparkEntry {
       DataDiff.countDiff(Tables.orders(s, dir), perturbedOrders(s, dir), "orders")
     }),
 
+    // B5: LAG-AWARE VALIDATE — the replica fixture: state as of the
+    // feed's 80% time horizon (behind), minus every 13th key (missing),
+    // values bumped on every 7th (diverged), plus ghost keys the feed
+    // never emitted (unknown_key); the history explains each class.
+    "cdc_explain_diff" -> ((s, dir) => {
+      val cdc = eventsCdc(s, dir)
+        .select("user_id", "event_id", "ts", "value", "Op")
+      val us = graft.util.TimeCols.toMicros(cdc, col("ts"))
+      val mm = cdc.agg(min(us), max(us)).head()
+      val t = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 4L / 5L
+      val replica = CdcApply.latestState(
+          cdc.filter(us <= t), Seq("user_id"),
+          Seq(col("ts"), col("event_id")))
+        .select("user_id", "event_id", "value")
+        .filter(col("user_id") % 13 =!= 0)
+        .withColumn("value",
+          when(col("user_id") % 7 === 0, col("value") + 1).otherwise(col("value")))
+        .unionByName(cdc.filter(col("user_id") % 11 === 0)
+          .select((col("user_id") + 10000000L).as("user_id"),
+            lit(0L).as("event_id"), lit(0.0).as("value"))
+          .distinct())
+      CdcApply.explainDiff(cdc, replica, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), col("ts"))
+    }),
+
     // E64: PSI drift between the two diff-fixture snapshots — "has the
     // population moved" where B1-B3 ask "are the rows equal": integer
     // nats×10⁴ per bin before any sum, so the transcendental statistic
@@ -1087,6 +1112,62 @@ object SparkEntry {
          |       (SELECT count(*) FROM orders) AS src_rows,
          |       (SELECT count(*) FROM tgt) AS tgt_rows,
          |       (SELECT count(*) FROM orders) = (SELECT count(*) FROM tgt) AS counts_match""".stripMargin,
+
+    // same replica construction (80%-horizon latest state, drops, bumps,
+    // ghosts), same history classification: the latest payload-matching
+    // version decides (row_number mirror of max_by), missing = current
+    // keys absent from the replica; fixed 5-class spine
+    "cdc_explain_diff" ->
+      s"""WITH cdc AS ($cdcSql),
+         |mm AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM cdc),
+         |tt AS (SELECT mn + (mx - mn) * 4 // 5 AS t FROM mm),
+         |le AS (
+         |  SELECT user_id, event_id, value, op FROM (
+         |    SELECT user_id, event_id, value, op,
+         |           row_number() OVER (PARTITION BY user_id
+         |             ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM cdc CROSS JOIN tt WHERE epoch_us(ts) <= t) WHERE rn = 1),
+         |rep AS (
+         |  SELECT user_id, event_id,
+         |         CASE WHEN user_id % 7 = 0 THEN value + 1 ELSE value END AS value
+         |  FROM le WHERE op <> 'D' AND user_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT DISTINCT user_id + 10000000, 0, 0.0 FROM cdc WHERE user_id % 11 = 0),
+         |hv AS (
+         |  SELECT * FROM (
+         |    SELECT user_id, event_id, value, op, epoch_us(ts) AS vf,
+         |           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+         |             ORDER BY ts, event_id) AS vt
+         |    FROM cdc) WHERE op <> 'D'),
+         |m AS (
+         |  SELECT r.user_id, h.vf, h.vt,
+         |         CASE WHEN h.vt IS NULL THEN 1 ELSE 0 END AS cur,
+         |         row_number() OVER (PARTITION BY r.user_id ORDER BY h.vf DESC) AS rn
+         |  FROM rep r JOIN hv h ON h.user_id = r.user_id
+         |    AND h.event_id IS NOT DISTINCT FROM r.event_id
+         |    AND h.value IS NOT DISTINCT FROM r.value),
+         |mb AS (SELECT user_id, vf, vt, cur FROM m WHERE rn = 1),
+         |cls AS (
+         |  SELECT r.user_id,
+         |    CASE WHEN mb.cur = 1 THEN 'in_sync'
+         |         WHEN mb.vf IS NOT NULL THEN 'behind'
+         |         WHEN k.user_id IS NOT NULL THEN 'diverged'
+         |         ELSE 'unknown_key' END AS class,
+         |    CASE WHEN mb.cur IS NULL OR mb.cur <> 1 THEN mb.vt END AS w
+         |  FROM rep r
+         |  LEFT JOIN mb ON mb.user_id = r.user_id
+         |  LEFT JOIN (SELECT DISTINCT user_id FROM hv) k ON k.user_id = r.user_id),
+         |miss AS (
+         |  SELECT 'missing' AS class, CAST(NULL AS BIGINT) AS w
+         |  FROM (SELECT user_id FROM hv WHERE vt IS NULL) c
+         |  WHERE NOT EXISTS (SELECT 1 FROM rep r WHERE r.user_id = c.user_id)),
+         |allc AS (SELECT class, w FROM cls UNION ALL SELECT class, w FROM miss),
+         |sp(class) AS (VALUES ('in_sync'), ('behind'), ('diverged'),
+         |                     ('unknown_key'), ('missing'))
+         |SELECT sp.class, coalesce(cnt.n, 0) AS n_keys, cnt.worst AS worst_us
+         |FROM sp LEFT JOIN (
+         |  SELECT class, count(*) AS n, min(w) AS worst FROM allc GROUP BY 1) cnt
+         |USING (class)""".stripMargin,
 
     // same reference-anchored equi-width bins (clamped edges), Laplace
     // +1, per-bin ⌊ln·10⁴⌋ BEFORE the sum, HUGEINT products — the s·l

@@ -555,6 +555,101 @@ object CdcApply {
       .drop("__lf", "__lt", "__rf", "__rt")
   }
 
+  /** B5: LAG-AWARE VALIDATE — classify WHY each target row differs,
+    * using the changefeed's own history as the explanation: the
+    * reference's validate (cdc_operator.rs:171-224, rust_pgdatadiff
+    * payload) can say rows MISMATCH; it cannot tell a replica that is
+    * merely BEHIND (holding a state that legitimately existed and was
+    * since superseded) from one that DIVERGED (holding a state the feed
+    * never produced). Per key the target is classified:
+    *
+    *  - `in_sync`      — payload equals the key's CURRENT version
+    *  - `behind`       — payload equals a SUPERSEDED version; the
+    *                     matched version's `valid_to_us` is when the
+    *                     replica stopped being right, so the class's
+    *                     `worst_us` = min over keys = the replica's
+    *                     worst-case staleness horizon (a deleted key's
+    *                     lingering last image also lands here — stale,
+    *                     not corrupt)
+    *  - `diverged`     — the key exists in the history but NO version
+    *                     ever carried this payload: real corruption
+    *  - `unknown_key`  — the target holds a key the feed never emitted
+    *  - `missing`      — the feed's current state has the key, the
+    *                     target does not
+    *
+    * Output: a FIXED 5-row report (zero counts included, the A13 spine
+    * convention) with `n_keys` and `worst_us`.
+    *
+    * Plan: one [[scd2History]] (checkpointed — it feeds the match join,
+    * the key-existence probe, and the missing leg), one key-equi join
+    * with the null-safe payload comparison as residual (versions of a
+    * key are churn-bounded; a payload can recur across versions — e.g. a
+    * value that flip-flops — so the LATEST matching version, one
+    * map-side-combined `max_by` per key, decides the class), one
+    * left-anti-shaped leg for `missing`, and a constant class spine.
+    * Payload recurrence also means `behind` picks the most charitable
+    * reading: the most recent time the replica was right.
+    */
+  def explainDiff(
+      cdc: DataFrame,
+      target: DataFrame,
+      pk: Seq[String],
+      ordering: Seq[Column],
+      tsCol: Column,
+      opCol: String = "Op"): DataFrame = {
+    val spark = cdc.sparkSession
+    import spark.implicits._
+    require(pk.nonEmpty, "explainDiff: at least one key column")
+    val payload = target.columns.filterNot(pk.contains)
+    require(payload.nonEmpty, "explainDiff: target has no payload columns")
+    payload.foreach(c => require(cdc.columns.contains(c),
+      s"explainDiff: target payload column '$c' not in the feed"))
+
+    val hist = scd2History(cdc, pk, ordering, tsCol, opCol)
+      .select((pk ++ payload).map(col) ++
+        Seq(col("valid_from_us"), col("valid_to_us"), col("is_current")): _*)
+      .localCheckpoint() // feeds the match join, the key probe, the missing leg
+
+    val h = hist.select(
+      pk.map(c => col(c).as(s"__h_$c")) ++
+        payload.map(c => col(c).as(s"__h_$c")) ++
+        Seq(col("valid_from_us").as("__vf"), col("valid_to_us").as("__vt"),
+          col("is_current").as("__cur")): _*)
+    val matchCond = pk.map(c => col(c) === col(s"__h_$c")).reduce(_ && _) &&
+      payload.map(c => col(c) <=> col(s"__h_$c")).reduce(_ && _)
+    val histKeys = hist.select(pk.map(col): _*).distinct()
+      .withColumn("__known", lit(1))
+    val classified = target
+      .join(h, matchCond, "left")
+      .groupBy(pk.map(col): _*)
+      .agg(max_by(
+        struct(col("__cur"), col("__vt"), col("__vf")),
+        struct(col("__vf"))).as("__best"))
+      .join(histKeys, pk, "left")
+      .select(
+        when(col("__best.__cur") === 1L, "in_sync")
+          .when(col("__best.__vf").isNotNull, "behind")
+          .when(col("__known").isNotNull, "diverged")
+          .otherwise("unknown_key").as("class"),
+        when(col("__best.__cur") =!= 1L, col("__best.__vt")).as("__w"))
+
+    val missing = hist.filter(col("is_current") === 1L)
+      .select(pk.map(col): _*)
+      .join(target.select(pk.map(col): _*), pk, "left_anti")
+      .select(lit("missing").as("class"), lit(null).cast("long").as("__w"))
+
+    val spine = Seq("in_sync", "behind", "diverged", "unknown_key", "missing")
+      .toDF("class")
+    spine.join(
+      classified.unionByName(missing)
+        .groupBy("class")
+        .agg(count(lit(1)).as("__n"), min(col("__w")).as("__worst")),
+      Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("__n"), lit(0L)).as("n_keys"),
+        col("__worst").as("worst_us"))
+  }
+
   /** B4: TEMPORAL DIFF of two SCD2 histories — the all-of-time
     * generalization of the reference's validate (cdc_operator.rs:171-224
     * compares two CURRENT states; this compares EVERY instant). Output:
