@@ -61,6 +61,7 @@ object Cli {
     case Some("paths") => runPaths(args.tail)
     case Some("monitor") => runMonitor(args.tail)
     case Some("drift") => runDrift(args.tail)
+    case Some("lag") => runLag(args.tail)
     case _ =>
       System.err.println(
         "usage: Cli validate ... | Cli index build|append|compact|screen ... | Cli land ... " +
@@ -621,6 +622,41 @@ object Cli {
     println(s"[rollup] $groups key groups -> $landing " +
       s"(columns: ${specs.map(_.out).mkString(", ")}; re-run with the same " +
       "--checkpoint and --landing to fold only new files)")
+  }
+
+  /** Lag-aware validate — the drivable face of B5
+    * [[graft.cdc.CdcApply.explainDiff]]: classify a replica against the
+    * changefeed's history as in_sync / behind (with the worst staleness
+    * horizon) / diverged / unknown_key / missing. `validate` says rows
+    * mismatch; this says which mismatches are mere replication lag and
+    * which are corruption. */
+  private def runLag(args: Seq[String]): Unit = {
+    val usage =
+      "usage: Cli lag --feed dir --target dir --pk c1[,c2] --ts-col c " +
+        "--order-col c1[,c2] [--op-col Op] [--out dir]"
+    val opts = new Opts(args, usage)
+    val spark = localSession()
+    val feed = spark.read.parquet(opts.req("feed"))
+    val target = spark.read.parquet(opts.req("target"))
+    val pk = opts.req("pk").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val tsCol = opts.req("ts-col")
+    val orderCols = opts.req("order-col").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val opCol = opts.getOrElse("op-col", "Op")
+    (pk ++ orderCols ++ Seq(tsCol, opCol)).foreach(c =>
+      require(feed.columns.contains(c),
+        s"column $c not in feed schema ${feed.columns.mkString("[", ",", "]")}"))
+    val report = graft.cdc.CdcApply.explainDiff(
+      feed, target, pk, orderCols.map(col), col(tsCol), opCol)
+    opts.get("out") match {
+      case Some(dir) =>
+        report.write.mode("overwrite").parquet(dir)
+        println(s"[lag] report -> $dir")
+      case None =>
+        report.collect().foreach { r =>
+          val worst = Option(r.get(2)).map(w => s" worst_us=$w").getOrElse("")
+          println(s"[lag] ${r.getString(0)}: ${r.getLong(1)} keys$worst")
+        }
+    }
   }
 
   /** Snapshot-drift report — the drivable face of E64

@@ -60,6 +60,32 @@ class ExplainDiffSpec extends SparkSpecBase {
     assert(out("behind") == ((1L, Some(40L))))
   }
 
+  test("lag CLI lands the report explainDiff computes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_lag").toString
+    val cdc = feed(
+      (1L, 10L, 1.0, "I"), (1L, 20L, 2.0, "U"),
+      (2L, 10L, 5.0, "I"), (3L, 10L, 7.0, "I"))
+    cdc.coalesce(1).write.parquet(s"$root/feed")
+    Seq(1L -> 1.0, 2L -> 5.0, 9L -> 9.9).toDF("pk", "v")
+      .coalesce(1).write.parquet(s"$root/target")
+    graft.tools.Cli.main(Array("lag", "--feed", s"$root/feed",
+      "--target", s"$root/target", "--pk", "pk", "--ts-col", "ts",
+      "--order-col", "seq", "--out", s"$root/rep"))
+    val got = spark.read.parquet(s"$root/rep")
+      .select("class", "n_keys", "worst_us")
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "in_sync" -> ((1L, None)), "behind" -> ((1L, Some(20L))),
+      "diverged" -> ((0L, None)), "unknown_key" -> ((1L, None)),
+      "missing" -> ((1L, None))))
+    // print mode must not throw
+    graft.tools.Cli.main(Array("lag", "--feed", s"$root/feed",
+      "--target", s"$root/target", "--pk", "pk", "--ts-col", "ts",
+      "--order-col", "seq"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("payload columns absent from the feed are refused") {
     val cdc = feed((1L, 10L, 1.0, "I"))
     val e = intercept[IllegalArgumentException](
