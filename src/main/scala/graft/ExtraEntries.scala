@@ -199,6 +199,13 @@ object ExtraEntries {
         ev, Seq("event_type"), graft.util.TimeCols.toMicros(ev, col("ts")))
     }),
 
+    // E65: Zipf exponent per source — the distribution-health number:
+    // top-256 term log-log fit, every ln collapsed to an integer per
+    // term (E55 discipline), exact OLS on the integer points (D18 sums)
+    "text_zipf" -> ((s, dir) =>
+      graft.text.Zipf.fit(
+        Tables.documents(s, dir), Seq("source"), col("text"))),
+
     // D8: vocabulary statistics — term frequency + document frequency
     "text_vocab" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -601,6 +608,43 @@ object ExtraEntries {
         |          / (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)))
         |  END AS BIGINT) AS r2_bp
         |FROM d""".stripMargin,
+
+    // identical rank rule (count desc, token asc), identical per-term
+    // integer-nats collapse, identical HUGEINT power sums and sign-split
+    // division; r2 from the same end-stage double tree
+    "text_zipf" ->
+      s"""WITH c AS (
+         |  SELECT source, tok, count(*) AS c FROM (
+         |    SELECT source, unnest($normToksSql) AS tok FROM documents)
+         |  WHERE tok <> '' GROUP BY 1, 2),
+         |r AS (
+         |  SELECT source, c,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY c DESC, tok ASC) AS r
+         |  FROM c),
+         |p AS (
+         |  SELECT source,
+         |         CAST(floor(ln(CAST(r AS DOUBLE)) * 10000.0) AS HUGEINT) AS x,
+         |         CAST(floor(ln(CAST(c AS DOUBLE)) * 10000.0) AS HUGEINT) AS y
+         |  FROM r WHERE r <= 256),
+         |a AS (
+         |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+         |         sum(x) AS sx, sum(y) AS sy,
+         |         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+         |  FROM p GROUP BY 1),
+         |d AS (
+         |  SELECT source, n,
+         |         n*sxy - sx*sy AS num, n*sxx - sx*sx AS dx, n*syy - sy*sy AS dy
+         |  FROM a)
+         |SELECT source, CAST(n AS BIGINT) AS n_terms,
+         |  CAST(CASE WHEN dx > 0 THEN
+         |    (CASE WHEN num > 0 THEN -1 ELSE 1 END) * ((10000 * abs(num)) // dx)
+         |  END AS BIGINT) AS zipf_e4,
+         |  CAST(CASE WHEN dx > 0 AND dy > 0 THEN
+         |    floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) * 10000.0
+         |          / (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)))
+         |  END AS BIGINT) AS r2_bp
+         |FROM d""".stripMargin,
 
     "text_vocab" ->
       s"""SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
