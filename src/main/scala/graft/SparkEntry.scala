@@ -727,18 +727,23 @@ object SparkEntry {
         |FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day
         |                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
-    // the z² test multiplied through by n²: pure integers on both sides
+    // the z² test multiplied through by n²: exact integers on both sides
+    // (HUGEINT here, DECIMAL(38,0) engine-side — the squares overflow
+    // BIGINT at realistic feed scale); surfaced dev2/bound9 are the
+    // exact values' double images
     "events_anomalies" ->
       """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
         |             event_type, CAST(count(*) AS BIGINT) AS cnt
         |           FROM events GROUP BY 1, 2),
         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt*cnt) AS BIGINT) AS q
+        |         CAST(sum(cnt) AS BIGINT) AS s,
+        |         CAST(sum(CAST(cnt AS HUGEINT)*cnt) AS HUGEINT) AS q
         |       FROM h GROUP BY 1)
         |SELECT h.event_type, h.hour_ts, h.cnt,
-        |  CAST((st.n*h.cnt - st.s)*(st.n*h.cnt - st.s) AS BIGINT) AS dev2,
-        |  CAST(9*(st.n*st.q - st.s*st.s) AS BIGINT) AS bound9,
-        |  (st.n*h.cnt - st.s)*(st.n*h.cnt - st.s) > 9*(st.n*st.q - st.s*st.s) AS is_anomaly
+        |  CAST((CAST(st.n AS HUGEINT)*h.cnt - st.s)*(CAST(st.n AS HUGEINT)*h.cnt - st.s) AS DOUBLE) AS dev2,
+        |  CAST(9*(CAST(st.n AS HUGEINT)*st.q - CAST(st.s AS HUGEINT)*st.s) AS DOUBLE) AS bound9,
+        |  (CAST(st.n AS HUGEINT)*h.cnt - st.s)*(CAST(st.n AS HUGEINT)*h.cnt - st.s)
+        |    > 9*(CAST(st.n AS HUGEINT)*st.q - CAST(st.s AS HUGEINT)*st.s) AS is_anomaly
         |FROM h JOIN st USING (event_type)""".stripMargin,
 
     "events_window_agg" ->

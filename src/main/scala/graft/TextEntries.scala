@@ -1336,8 +1336,10 @@ object TextEntries {
          |       THEN pd.nll_e4 // pd.n_bigrams ELSE 0 END AS BIGINT) AS avg_nll_e4
          |FROM batch b LEFT JOIN pd USING (doc_id)""".stripMargin,
 
-    // E58: PMI with position marginals; long products FIRST, one double
-    // division — the identical expression tree on both sides
+    // E58: PMI with position marginals; exact integer products FIRST
+    // (HUGEINT here, DECIMAL(38,0) on the Spark side — c12·N overflows
+    // BIGINT at corpus scale), one double division — the identical
+    // expression tree on both sides
     "text_collocations" ->
       s"""WITH toks AS (SELECT $toksSql AS t FROM documents),
          |bi AS (SELECT unnest(list_transform(generate_series(1, len(t)-1),
@@ -1348,8 +1350,8 @@ object TextEntries {
          |c2f AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2f FROM c12 GROUP BY 1),
          |n2 AS (SELECT CAST(sum(c12) AS BIGINT) AS n2 FROM c12),
          |scored AS (SELECT c12.w1, c12.w2, c12.c12,
-         |    CAST(round(ln(CAST(c12.c12 * n2.n2 AS DOUBLE)
-         |        / CAST(c1f.c1f * c2f.c2f AS DOUBLE)) * 10000) AS BIGINT) AS pmi_e4
+         |    CAST(round(ln(CAST(CAST(c12.c12 AS HUGEINT) * n2.n2 AS DOUBLE)
+         |        / CAST(CAST(c1f.c1f AS HUGEINT) * c2f.c2f AS DOUBLE)) * 10000) AS BIGINT) AS pmi_e4
          |  FROM c12 JOIN c1f USING (w1) JOIN c2f USING (w2) CROSS JOIN n2
          |  WHERE c12.c12 >= $CollocMin),
          |ranked AS (SELECT *, row_number() OVER (ORDER BY pmi_e4 DESC, w1 ASC, w2 ASC) AS rk

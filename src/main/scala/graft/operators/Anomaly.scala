@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   * absent (zero-event) hour is a liveness question, not a volume one.
   *
   * Shape: one map-side-combinable aggregate collapses the feed to the
-  * (type, hour) rollup; the window runs over that tiny frame. Long
-  * arithmetic holds while n·x and S stay under ~3·10⁹ (squares under
-  * 2⁶³) — months of hourly buckets at millions of events/hour.
+  * (type, hour) rollup; the window runs over that tiny frame. The squared
+  * terms ride DECIMAL(38,0) (the Changepoint discipline, oracle HUGEINT):
+  * n·x and S pass 2⁶³ long before any realistic feed ends, and a LongType
+  * square would wrap silently under non-ANSI arithmetic and flip
+  * `is_anomaly`. The verdict compares the exact decimals; the SURFACED
+  * dev2/bound9 are their double images (same integer → same double on
+  * both engines).
   */
 object Anomaly {
 
@@ -33,14 +37,19 @@ object Anomaly {
         col(typeCol).as("event_type"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("event_type")
-    val dev = col("n") * col("cnt") - col("s")
+    val dec = "decimal(38,0)"
     hourly
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("s", sum(col("cnt")).over(w))
-      .withColumn("q", sum(col("cnt") * col("cnt")).over(w))
-      .withColumn("dev2", dev * dev)
-      .withColumn("bound9", lit(9L) * (col("n") * col("q") - col("s") * col("s")))
-      .withColumn("is_anomaly", col("dev2") > col("bound9"))
-      .select("event_type", "hour_ts", "cnt", "dev2", "bound9", "is_anomaly")
+      .withColumn("q", sum(expr(s"CAST(cnt AS $dec) * CAST(cnt AS $dec)")).over(w))
+      .withColumn("__dev", expr(s"CAST(n AS $dec) * CAST(cnt AS $dec) - CAST(s AS $dec)"))
+      .withColumn("__dev2", expr("__dev * __dev"))
+      .withColumn("__bound9",
+        expr(s"9 * (CAST(n AS $dec) * q - CAST(s AS $dec) * CAST(s AS $dec))"))
+      .withColumn("is_anomaly", col("__dev2") > col("__bound9"))
+      .select(col("event_type"), col("hour_ts"), col("cnt"),
+        col("__dev2").cast("double").as("dev2"),
+        col("__bound9").cast("double").as("bound9"),
+        col("is_anomaly"))
   }
 }

@@ -29,7 +29,17 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * 2×iters times) and each iteration is one join keyed on the edge
   * source + one map-side-combinable aggregate keyed on the destination —
   * the classic Pregel step as two exchanges over edge-count rows. Rank
-  * state is node-sized. Lineage is cut every third iteration.
+  * state is node-sized and checkpointed per round (lineage never grows).
+  *
+  * Early convergence detection (the `ivfTrain` Lloyd pattern): the
+  * iteration map F is a deterministic function of the rank vector, so
+  * once r' = F(r) equals r exactly (integer fixed-point — equality is
+  * bit-equality, no epsilon), every remaining round reproduces r and
+  * stopping is PROVABLY equal to running them out — which is why the
+  * fixed-round unrolled oracle stays exact. The check is a node-sized
+  * join per round, negligible next to the edge-sized Pregel step; on
+  * regular graphs (every near-dup clique, for one) the fixed point
+  * arrives in 2-3 rounds and the remaining edge joins are skipped.
   *
   * Precondition: `edges` holds each undirected pair once (a < b), as the
   * dedup pair generators emit them.
@@ -41,26 +51,44 @@ object PageRank {
       aCol: String,
       bCol: String,
       iters: Int = 10,
-      scaleFp: Long = 1000000000000L): DataFrame = {
+      scaleFp: Long = 1000000000000L): DataFrame =
+    pageRankCounted(edges, aCol, bCol, iters, scaleFp)._1
+
+  /** [[pageRank]] plus the number of Pregel rounds actually executed —
+    * lets tests pin that the fixed-point early stop fired (rounds <
+    * iters) while the result stays bit-equal to the full run. */
+  private[graft] def pageRankCounted(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      iters: Int,
+      scaleFp: Long): (DataFrame, Int) = {
     val spark = edges.sparkSession
     val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     val n = deg.count()
-    if (n == 0) return emptyResult(spark)
+    if (n == 0) return (emptyResult(spark), 0)
     val perNode = scaleFp / n
     val base = 15L * perNode / 100L
     var r = deg.select(col("src").as("id"), lit(perNode).as("r"))
-    for (i <- 1 to iters) {
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val rd = r.withColumnRenamed("id", "src").join(deg, Seq("src"))
         .select(col("src"), expr("r div deg").as("c"))
       val s = und.join(rd, Seq("src")).groupBy("dst").agg(sum(col("c")).as("sm"))
-      r = s.select(col("dst").as("id"), (lit(base) + expr("85 * sm div 100")).as("r"))
-      if (i % 3 == 0) r = r.localCheckpoint()
+      val next = s.select(col("dst").as("id"), (lit(base) + expr("85 * sm div 100")).as("r"))
+        .localCheckpoint()
+      converged = next
+        .join(r.select(col("id"), col("r").as("__old")), "id")
+        .filter(col("r") =!= col("__old")).isEmpty
+      r = next
+      it += 1
     }
-    r.withColumnRenamed("id", "src").join(deg, Seq("src"))
-      .select(col("src").as("doc_id"), col("deg"), col("r").as("pr_fp"))
+    (r.withColumnRenamed("id", "src").join(deg, Seq("src"))
+      .select(col("src").as("doc_id"), col("deg"), col("r").as("pr_fp")), it)
   }
 
   private def emptyResult(spark: SparkSession): DataFrame =

@@ -58,7 +58,18 @@ object PsiDrift {
         .select(col(c).cast("double").as("__x")).where(col("__x").isNotNull)
         .join(broadcast(stats))
         .select(
-          when(col("__mx") === col("__mn"), lit(0L))
+          // a constant reference (mn == mx) has no bin geometry at all:
+          // every current value would land in bin 0 and a population that
+          // moved entirely away would read PSI ≈ 0 — drift structurally
+          // invisible in exactly the degenerate case. Refuse loudly
+          // (execution-time, the Cooccur/jsDivergence house pattern)
+          // instead of reporting a silent zero.
+          when(col("__mx") === col("__mn"), raise_error(concat(
+            lit(s"PsiDrift: reference column '$c' is constant ("),
+            col("__mn").cast("string"),
+            lit(") — equi-width bins are undefined and PSI would silently "
+              + "read 0 for any drift; profile a non-constant column or "
+              + "pre-bin categorically"))))
             .otherwise(least(lit(buckets - 1L), greatest(lit(0L),
               floor((col("__x") - col("__mn")) * lit(buckets.toDouble) /
                 (col("__mx") - col("__mn"))))))

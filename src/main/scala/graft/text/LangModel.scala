@@ -138,8 +138,13 @@ object LangModel {
     * marginals (w1 as first element, w2 as second), so the three
     * distributions live on the same bigram-instance space and integer
     * counts determine everything: pmi_e4 = round(ln((c12·N)/(c1f·c2f))·10⁴)
-    * — long multiplications first, ONE double division, the same
-    * expression tree as the oracle.
+    * — exact integer multiplications first, ONE double division, the same
+    * expression tree as the oracle. The products ride DECIMAL(38,0)
+    * (oracle: HUGEINT): c12·N and c1f·c2f can exceed 2⁶³ at corpus scale
+    * (N is total bigram INSTANCES), and a LongType product would wrap
+    * silently under Spark's non-ANSI arithmetic while DuckDB errors —
+    * the house discipline for count products (Cooccur lift, PsiDrift,
+    * Changepoint).
     *
     * Scale shape: `minCount` prunes the bigram-type frame BEFORE the
     * marginal joins; the global top-k is `orderBy().limit(k)` — Spark's
@@ -161,8 +166,8 @@ object LangModel {
     val top = c12.filter(col("c12") >= minCount)
       .join(c1f, "w1").join(c2f, "w2").crossJoin(broadcast(n2))
       .withColumn("pmi_e4",
-        round(log((col("c12") * col("n2")).cast("double") /
-          (col("c1f") * col("c2f")).cast("double")) * 10000).cast("long"))
+        round(log((col("c12").cast("decimal(38,0)") * col("n2").cast("decimal(38,0)")).cast("double") /
+          (col("c1f").cast("decimal(38,0)") * col("c2f").cast("decimal(38,0)")).cast("double")) * 10000).cast("long"))
       .select("w1", "w2", "c12", "pmi_e4")
       .orderBy(col("pmi_e4").desc, col("w1").asc, col("w2").asc)
       .limit(k)
@@ -179,15 +184,31 @@ object LangModel {
     * ln 2 · 10⁹ ≈ 6.93·10⁸ disjoint), jsd_bp (basis points of a nat).
     *
     * The pair table is a broadcast of the (assumed few) sources; the one
-    * real exchange keys on (pair, token).
+    * real exchange keys on (pair, token). That assumption is ENFORCED:
+    * the pair matrix is O(S²) and the token-expansion join O(S·vocab),
+    * so `maxSources` refuses loudly (execution-time raise_error, the
+    * Cooccur maxBasket pattern) instead of detonating on a 10k-source
+    * corpus. The count rides a global window over the S-row totals frame
+    * — a single tiny exchange, no self-join, still fully lazy.
     */
-  def jsDivergence(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+  def jsDivergence(docs: DataFrame, srcCol: String, textCol: String,
+      maxSources: Int = 64): DataFrame = {
     val toksCol = TextOps.tokens(col(textCol))
     // materialized once: totals, and the pair-expansion join both read it
     val c = docs.select(col(srcCol).as("src"), explode(toksCol).as("w"))
       .groupBy("src", "w").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val t = c.groupBy("src").agg(sum("cnt").as("tot"))
+      .withColumn("__n_src", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("tot",
+        when(col("__n_src") > maxSources, raise_error(concat(
+          lit("jsDivergence: corpus has "), col("__n_src").cast("string"),
+          lit(s" sources (> maxSources=$maxSources) — the O(S²) pair matrix "
+            + "and O(S·vocab) expansion join are refused; raise maxSources "
+            + "only if this scale is intended"))))
+          .otherwise(col("tot")))
+      .drop("__n_src")
     val pairs = t.as("x").crossJoin(t.as("y"))
       .filter(col("x.src") < col("y.src"))
       .select(col("x.src").as("src_a"), col("x.tot").as("tot_a"),

@@ -831,8 +831,15 @@ object Cli {
       feed, pk, orderCols.map(col), col(tsCol), opCol)
     // default horizon: just past the feed's last event, so open versions
     // get exactly the validity the feed has witnessed (one tiny agg)
-    val horizonUs = opts.get("horizon-us").map(_.toLong).getOrElse(
-      hist.agg(max(col("valid_from_us"))).head().getLong(0) + 1L)
+    val horizonUs = opts.get("horizon-us").map(_.toLong).getOrElse {
+      // an empty or all-delete feed yields no versions → max is NULL;
+      // fail with the real story instead of an opaque NPE on getLong
+      val row = hist.agg(max(col("valid_from_us"))).head()
+      require(!row.isNullAt(0),
+        s"scd2 weighted: feed $in produced no versions (empty or all-delete "
+          + "feed) — nothing to roll up; pass --horizon-us to force one")
+      row.getLong(0) + 1L
+    }
     val out = graft.cdc.CdcApply.scd2TimeWeighted(
       hist, col(valueCol), grainUs, horizonUs,
       groupCols.map(col), opts.long("max-buckets", 65536L))

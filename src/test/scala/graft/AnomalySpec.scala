@@ -22,7 +22,7 @@ class AnomalySpec extends SparkSpecBase {
     assert(got(10L) === false)
     val spike = Anomaly.hourlyVolume(df, col("ts"), "event_type")
       .filter(col("cnt") === 100).collect().head
-    assert(spike.getLong(3) === 3240000L && spike.getLong(4) === 1458000L)
+    assert(spike.getDouble(3) === 3240000.0 && spike.getDouble(4) === 1458000.0)
   }
 
   test("D15: zero-variance types never flag; types are independent") {

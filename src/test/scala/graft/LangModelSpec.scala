@@ -158,6 +158,16 @@ class LangModelSpec extends SparkSpecBase {
     assert(jsd > 0L && jsd < 693147181L)
   }
 
+  test("E56: a corpus past maxSources refuses loudly before the O(S^2) pair matrix") {
+    val docs = (0 until 5).map(i => (i.toLong, s"s$i", "a b")).toDF("doc_id", "source", "text")
+    val e = intercept[Exception](
+      LangModel.jsDivergence(docs, "source", "text", maxSources = 3).collect())
+    assert(e.getMessage.contains("maxSources"), e.getMessage)
+    // at the knob exactly: still served
+    assert(LangModel.jsDivergence(docs, "source", "text", maxSources = 5)
+      .count() === 10L)
+  }
+
   test("E56s: the drift monitor reproduces the pairwise matrix entry exactly") {
     val docs = graft.util.Tables.documents(spark, sf("sf0.001"))
       .filter(col("doc_id") % 7 < 2)

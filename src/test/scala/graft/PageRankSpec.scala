@@ -73,6 +73,27 @@ class PageRankSpec extends SparkSpecBase {
     }
   }
 
+  test("E57: the fixed-point early stop fires on a regular graph and stays bit-equal") {
+    // 4-cycle: 2-regular, per-node init 10^12/4 divisible by deg and 100,
+    // so round 1 reproduces the init exactly — fixed point immediately
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val (df, rounds) = PageRank.pageRankCounted(
+      cyc.toDF("id_a", "id_b"), "id_a", "id_b", 10, Scale)
+    assert(rounds < 10, s"expected an early stop, ran all $rounds rounds")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val exp = refPr(cyc, 10, Scale) // the FULL 10-round sequential run
+    for ((id, pr) <- exp) assert(got(id) === pr, s"node $id")
+
+    // an asymmetric graph must NOT trip the stop before its fixed point:
+    // equality with the full sequential run is the invariant either way
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val (df2, rounds2) = PageRank.pageRankCounted(
+      star.toDF("id_a", "id_b"), "id_a", "id_b", 10, Scale)
+    val got2 = df2.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val exp2 = refPr(star, 10, Scale)
+    for ((id, pr) <- exp2) assert(got2(id) === pr, s"star node $id (rounds=$rounds2)")
+  }
+
   test("E57: empty edge set yields an empty, well-typed result") {
     val empty = PageRank.pageRank(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b", 10, Scale)

@@ -82,4 +82,15 @@ class PsiDriftSpec extends SparkSpecBase {
     val e2 = intercept[IllegalArgumentException](PsiDrift.psi(df, df, Seq("x"), 1))
     assert(e2.getMessage.contains("buckets"))
   }
+
+  test("a constant reference column refuses loudly instead of reporting PSI 0") {
+    // equi-width bins are undefined when mn == mx; before the guard, a
+    // population that moved entirely away from the constant still read
+    // PSI ~ 0 — drift invisible in exactly the degenerate case
+    val ref = Seq.fill(50)(7.0).toDF("x")
+    val cur = (0 until 50).map(_ + 1000.0).toDF("x")
+    val e = intercept[Exception](
+      PsiDrift.psi(ref, cur, Seq("x")).collect())
+    assert(e.getMessage.contains("constant"), e.getMessage)
+  }
 }
