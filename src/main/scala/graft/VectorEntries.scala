@@ -22,6 +22,8 @@ object VectorEntries {
   val PqM = 4      // PQ subspaces (dims/m = 16 dims each)
   val PqKsub = 8   // centroids per subspace codebook
   val PqIters = 2  // Lloyd rounds per subspace (mirrors TrainIters)
+  val TreeK1 = 4   // two-level quantizer: level-1 cells (E44t)
+  val TreeK2 = 2   // children per cell (composite K = TreeK1·TreeK2)
 
   /** embeddings ∪ exact duplicates of every 10th vector (+100000). */
   private def embDup(s: SparkSession, dir: String): DataFrame = {
@@ -132,6 +134,20 @@ object VectorEntries {
       Knn.ivfTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
         TrainK, TrainIters, Dims)
         .withColumnRenamed("group", "cluster")),
+
+    // E44t: TWO-LEVEL tree assignment — the 100 TB SemDeDup path: each
+    // vector resolves in n·(k1+k2) distance rows instead of flat
+    // n·(k1·k2). Level-1 Lloyd trained as emb_ivf_train; level-2 runs
+    // exact integer Lloyd INSIDE every level-1 cell in one job (cell id
+    // on the aggregation key); composite cluster = cell·k2 + child. The
+    // oracle unrolls both levels' fixed rounds (early convergence stop
+    // provably equals running them out — Lloyd fixed point).
+    "emb_tree_assign" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (l1, l2) = Knn.ivfTrain2(
+        e, "vec_id", "embedding", TreeK1, TreeK2, TrainIters, Dims)
+      Knn.treeAssign(e, l1, l2, "vec_id", "embedding", TreeK2, Dims)
+    }),
 
     // E7d: IVF search — queries probe their nprobe nearest centroids and
     // score only those clusters' vectors (the search half of the index)
@@ -786,6 +802,65 @@ object VectorEntries {
          |  FROM d2) WHERE rk = 1)
          |SELECT g AS cluster, CAST(count(*) AS BIGINT) AS n, $sums
          |FROM v JOIN a2 USING (vec_id) GROUP BY g""".stripMargin
+    },
+
+    // E44t: both levels unrolled — level-1 is emb_ivf_train's recipe at
+    // TreeK1; level-2 repeats it INSIDE each cell (join on cell instead
+    // of a cross join — each vector sees only its own cell's children);
+    // the final argmin mirrors treeAssign's (dist, child) tie-break
+    "emb_tree_assign" -> {
+      val sums = (0 until Dims).map(i => s"CAST(sum(q[${i + 1}]) AS BIGINT) AS s_$i").mkString(", ")
+      def distOf(c: String) = (0 until Dims)
+        .map(i => s"power($c.n * v.q[${i + 1}] - $c.s_$i, 2)").mkString(" + ")
+      def distVc(c: String) = (0 until Dims)
+        .map(i => s"power($c.n * vc.q[${i + 1}] - $c.s_$i, 2)").mkString(" + ")
+      val h = graft.text.PortableHash.duckH32("CAST(vec_id AS VARCHAR)")
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, $q AS q FROM embeddings),
+         |a0 AS (SELECT vec_id, $h % $TreeK1 AS g FROM v),
+         |c1 AS (SELECT g, CAST(count(*) AS BIGINT) AS n, $sums
+         |       FROM v JOIN a0 USING (vec_id) GROUP BY g),
+         |d1 AS (SELECT v.vec_id, c1.g, (${distOf("c1")}) / CAST(c1.n * c1.n AS DOUBLE) AS dist
+         |       FROM v CROSS JOIN c1),
+         |a1 AS (SELECT vec_id, g FROM (
+         |  SELECT vec_id, g, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, g ASC) AS rk
+         |  FROM d1) WHERE rk = 1),
+         |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS n, $sums
+         |       FROM v JOIN a1 USING (vec_id) GROUP BY g),
+         |d2 AS (SELECT v.vec_id, c2.g, (${distOf("c2")}) / CAST(c2.n * c2.n AS DOUBLE) AS dist
+         |       FROM v CROSS JOIN c2),
+         |a2 AS (SELECT vec_id, g FROM (
+         |  SELECT vec_id, g, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, g ASC) AS rk
+         |  FROM d2) WHERE rk = 1),
+         |l1 AS (SELECT g, CAST(count(*) AS BIGINT) AS n, $sums
+         |       FROM v JOIN a2 USING (vec_id) GROUP BY g),
+         |dc AS (SELECT v.vec_id, l1.g, (${distOf("l1")}) / CAST(l1.n * l1.n AS DOUBLE) AS dist
+         |       FROM v CROSS JOIN l1),
+         |vc AS MATERIALIZED (SELECT v.vec_id, v.q, cellof.g AS cell
+         |      FROM v JOIN (SELECT vec_id, g FROM (
+         |        SELECT vec_id, g, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, g ASC) AS rk
+         |        FROM dc) WHERE rk = 1) cellof USING (vec_id)),
+         |b0 AS (SELECT vec_id, $h % $TreeK2 AS ch FROM vc),
+         |s1 AS (SELECT cell, ch, CAST(count(*) AS BIGINT) AS n, $sums
+         |       FROM vc JOIN b0 USING (vec_id) GROUP BY cell, ch),
+         |e1 AS (SELECT vc.vec_id, s1.ch, (${distVc("s1")}) / CAST(s1.n * s1.n AS DOUBLE) AS dist
+         |       FROM vc JOIN s1 ON vc.cell = s1.cell),
+         |b1 AS (SELECT vec_id, ch FROM (
+         |  SELECT vec_id, ch, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, ch ASC) AS rk
+         |  FROM e1) WHERE rk = 1),
+         |s2 AS (SELECT cell, ch, CAST(count(*) AS BIGINT) AS n, $sums
+         |       FROM vc JOIN b1 USING (vec_id) GROUP BY cell, ch),
+         |e2 AS (SELECT vc.vec_id, s2.ch, (${distVc("s2")}) / CAST(s2.n * s2.n AS DOUBLE) AS dist
+         |       FROM vc JOIN s2 ON vc.cell = s2.cell),
+         |b2 AS (SELECT vec_id, ch FROM (
+         |  SELECT vec_id, ch, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, ch ASC) AS rk
+         |  FROM e2) WHERE rk = 1),
+         |l2 AS (SELECT cell, ch, CAST(count(*) AS BIGINT) AS n, $sums
+         |       FROM vc JOIN b2 USING (vec_id) GROUP BY cell, ch),
+         |f AS (SELECT vc.vec_id, vc.cell, l2.ch, (${distVc("l2")}) / CAST(l2.n * l2.n AS DOUBLE) AS dist
+         |      FROM vc JOIN l2 ON vc.cell = l2.cell)
+         |SELECT vec_id, CAST(cell * $TreeK2 + ch AS BIGINT) AS cluster FROM (
+         |  SELECT vec_id, cell, ch, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, ch ASC) AS rk
+         |  FROM f) WHERE rk = 1""".stripMargin
     },
 
     "knn_ivf" -> knnIvfSql,
