@@ -11,7 +11,10 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p)[:-8]
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # driver testdata ships single parquet FILES; ScaleUp fixtures are
+    # Spark DIRECTORIES of part files — read whichever layout this is
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
