@@ -539,6 +539,10 @@ object SparkEntry {
     // feed's 80% time horizon (behind), minus every 13th key (missing),
     // values bumped on every 7th (diverged), plus ghost keys the feed
     // never emitted (unknown_key); the history explains each class.
+    // Ghost ids are NEGATIVE (-u-1) so they can never collide with a
+    // real key at ANY scale — a positive offset (the old +10^7) lands
+    // exactly on ScaleUp's per-copy key stride at sf1, merging ghosts
+    // into real users and double-keying the replica.
     "cdc_explain_diff" -> ((s, dir) => {
       val cdc = eventsCdc(s, dir)
         .select("user_id", "event_id", "ts", "value", "Op")
@@ -553,7 +557,7 @@ object SparkEntry {
         .withColumn("value",
           when(col("user_id") % 7 === 0, col("value") + 1).otherwise(col("value")))
         .unionByName(cdc.filter(col("user_id") % 11 === 0)
-          .select((col("user_id") + 10000000L).as("user_id"),
+          .select((-col("user_id") - 1L).as("user_id"),
             lit(0L).as("event_id"), lit(0.0).as("value"))
           .distinct())
       CdcApply.explainDiff(cdc, replica, Seq("user_id"),
@@ -1119,9 +1123,11 @@ object SparkEntry {
          |       (SELECT count(*) FROM orders) = (SELECT count(*) FROM tgt) AS counts_match""".stripMargin,
 
     // same replica construction (80%-horizon latest state, drops, bumps,
-    // ghosts), same history classification: the latest payload-matching
-    // version decides (row_number mirror of max_by), missing = current
-    // keys absent from the replica; fixed 5-class spine
+    // negative-id ghosts), same history classification: the latest
+    // payload-matching version decides (row_number mirror of max_by),
+    // missing = current keys absent from the replica; fixed 5-class
+    // spine. Classification is per KEY (distinct replica ids — the
+    // operator's groupBy(pk)), not per replica row
     "cdc_explain_diff" ->
       s"""WITH cdc AS ($cdcSql),
          |mm AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM cdc),
@@ -1137,7 +1143,7 @@ object SparkEntry {
          |         CASE WHEN user_id % 7 = 0 THEN value + 1 ELSE value END AS value
          |  FROM le WHERE op <> 'D' AND user_id % 13 <> 0
          |  UNION ALL
-         |  SELECT DISTINCT user_id + 10000000, 0, 0.0 FROM cdc WHERE user_id % 11 = 0),
+         |  SELECT DISTINCT -user_id - 1, 0, 0.0 FROM cdc WHERE user_id % 11 = 0),
          |hv AS (
          |  SELECT * FROM (
          |    SELECT user_id, event_id, value, op, epoch_us(ts) AS vf,
@@ -1159,7 +1165,7 @@ object SparkEntry {
          |         WHEN k.user_id IS NOT NULL THEN 'diverged'
          |         ELSE 'unknown_key' END AS class,
          |    CASE WHEN mb.cur IS NULL OR mb.cur <> 1 THEN mb.vt END AS w
-         |  FROM rep r
+         |  FROM (SELECT DISTINCT user_id FROM rep) r
          |  LEFT JOIN mb ON mb.user_id = r.user_id
          |  LEFT JOIN (SELECT DISTINCT user_id FROM hv) k ON k.user_id = r.user_id),
          |miss AS (
