@@ -468,13 +468,29 @@ object ExtraEntries {
         |FROM su JOIN pu ON su.s_us < pu.e_us AND pu.s_us < su.e_us
         |GROUP BY signup_id""".stripMargin,
 
+    // deletion-variant blocking (variants(x) = {x} ∪ single-deletions):
+    // ed(a,b) <= 1 guarantees a shared variant (sub at i → del_i equal;
+    // ins/del → the shorter IS a deletion of the longer; equality is the
+    // identity variant), so the block is COMPLETE for the predicate and
+    // the levenshtein verify keeps it exact — same structure the engine
+    // uses, but the oracle still scores every candidate with the real
+    // metric. The naive n² cross join measured 135 s at sf0.1 (hours at
+    // sf1); this is 5 s with row-identical output.
     "fuzzy_join" ->
-      """SELECT a.c_custkey AS a_id, a.c_name AS a_name,
+      """WITH v AS (
+        |  SELECT c_custkey, c_name,
+        |    unnest(list_append(list_transform(range(1, len(c_name) + 1),
+        |      i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)), c_name)) AS var
+        |  FROM customer),
+        |cand AS (
+        |  SELECT DISTINCT a.c_custkey AS ak, b.c_custkey AS bk
+        |  FROM v a JOIN v b ON a.var = b.var AND a.c_custkey < b.c_custkey)
+        |SELECT a.c_custkey AS a_id, a.c_name AS a_name,
         |       b.c_custkey AS b_id, b.c_name AS b_name,
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
-        |FROM customer a, customer b
-        |WHERE a.c_custkey < b.c_custkey
-        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+        |FROM cand JOIN customer a ON a.c_custkey = cand.ak
+        |          JOIN customer b ON b.c_custkey = cand.bk
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
 
     "range_coalesce" ->
       """WITH iv AS (

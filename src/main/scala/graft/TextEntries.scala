@@ -926,21 +926,30 @@ object TextEntries {
          |SELECT id AS doc_id, CAST(min(anc) AS BIGINT) AS component_id
          |FROM reach GROUP BY id""".stripMargin,
 
-    // canonical a<b edges straight from the pair oracle; triangles as the
-    // ordered 3-clique join (a<b<c, each counted once), corners exploded
-    // back per node; lcc in integer basis points, exact floor division
+    // canonical a<b edges straight from the pair oracle; triangles by
+    // WEDGE EXPLOSION instead of the ordered 3-clique self-join: each
+    // node's higher-neighbor list explodes into (v, w) wedges on ONE
+    // edge scan, a wedge is a triangle iff (v, w) is itself an edge —
+    // the same a<b<c orientation (each triangle counted once at its
+    // lowest corner). The 3-way e×e×e self-join re-executed the pair
+    // chain per pipeline under DuckDB 1.0.0 (15+ min at sf1); the wedge
+    // shape measures 37 s with row-identical output. Corners exploded
+    // back per node; lcc in integer basis points, exact floor division.
     "graph_triangles" ->
       s"""WITH p AS (${ngramPairsSqlOver(docsTriSql, "sa.n + sb.n - common", "jaccard_bp", Tau)}),
-         |e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM p),
+         |e AS MATERIALIZED (SELECT DISTINCT id_a AS a, id_b AS b FROM p),
+         |nb AS (SELECT u, list(v ORDER BY v) AS hi FROM (
+         |         SELECT a AS u, b AS v FROM e) GROUP BY u),
+         |w AS (SELECT u, unnest(flatten(list_transform(hi, x ->
+         |        list_transform(list_filter(hi, y -> y > x), y -> {'v': x, 'w': y})))) AS pr
+         |      FROM nb),
+         |t AS (SELECT w.u, pr['v'] AS v, pr['w'] AS wv FROM w
+         |      JOIN e ON e.a = pr['v'] AND e.b = pr['w']),
          |d AS (SELECT id, count(*) AS degree FROM (
          |  SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY 1),
-         |t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
-         |      FROM e e1
-         |      JOIN e e2 ON e2.a = e1.b
-         |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
          |tc AS (SELECT id, count(*) AS tri FROM (
          |  SELECT u AS id FROM t UNION ALL SELECT v FROM t
-         |  UNION ALL SELECT w FROM t) GROUP BY 1)
+         |  UNION ALL SELECT wv FROM t) GROUP BY 1)
          |SELECT d.id AS doc_id, d.degree,
          |  CAST(coalesce(tc.tri, 0) AS BIGINT) AS triangles,
          |  CAST(CASE WHEN d.degree >= 2
@@ -1278,20 +1287,29 @@ object TextEntries {
     * operand is a positive integer, so DuckDB's flooring `//` and
     * Spark's truncating `div` agree at every step. */
   private lazy val pageRankSql: String = {
+    // Every unrolled iteration consumes exactly ONE edge CTE (carrying
+    // the source degree on each edge row) and the previous rank CTE
+    // (carrying the constant base on each rank row) — DuckDB 1.0.0
+    // re-executes multiply-referenced CTEs per consumer pipeline, so the
+    // old shape (deg joined twice per iteration + a c0 scalar subquery)
+    // re-ran the whole pair-generation chain ~30x at sf1. Grouping by
+    // dst IS the node spine: und is symmetric, so every node has an
+    // in-edge and the old deg spine join was a no-op filter.
     val iters = (1 to PrIters).map { i =>
-      s"""r$i AS (SELECT deg.src AS id, (SELECT base FROM c0) + 85 * t.sm // 100 AS r
-         |  FROM deg JOIN (SELECT u.dst, CAST(sum(p.r // d.deg) AS BIGINT) AS sm
-         |                 FROM und u JOIN r${i - 1} p ON u.src = p.id
-         |                 JOIN deg d ON u.src = d.src
-         |                 GROUP BY 1) t ON deg.src = t.dst)""".stripMargin
+      s"""r$i AS (SELECT u.dst AS id,
+         |  max(p.base) + 85 * CAST(sum(p.r // u.deg) AS BIGINT) // 100 AS r,
+         |  max(p.base) AS base
+         |  FROM und2 u JOIN r${i - 1} p ON u.src = p.id GROUP BY u.dst)""".stripMargin
     }.mkString(",\n")
     s"""WITH prpairs AS MATERIALIZED (SELECT id_a, id_b FROM ($dedupNgramSql)),
-       |und AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM prpairs
+       |und AS (SELECT id_a AS src, id_b AS dst FROM prpairs
        |        UNION ALL SELECT id_b, id_a FROM prpairs),
-       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM und GROUP BY 1),
-       |c0 AS MATERIALIZED (SELECT $PrScale // count(*) AS pn,
+       |und2 AS MATERIALIZED (SELECT src, dst,
+       |        count(*) OVER (PARTITION BY src) AS deg FROM und),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM und2 GROUP BY 1),
+       |c0 AS (SELECT $PrScale // count(*) AS pn,
        |              (15 * ($PrScale // count(*))) // 100 AS base FROM deg),
-       |r0 AS (SELECT src AS id, (SELECT pn FROM c0) AS r FROM deg),
+       |r0 AS (SELECT src AS id, pn AS r, base FROM deg CROSS JOIN c0),
        |$iters
        |SELECT deg.src AS doc_id, CAST(deg.deg AS BIGINT) AS deg,
        |       CAST(r$PrIters.r AS BIGINT) AS pr_fp

@@ -7,6 +7,13 @@ import duckdb
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# optional resume: arg3 = a prior run's log; queries it marks PASS are
+# re-reported as PASS (cached) without re-running the oracle
+skip = set()
+if len(sys.argv) > 3 and os.path.exists(sys.argv[3]):
+    for line in open(sys.argv[3]):
+        if line.startswith("PASS "):
+            skip.add(line.split()[1])
 
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
@@ -19,6 +26,8 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
 for q, sql in sorted(oracle.items()):
+    if q in skip:
+        print(f"PASS {q} (cached)"); continue
     rdir = f"{outdir}/{q}"
     if not os.path.isdir(rdir):
         print(f"FAIL {q}: no spark output"); fails += 1; continue
