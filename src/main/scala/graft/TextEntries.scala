@@ -186,6 +186,23 @@ object TextEntries {
     s"SELECT doc_id, lang, text || CASE lang $cases ELSE '' END AS text FROM documents"
   }
 
+  /** E52's weight table, trained ONCE per (session, corpus) and shared
+    * by `classifier_train` / `classifier_predict` / `classifier_confusion`
+    * — the three used to EACH pay the corpus-scale training pass
+    * (~14 s of every gate run, r10 verdict nit). The localCheckpoint is
+    * the in-suite artifact; in production the Cli persists the model
+    * (`Cli classifier train` → [[graft.text.Classifier.save]]) and
+    * serve/eval load it, which is the layout this memo mirrors. The
+    * DuckDB oracles still retrain inline — sharing a materialization is
+    * a cost choice, not a semantics change. */
+  private val classifierModelMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def classifierWeights(s: SparkSession, dir: String): DataFrame =
+    classifierModelMemo.getOrElseUpdate((s, dir),
+      graft.text.Classifier.trainCentroid(
+        langSpiked(s, dir).filter(col("doc_id") % 5 =!= 0), "lang", "text",
+        ClassifierN, ClassifierScale).localCheckpoint())
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E10: token counting — whitespace, BPE-ish regex, normalized
     "text_tokens" -> ((s, dir) => {
@@ -662,41 +679,33 @@ object TextEntries {
 
     // E52: contrastive-centroid classifier TRAINING — per-class char
     // trigram weights in integer ppm, centered per gram, learned on the
-    // doc_id%5!=0 split of the lang-spiked corpus
-    "classifier_train" -> ((s, dir) =>
-      graft.text.Classifier.trainCentroid(
-        langSpiked(s, dir).filter(col("doc_id") % 5 =!= 0),
-        "lang", "text", ClassifierN, ClassifierScale)),
+    // doc_id%5!=0 split of the lang-spiked corpus (one shared training
+    // pass, [[classifierWeights]])
+    "classifier_train" -> ((s, dir) => classifierWeights(s, dir)),
 
     // E52p: classifier SERVING — held-out docs scored against the
     // broadcast weight table, exact-integer argmax; `lang_actual` rides
     // along so the artifact doubles as the accuracy record (100% at
-    // sf0.001 — the label is recoverable by construction, see LangSpikes)
+    // sf0.001 — the label is recoverable by construction, see LangSpikes).
+    // The model comes from [[classifierWeights]]' shared materialization
+    // — serving references the weight table twice (broadcast join +
+    // fallback class) and in production loads it from parquet anyway.
     "classifier_predict" -> ((s, dir) => {
-      val docs = langSpiked(s, dir)
-      // materialize the model once (localCheckpoint, the Bpe pattern) —
-      // serving references the weight table twice (broadcast join +
-      // fallback class) and in production loads it from parquet anyway;
-      // without this the corpus-scale training pass would replay per use
-      val w = graft.text.Classifier.trainCentroid(
-        docs.filter(col("doc_id") % 5 =!= 0), "lang", "text",
-        ClassifierN, ClassifierScale).localCheckpoint()
-      val held = docs.filter(col("doc_id") % 5 === 0)
-      graft.text.Classifier.predictCentroid(held, "doc_id", "text", w, ClassifierN)
+      val held = langSpiked(s, dir).filter(col("doc_id") % 5 === 0)
+      graft.text.Classifier.predictCentroid(
+        held, "doc_id", "text", classifierWeights(s, dir), ClassifierN)
         .join(held.select(col("doc_id"), col("lang").as("lang_actual")), "doc_id")
         .select("doc_id", "lang_actual", "pred")
     }),
 
     // E52e: classifier EVALUATION — the held-out confusion matrix, one
     // exact-integer row per (actual, predicted) pair; closes the
-    // train → serve → eval loop in the oracle record
+    // train → serve → eval loop in the oracle record (scored from the
+    // SAME weight table the train query landed, never a retrain)
     "classifier_confusion" -> ((s, dir) => {
-      val docs = langSpiked(s, dir)
-      val w = graft.text.Classifier.trainCentroid(
-        docs.filter(col("doc_id") % 5 =!= 0), "lang", "text",
-        ClassifierN, ClassifierScale).localCheckpoint()
-      val held = docs.filter(col("doc_id") % 5 === 0)
-      graft.text.Classifier.predictCentroid(held, "doc_id", "text", w, ClassifierN)
+      val held = langSpiked(s, dir).filter(col("doc_id") % 5 === 0)
+      graft.text.Classifier.predictCentroid(
+        held, "doc_id", "text", classifierWeights(s, dir), ClassifierN)
         .join(held.select(col("doc_id"), col("lang").as("lang_actual")), "doc_id")
         .groupBy("lang_actual", "pred")
         .agg(count(lit(1)).as("n"))
@@ -1071,36 +1080,42 @@ object TextEntries {
     * operators share [[Dedup]]'s overlapPairs core. */
   private def ngramPairsSqlOver(
       corpusSql: String, denom: String, metricName: String, tau: Long) =
-      // SELF-JOIN-FREE shape: per-shingle doc lists exploded into ordered
-      // pairs on ONE scan of the postings. Semantics are unchanged from
-      // the capped-candidate + full-verify original: `common` counts ALL
-      // shared shingles (hot included) while candidacy (`anycand`)
-      // requires >= 1 shingle under the df cap — exactly cand INTERSECT
-      // full-post common. The rewrite exists because DuckDB 1.0.0
+      // SELF-JOIN-FREE shape: per-shingle doc lists exploded into
+      // ordered pairs on ONE scan of the postings — because DuckDB 1.0.0
       // re-executes multi-referenced CTEs per consumer pipeline (the
       // MATERIALIZED hint does not rescue CTEs joined against
       // themselves): the old post/cpost self-join shape measured 621 s
-      // at sf1 where this measures 4.1 s, with bit-identical output.
-      // Pair mass is bounded by sum(df^2), the same candidate-mass bound
-      // the Spark side's capped inverted index rides.
+      // at sf1 where this shape measures ~4 s, bit-identically.
+      //
+      // CANDIDATE-BOUNDED explosion (r10 ADVICE): pairs are generated
+      // ONLY from shingles under the df cap, so pair mass is
+      // sum_{df<=maxDf}(df²) — the same candidate-mass bound the Spark
+      // side's capped inverted index rides; one ubiquitous shingle no
+      // longer costs a quadratic explosion here. `common` still counts
+      // ALL shared shingles (hot included): for the surviving candidate
+      // pairs it is |shingles(a) ∩ shingles(b)| via per-doc shingle
+      // lists (postings are DISTINCT per (doc_id, s), so the intersect
+      // length equals the pair-explosion count). Semantics are exactly
+      // the original capped-candidacy + full-verify contract.
       s"""WITH corpus AS ($corpusSql),
          |post AS (${hashedPostOverSql("corpus")}),
-         |byS AS (SELECT s, count(*) AS df,
+         |byS AS (SELECT count(*) AS df,
          |          list(doc_id ORDER BY doc_id) AS ds FROM post GROUP BY s),
-         |pe AS (SELECT df <= ${Dedup.DefaultMaxDf} AS isc,
-         |         unnest(flatten(list_transform(ds, x ->
-         |           list_transform(list_filter(ds, y -> y > x),
-         |                          y -> {'a': x, 'b': y})))) AS p
-         |       FROM byS),
-         |agg AS (SELECT p['a'] AS id_a, p['b'] AS id_b,
-         |          CAST(count(*) AS BIGINT) AS common, max(isc) AS anycand
-         |        FROM pe GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT p['a'] AS id_a, p['b'] AS id_b FROM (
+         |    SELECT unnest(flatten(list_transform(ds, x ->
+         |      list_transform(list_filter(ds, y -> y > x),
+         |                     y -> {'a': x, 'b': y})))) AS p
+         |    FROM byS WHERE df <= ${Dedup.DefaultMaxDf})),
+         |dl AS (SELECT doc_id, list(s) AS ss FROM post GROUP BY doc_id),
+         |agg AS (SELECT id_a, id_b,
+         |          CAST(length(list_intersect(da.ss, db.ss)) AS BIGINT) AS common
+         |        FROM cand JOIN dl da ON da.doc_id = id_a
+         |                  JOIN dl db ON db.doc_id = id_b),
          |sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY 1)
          |SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b,
          |  CAST(floor(common * 10000.0 / ($denom)) AS BIGINT) AS $metricName
          |FROM agg JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE anycand
-         |  AND CAST(floor(common * 10000.0 / ($denom)) AS BIGINT) >= $tau""".stripMargin
+         |WHERE CAST(floor(common * 10000.0 / ($denom)) AS BIGINT) >= $tau""".stripMargin
 
   private lazy val dedupNgramSql =
     ngramPairsSqlOver(docsNearSql, "sa.n + sb.n - common", "jaccard_bp", Tau)
@@ -1109,10 +1124,13 @@ object TextEntries {
     * lossless, so its answer must equal the no-cap ground truth (the
     * oracle needn't model the prefix at all). */
   private lazy val dedupNgramExactSql =
-    // same self-join-free explosion as ngramPairsSqlOver, WITHOUT the df
-    // cap — the uncapped all-pairs ground truth the lossless prefix
-    // filter must equal (DuckDB 1.0.0 re-executes self-joined CTEs; see
-    // the shape note there)
+    // self-join-free explosion like ngramPairsSqlOver but over ALL
+    // shingles — the uncapped all-pairs ground truth the lossless
+    // prefix filter must equal; here the sum(df²) pair mass is
+    // INTRINSIC to the semantics (a hot shingle's pairs are real
+    // answers), not an oracle artifact, so no candidate bound applies
+    // (DuckDB 1.0.0 re-executes self-joined CTEs; see the shape note
+    // in ngramPairsSqlOver)
     s"""WITH corpus AS ($docsNearSql),
        |post AS (${hashedPostOverSql("corpus")}),
        |byS AS (SELECT s, list(doc_id ORDER BY doc_id) AS ds FROM post GROUP BY s),

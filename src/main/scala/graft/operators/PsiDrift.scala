@@ -33,6 +33,11 @@ import org.apache.spark.sql.functions._
   * shuffle carries ≤ `buckets` rows), a static bin spine, and scalar
   * broadcasts — nothing event-sized ever joins. One pass per requested
   * column, mirroring TableProfile's per-column loop.
+  *
+  * Degenerate reference (constant or all-null column): equi-width bins
+  * are undefined, so that column's `psi_e4` is NULL — never a silent 0,
+  * and never a job-killing error that would take the other columns of a
+  * profile run down with it.
   */
 object PsiDrift {
 
@@ -58,18 +63,17 @@ object PsiDrift {
         .select(col(c).cast("double").as("__x")).where(col("__x").isNotNull)
         .join(broadcast(stats))
         .select(
-          // a constant reference (mn == mx) has no bin geometry at all:
-          // every current value would land in bin 0 and a population that
-          // moved entirely away would read PSI ≈ 0 — drift structurally
-          // invisible in exactly the degenerate case. Refuse loudly
-          // (execution-time, the Cooccur/jsDivergence house pattern)
-          // instead of reporting a silent zero.
-          when(col("__mx") === col("__mn"), raise_error(concat(
-            lit(s"PsiDrift: reference column '$c' is constant ("),
-            col("__mn").cast("string"),
-            lit(") — equi-width bins are undefined and PSI would silently "
-              + "read 0 for any drift; profile a non-constant column or "
-              + "pre-bin categorically"))))
+          // a constant (or all-null) reference has no bin geometry at
+          // all: every current value lands in bin 0 and a population
+          // that moved entirely away would read PSI ≈ 0 — drift
+          // structurally invisible in exactly the degenerate case.
+          // Pre-round-16 this raise_error'd, which killed EVERY other
+          // column of a multi-column profile run over one legitimately
+          // constant flag column (r10 ADVICE). Now the degenerate
+          // column computes through bin 0 and the final select nulls
+          // its psi_e4 — NULL is the per-column "no bin geometry"
+          // signal; the other columns' results survive.
+          when(col("__mx").isNull || col("__mx") === col("__mn"), lit(0L))
             .otherwise(least(lit(buckets - 1L), greatest(lit(0L),
               floor((col("__x") - col("__mn")) * lit(buckets.toDouble) /
                 (col("__mx") - col("__mn"))))))
@@ -100,9 +104,13 @@ object PsiDrift {
             * lit(10000.0)).cast(dec))
         .withColumn("__s", col("__ab") - col("__ba"))
         .agg(sum(col("__s") * col("__l")).as("__t"))
+        .crossJoin(broadcast(stats)) // 1 row × 1 row: the degeneracy probe
         .select(
           lit(c).as("col_name"),
-          expr(s"__t div (CAST(${ta}L AS DECIMAL(38,0)) * CAST(${tb}L AS DECIMAL(38,0)))")
+          when(col("__mx").isNull || col("__mx") === col("__mn"),
+            lit(null).cast("long"))
+            .otherwise(
+              expr(s"__t div (CAST(${ta}L AS DECIMAL(38,0)) * CAST(${tb}L AS DECIMAL(38,0)))"))
             .as("psi_e4"),
           lit(ta - buckets).as("n_ref"),
           lit(tb - buckets).as("n_cur"))

@@ -188,11 +188,18 @@ object LangModel {
     * the pair matrix is O(S²) and the token-expansion join O(S·vocab),
     * so `maxSources` refuses loudly (execution-time raise_error, the
     * Cooccur maxBasket pattern) instead of detonating on a 10k-source
-    * corpus. The count rides a global window over the S-row totals frame
-    * — a single tiny exchange, no self-join, still fully lazy.
+    * corpus. The default guard sits at 4096 — ~8.4M pairs, the point
+    * where the matrix itself stops being a sane deliverable — so the
+    * common 10²–10³-source corpus never trips it; tighten it per call
+    * when driving from a pipeline that expects few sources. (The
+    * pre-round-16 default of 64 broke previously-working 65+-source
+    * corpora; a guard against quadratic blowup shouldn't fire at a
+    * scale the plan handles in seconds.) The count rides a global
+    * window over the S-row totals frame — a single tiny exchange, no
+    * self-join, still fully lazy.
     */
   def jsDivergence(docs: DataFrame, srcCol: String, textCol: String,
-      maxSources: Int = 64): DataFrame = {
+      maxSources: Int = 4096): DataFrame = {
     val toksCol = TextOps.tokens(col(textCol))
     // materialized once: totals, and the pair-expansion join both read it
     val c = docs.select(col(srcCol).as("src"), explode(toksCol).as("w"))

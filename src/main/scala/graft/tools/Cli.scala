@@ -1309,10 +1309,14 @@ object Cli {
     * table lists split on WHITESPACE (main.rs:274 split_whitespace)
     * and re-join as this CLI's comma form; an unknown mode falls back
     * to DateAware (main.rs:215); empty start/stop dates are omitted
-    * (option_if_not_empty); confirms accept y/yes/true (anything else
-    * = no, default on blank). The reference payload carries no database
-    * name (its code derives it from the URL), so it is derived from the
-    * source URL's path here the same way.
+    * (option_if_not_empty); confirms accept y/yes/true. One deliberate
+    * divergence: the reference's `Confirm` RE-PROMPTS on unparseable
+    * input (inquire's TTY event loop), while this pure reader→argv form
+    * has no re-prompt channel — anything not y/yes/true reads as no
+    * (blank = the shown default). The dialogue is 17 prompts: 13 Text +
+    * 4 Confirm. The reference payload carries no database name (its
+    * code derives it from the URL), so it is derived from the source
+    * URL's path here the same way.
     */
   private[graft] def inquire(
       in: java.io.BufferedReader, out: java.io.PrintStream): Seq[String] = {

@@ -11,8 +11,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CliInquireSpec extends AnyFunSuite {
 
-  /** Run the dialogue with one scripted answer per prompt (18 prompts;
-    * missing lines read as EOF → default). */
+  /** Run the dialogue with one scripted answer per prompt (17 prompts:
+    * 13 Text + 4 Confirm, matching the reference; missing lines read as
+    * EOF → default). */
   private def run(answers: String*): Seq[String] = {
     val in = new BufferedReader(new StringReader(answers.mkString("\n")))
     val out = new PrintStream(new ByteArrayOutputStream())

@@ -168,6 +168,15 @@ class LangModelSpec extends SparkSpecBase {
       .count() === 10L)
   }
 
+  test("E56: the DEFAULT guard serves a 100-source corpus (r10 ADVICE)") {
+    // the pre-round-16 default of 64 turned previously-working corpora
+    // into execution-time failures; the guard exists for 10k-source
+    // quadratic blowup, not for the common hundreds-of-sources case
+    val docs = (0 until 100).map(i => (i.toLong, s"s$i", "a b"))
+      .toDF("doc_id", "source", "text")
+    assert(LangModel.jsDivergence(docs, "source", "text").count() === 4950L)
+  }
+
   test("E56s: the drift monitor reproduces the pairwise matrix entry exactly") {
     val docs = graft.util.Tables.documents(spark, sf("sf0.001"))
       .filter(col("doc_id") % 7 < 2)

@@ -83,14 +83,23 @@ class PsiDriftSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("buckets"))
   }
 
-  test("a constant reference column refuses loudly instead of reporting PSI 0") {
-    // equi-width bins are undefined when mn == mx; before the guard, a
-    // population that moved entirely away from the constant still read
-    // PSI ~ 0 — drift invisible in exactly the degenerate case
-    val ref = Seq.fill(50)(7.0).toDF("x")
-    val cur = (0 until 50).map(_ + 1000.0).toDF("x")
-    val e = intercept[Exception](
-      PsiDrift.psi(ref, cur, Seq("x")).collect())
-    assert(e.getMessage.contains("constant"), e.getMessage)
+  test("a constant reference column reports NULL psi without killing siblings") {
+    // equi-width bins are undefined when mn == mx; a silent PSI 0 would
+    // hide total drift, and the pre-round-16 raise_error killed every
+    // OTHER column of a multi-column profile over one constant flag
+    // column (r10 ADVICE). NULL is the per-column signal; the healthy
+    // sibling column still gets its real measurement from the same call.
+    val ref = Seq.tabulate(50)(i => (7.0, i.toDouble)).toDF("flag", "x")
+    val cur = Seq.tabulate(50)(i => (7.0, i + 1000.0)).toDF("flag", "x")
+    val got = PsiDrift.psi(ref, cur, Seq("flag", "x"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got("flag") === None) // degenerate: NULL, not 0, not an abort
+    assert(got("x").exists(_ > 2500L), got.toString) // total shift: large PSI
+    // all-null reference is the same no-geometry case
+    val refN = Seq.fill[(Option[Double], Double)](5)((None, 1.0)).toDF("flag", "x")
+    val gotN = PsiDrift.psi(refN, cur.select(col("flag").cast("double"), col("x")),
+      Seq("flag")).collect().head
+    assert(gotN.isNullAt(1))
   }
 }

@@ -8,12 +8,25 @@ import duckdb
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 # optional resume: arg3 = a prior run's log; queries it marks PASS are
-# re-reported as PASS (cached) without re-running the oracle
+# re-reported as PASS (cached) without re-running the oracle — but ONLY
+# if the Spark output dir hasn't been regenerated since that log was
+# written (a newer output could have regressed; trust nothing newer
+# than the verdict that blessed it)
 skip = set()
+log_mtime = 0.0
 if len(sys.argv) > 3 and os.path.exists(sys.argv[3]):
+    log_mtime = os.path.getmtime(sys.argv[3])
     for line in open(sys.argv[3]):
         if line.startswith("PASS "):
             skip.add(line.split()[1])
+
+
+def output_newer_than_log(rdir):
+    if not os.path.isdir(rdir):
+        return True  # vanished output: fall through to the normal FAIL path
+    parts = glob.glob(f"{rdir}/*")
+    newest = max((os.path.getmtime(f) for f in parts), default=0.0)
+    return max(newest, os.path.getmtime(rdir)) > log_mtime
 
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
@@ -26,9 +39,11 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
 for q, sql in sorted(oracle.items()):
-    if q in skip:
-        print(f"PASS {q} (cached)"); continue
     rdir = f"{outdir}/{q}"
+    if q in skip:
+        if not output_newer_than_log(rdir):
+            print(f"PASS {q} (cached)"); continue
+        print(f"  note {q}: output newer than cached log, re-running oracle")
     if not os.path.isdir(rdir):
         print(f"FAIL {q}: no spark output"); fails += 1; continue
     try:
