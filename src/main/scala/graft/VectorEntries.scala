@@ -44,6 +44,68 @@ object VectorEntries {
        |       ${VectorOps.duckSketch("q")} AS bucket
        |FROM (SELECT vec_id, $q AS q FROM ($corpus))""".stripMargin
 
+  private def treeSums =
+    (0 until Dims).map(i => s"CAST(sum(q[${i + 1}]) AS BIGINT) AS s_$i").mkString(", ")
+  private def treeDist(c: String, t: String) = (0 until Dims)
+    .map(i => s"power($c.n * $t.q[${i + 1}] - $c.s_$i, 2)").mkString(" + ")
+
+  /** E44t's two-level-Lloyd training unrolled as a WITH-body prefix: both
+    * levels' fixed rounds over `embeddings`, ending at the trained
+    * centroid tables `l1` (level-1 cells) and `l2` (per-cell children).
+    * `emb_tree_assign` assigns the training corpus through it;
+    * `dedup_semantic_tree` assigns the dup-augmented corpus — sharing the
+    * text keeps the two oracles' quantizer identical by construction.
+    * Level-1 is emb_ivf_train's recipe at TreeK1; level-2 repeats it
+    * INSIDE each cell (join on cell instead of a cross join — each
+    * vector sees only its own cell's children). */
+  private lazy val treeTrainCtesSql: String = {
+    val sums = treeSums
+    def distOf(c: String) = treeDist(c, "v")
+    def distVc(c: String) = treeDist(c, "vc")
+    val h = graft.text.PortableHash.duckH32("CAST(vec_id AS VARCHAR)")
+    s"""v AS MATERIALIZED (SELECT vec_id, $q AS q FROM embeddings),
+       |a0 AS (SELECT vec_id, $h % $TreeK1 AS g FROM v),
+       |c1 AS (SELECT g, CAST(count(*) AS BIGINT) AS n, $sums
+       |       FROM v JOIN a0 USING (vec_id) GROUP BY g),
+       |d1 AS (SELECT v.vec_id, c1.g, (${distOf("c1")}) / CAST(c1.n * c1.n AS DOUBLE) AS dist
+       |       FROM v CROSS JOIN c1),
+       |a1 AS (SELECT vec_id, g FROM (
+       |  SELECT vec_id, g, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, g ASC) AS rk
+       |  FROM d1) WHERE rk = 1),
+       |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS n, $sums
+       |       FROM v JOIN a1 USING (vec_id) GROUP BY g),
+       |d2 AS (SELECT v.vec_id, c2.g, (${distOf("c2")}) / CAST(c2.n * c2.n AS DOUBLE) AS dist
+       |       FROM v CROSS JOIN c2),
+       |a2 AS (SELECT vec_id, g FROM (
+       |  SELECT vec_id, g, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, g ASC) AS rk
+       |  FROM d2) WHERE rk = 1),
+       |l1 AS (SELECT g, CAST(count(*) AS BIGINT) AS n, $sums
+       |       FROM v JOIN a2 USING (vec_id) GROUP BY g),
+       |dc AS (SELECT v.vec_id, l1.g, (${distOf("l1")}) / CAST(l1.n * l1.n AS DOUBLE) AS dist
+       |       FROM v CROSS JOIN l1),
+       |vc AS MATERIALIZED (SELECT v.vec_id, v.q, cellof.g AS cell
+       |      FROM v JOIN (SELECT vec_id, g FROM (
+       |        SELECT vec_id, g, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, g ASC) AS rk
+       |        FROM dc) WHERE rk = 1) cellof USING (vec_id)),
+       |b0 AS (SELECT vec_id, $h % $TreeK2 AS ch FROM vc),
+       |s1 AS (SELECT cell, ch, CAST(count(*) AS BIGINT) AS n, $sums
+       |       FROM vc JOIN b0 USING (vec_id) GROUP BY cell, ch),
+       |e1 AS (SELECT vc.vec_id, s1.ch, (${distVc("s1")}) / CAST(s1.n * s1.n AS DOUBLE) AS dist
+       |       FROM vc JOIN s1 ON vc.cell = s1.cell),
+       |b1 AS (SELECT vec_id, ch FROM (
+       |  SELECT vec_id, ch, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, ch ASC) AS rk
+       |  FROM e1) WHERE rk = 1),
+       |s2 AS (SELECT cell, ch, CAST(count(*) AS BIGINT) AS n, $sums
+       |       FROM vc JOIN b1 USING (vec_id) GROUP BY cell, ch),
+       |e2 AS (SELECT vc.vec_id, s2.ch, (${distVc("s2")}) / CAST(s2.n * s2.n AS DOUBLE) AS dist
+       |       FROM vc JOIN s2 ON vc.cell = s2.cell),
+       |b2 AS (SELECT vec_id, ch FROM (
+       |  SELECT vec_id, ch, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, ch ASC) AS rk
+       |  FROM e2) WHERE rk = 1),
+       |l2 AS (SELECT cell, ch, CAST(count(*) AS BIGINT) AS n, $sums
+       |       FROM vc JOIN b2 USING (vec_id) GROUP BY cell, ch)""".stripMargin
+  }
+
   /** knn_brute's oracle — also the truth leg of knn_recall. */
   private val knnBruteSql =
     s"""WITH prep AS (
@@ -187,6 +249,23 @@ object VectorEntries {
     "dedup_semantic" -> ((s, dir) => {
       val cents = Knn.centroidSums(Tables.embeddings(s, dir), "label", "embedding", Dims)
       Knn.semanticDedup(embDup(s, dir), cents, "vec_id", "embedding", TauBp, Dims)
+    }),
+
+    // E44×E44t: SemDeDup over the TREE-assigned clusters — the 100 TB
+    // composition END TO END: two-level Lloyd trained on the clean
+    // corpus (n·(k1+k2) assignment instead of flat n·K), the
+    // dup-augmented corpus pushed through both levels, then the same
+    // greedy lower-id drop within each composite cell·k2+child cluster.
+    // dedup_semantic gates the flat path; this gates the scale path.
+    "dedup_semantic_tree" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (l1, l2) = Knn.ivfTrain2(
+        e, "vec_id", "embedding", TreeK1, TreeK2, TrainIters, Dims)
+      val corpus = embDup(s, dir)
+      val assigned = Knn.treeAssign(
+        corpus, l1, l2, "vec_id", "embedding", TreeK2, Dims)
+      Knn.semanticDedupAssigned(
+        corpus.join(assigned, "vec_id"), "vec_id", "embedding", "cluster", TauBp)
     }),
 
     // E39: INT8 scalar quantization of the corpus — float32 → 1 byte/dim
@@ -808,60 +887,41 @@ object VectorEntries {
     // TreeK1; level-2 repeats it INSIDE each cell (join on cell instead
     // of a cross join — each vector sees only its own cell's children);
     // the final argmin mirrors treeAssign's (dist, child) tie-break
-    "emb_tree_assign" -> {
-      val sums = (0 until Dims).map(i => s"CAST(sum(q[${i + 1}]) AS BIGINT) AS s_$i").mkString(", ")
-      def distOf(c: String) = (0 until Dims)
-        .map(i => s"power($c.n * v.q[${i + 1}] - $c.s_$i, 2)").mkString(" + ")
-      def distVc(c: String) = (0 until Dims)
-        .map(i => s"power($c.n * vc.q[${i + 1}] - $c.s_$i, 2)").mkString(" + ")
-      val h = graft.text.PortableHash.duckH32("CAST(vec_id AS VARCHAR)")
-      s"""WITH v AS MATERIALIZED (SELECT vec_id, $q AS q FROM embeddings),
-         |a0 AS (SELECT vec_id, $h % $TreeK1 AS g FROM v),
-         |c1 AS (SELECT g, CAST(count(*) AS BIGINT) AS n, $sums
-         |       FROM v JOIN a0 USING (vec_id) GROUP BY g),
-         |d1 AS (SELECT v.vec_id, c1.g, (${distOf("c1")}) / CAST(c1.n * c1.n AS DOUBLE) AS dist
-         |       FROM v CROSS JOIN c1),
-         |a1 AS (SELECT vec_id, g FROM (
-         |  SELECT vec_id, g, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, g ASC) AS rk
-         |  FROM d1) WHERE rk = 1),
-         |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS n, $sums
-         |       FROM v JOIN a1 USING (vec_id) GROUP BY g),
-         |d2 AS (SELECT v.vec_id, c2.g, (${distOf("c2")}) / CAST(c2.n * c2.n AS DOUBLE) AS dist
-         |       FROM v CROSS JOIN c2),
-         |a2 AS (SELECT vec_id, g FROM (
-         |  SELECT vec_id, g, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, g ASC) AS rk
-         |  FROM d2) WHERE rk = 1),
-         |l1 AS (SELECT g, CAST(count(*) AS BIGINT) AS n, $sums
-         |       FROM v JOIN a2 USING (vec_id) GROUP BY g),
-         |dc AS (SELECT v.vec_id, l1.g, (${distOf("l1")}) / CAST(l1.n * l1.n AS DOUBLE) AS dist
-         |       FROM v CROSS JOIN l1),
-         |vc AS MATERIALIZED (SELECT v.vec_id, v.q, cellof.g AS cell
-         |      FROM v JOIN (SELECT vec_id, g FROM (
-         |        SELECT vec_id, g, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, g ASC) AS rk
-         |        FROM dc) WHERE rk = 1) cellof USING (vec_id)),
-         |b0 AS (SELECT vec_id, $h % $TreeK2 AS ch FROM vc),
-         |s1 AS (SELECT cell, ch, CAST(count(*) AS BIGINT) AS n, $sums
-         |       FROM vc JOIN b0 USING (vec_id) GROUP BY cell, ch),
-         |e1 AS (SELECT vc.vec_id, s1.ch, (${distVc("s1")}) / CAST(s1.n * s1.n AS DOUBLE) AS dist
-         |       FROM vc JOIN s1 ON vc.cell = s1.cell),
-         |b1 AS (SELECT vec_id, ch FROM (
-         |  SELECT vec_id, ch, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, ch ASC) AS rk
-         |  FROM e1) WHERE rk = 1),
-         |s2 AS (SELECT cell, ch, CAST(count(*) AS BIGINT) AS n, $sums
-         |       FROM vc JOIN b1 USING (vec_id) GROUP BY cell, ch),
-         |e2 AS (SELECT vc.vec_id, s2.ch, (${distVc("s2")}) / CAST(s2.n * s2.n AS DOUBLE) AS dist
-         |       FROM vc JOIN s2 ON vc.cell = s2.cell),
-         |b2 AS (SELECT vec_id, ch FROM (
-         |  SELECT vec_id, ch, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, ch ASC) AS rk
-         |  FROM e2) WHERE rk = 1),
-         |l2 AS (SELECT cell, ch, CAST(count(*) AS BIGINT) AS n, $sums
-         |       FROM vc JOIN b2 USING (vec_id) GROUP BY cell, ch),
-         |f AS (SELECT vc.vec_id, vc.cell, l2.ch, (${distVc("l2")}) / CAST(l2.n * l2.n AS DOUBLE) AS dist
+    "emb_tree_assign" ->
+      s"""WITH $treeTrainCtesSql,
+         |f AS (SELECT vc.vec_id, vc.cell, l2.ch, (${treeDist("l2", "vc")}) / CAST(l2.n * l2.n AS DOUBLE) AS dist
          |      FROM vc JOIN l2 ON vc.cell = l2.cell)
          |SELECT vec_id, CAST(cell * $TreeK2 + ch AS BIGINT) AS cluster FROM (
          |  SELECT vec_id, cell, ch, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, ch ASC) AS rk
-         |  FROM f) WHERE rk = 1""".stripMargin
-    },
+         |  FROM f) WHERE rk = 1""".stripMargin,
+
+    // E44×E44t: the tree trained on `embeddings` (shared prefix), the
+    // DUP corpus assigned through both levels (argmin over l1, then
+    // that cell's children in l2 — treeAssign's (dist, child)
+    // tie-break), then dedup_semantic's within-cluster lower-id drop
+    // over the composite cell·k2+child clusters
+    "dedup_semantic_tree" ->
+      s"""WITH $treeTrainCtesSql,
+         |u AS (SELECT vec_id, q, ${VectorOps.duckQdot("q", "q")} AS sd
+         |      FROM (SELECT vec_id, $q AS q FROM ($embDupSql))),
+         |ud AS (SELECT u.vec_id, l1.g, (${treeDist("l1", "u")}) / CAST(l1.n * l1.n AS DOUBLE) AS dist
+         |       FROM u CROSS JOIN l1),
+         |uc AS (SELECT u.vec_id, u.q, u.sd, cellof.g AS cell
+         |       FROM u JOIN (SELECT vec_id, g FROM (
+         |         SELECT vec_id, g, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, g ASC) AS rk
+         |         FROM ud) WHERE rk = 1) cellof USING (vec_id)),
+         |uf AS (SELECT uc.vec_id, uc.q, uc.sd, uc.cell, l2.ch,
+         |         (${treeDist("l2", "uc")}) / CAST(l2.n * l2.n AS DOUBLE) AS dist
+         |       FROM uc JOIN l2 ON uc.cell = l2.cell),
+         |asg AS (SELECT vec_id, q, sd, CAST(cell * $TreeK2 + ch AS BIGINT) AS cluster FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, ch ASC) AS rk
+         |  FROM uf) WHERE rk = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${VectorOps.duckCosineBp(VectorOps.duckQdot("a.q", "b.q"), "a.sd", "b.sd")} >= $TauBp)
+         |SELECT vec_id, cluster FROM asg
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
 
     "knn_ivf" -> knnIvfSql,
 
