@@ -7,7 +7,7 @@ import graft.cdc.CdcOperator.{SnapshotConfig, ValidateConfig}
 import graft.pg.{JdbcSink, PgConfig, Reflect}
 import graft.sources.DmsFileCatalog.{AbsolutePath, DateAware, FullLoadOnly, Mode}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{coalesce, col, count, desc, lit, max, sum, when}
+import org.apache.spark.sql.functions.{avg, coalesce, col, count, desc, lit, max, min, pmod, sum, when}
 
 /** Command-line client — the graft equivalent of the reference's
   * `dms-cdc-operator-client validate` (dms-cdc-operator-client/src/main.rs),
@@ -76,7 +76,7 @@ object Cli {
           "| Cli index build|append|compact|screen ... | Cli land ... " +
           "| Cli profile ... | Cli hotkeys ... | Cli scd2 ... | Cli compact ... " +
           "| Cli audit ... | Cli shuffle ... " +
-          "| Cli rollup ... | Cli ann build|search|append|drift ... " +
+          "| Cli rollup ... | Cli ann build|search|append|drift|recall ... " +
           "| Cli bm25 build|search ... | Cli pca fit|project ... " +
           "| Cli classify train|predict ... | Cli winnow build|screen ... " +
           "| Cli passages ... | Cli lm build|score|drift ... | Cli paths ... " +
@@ -170,14 +170,21 @@ object Cli {
     * clusters; `append` accepts a new batch at batch cost (duplicate-id
     * guarded); `drift` measures per-cluster centroid drift of the
     * current members against the trained centroids, worst-first — the
-    * rebuild trigger the append path delegates to the operator. */
+    * rebuild trigger the append path delegates to the operator;
+    * `recall` closes the serve-path loop the way `drift` does — a
+    * deterministically-sampled query set scored through the PERSISTED
+    * index against the brute-force truth (the E7r/E45r measurement over
+    * the index actually serving), so coded-corpus recall decay between
+    * drift checks is observable, not assumed. */
   private def runAnn(args: Seq[String]): Unit = {
     val usage =
       "usage: Cli ann build --in emb.parquet --index dir [--id vec_id] [--vec embedding] " +
         "[--dims 64] [--clusters 8] [--iters 2] [--pq m,ksub,iters]\n" +
         "     | Cli ann search --index dir --queries file [--k 10] [--nprobe 3] [--out p]\n" +
         "     | Cli ann append --in batch.parquet --index dir\n" +
-        "     | Cli ann drift --in corpus.parquet --index dir [--top 10]"
+        "     | Cli ann drift --in corpus.parquet --index dir [--top 10]\n" +
+        "     | Cli ann recall --in corpus.parquet --index dir [--k 10] [--nprobe 3] " +
+        "[--sample-bp 100] [--out p]"
     val sub = args.headOption.getOrElse {
       System.err.println(usage); sys.exit(2); ""
     }
@@ -274,6 +281,52 @@ object Cli {
           println(s"[ann] cluster=${r.get(0)} n_trained=${r.get(1)} " +
             s"n_current=${r.get(2)} drift2=$d")
         }
+      case "recall" =>
+        val (in, index) = (opts.req("in"), opts.req("index"))
+        val (id, vec, dims, pq) = readMeta(index)
+        val k = opts.int("k", 10)
+        val nprobe = opts.int("nprobe", 3)
+        val sampleBp = opts.int("sample-bp", 100)
+        val corpus = spark.read.parquet(in)
+        // deterministic query sample (the stratifiedSample hash recipe):
+        // same corpus + same bp = same queries, so successive recall
+        // checks on a drifting index are comparable measurements
+        val qs = corpus.filter(
+          pmod(graft.text.PortableHash.h32(col(id).cast("string")),
+            lit(10000L)) < sampleBp).localCheckpoint()
+        val nQs = qs.count()
+        require(nQs > 0,
+          s"ann recall: the $sampleBp bp sample selected no queries — " +
+            "raise --sample-bp")
+        val exact = graft.similarity.Knn.bruteForce(corpus, qs, id, vec, k)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = (pq match {
+          case Some((m, _)) =>
+            val cb = spark.read.parquet(s"$index/codebook.parquet")
+            Pq.searchIndex(spark, s"$index/vectors", centroids(index), cb, qs,
+              id, vec, k, m, dims, nprobe)
+          case None =>
+            Knn.ivfSearchIndex(spark, s"$index/vectors", centroids(index), qs,
+              id, vec, k, dims, nprobe)
+        }).select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        val perQuery = exact
+          .join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(
+            count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("recall_bp",
+            graft.text.TextOps.bp(col("n_hit"), col("n_exact")))
+          .localCheckpoint() // feeds the artifact AND the summary
+        opts.get("out").foreach { p =>
+          perQuery.write.mode("overwrite").parquet(p)
+        }
+        val s = perQuery.agg(
+          avg(col("recall_bp")).as("mean"), min(col("recall_bp")).as("worst")).head()
+        println(f"[ann] recall@$k over $nQs sampled queries " +
+          f"(${if (pq.isDefined) "IVF+PQ" else "IVF"}, nprobe=$nprobe): " +
+          f"mean=${s.getDouble(0)}%.0f bp worst=${s.getLong(1)} bp" +
+          opts.get("out").map(p => s" -> $p").getOrElse(""))
       case other =>
         System.err.println(s"unknown ann subcommand '$other'\n$usage"); sys.exit(2)
     }

@@ -69,4 +69,45 @@ class CliAnnSpec extends SparkSpecBase {
     // drift readout runs worst-first without error (smoke over stdout)
     Cli.main(Array("ann", "drift", "--in", basePath, "--index", index, "--top", "3"))
   }
+
+  test("ann recall measures the persisted index against brute-force truth") {
+    val dir = sf("sf0.001")
+    val emb = s"$dir/embeddings.parquet"
+    val index = tmp("graft_ann_rc")
+    val outPath = tmp("graft_ann_rco") + "/recall.parquet"
+    Cli.main(Array("ann", "build", "--in", emb, "--index", index,
+      "--clusters", "6", "--iters", "2"))
+    Cli.main(Array("ann", "recall", "--in", emb, "--index", index,
+      "--k", "10", "--nprobe", "3", "--sample-bp", "300", "--out", outPath))
+    val got = spark.read.parquet(outPath)
+      .select("query_id", "n_exact", "n_hit", "recall_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // the CLI answer equals the library composition over the SAME
+    // deterministic sample and the SAME persisted index
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter(pmod(
+      graft.text.PortableHash.h32($"vec_id".cast("string")), lit(10000L)) < 300)
+    val exact = Knn.bruteForce(e, qs, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id")
+    val approx = Knn.ivfSearchIndex(spark, s"$index/vectors",
+      spark.read.parquet(s"$index/centroids.parquet"), qs,
+      "vec_id", "embedding", 10, 64, 3)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    val lib = exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_exact"), sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .withColumn("recall_bp", graft.text.TextOps.bp($"n_hit", $"n_exact"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSet == lib.toSet)
+    got.foreach { case (_, nExact, nHit, bp) =>
+      assert(nHit <= nExact && bp >= 0L && bp <= 10000L)
+    }
+    // a sample too narrow to select any query refuses loudly
+    val e2 = intercept[IllegalArgumentException] {
+      Cli.main(Array("ann", "recall", "--in", emb, "--index", index,
+        "--sample-bp", "0"))
+    }
+    assert(e2.getMessage.contains("sample"), e2.getMessage)
+  }
 }
