@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   *  - dimension tables (region, nation) stay single-copy, as a real
   *    scale-up would.
   *
-  * Bench-only data (no oracle runs at this scale); written under
-  * target/ so it never enters git.
+  * Feeds the decade bench legs AND the large-scale oracle gates (the
+  * full sf1 sweep in CORRECTNESS_sf1_r15.md, the sf10 family gate) —
+  * the construction invariants above are what keep the DuckDB oracles
+  * viable there. Written under target/ so it never enters git.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {

@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * the comparison isolates assignment cost, not centroid quality);
   * agreement_bp reports how often the tree's greedy level-1 descent
   * lands on the flat argmin — the recall/cost trade of hierarchical
-  * quantizers. One JSON line per run; point it at sf0.1 / target/sf1 /
-  * target/sf10 for the decade evidence.
+  * quantizers. Also times the END-TO-END dedup term
+  * (semanticDedupAssigned over each assignment) at the same scaled K —
+  * the flat-vs-tree gap on the dedup itself, not just the assignment.
+  * One JSON line per run; point it at sf0.1 / target/sf1 / target/sf10
+  * for the decade evidence.
   *
   * Usage: runMain graft.tools.SemDedupScale [sfDir] [k1] [k2] [iters]
   */
@@ -53,9 +56,28 @@ object SemDedupScale {
     val agree = flat.withColumnRenamed("cluster", "__f")
       .join(tree, "vec_id")
       .agg(sum(when(col("__f") === col("cluster"), 1L).otherwise(0L))).head().getLong(0)
+    // END-TO-END dedup term over each assignment: the within-cell pair
+    // join rides Σ cell², so K (scaled with the corpus: cells ≈ n/c for
+    // a target cell size c) is what keeps SemDeDup sub-quadratic. The
+    // oracle-gate fixtures pin K to a handful of label centroids for a
+    // small DuckDB oracle — DEGENERATE above sf1 (cell size grows
+    // linearly with the corpus → pair mass quadratically; observed:
+    // dedup_semantic at sf10 ran 50+ min on the pair join alone). This
+    // is the scaled-K measurement of the same composition.
+    val tau = 9500L
+    val (nFlat, flatDedupS) = timed {
+      Knn.semanticDedupAssigned(
+        e.join(flat, "vec_id"), "vec_id", "embedding", "cluster", tau).count()
+    }
+    val (nTree, treeDedupS) = timed {
+      Knn.semanticDedupAssigned(
+        e.join(tree, "vec_id"), "vec_id", "embedding", "cluster", tau).count()
+    }
     println(s"""{"metric":"semdedup_scale","sf":"$sfDir","n":$n,"k1":$k1,"k2":$k2,""" +
       s""""flat_rows":${n * k1 * k2},"tree_rows":${n * (k1 + k2)},""" +
       s""""flat_s":$flatS,"tree_s":$treeS,""" +
+      s""""flat_dedup_s":$flatDedupS,"tree_dedup_s":$treeDedupS,""" +
+      s""""survivors_flat":$nFlat,"survivors_tree":$nTree,""" +
       s""""agreement_bp":${if (n == 0) 0 else agree * 10000 / n}}""")
     spark.stop()
   }
