@@ -8,21 +8,36 @@ import org.apache.spark.sql.functions._
   * table, constructed so per-copy structure is IDENTICAL to the source
   * and copies never interact:
   *
-  *  - all entity keys shift by copy*10M consistently across tables, so
-  *    referential joins (orders⋈customer, lineitem⋈part/supplier,
-  *    events.user_id) fan out 10× without orphaning anything;
+  *  - all entity keys shift by copy*stride consistently across tables,
+  *    so referential joins (orders⋈customer, lineitem⋈part/supplier,
+  *    events.user_id) fan out 10× without orphaning anything. The
+  *    stride is derived from the SOURCE's own key span (next multiple
+  *    of 10M above the largest key in any shifted column) — a FIXED
+  *    stride collides chained scale-ups: sf1 keys already span 10
+  *    strides, so shifting copy j by j·10M lands chain (k, j) on key
+  *    v + (k+j)·10M — duplicate keys with divergent payloads (observed:
+  *    a chained sf10 customer table with 1.5M rows but 285k distinct
+  *    keys). Mirrors the ts-span logic below;
   *  - document text gets a per-copy suffix appended to EVERY token —
   *    within-copy shingle/near-dup structure is preserved exactly, while
   *    cross-copy shingles never collide (otherwise 10 verbatim copies of
   *    each doc would add an artificial 45-pair clique per document and
   *    the dedup queries would measure the construction, not the scale);
-  *  - embeddings rotate circularly by the copy index — norms and
-  *    intra-copy geometry exact, cross-copy cosines uncorrelated;
+  *  - embeddings rotate circularly by the copy index AND flip a
+  *    per-copy deterministic sign pattern — norms and intra-copy
+  *    geometry exact, cross-copy cosines uncorrelated, and chained
+  *    scale-ups can't recreate a copy (see [[embedCopy]]);
   *  - entity names (c_name, s_name) get per-copy suffixes pairwise ≥ 3
   *    edits apart, so edit-distance joins keep their within-copy ground
   *    truth instead of gaining a quadratic cross-copy duplicate mass;
   *  - dimension tables (region, nation) stay single-copy, as a real
-  *    scale-up would.
+  *    scale-up would;
+  *  - every value transform (name/token suffix, embedding mask) applies
+  *    to copy 0 TOO: a verbatim copy 0 makes chains (0, j) and (j, 0)
+  *    compose to the same transform — bit-equal names/texts/vectors
+  *    under different keys, i.e. artificial cross-copy dup pairs that
+  *    the dedup and fuzzy-join measurements would report as real mass
+  *    (caught by ScaleUpSpec's chain-distinctness test).
   *
   * Feeds the decade bench legs AND the large-scale oracle gates (the
   * full sf1 sweep in CORRECTNESS_sf1_r15.md, the sf10 family gate) —
@@ -30,6 +45,66 @@ import org.apache.spark.sql.functions._
   * viable there. Written under target/ so it never enters git.
   */
 object ScaleUp {
+  /** Deterministic ±1 sign per (copy, dim), splitmix64 parity. */
+  def signMask(k: Int): Array[Float] = Array.tabulate(64) { i =>
+    var z = k.toLong * 64 + i + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    if (((z ^ (z >>> 31)) & 1L) == 1L) -1f else 1f
+  }
+
+  /** Copy-k embedding transform: circular rotation + per-copy ±1 sign
+    * mask. Rotation alone collides: it saturates at the dimensionality
+    * (copies 64.. repeat copies 0..), and CHAINED scale-ups (sf1 → sf10)
+    * compose rotations additively, so any two chains with equal total
+    * rotation (k+j) yield bit-equal vectors under different vec_ids —
+    * an artificial cross-copy dup clique that the semantic-dedup
+    * measurements would report as real mass. The deterministic sign
+    * flip per (copy, dim) preserves norms and every within-copy dot
+    * product EXACTLY (s_i² = 1), keeps cross-copy cosines uncorrelated,
+    * and makes composed transforms (rotate∘flip∘rotate∘flip) collide
+    * only on identical chains: masks are effectively random 64-bit
+    * patterns, so distinct chains disagree somewhere with overwhelming
+    * margin. The mask applies to copy 0 TOO (rotation 0 + mask m_0) —
+    * a verbatim copy 0 makes chains (0, j) and (j, 0) compose to the
+    * same transform (m_j∘rot_j in both orders around an identity).
+    */
+  def embedCopy(s: DataFrame, k: Int): DataFrame = {
+    val r = k % 64
+    val rotated =
+      if (r == 0) col("embedding")
+      else concat(
+        slice(col("embedding"), lit(r + 1), size(col("embedding")) - r),
+        slice(col("embedding"), lit(1), lit(r)))
+    s.withColumn("embedding",
+      zip_with(rotated, typedLit(signMask(k)), (x, m) => x * m))
+  }
+
+  /** Key stride for this invocation: the next multiple of 10M above the
+    * largest key in any shifted column of the source — so chained
+    * scale-ups shift past the source's whole key span instead of
+    * landing copies on each other (see the class doc).
+    */
+  def keyStride(spark: SparkSession, src: String): Long = {
+    val Off = 10000000L
+    val keyCols = Seq(
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+    val maxKey = keyCols.flatMap { case (t, cs) =>
+      val aggs = cs.map(c => max(col(c).cast("long")))
+      val row = spark.read.parquet(s"$src/$t.parquet")
+        .agg(aggs.head, aggs.tail: _*).head()
+      cs.indices.map(row.getLong(_))
+    }.max
+    (maxKey / Off + 1) * Off
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/sf1")
@@ -43,7 +118,8 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val Off = 10000000L
+    val stride = keyStride(spark, src)
+    println(s"[scaleup] key stride $stride")
 
     def write(t: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$t.parquet")
@@ -52,7 +128,7 @@ object ScaleUp {
       println(s"[scaleup] $t -> $out/$t.parquet (${copies}x)")
     }
     def shifted(d: DataFrame, k: Int, keys: String*): DataFrame =
-      keys.foldLeft(d)((acc, c) => acc.withColumn(c, col(c) + lit(k * Off)))
+      keys.foldLeft(d)((acc, c) => acc.withColumn(c, col(c) + lit(k * stride)))
 
     for (t <- Seq("region", "nation"))
       spark.read.parquet(s"$src/$t.parquet")
@@ -65,6 +141,8 @@ object ScaleUp {
     // makes the edit-distance join's ground truth itself quadratic and
     // measures the construction, not the scale (observed: fuzzy_join
     // 34× per decade unsuffixed vs the join's real candidate growth).
+    // Copy 0 is suffixed too (class doc: chain (0,j) vs (j,0)); a
+    // common appended suffix never changes within-copy edit distances.
     val nameWidth = Integer.toString(math.max(copies - 1, 1), 36).length
     def nameSuffix(k: Int): String = {
       val s = Integer.toString(k, 36)
@@ -72,8 +150,7 @@ object ScaleUp {
       " " + padded.flatMap(c => s"$c$c$c")
     }
     def renamed(d: DataFrame, k: Int, nameCol: String): DataFrame =
-      if (k == 0) d
-      else d.withColumn(nameCol, concat(col(nameCol), lit(nameSuffix(k))))
+      d.withColumn(nameCol, concat(col(nameCol), lit(nameSuffix(k))))
     write("customer")((d, k) => renamed(shifted(d, k, "c_custkey"), k, "c_name"))
     write("supplier")((d, k) => renamed(shifted(d, k, "s_suppkey"), k, "s_name"))
     write("part")((d, k) => shifted(d, k, "p_partkey"))
@@ -113,22 +190,13 @@ object ScaleUp {
       "0" * (sufWidth - s.length) + s
     }
     write("documents") { (d, k) =>
-      val s = shifted(d, k, "doc_id")
-      if (k == 0) s
-      else s.withColumn("text",
-        // copy k's shingles are disjoint from copy j's for ANY copy count
+      // copy k's shingles are disjoint from copy j's for ANY copy count;
+      // copy 0 is suffixed too (class doc: chain (0,j) vs (j,0))
+      shifted(d, k, "doc_id").withColumn("text",
         regexp_replace(col("text"), "(\\S+)", "$1" + copySuffix(k)))
     }
     write("embeddings") { (d, k) =>
-      val s = shifted(d, k, "vec_id")
-      // circular rotation by k mod dims (rotation 0 = verbatim copy —
-      // only reached when copies exceed the dimensionality); slice args
-      // must stay within the 64-dim array for any copy count
-      val r = k % 64
-      if (r == 0) s
-      else s.withColumn("embedding",
-        concat(slice(col("embedding"), lit(r + 1), size(col("embedding")) - r),
-          slice(col("embedding"), lit(1), lit(r))))
+      embedCopy(shifted(d, k, "vec_id"), k)
     }
     spark.stop()
   }
