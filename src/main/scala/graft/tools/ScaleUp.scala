@@ -71,11 +71,18 @@ object ScaleUp {
     */
   def embedCopy(s: DataFrame, k: Int): DataFrame = {
     val r = k % 64
+    // the sign mask is a 64-element literal; zip_with against any other
+    // width would silently null-pad (dims < 64) or truncate the mask
+    // (dims > 64), producing corrupt vectors — refuse loudly per row
+    val checked = when(size(col("embedding")) === 64, col("embedding"))
+      .otherwise(raise_error(concat(
+        lit("ScaleUp.embedCopy: expected 64-dim embedding, got "),
+        size(col("embedding")).cast("string"))))
     val rotated =
-      if (r == 0) col("embedding")
+      if (r == 0) checked
       else concat(
-        slice(col("embedding"), lit(r + 1), size(col("embedding")) - r),
-        slice(col("embedding"), lit(1), lit(r)))
+        slice(checked, lit(r + 1), size(checked) - r),
+        slice(checked, lit(1), lit(r)))
     s.withColumn("embedding",
       zip_with(rotated, typedLit(signMask(k)), (x, m) => x * m))
   }
@@ -100,7 +107,13 @@ object ScaleUp {
       val aggs = cs.map(c => max(col(c).cast("long")))
       val row = spark.read.parquet(s"$src/$t.parquet")
         .agg(aggs.head, aggs.tail: _*).head()
-      cs.indices.map(row.getLong(_))
+      // max() over an empty table is null — getLong would NPE opaquely
+      cs.indices.map { i =>
+        require(!row.isNullAt(i),
+          s"ScaleUp.keyStride: source table '$t' is empty " +
+            s"(max(${cs(i)}) is null) — cannot derive a key stride from it")
+        row.getLong(i)
+      }
     }.max
     (maxKey / Off + 1) * Off
   }
@@ -135,7 +148,8 @@ object ScaleUp {
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     // entity NAMES get a per-copy suffix whose pairwise edit distance is
     // ≥ 3 (each fixed-width base-36 digit tripled: two distinct suffixes
-    // differ in ≥ 3 character positions; copy 0 differs in length) — the
+    // differ in ≥ 3 character positions; copy 0 gets its equal-length
+    // ' 000…' suffix too, so every pair of copies differs in ≥ 3) — the
     // fuzzy-join analogue of the ts-disjointness note below: 10 copies
     // of the SAME name are 45 true ed=0 pairs, so an unsuffixed scale-up
     // makes the edit-distance join's ground truth itself quadratic and

@@ -44,22 +44,53 @@ class ScaleUpSpec extends SparkSpecBase {
   }
 
   test("no two copy chains compose to the same transform") {
-    // one probe vector through every (k, j) chain a sf0.1→sf1→sf10 build
-    // uses, plus the collision classes a weaker transform falls into:
-    // rotation saturation (k and k+64 share a rotation), equal total
-    // rotation (k+j = k'+j'), and identity-composition ((0,j) vs (j,0),
-    // the class the first version of this spec caught). All 121 composed
-    // transforms must be distinct.
-    val src = mkVecs(1)
+    // every (k, j) chain a sf0.1→sf1→sf10 build uses, plus the collision
+    // classes a weaker transform falls into: rotation saturation (k and
+    // k+64 share a rotation), equal total rotation (k+j = k'+j'), and
+    // identity-composition ((0,j) vs (j,0), the class the first version
+    // of this spec caught). All 121 composed transforms must be distinct
+    // — as a property of the TRANSFORM, not of one lucky probe: the
+    // probes are structurally different (a one-hot basis vector, a
+    // dense all-distinct ramp, and the period-23 cycle), and two chains
+    // collide only if they agree on EVERY probe.
+    val probes: Seq[Array[Float]] = Seq(
+      Array.tabulate(64)(i => if (i == 3) 1f else 0f),
+      Array.tabulate(64)(i => (i + 1).toFloat / 8f),
+      mkVecs(1).head._2)
+    val src = probes.zipWithIndex.map { case (v, i) => (i.toLong, v) }
     val chains = for (k <- 0 to 10; j <- 0 to 10) yield (k, j)
     val outs = chains.map { case (k, j) =>
       val afterK = ScaleUp.embedCopy(src.toDF("vec_id", "embedding"), k)
       (k, j) -> ScaleUp.embedCopy(afterK, j)
-        .as[(Long, Array[Float])].head()._2.toSeq
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+        .map(_._2.toSeq).toSeq
     }
     val collided = outs.groupBy(_._2).filter(_._2.size > 1)
     assert(collided.isEmpty,
       s"colliding chains: ${collided.values.map(_.map(_._1)).mkString("; ")}")
+  }
+
+  test("embedCopy refuses non-64-dim embeddings loudly") {
+    val bad = Seq((1L, Array.tabulate(32)(_.toFloat))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      ScaleUp.embedCopy(bad, 1).collect()
+    }
+    assert(e.getMessage.contains("expected 64-dim embedding"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
+  test("keyStride names the empty table instead of NPE-ing") {
+    val dir = java.nio.file.Files.createTempDirectory("scaleup_empty").toString
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings")) {
+      val real = spark.read.parquet(sf("sf0.001") + s"/$t.parquet")
+      val df = if (t == "part") real.limit(0) else real.limit(1)
+      df.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val e = intercept[IllegalArgumentException] {
+      ScaleUp.keyStride(spark, dir)
+    }
+    assert(e.getMessage.contains("'part' is empty"), e.getMessage)
   }
 
   test("sign masks are pairwise distinct over a 100-copy run") {
