@@ -467,7 +467,7 @@ object Cli {
     * `predict` scores any corpus through a saved model. */
   private def runClassify(args: Seq[String]): Unit = {
     val usage =
-      "usage: Cli classify train --in docs.parquet --label cls --model dir [--text text] [--n 3] [--scale 1000000]\n" +
+      "usage: Cli classify train --in docs.parquet --label cls --model dir [--text text] [--n 3] [--scale 1000000] [--min-count 1]\n" +
         "     | Cli classify predict --in docs.parquet --model dir --out dir [--id doc_id] [--text text]"
     val sub = args.headOption.getOrElse {
       System.err.println(usage); sys.exit(2); ""
@@ -481,7 +481,7 @@ object Cli {
         val n = opts.int("n", 3)
         val w = Classifier.trainCentroid(
           spark.read.parquet(in), label, opts.getOrElse("text", "text"),
-          n, opts.long("scale", 1000000L))
+          n, opts.long("scale", 1000000L), opts.long("min-count", 1L))
         Classifier.save(spark, Classifier.CentroidModel(w, n), model)
         val (classes, grams) = {
           val saved = spark.read.parquet(s"$model/weights.parquet")
@@ -1362,12 +1362,13 @@ object Cli {
     * table lists split on WHITESPACE (main.rs:274 split_whitespace)
     * and re-join as this CLI's comma form; an unknown mode falls back
     * to DateAware (main.rs:215); empty start/stop dates are omitted
-    * (option_if_not_empty); confirms accept y/yes/true. One deliberate
-    * divergence: the reference's `Confirm` RE-PROMPTS on unparseable
-    * input (inquire's TTY event loop), while this pure reader→argv form
-    * has no re-prompt channel — anything not y/yes/true reads as no
-    * (blank = the shown default). The dialogue is 17 prompts: 13 Text +
-    * 4 Confirm. The reference payload carries no database name (its
+    * (option_if_not_empty); confirms accept y/yes/true for yes and
+    * n/no/false for no, and — like the reference's `Confirm` TTY event
+    * loop — RE-PROMPT on anything unparseable until a valid answer (or
+    * EOF, which reads as the default: a drained reader has no re-prompt
+    * channel left). The dialogue is 17 prompts: 13 Text + 4 Confirm
+    * (re-prompts repeat a Confirm, they don't add prompts). The
+    * reference payload carries no database name (its
     * code derives it from the URL), so it is derived from the source
     * URL's path here the same way.
     */
@@ -1377,11 +1378,19 @@ object Cli {
       out.println(s"? $prompt [$default]  ($help)")
       Option(in.readLine()).map(_.trim).filter(_.nonEmpty).getOrElse(default)
     }
+    @annotation.tailrec
     def confirm(prompt: String, default: Boolean, help: String): Boolean = {
       out.println(s"? $prompt [${if (default) "Y/n" else "y/N"}]  ($help)")
-      Option(in.readLine()).map(_.trim.toLowerCase).filter(_.nonEmpty) match {
-        case Some(v) => v == "y" || v == "yes" || v == "true"
-        case None => default
+      Option(in.readLine()).map(_.trim.toLowerCase) match {
+        case Some("") => default
+        case Some("y") | Some("yes") | Some("true") => true
+        case Some("n") | Some("no") | Some("false") => false
+        case Some(other) =>
+          // the reference's Confirm re-prompts on unparseable input
+          // (inquire's TTY event loop, main.rs:167-287)
+          out.println(s"! invalid answer '$other' — expected y/n")
+          confirm(prompt, default, help)
+        case None => default // EOF: nothing left to re-prompt from
       }
     }
     val bucketName = ask("S3 Bucket name", "bucket_name",

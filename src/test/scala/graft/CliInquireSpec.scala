@@ -71,6 +71,33 @@ class CliInquireSpec extends AnyFunSuite {
     assert(!argv.contains("--accept-invalid-certs-second-db"))
   }
 
+  test("confirm re-prompts on unparseable input until a valid answer (main.rs Confirm)") {
+    // 13 blank Text answers, then garbage twice at the first Confirm
+    // before a 'yes' — the re-prompt must consume the garbage lines and
+    // land the eventual answer on the SAME prompt; the remaining three
+    // confirms answer 'maybe'→'n', blank, and EOF
+    val argv = run(
+      "", "", "", "", "", "", "", "", "", "", "", "", "",
+      "definitely", "12", "yes", // only-datadiff: garbage ×2 then yes
+      "maybe", "n") // only-snapshot: garbage then no; certs: EOF ×2 → default
+    assert(argv.contains("--only-datadiff"))
+    assert(!argv.contains("--only-snapshot"))
+    assert(!argv.contains("--accept-invalid-certs-first-db"))
+    assert(!argv.contains("--accept-invalid-certs-second-db"))
+  }
+
+  test("confirm accepts the no-family explicitly and echoes an error line on garbage") {
+    val outBuf = new ByteArrayOutputStream()
+    val in = new BufferedReader(new StringReader(
+      Seq.fill(13)("").mkString("\n") + "\nnope-ish\nno\ny\nfalse\ntrue"))
+    val argv = graft.tools.Cli.inquire(in, new PrintStream(outBuf))
+    assert(!argv.contains("--only-datadiff")) // nope-ish → re-prompt → no
+    assert(argv.contains("--only-snapshot")) // y
+    assert(!argv.contains("--accept-invalid-certs-first-db")) // false
+    assert(argv.contains("--accept-invalid-certs-second-db")) // true
+    assert(outBuf.toString.contains("invalid answer 'nope-ish'"))
+  }
+
   test("mode parity: AbsolutePath reuses the prefix, unknown falls back to DateAware") {
     val abs = run("b", "exact/path/2024", "", "", "", "", "", "AbsolutePath")
     assert(opt(abs, "--mode") === Some("absolute-path"))
