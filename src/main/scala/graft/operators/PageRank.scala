@@ -36,10 +36,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * once r' = F(r) equals r exactly (integer fixed-point — equality is
   * bit-equality, no epsilon), every remaining round reproduces r and
   * stopping is PROVABLY equal to running them out — which is why the
-  * fixed-round unrolled oracle stays exact. The check is a node-sized
-  * join per round, negligible next to the edge-sized Pregel step; on
-  * regular graphs (every near-dup clique, for one) the fixed point
-  * arrives in 2-3 rounds and the remaining edge joins are skipped.
+  * fixed-round unrolled oracle stays exact. The changed-row signal
+  * rides the round's OWN materialization: the previous rank joins into
+  * the next-rank plan (node-sized, co-keyed) and a long accumulator
+  * counts disagreements while `localCheckpoint` materializes — each
+  * round is ONE job, with no separate join+isEmpty action after it.
+  * Accumulator semantics are safe here: a task retry can only
+  * OVER-count changes, which at worst runs one more round — and any
+  * extra round reproduces the fixed point bit-for-bit. On regular
+  * graphs (every near-dup clique, for one) the fixed point arrives in
+  * 2-3 rounds and the remaining edge joins are skipped.
   *
   * Precondition: `edges` holds each undirected pair once (a < b), as the
   * dedup pair generators emit them.
@@ -79,11 +85,24 @@ object PageRank {
       val rd = r.withColumnRenamed("id", "src").join(deg, Seq("src"))
         .select(col("src"), expr("r div deg").as("c"))
       val s = und.join(rd, Seq("src")).groupBy("dst").agg(sum(col("c")).as("sm"))
-      val next = s.select(col("dst").as("id"), (lit(base) + expr("85 * sm div 100")).as("r"))
-        .localCheckpoint()
-      converged = next
-        .join(r.select(col("id"), col("r").as("__old")), "id")
-        .filter(col("r") =!= col("__old")).isEmpty
+      val next0 = s.select(col("dst").as("id"), (lit(base) + expr("85 * sm div 100")).as("r"))
+      // convergence signal inside the round's own job: join the previous
+      // rank in (node-sized) and count disagreements in an accumulator
+      // while localCheckpoint materializes — no second action per round.
+      // The mapPartitions hop exists only to feed the accumulator (a
+      // side channel no Column expression reaches); rows are (id, r).
+      val changed = spark.sparkContext.longAccumulator("graft.pagerank.changed")
+      val joined = next0.join(r.select(col("id"), col("r").as("__old")), "id")
+      val outSchema = StructType(Seq(
+        joined.schema("id"), StructField("r", LongType, nullable = false)))
+      val next = joined.mapPartitions { rows =>
+        rows.map { row =>
+          if (row.getLong(1) != row.getLong(2)) changed.add(1L)
+          org.apache.spark.sql.Row(row.get(0), row.getLong(1))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+        .toDF().localCheckpoint()
+      converged = changed.value == 0L
       r = next
       it += 1
     }
