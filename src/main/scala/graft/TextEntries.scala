@@ -151,6 +151,10 @@ object TextEntries {
   val WinnowTau = 2L // candidate pair = >= 2 shared fingerprints
   val ClassifierN = 3 // char-ngram order (E52)
   val ClassifierScale = 1000000L // centroid weights in integer ppm
+  // open-vocab bound: grams with corpus-wide count below this are
+  // dropped from the weight table (the weight table otherwise grows
+  // with the corpus's Zipf tail — the r11-verdict sf10 confusion leg)
+  val ClassifierMinCount = 3L
   // E52 corpus spike: the driver's synthetic docs carry a random `lang`
   // label over IDENTICAL token soup — no classifier can learn a label
   // independent of the text. Real corpora differ in character
@@ -201,7 +205,7 @@ object TextEntries {
     classifierModelMemo.getOrElseUpdate((s, dir),
       graft.text.Classifier.trainCentroid(
         langSpiked(s, dir).filter(col("doc_id") % 5 =!= 0), "lang", "text",
-        ClassifierN, ClassifierScale).localCheckpoint())
+        ClassifierN, ClassifierScale, ClassifierMinCount).localCheckpoint())
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E10: token counting — whitespace, BPE-ish regex, normalized
@@ -1232,8 +1236,13 @@ object TextEntries {
        |  SELECT cls, t, unnest(generate_series(1, length(t) - ${n - 1})) AS i
        |  FROM train WHERE length(t) >= $n),
        |tg AS (SELECT cls, substr(t, i, $n) AS gram FROM tpos),
-       |counts AS (SELECT cls, gram, count(*) AS cnt FROM tg GROUP BY 1, 2),
-       |totals AS (SELECT cls, sum(cnt) AS tot FROM counts GROUP BY 1),
+       |counts0 AS (SELECT cls, gram, count(*) AS cnt FROM tg GROUP BY 1, 2),
+       |totals AS (SELECT cls, sum(cnt) AS tot FROM counts0 GROUP BY 1),
+       |-- minCount vocab floor: class totals stay PRE-floor (ppm
+       |-- normalization unchanged), rare grams just lose their rows
+       |counts AS (SELECT cls, gram, cnt FROM (
+       |  SELECT cls, gram, cnt, sum(cnt) OVER (PARTITION BY gram) AS gtot
+       |  FROM counts0) WHERE gtot >= $ClassifierMinCount),
        |ppm AS (
        |  SELECT counts.cls, counts.gram,
        |         (counts.cnt * $ClassifierScale) // totals.tot AS p

@@ -78,19 +78,38 @@ object Classifier {
   /** Learn contrastive centroid weights: one row per (class, gram) with
     * `w_ppm = C·ppm(g,c) − Σ_c' ppm(g,c')` where
     * `ppm = (count(gram in class) * scale) div total_grams(class)`.
-    * Output columns: `cls`, `gram`, `w_ppm`. */
+    * Output columns: `cls`, `gram`, `w_ppm`.
+    *
+    * `minCount` is the open-vocabulary bound: grams whose CORPUS-WIDE
+    * count (summed over classes) is below it are dropped from the
+    * weight table. On real data the distinct-gram count grows with the
+    * corpus (Zipf tail: most grams occur a handful of times) while the
+    * class signal lives in the frequent grams — the floor keeps the
+    * broadcast table bounded by the corpus's FREQUENT vocabulary
+    * instead of its document count. Class totals (`tot`) and the class
+    * count C are computed BEFORE the floor, so ppm normalization is
+    * unchanged and `minCount = 1` reproduces the unfloored table
+    * bit-for-bit. The filter rides the same vocab-sized frame the
+    * centering window already shuffles — no extra corpus pass. */
   def trainCentroid(
       docs: DataFrame, classCol: String, textCol: String,
-      n: Int = 2, scale: Long = 1000000L): DataFrame = {
+      n: Int = 2, scale: Long = 1000000L, minCount: Long = 1L): DataFrame = {
     require(n >= 1, s"Classifier.trainCentroid: n must be >= 1, got $n")
+    require(minCount >= 1, s"Classifier.trainCentroid: minCount must be >= 1, got $minCount")
     val counts = docs
       .select(col(classCol).as("cls"), explode(grams(col(textCol), n)).as("gram"))
       .groupBy("cls", "gram")
       .agg(count(lit(1)).as("cnt"))
     val totals = counts.groupBy("cls").agg(sum(col("cnt")).as("tot"))
+    val floored =
+      if (minCount <= 1L) counts
+      else counts
+        .withColumn("__gtot", sum(col("cnt")).over(Window.partitionBy("gram")))
+        .filter(col("__gtot") >= minCount)
+        .drop("__gtot")
     // `div` (integral division) keeps the normalization exact-Long;
     // `/` would detour through doubles and lose exactness past 2^53
-    val ppm = counts.join(totals, "cls")
+    val ppm = floored.join(totals, "cls")
       .select(col("cls"), col("gram"), expr(s"(cnt * ${scale}L) div tot").as("p"))
     val nCls = totals.agg(count(lit(1)).as("c"))
     ppm.crossJoin(broadcast(nCls))

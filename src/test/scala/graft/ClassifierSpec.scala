@@ -23,6 +23,32 @@ class ClassifierSpec extends SparkSpecBase {
     assert(z.values.forall(_ == 0L))
   }
 
+  test("minCount floor drops corpus-rare grams without moving surviving weights") {
+    // "aa" occurs 2x in class a and 1x in class b (corpus total 3);
+    // "ab"/"ac"/"cd" occur once each (total 1). At minCount=2 the rare grams
+    // vanish; the survivor's weight must equal its UNfloored value —
+    // class totals are pre-floor, so ppm normalization is untouched.
+    val rows = Seq(("a", "aaab"), ("b", "aacd"))
+    val unfloored = Classifier.trainCentroid(
+      rows.toDF("cls", "text"), "cls", "text", 2, 300L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val floored = Classifier.trainCentroid(
+      rows.toDF("cls", "text"), "cls", "text", 2, 300L, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(floored.keySet === Set(("a", "aa"), ("b", "aa")))
+    for (k <- floored.keySet) assert(floored(k) === unfloored(k), k)
+    // minCount = 1 reproduces the unfloored table bit-for-bit
+    val explicit1 = Classifier.trainCentroid(
+      rows.toDF("cls", "text"), "cls", "text", 2, 300L, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(explicit1 === unfloored)
+    // invalid floor refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Classifier.trainCentroid(rows.toDF("cls", "text"), "cls", "text", 2, 300L, 0L)
+    }
+    assert(e.getMessage.contains("minCount"))
+  }
+
   test("training lowercases before feature extraction") {
     val m = weightsOf(Seq(("a", "ABAB"), ("b", "cd")))
     // class a grams arrive lowercased; unique to a -> w = p
