@@ -24,6 +24,26 @@ object VectorEntries {
   val PqIters = 2  // Lloyd rounds per subspace (mirrors TrainIters)
   val TreeK1 = 4   // two-level quantizer: level-1 cells (E44t)
   val TreeK2 = 2   // children per cell (composite K = TreeK1·TreeK2)
+  val TreeProbe = 2 // level-1 cells probed at assignment (multi-probe descent)
+
+  /** E44t's trained two-level quantizer, trained ONCE per (session,
+    * corpus) and shared by `emb_tree_assign` / `dedup_semantic_tree` —
+    * each used to pay both Lloyd levels independently (~8 s of every
+    * gate run, r11 verdict item 3). The localCheckpoints are the
+    * in-suite artifact; in production the tree is a persisted model like
+    * the classifier's ([[graft.text.Classifier.save]] pattern) and the
+    * serve paths load it. The DuckDB oracles still retrain inline —
+    * sharing a materialization is a cost choice, not a semantics
+    * change (both queries trained on the SAME clean corpus before). */
+  private val treeModelMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def treeModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    treeModelMemo.getOrElseUpdate((s, dir), {
+      val (l1, l2) = Knn.ivfTrain2(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        TreeK1, TreeK2, TrainIters, Dims)
+      (l1.localCheckpoint(), l2.localCheckpoint())
+    })
 
   /** embeddings ∪ exact duplicates of every 10th vector (+100000). */
   private def embDup(s: SparkSession, dir: String): DataFrame = {
@@ -198,17 +218,19 @@ object VectorEntries {
         .withColumnRenamed("group", "cluster")),
 
     // E44t: TWO-LEVEL tree assignment — the 100 TB SemDeDup path: each
-    // vector resolves in n·(k1+k2) distance rows instead of flat
+    // vector resolves in n·(k1+probe·k2) distance rows instead of flat
     // n·(k1·k2). Level-1 Lloyd trained as emb_ivf_train; level-2 runs
     // exact integer Lloyd INSIDE every level-1 cell in one job (cell id
-    // on the aggregation key); composite cluster = cell·k2 + child. The
-    // oracle unrolls both levels' fixed rounds (early convergence stop
-    // provably equals running them out — Lloyd fixed point).
+    // on the aggregation key); composite cluster = cell·k2 + child;
+    // the MULTI-PROBE descent (top-TreeProbe cells, global composite
+    // argmin) recovers the flat-agreement the greedy descent loses at
+    // scale. The oracle unrolls both levels' fixed rounds (early
+    // convergence stop provably equals running them out — Lloyd fixed
+    // point); the tree is trained once per gate run ([[treeModel]]).
     "emb_tree_assign" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val (l1, l2) = Knn.ivfTrain2(
-        e, "vec_id", "embedding", TreeK1, TreeK2, TrainIters, Dims)
-      Knn.treeAssign(e, l1, l2, "vec_id", "embedding", TreeK2, Dims)
+      val (l1, l2) = treeModel(s, dir)
+      Knn.treeAssign(Tables.embeddings(s, dir), l1, l2,
+        "vec_id", "embedding", TreeK2, Dims, TreeProbe)
     }),
 
     // E7d: IVF search — queries probe their nprobe nearest centroids and
@@ -258,12 +280,10 @@ object VectorEntries {
     // greedy lower-id drop within each composite cell·k2+child cluster.
     // dedup_semantic gates the flat path; this gates the scale path.
     "dedup_semantic_tree" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val (l1, l2) = Knn.ivfTrain2(
-        e, "vec_id", "embedding", TreeK1, TreeK2, TrainIters, Dims)
+      val (l1, l2) = treeModel(s, dir)
       val corpus = embDup(s, dir)
       val assigned = Knn.treeAssign(
-        corpus, l1, l2, "vec_id", "embedding", TreeK2, Dims)
+        corpus, l1, l2, "vec_id", "embedding", TreeK2, Dims, TreeProbe)
       Knn.semanticDedupAssigned(
         corpus.join(assigned, "vec_id"), "vec_id", "embedding", "cluster", TauBp)
     }),
@@ -886,20 +906,29 @@ object VectorEntries {
     // E44t: both levels unrolled — level-1 is emb_ivf_train's recipe at
     // TreeK1; level-2 repeats it INSIDE each cell (join on cell instead
     // of a cross join — each vector sees only its own cell's children);
-    // the final argmin mirrors treeAssign's (dist, child) tie-break
+    // assignment probes the top-TreeProbe level-1 cells (rk <= probe
+    // over dc, the same distance table the training descent used) and
+    // the final argmin mirrors treeAssign's GLOBAL (dist, cell·k2+ch)
+    // composite tie-break across the probed cells' children
     "emb_tree_assign" ->
       s"""WITH $treeTrainCtesSql,
-         |f AS (SELECT vc.vec_id, vc.cell, l2.ch, (${treeDist("l2", "vc")}) / CAST(l2.n * l2.n AS DOUBLE) AS dist
-         |      FROM vc JOIN l2 ON vc.cell = l2.cell)
+         |pc AS (SELECT vec_id, g AS cell FROM (
+         |  SELECT vec_id, g, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, g ASC) AS rk
+         |  FROM dc) WHERE rk <= $TreeProbe),
+         |vp AS (SELECT v.vec_id, v.q, pc.cell FROM v JOIN pc USING (vec_id)),
+         |f AS (SELECT vp.vec_id, vp.cell, l2.ch, (${treeDist("l2", "vp")}) / CAST(l2.n * l2.n AS DOUBLE) AS dist
+         |      FROM vp JOIN l2 ON vp.cell = l2.cell)
          |SELECT vec_id, CAST(cell * $TreeK2 + ch AS BIGINT) AS cluster FROM (
-         |  SELECT vec_id, cell, ch, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, ch ASC) AS rk
+         |  SELECT vec_id, cell, ch,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell * $TreeK2 + ch ASC) AS rk
          |  FROM f) WHERE rk = 1""".stripMargin,
 
     // E44×E44t: the tree trained on `embeddings` (shared prefix), the
-    // DUP corpus assigned through both levels (argmin over l1, then
-    // that cell's children in l2 — treeAssign's (dist, child)
-    // tie-break), then dedup_semantic's within-cluster lower-id drop
-    // over the composite cell·k2+child clusters
+    // DUP corpus assigned through both levels (top-TreeProbe l1 cells,
+    // then the GLOBAL (dist, cell·k2+ch) composite argmin over those
+    // cells' children in l2 — treeAssign's multi-probe tie-break),
+    // then dedup_semantic's within-cluster lower-id drop over the
+    // composite cell·k2+child clusters
     "dedup_semantic_tree" ->
       s"""WITH $treeTrainCtesSql,
          |u AS (SELECT vec_id, q, ${VectorOps.duckQdot("q", "q")} AS sd
@@ -909,12 +938,12 @@ object VectorEntries {
          |uc AS (SELECT u.vec_id, u.q, u.sd, cellof.g AS cell
          |       FROM u JOIN (SELECT vec_id, g FROM (
          |         SELECT vec_id, g, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, g ASC) AS rk
-         |         FROM ud) WHERE rk = 1) cellof USING (vec_id)),
+         |         FROM ud) WHERE rk <= $TreeProbe) cellof USING (vec_id)),
          |uf AS (SELECT uc.vec_id, uc.q, uc.sd, uc.cell, l2.ch,
          |         (${treeDist("l2", "uc")}) / CAST(l2.n * l2.n AS DOUBLE) AS dist
          |       FROM uc JOIN l2 ON uc.cell = l2.cell),
          |asg AS (SELECT vec_id, q, sd, CAST(cell * $TreeK2 + ch AS BIGINT) AS cluster FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, ch ASC) AS rk
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell * $TreeK2 + ch ASC) AS rk
          |  FROM uf) WHERE rk = 1),
          |dropped AS (
          |  SELECT DISTINCT b.vec_id

@@ -487,22 +487,54 @@ object Knn {
     (l1, sums(assign).withColumnRenamed("child", "group"))
   }
 
-  /** Assign every vector through the two-level tree: level-1 argmin over
-    * k1 cells, then argmin among that cell's k2 children — n·(k1+k2)
-    * distance rows instead of flat n·(k1·k2). The composite cluster id
-    * `cell·k2 + child` is stable and disjoint across cells. Output:
-    * idCol, cluster. */
+  /** Assign every vector through the two-level tree: level-1 ranking
+    * over k1 cells, then argmin among the probed cells' children —
+    * n·(k1+probe·k2) distance rows instead of flat n·(k1·k2). The
+    * composite cluster id `cell·k2 + child` is stable and disjoint
+    * across cells.
+    *
+    * `probe` is the descent-recall dial (the E7d nprobe pattern applied
+    * to ASSIGNMENT): greedy probe=1 descends only the nearest level-1
+    * cell and diverges from the flat argmin whenever the true nearest
+    * child lives in the runner-up cell — measured 85.4% → 71.7%
+    * agreement across the sf0.1 → sf10 decade legs (BENCH_decade_r16).
+    * Probing the top-p cells and taking the GLOBAL (dist, composite-id)
+    * argmin over their p·k2 children recovers it; at probe = k1 the
+    * result provably EQUALS the flat argmin over the composite centroid
+    * set (all children considered, same tie-break — pinned in
+    * SimilaritySpec). Ties break on (dist, cell·k2+child), which inside
+    * a single cell reduces to the old (dist, child) rule, so probe=1 is
+    * bit-identical to the historical greedy path.
+    *
+    * Scale shape of the probe>1 cell selection: no corpus-sized window —
+    * one map-side-combinable aggregation collects each vector's k1
+    * (dist, cell) pairs (k1 structs of 16 bytes, bounded by the centroid
+    * count), array-sorts, keeps `probe`; qv rides the same aggregation
+    * via first() so there is no join-back. Output: idCol, cluster. */
   def treeAssign(
       corpus: DataFrame, level1: DataFrame, level2: DataFrame,
-      idCol: String, vecCol: String, k2: Int, dims: Int): DataFrame = {
+      idCol: String, vecCol: String, k2: Int, dims: Int,
+      probe: Int = 1): DataFrame = {
+    require(probe >= 1, s"treeAssign: probe must be >= 1, got $probe")
     val p = prepared(corpus, idCol, vecCol).select(col("vid"), col("qv"))
-    val cells = nearestCentroids(p, level1, dims, keep = 1)
-      .select(col("vid"), col("qv"), col("group").as("cell"))
+    val cells =
+      if (probe == 1)
+        nearestCentroids(p, level1, dims, keep = 1)
+          .select(col("vid"), col("qv"), col("group").as("cell"))
+      else
+        p.crossJoin(broadcast(level1)).withColumn("__d", scaledDist2(dims))
+          .groupBy(col("vid"))
+          .agg(
+            slice(array_sort(collect_list(struct(col("__d"), col("group")))),
+              1, probe).as("__cells"),
+            first(col("qv")).as("qv"))
+          .select(col("vid"), col("qv"), explode(col("__cells")).as("__c"))
+          .select(col("vid"), col("qv"), col("__c.group").as("cell"))
     val joined = cells.join(broadcast(level2), Seq("cell"))
       .withColumn("__d", scaledDist2(dims))
     joined.groupBy(col("vid"))
       .agg(min_by(struct(col("cell"), col("group").as("child")),
-        struct(col("__d"), col("group"))).as("__b"))
+        struct(col("__d"), col("cell") * lit(k2.toLong) + col("group"))).as("__b"))
       .select(col("vid").as(idCol),
         (col("__b.cell") * lit(k2.toLong) + col("__b.child")).as("cluster"))
   }

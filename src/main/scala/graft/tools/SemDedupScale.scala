@@ -17,7 +17,13 @@ import org.apache.spark.sql.functions._
   * One JSON line per run; point it at sf0.1 / target/sf1 / target/sf10
   * for the decade evidence.
   *
-  * Usage: runMain graft.tools.SemDedupScale [sfDir] [k1] [k2] [iters]
+  * `probe` adds the MULTI-PROBE descent leg (r11 verdict item 2): the
+  * greedy probe=1 tree is measured AND the top-`probe` descent, each
+  * with its agreement against the flat argmin — the evidence that
+  * multi-probe recovers the agreement greedy loses at scale while
+  * keeping the tree's n·(k1+probe·k2) cost under flat's n·k1·k2.
+  *
+  * Usage: runMain graft.tools.SemDedupScale [sfDir] [k1] [k2] [iters] [probe]
   */
 object SemDedupScale {
   def main(args: Array[String]): Unit = {
@@ -25,6 +31,7 @@ object SemDedupScale {
     val k1 = args.lift(1).map(_.toInt).getOrElse(8)
     val k2 = args.lift(2).map(_.toInt).getOrElse(8)
     val iters = args.lift(3).map(_.toInt).getOrElse(2)
+    val probe = args.lift(4).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -53,9 +60,16 @@ object SemDedupScale {
     val (tree, treeS) = timed {
       Knn.treeAssign(e, l1, l2, "vec_id", "embedding", k2, 64).localCheckpoint()
     }
-    val agree = flat.withColumnRenamed("cluster", "__f")
-      .join(tree, "vec_id")
-      .agg(sum(when(col("__f") === col("cluster"), 1L).otherwise(0L))).head().getLong(0)
+    val (treeP, treePS) = timed {
+      Knn.treeAssign(e, l1, l2, "vec_id", "embedding", k2, 64, probe)
+        .localCheckpoint()
+    }
+    def agreement(t: org.apache.spark.sql.DataFrame): Long =
+      flat.withColumnRenamed("cluster", "__f")
+        .join(t, "vec_id")
+        .agg(sum(when(col("__f") === col("cluster"), 1L).otherwise(0L))).head().getLong(0)
+    val agree = agreement(tree)
+    val agreeP = agreement(treeP)
     // END-TO-END dedup term over each assignment: the within-cell pair
     // join rides Σ cell², so K (scaled with the corpus: cells ≈ n/c for
     // a target cell size c) is what keeps SemDeDup sub-quadratic. The
@@ -73,12 +87,18 @@ object SemDedupScale {
       Knn.semanticDedupAssigned(
         e.join(tree, "vec_id"), "vec_id", "embedding", "cluster", tau).count()
     }
-    println(s"""{"metric":"semdedup_scale","sf":"$sfDir","n":$n,"k1":$k1,"k2":$k2,""" +
+    val (nTreeP, treePDedupS) = timed {
+      Knn.semanticDedupAssigned(
+        e.join(treeP, "vec_id"), "vec_id", "embedding", "cluster", tau).count()
+    }
+    println(s"""{"metric":"semdedup_scale","sf":"$sfDir","n":$n,"k1":$k1,"k2":$k2,"probe":$probe,""" +
       s""""flat_rows":${n * k1 * k2},"tree_rows":${n * (k1 + k2)},""" +
-      s""""flat_s":$flatS,"tree_s":$treeS,""" +
-      s""""flat_dedup_s":$flatDedupS,"tree_dedup_s":$treeDedupS,""" +
-      s""""survivors_flat":$nFlat,"survivors_tree":$nTree,""" +
-      s""""agreement_bp":${if (n == 0) 0 else agree * 10000 / n}}""")
+      s""""tree_probe_rows":${n * (k1 + probe.toLong * k2)},""" +
+      s""""flat_s":$flatS,"tree_s":$treeS,"tree_probe_s":$treePS,""" +
+      s""""flat_dedup_s":$flatDedupS,"tree_dedup_s":$treeDedupS,"tree_probe_dedup_s":$treePDedupS,""" +
+      s""""survivors_flat":$nFlat,"survivors_tree":$nTree,"survivors_tree_probe":$nTreeP,""" +
+      s""""agreement_bp":${if (n == 0) 0 else agree * 10000 / n},""" +
+      s""""agreement_probe_bp":${if (n == 0) 0 else agreeP * 10000 / n}}""")
     spark.stop()
   }
 }

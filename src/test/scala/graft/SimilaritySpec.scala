@@ -424,6 +424,47 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("E44t: multi-probe descent — probe=k1 EQUALS the flat composite argmin; probe=1 is the greedy path") {
+    // vectors deliberately placed so the greedy descent is WRONG for
+    // some of them: real embeddings from the fixture corpus give the
+    // level-1 cells ragged boundaries where the nearest child can live
+    // in the runner-up cell — exactly the failure multi-probe fixes
+    val dir = sf("sf0.001")
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val (k1, k2) = (4, 2)
+    val (l1, l2) = Knn.ivfTrain2(e, "vec_id", "embedding", k1, k2, 2, 64)
+    // the tree's level-2 set flattened to composite ids = the flat
+    // centroid set the descent approximates
+    val flatCents = l2.select(
+      ($"cell" * k2.toLong + $"group").as("group") +:
+        $"n" +: (0 until 64).map(i => col(s"s_$i")): _*)
+    val flat = Knn.ivfAssign(e, flatCents, "vec_id", "embedding", 64)
+      .as[(Long, Long)].collect().toMap
+    // probing ALL cells = considering every child with the same
+    // (dist, composite) tie-break — must equal flat EXACTLY
+    val full = Knn.treeAssign(e, l1, l2, "vec_id", "embedding", k2, 64, probe = k1)
+      .as[(Long, Long)].collect().toMap
+    assert(full === flat)
+    // probe=1 equals the historical greedy path bit-for-bit
+    val greedy = Knn.treeAssign(e, l1, l2, "vec_id", "embedding", k2, 64)
+      .as[(Long, Long)].collect().toMap
+    val greedyExplicit = Knn.treeAssign(e, l1, l2, "vec_id", "embedding", k2, 64, probe = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(greedyExplicit === greedy)
+    // agreement with flat is MONOTONE in probe: if greedy agrees on a
+    // vector, the flat argmin child lives in the rank-1 cell, which
+    // every probe level includes — and the (dist, composite) tie-break
+    // then picks the same child. So probe=2 ⊇ greedy's agreement set.
+    def agreeCount(m: Map[Long, Long]): Int = m.count { case (k, v) => flat(k) == v }
+    val p2 = Knn.treeAssign(e, l1, l2, "vec_id", "embedding", k2, 64, probe = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(agreeCount(p2) >= agreeCount(greedy),
+      s"probe=2 agreement ${agreeCount(p2)} < greedy ${agreeCount(greedy)}")
+    assert(intercept[IllegalArgumentException] {
+      Knn.treeAssign(e, l1, l2, "vec_id", "embedding", k2, 64, probe = 0)
+    }.getMessage.contains("probe"))
+  }
+
   test("E6: brute-force kNN self-excluded, ranked, exactly k rows per query") {
     val dir = sf("sf0.001")
     val e = Tables.embeddings(spark, dir)
