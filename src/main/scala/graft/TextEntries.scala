@@ -1236,22 +1236,23 @@ object TextEntries {
        |  SELECT cls, t, unnest(generate_series(1, length(t) - ${n - 1})) AS i
        |  FROM train WHERE length(t) >= $n),
        |tg AS (SELECT cls, substr(t, i, $n) AS gram FROM tpos),
-       |counts0 AS (SELECT cls, gram, count(*) AS cnt FROM tg GROUP BY 1, 2),
-       |totals AS (SELECT cls, sum(cnt) AS tot FROM counts0 GROUP BY 1),
-       |-- minCount vocab floor: class totals stay PRE-floor (ppm
-       |-- normalization unchanged), rare grams just lose their rows
-       |counts AS (SELECT cls, gram, cnt FROM (
-       |  SELECT cls, gram, cnt, sum(cnt) OVER (PARTITION BY gram) AS gtot
-       |  FROM counts0) WHERE gtot >= $ClassifierMinCount),
+       |counts AS (SELECT cls, gram, count(*) AS cnt FROM tg GROUP BY 1, 2),
+       |totals AS (SELECT cls, sum(cnt) AS tot FROM counts GROUP BY 1),
        |ppm AS (
-       |  SELECT counts.cls, counts.gram,
+       |  SELECT counts.cls, counts.gram, counts.cnt,
        |         (counts.cnt * $ClassifierScale) // totals.tot AS p
        |  FROM counts JOIN totals USING (cls)),
        |nc AS (SELECT count(*) AS c FROM totals),
+       |-- minCount vocab floor folded into the centering window pass
+       |-- (whole grams drop, so survivors' centering sums are untouched;
+       |-- class totals are pre-floor — ppm normalization unchanged)
        |weights AS (
-       |  SELECT cls, gram,
-       |         CAST(nc.c * p - sum(p) OVER (PARTITION BY gram) AS BIGINT) AS w_ppm
-       |  FROM ppm, nc)""".stripMargin
+       |  SELECT cls, gram, w_ppm FROM (
+       |    SELECT cls, gram,
+       |           CAST(nc.c * p - sum(p) OVER (PARTITION BY gram) AS BIGINT) AS w_ppm,
+       |           sum(cnt) OVER (PARTITION BY gram) AS gtot
+       |    FROM ppm, nc)
+       |  WHERE gtot >= $ClassifierMinCount)""".stripMargin
   }
 
   /** E53 oracle CTE stack over a named corpus CTE: the same two window

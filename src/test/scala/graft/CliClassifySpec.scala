@@ -38,6 +38,29 @@ class CliClassifySpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("classify train --min-count floors the persisted vocab like the library call") {
+    val root = tmp("graft_classify_mc")
+    val trainPath = s"$root/train.parquet"
+    val model = s"$root/model"
+    TextEntries.langSpiked(spark, sf("sf0.001")).filter($"doc_id" % 5 =!= 0)
+      .write.parquet(trainPath)
+    // n=3: the trigram vocab has a genuine rare tail at sf0.001 (every
+    // BIGRAM on this corpus occurs >= 5 times, which left the first
+    // version of this floor assertion vacuous at 635 == 635)
+    Cli.main(Array("classify", "train", "--in", trainPath, "--label", "lang",
+      "--model", model, "--n", "3", "--min-count", "5"))
+    val saved = Classifier.load(spark, model).weights
+      .collect().map(_.toSeq).toSet
+    val lib = Classifier.trainCentroid(
+      spark.read.parquet(trainPath), "lang", "text", 3, 1000000L, minCount = 5L)
+      .collect().map(_.toSeq).toSet
+    assert(saved == lib)
+    // the floor must actually bind on this corpus
+    val unfloored = Classifier.trainCentroid(
+      spark.read.parquet(trainPath), "lang", "text", 3).count()
+    assert(saved.size < unfloored)
+  }
+
   test("save/load round-trips the weight table and the n-gram order") {
     val root = tmp("graft_classify_rt")
     val w = Classifier.trainCentroid(
