@@ -17,13 +17,17 @@ import org.apache.spark.sql.functions._
   * One JSON line per run; point it at sf0.1 / target/sf1 / target/sf10
   * for the decade evidence.
   *
-  * `probe` adds the MULTI-PROBE descent leg (r11 verdict item 2): the
-  * greedy probe=1 tree is measured AND the top-`probe` descent, each
-  * with its agreement against the flat argmin — the evidence that
-  * multi-probe recovers the agreement greedy loses at scale while
-  * keeping the tree's n·(k1+probe·k2) cost under flat's n·k1·k2.
+  * `probes` adds the MULTI-PROBE descent legs (r11 verdict item 2): the
+  * greedy probe=1 tree is measured AND the top-p descent for EVERY p in
+  * the comma-separated list, each with its agreement against the flat
+  * argmin — the evidence that multi-probe recovers the agreement greedy
+  * loses as K grows, and the p-vs-agreement curve that sizes the dial
+  * (agreement is provably monotone in p; flat is computed ONCE and
+  * reused as the truth for every leg, which matters at sf10 where the
+  * flat pass alone is ~37 min).
   *
-  * Usage: runMain graft.tools.SemDedupScale [sfDir] [k1] [k2] [iters] [probe]
+  * Usage: runMain graft.tools.SemDedupScale [sfDir] [k1] [k2] [iters] [probes]
+  *        (probes e.g. "2,3,4,6" — default "3")
   */
 object SemDedupScale {
   def main(args: Array[String]): Unit = {
@@ -31,7 +35,8 @@ object SemDedupScale {
     val k1 = args.lift(1).map(_.toInt).getOrElse(8)
     val k2 = args.lift(2).map(_.toInt).getOrElse(8)
     val iters = args.lift(3).map(_.toInt).getOrElse(2)
-    val probe = args.lift(4).map(_.toInt).getOrElse(3)
+    val probes = args.lift(4).getOrElse("3").split(",").map(_.trim.toInt)
+      .filter(p => p > 1 && p <= k1).distinct.sorted.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,16 +65,21 @@ object SemDedupScale {
     val (tree, treeS) = timed {
       Knn.treeAssign(e, l1, l2, "vec_id", "embedding", k2, 64).localCheckpoint()
     }
-    val (treeP, treePS) = timed {
-      Knn.treeAssign(e, l1, l2, "vec_id", "embedding", k2, 64, probe)
-        .localCheckpoint()
-    }
     def agreement(t: org.apache.spark.sql.DataFrame): Long =
       flat.withColumnRenamed("cluster", "__f")
         .join(t, "vec_id")
         .agg(sum(when(col("__f") === col("cluster"), 1L).otherwise(0L))).head().getLong(0)
     val agree = agreement(tree)
-    val agreeP = agreement(treeP)
+    // one leg per probe against the SAME flat truth; the last probe's
+    // assignment also feeds the end-to-end dedup term below
+    val probeLegs = probes.map { p =>
+      val (tp, tpS) = timed {
+        Knn.treeAssign(e, l1, l2, "vec_id", "embedding", k2, 64, p)
+          .localCheckpoint()
+      }
+      (p, tp, tpS, agreement(tp))
+    }
+    val lastProbe = probeLegs.lastOption
     // END-TO-END dedup term over each assignment: the within-cell pair
     // join rides Σ cell², so K (scaled with the corpus: cells ≈ n/c for
     // a target cell size c) is what keeps SemDeDup sub-quadratic. The
@@ -87,18 +97,25 @@ object SemDedupScale {
       Knn.semanticDedupAssigned(
         e.join(tree, "vec_id"), "vec_id", "embedding", "cluster", tau).count()
     }
-    val (nTreeP, treePDedupS) = timed {
-      Knn.semanticDedupAssigned(
-        e.join(treeP, "vec_id"), "vec_id", "embedding", "cluster", tau).count()
+    val (nTreeP, treePDedupS) = lastProbe match {
+      case Some((_, tp, _, _)) => timed {
+        Knn.semanticDedupAssigned(
+          e.join(tp, "vec_id"), "vec_id", "embedding", "cluster", tau).count()
+      }
+      case None => (nTree, 0.0)
     }
-    println(s"""{"metric":"semdedup_scale","sf":"$sfDir","n":$n,"k1":$k1,"k2":$k2,"probe":$probe,""" +
+    val probeJson = probeLegs.map { case (p, _, s, a) =>
+      s""""$p":{"rows":${n * (k1 + p.toLong * k2)},"s":$s,""" +
+        s""""agreement_bp":${if (n == 0) 0 else a * 10000 / n}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"semdedup_scale","sf":"$sfDir","n":$n,"k1":$k1,"k2":$k2,""" +
       s""""flat_rows":${n * k1 * k2},"tree_rows":${n * (k1 + k2)},""" +
-      s""""tree_probe_rows":${n * (k1 + probe.toLong * k2)},""" +
-      s""""flat_s":$flatS,"tree_s":$treeS,"tree_probe_s":$treePS,""" +
-      s""""flat_dedup_s":$flatDedupS,"tree_dedup_s":$treeDedupS,"tree_probe_dedup_s":$treePDedupS,""" +
+      s""""flat_s":$flatS,"tree_s":$treeS,""" +
+      s""""flat_dedup_s":$flatDedupS,"tree_dedup_s":$treeDedupS,""" +
+      s""""tree_probe_dedup_s":$treePDedupS,""" +
       s""""survivors_flat":$nFlat,"survivors_tree":$nTree,"survivors_tree_probe":$nTreeP,""" +
       s""""agreement_bp":${if (n == 0) 0 else agree * 10000 / n},""" +
-      s""""agreement_probe_bp":${if (n == 0) 0 else agreeP * 10000 / n}}""")
+      s""""probe_legs":$probeJson}""")
     spark.stop()
   }
 }
