@@ -144,6 +144,7 @@ object TextEntries {
   // duplicated-passage excision window (E51): the minimum duplicated
   // span length, the role the suffix-array threshold plays in Lee 2022
   val PassageK = 40
+  val PassageSampleBp = 200 // E51s: 2% window keyspace — sf10-oracle-feasible
   // winnowing (E53): k-gram size and frame width — detection guaranteed
   // for shared spans >= k+w-1 = 27 chars at ~2/(w+1) fingerprint density
   val WinnowK = 20
@@ -201,11 +202,16 @@ object TextEntries {
     * a cost choice, not a semantics change. */
   private val classifierModelMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def classifierWeights(s: SparkSession, dir: String): DataFrame =
+  private def classifierWeights(s: SparkSession, dir: String): DataFrame = {
+    // drop entries whose session is stopped so the memo can't pin
+    // localCheckpoint'd frames for the JVM lifetime (r12 advice)
+    classifierModelMemo.keysIterator
+      .filter(_._1.sparkContext.isStopped).foreach(classifierModelMemo.remove)
     classifierModelMemo.getOrElseUpdate((s, dir),
       graft.text.Classifier.trainCentroid(
         langSpiked(s, dir).filter(col("doc_id") % 5 =!= 0), "lang", "text",
         ClassifierN, ClassifierScale, ClassifierMinCount).localCheckpoint())
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E10: token counting — whitespace, BPE-ish regex, normalized
@@ -645,6 +651,15 @@ object TextEntries {
         Tables.documents(s, dir).select("doc_id", "text"),
         "doc_id", "text", PassageK)),
 
+    // E51s: the same excision over a deterministic 2% window-keyspace
+    // slice — the sf10 gate row for E51 (the full-keyspace oracle is
+    // disk-bound at that tier; the screen shrinks its grouped sort 50×
+    // while both engines still stream every window of every doc)
+    "dedup_passages_sampled" -> ((s, dir) =>
+      graft.dedup.Passage.exciseDuplicates(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", PassageK, PassageSampleBp)),
+
     // E53: winnowing fingerprints (MOSS) — each doc's guaranteed-recall
     // sketch at ~2/(w+1) density; the sublinear screen in front of E51
     "text_winnow" -> ((s, dir) =>
@@ -694,12 +709,17 @@ object TextEntries {
     // The model comes from [[classifierWeights]]' shared materialization
     // — serving references the weight table twice (broadcast join +
     // fallback class) and in production loads it from parquet anyway.
+    // Served through the FOLD path (r12 verdict item 4): the same
+    // exact-integer argmax as predictCentroid, but one codegen'd scan
+    // per doc instead of explode + two shuffles + window — and the
+    // actual label rides the same scan, so the whole query is a single
+    // corpus pass with zero exchange. Bit-equivalence to the join path
+    // is property-pinned in ClassifierSpec; the oracle is unchanged.
     "classifier_predict" -> ((s, dir) => {
-      val held = langSpiked(s, dir).filter(col("doc_id") % 5 === 0)
-      graft.text.Classifier.predictCentroid(
-        held, "doc_id", "text", classifierWeights(s, dir), ClassifierN)
-        .join(held.select(col("doc_id"), col("lang").as("lang_actual")), "doc_id")
-        .select("doc_id", "lang_actual", "pred")
+      langSpiked(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang").as("lang_actual"),
+          graft.text.Classifier.centroidPredictColumn(
+            classifierWeights(s, dir), col("text"), ClassifierN).as("pred"))
     }),
 
     // E52e: classifier EVALUATION — the held-out confusion matrix, one
@@ -707,10 +727,10 @@ object TextEntries {
     // train → serve → eval loop in the oracle record (scored from the
     // SAME weight table the train query landed, never a retrain)
     "classifier_confusion" -> ((s, dir) => {
-      val held = langSpiked(s, dir).filter(col("doc_id") % 5 === 0)
-      graft.text.Classifier.predictCentroid(
-        held, "doc_id", "text", classifierWeights(s, dir), ClassifierN)
-        .join(held.select(col("doc_id"), col("lang").as("lang_actual")), "doc_id")
+      langSpiked(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("lang").as("lang_actual"),
+          graft.text.Classifier.centroidPredictColumn(
+            classifierWeights(s, dir), col("text"), ClassifierN).as("pred"))
         .groupBy("lang_actual", "pred")
         .agg(count(lit(1)).as("n"))
     }),
@@ -1175,13 +1195,24 @@ object TextEntries {
     * window strings), which is the proof the Spark side's 60-bit screen
     * is semantics-free. Reconstruction mirrors the fold: gap segments
     * between removed spans plus the tail, concatenated in position order. */
-  private lazy val dedupPassagesSql = {
+  private lazy val dedupPassagesSql = dedupPassagesSqlAt(10000)
+
+  /** `sampleBp` < 10000 mirrors the Spark side's deterministic window-
+    * keyspace screen ([[graft.dedup.Passage]]): dup grouping restricted
+    * to windows whose portable h32 lands in the first bp/10000 of hash
+    * space — the sf10-disk-feasible variant of the same string-exact
+    * semantics (the filter shrinks the grouped sort 10000/bp× while the
+    * full corpus still streams through both engines). */
+  private def dedupPassagesSqlAt(sampleBp: Int) = {
     val k = PassageK
+    val screen =
+      if (sampleBp >= 10000) ""
+      else s" WHERE ${graft.text.PortableHash.duckH32(s"substr(text, pos, $k)")} % 10000 < $sampleBp"
     s"""WITH corpus AS (SELECT doc_id, text FROM documents),
        |pos AS (
        |  SELECT doc_id, text, unnest(generate_series(1, length(text) - ${k - 1})) AS pos
        |  FROM corpus WHERE length(text) >= $k),
-       |w AS (SELECT doc_id, pos, substr(text, pos, $k) AS win FROM pos),
+       |w AS (SELECT doc_id, pos, substr(text, pos, $k) AS win FROM pos$screen),
        |dup AS (
        |  SELECT win, min(doc_id) AS keeper FROM w
        |  GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
@@ -1346,6 +1377,7 @@ object TextEntries {
 
   private def oracleSql2: Map[String, String] = Map(
     "dedup_passages" -> dedupPassagesSql,
+    "dedup_passages_sampled" -> dedupPassagesSqlAt(PassageSampleBp),
 
     // E55: add-one bigram LM; ln collapsed to integer nats×10⁴ per
     // DISTINCT bigram before any sum — aggregation order cannot move the

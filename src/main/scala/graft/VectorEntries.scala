@@ -37,13 +37,18 @@ object VectorEntries {
     * change (both queries trained on the SAME clean corpus before). */
   private val treeModelMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
-  private def treeModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def treeModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // drop entries whose session is stopped so the memo can't pin
+    // localCheckpoint'd frames for the JVM lifetime (r12 advice)
+    treeModelMemo.keysIterator
+      .filter(_._1.sparkContext.isStopped).foreach(treeModelMemo.remove)
     treeModelMemo.getOrElseUpdate((s, dir), {
       val (l1, l2) = Knn.ivfTrain2(
         Tables.embeddings(s, dir), "vec_id", "embedding",
         TreeK1, TreeK2, TrainIters, Dims)
       (l1.localCheckpoint(), l2.localCheckpoint())
     })
+  }
 
   /** embeddings ∪ exact duplicates of every 10th vector (+100000). */
   private def embDup(s: SparkSession, dir: String): DataFrame = {

@@ -62,11 +62,35 @@ object Passage {
         col(textCol).as("__t"))
       .select(col("id"), col("pos"), col("__t").substr(col("pos"), lit(k)).as("win"))
 
+  /** Deterministic window-KEYSPACE screen: keep windows whose portable
+    * h32 lands in the first `sampleBp`/10000 of hash space. Equal
+    * strings always share an h32, so the slice is consistent per
+    * distinct window — dup detection, keeper choice and excision over
+    * the sampled keyspace are the full operator's semantics restricted
+    * to a deterministic 1/(10000/bp) of window space, mirrored exactly
+    * by the oracle (the A0g `sampleBp` screen applied to windows).
+    * This is what makes a string-exact sf10 oracle disk-feasible: the
+    * oracle's grouped sort shrinks 10000/bp× while BOTH engines still
+    * scan the full corpus and enumerate every window (r12 verdict
+    * item 1 — the full-keyspace oracle out-spilled the disk on
+    * ~500 M grouped window strings). The h32 rides the same md5 digest
+    * the h60 join key already pays (lane memo), so sampled mode adds
+    * no second digest. */
+  private def keyspaceScreen(w: DataFrame, sampleBp: Int): DataFrame = {
+    require(sampleBp >= 1 && sampleBp <= 10000,
+      s"Passage: sampleBp must be in [1, 10000], got $sampleBp")
+    if (sampleBp == 10000) w
+    else w.filter(PortableHash.h32(col("win")) % 10000 < sampleBp)
+  }
+
   /** Duplicated windows, string-exact: (win, keeper) for every k-char
-    * string present in ≥ 2 distinct docs; `keeper` = min doc id. */
+    * string present in ≥ 2 distinct docs; `keeper` = min doc id.
+    * `sampleBp` < 10000 restricts to the deterministic keyspace slice
+    * (see [[keyspaceScreen]]); 10000 = the full exact operator. */
   def duplicatedWindows(
-      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val wh = windowsOf(docs, idCol, textCol, k)
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      sampleBp: Int = 10000): DataFrame = {
+    val wh = keyspaceScreen(windowsOf(docs, idCol, textCol, k), sampleBp)
       .withColumn("h", PortableHash.h60(col("win")))
     // pass 1: the 8-byte screen — hashes carried by >= 2 distinct docs
     val dupH = wh.groupBy("h")
@@ -99,9 +123,12 @@ object Passage {
   /** Excise duplicated passages: returns one row per input doc with
     * `n_removed` (chars cut, 0 if untouched) and `text_clean`. */
   def exciseDuplicates(
-      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      sampleBp: Int = 10000): DataFrame = {
     require(k >= 2, s"Passage.exciseDuplicates: k must be >= 2, got $k")
-    val dup = duplicatedWindows(docs, idCol, textCol, k)
+    // occ below needs no keyspace filter of its own: the inner join on
+    // `dup` (which only ever holds sampled windows) restricts it exactly
+    val dup = duplicatedWindows(docs, idCol, textCol, k, sampleBp)
     // occurrences to remove: every screened position whose window is a
     // confirmed duplicate and whose doc is not the keeper. `dup` is the
     // same duplication-rate-sized set pass 2 broadcasts — forcing the

@@ -92,6 +92,10 @@ object PageRank {
       // The mapPartitions hop exists only to feed the accumulator (a
       // side channel no Column expression reaches); rows are (id, r).
       val changed = spark.sparkContext.longAccumulator("graft.pagerank.changed")
+      // inner join is lossless ONLY because `und` holds both directions
+      // (undirected precondition): every node re-appears as a dst each
+      // round, so next0's node set equals r's. On a directed edge list
+      // this would silently drop sink nodes from the rank state.
       val joined = next0.join(r.select(col("id"), col("r").as("__old")), "id")
       val outSchema = StructType(Seq(
         joined.schema("id"), StructField("r", LongType, nullable = false)))

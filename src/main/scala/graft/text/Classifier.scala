@@ -155,4 +155,51 @@ object Classifier {
       .crossJoin(broadcast(fallback))
       .select(col("id").as(idCol), coalesce(col("pred"), col("fb")).as("pred"))
   }
+
+  /** Build the plan-shipped fold model from a trained weight table.
+    *
+    * The collect is VOCAB-sized, never corpus-sized — the exact row set
+    * `predictCentroid` broadcasts to every executor anyway (bounded by
+    * the minCount floor; measured saturating 2030→9897 rows over a 100×
+    * corpus decade). Classes are sorted in UTF8-binary order so index 0
+    * is the fallback/tie-break class, matching the join path's
+    * `min(cls)` exactly. */
+  def foldModel(weights: DataFrame, n: Int): graft.functions.CentroidFoldModel = {
+    val rows = weights.select("cls", "gram", "w_ppm").collect()
+    val classes = rows.iterator.map(_.getString(0)).toArray.distinct
+      .sortWith((a, b) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
+    val clsIdx = classes.zipWithIndex.toMap
+    val grams = rows.iterator.map(_.getString(1)).toArray.distinct
+    val gramIdx = grams.zipWithIndex.toMap
+    val w = Array.fill(grams.length)(new Array[Long](classes.length))
+    val masks = new Array[Long](grams.length)
+    rows.foreach { r =>
+      val gi = gramIdx(r.getString(1))
+      val ci = clsIdx(r.getString(0))
+      w(gi)(ci) = r.getLong(2)
+      masks(gi) |= 1L << ci
+    }
+    graft.functions.CentroidFoldModel(n, classes, grams, w, masks)
+  }
+
+  /** The fold serve path as a composable Column: pred for `textCol`
+    * under `weights`, computed in one codegen'd pass with NO explode,
+    * join, shuffle, or window — see [[graft.functions.CentroidPredict]]
+    * for the exact-equivalence argument (property-pinned vs
+    * [[predictCentroid]] in ClassifierSpec). */
+  def centroidPredictColumn(
+      weights: DataFrame, textCol: Column, n: Int = 2): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.CentroidPredict(
+        org.apache.spark.sql.GraftBridge.expression(textCol), foldModel(weights, n)))
+
+  /** Drop-in fold-path twin of [[predictCentroid]]: same (idCol, pred)
+    * output, one corpus scan instead of explode + two shuffles. */
+  def predictCentroidFold(
+      docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, n: Int = 2): DataFrame =
+    docs.select(col(idCol),
+      centroidPredictColumn(weights, col(textCol), n).as("pred"))
 }

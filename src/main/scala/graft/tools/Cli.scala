@@ -1387,8 +1387,12 @@ object Cli {
         case Some("n") | Some("no") | Some("false") => false
         case Some(other) =>
           // the reference's Confirm re-prompts on unparseable input
-          // (inquire's TTY event loop, main.rs:167-287)
-          out.println(s"! invalid answer '$other' — expected y/n")
+          // (inquire's TTY event loop, main.rs:167-287). NOTE for
+          // scripted (piped) input: the retry consumes the NEXT line,
+          // so an unparseable answer shifts every later prompt's input
+          // by one — feed exactly y/n/yes/no/"" to Confirm prompts.
+          out.println(s"! invalid answer '$other' — expected y/n " +
+            "(scripted input: the retry reads the next line)")
           confirm(prompt, default, help)
         case None => default // EOF: nothing left to re-prompt from
       }

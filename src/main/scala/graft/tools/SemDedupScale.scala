@@ -35,8 +35,11 @@ object SemDedupScale {
     val k1 = args.lift(1).map(_.toInt).getOrElse(8)
     val k2 = args.lift(2).map(_.toInt).getOrElse(8)
     val iters = args.lift(3).map(_.toInt).getOrElse(2)
-    val probes = args.lift(4).getOrElse("3").split(",").map(_.trim.toInt)
-      .filter(p => p > 1 && p <= k1).distinct.sorted.toSeq
+    val probesRaw = args.lift(4).getOrElse("3").split(",").map(_.trim.toInt).toSeq
+    val probes = probesRaw.filter(p => p > 1 && p <= k1).distinct.sorted
+    probesRaw.filterNot(p => p > 1 && p <= k1).foreach { p =>
+      System.err.println(s"! probe $p dropped (must satisfy 1 < p <= k1=$k1)")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -97,12 +100,14 @@ object SemDedupScale {
       Knn.semanticDedupAssigned(
         e.join(tree, "vec_id"), "vec_id", "embedding", "cluster", tau).count()
     }
-    val (nTreeP, treePDedupS) = lastProbe match {
-      case Some((_, tp, _, _)) => timed {
+    // None when no probe legs ran — the JSON then emits null for the
+    // tree_probe fields instead of aliasing the greedy leg's numbers,
+    // which would read as a real probe measurement (r12 advice).
+    val probeDedup: Option[(Long, Double)] = lastProbe.map {
+      case (_, tp, _, _) => timed {
         Knn.semanticDedupAssigned(
           e.join(tp, "vec_id"), "vec_id", "embedding", "cluster", tau).count()
       }
-      case None => (nTree, 0.0)
     }
     val probeJson = probeLegs.map { case (p, _, s, a) =>
       s""""$p":{"rows":${n * (k1 + p.toLong * k2)},"s":$s,""" +
@@ -112,8 +117,9 @@ object SemDedupScale {
       s""""flat_rows":${n * k1 * k2},"tree_rows":${n * (k1 + k2)},""" +
       s""""flat_s":$flatS,"tree_s":$treeS,""" +
       s""""flat_dedup_s":$flatDedupS,"tree_dedup_s":$treeDedupS,""" +
-      s""""tree_probe_dedup_s":$treePDedupS,""" +
-      s""""survivors_flat":$nFlat,"survivors_tree":$nTree,"survivors_tree_probe":$nTreeP,""" +
+      s""""tree_probe_dedup_s":${probeDedup.map(_._2).map(_.toString).getOrElse("null")},""" +
+      s""""survivors_flat":$nFlat,"survivors_tree":$nTree,""" +
+      s""""survivors_tree_probe":${probeDedup.map(_._1).map(_.toString).getOrElse("null")},""" +
       s""""agreement_bp":${if (n == 0) 0 else agree * 10000 / n},""" +
       s""""probe_legs":$probeJson}""")
     spark.stop()

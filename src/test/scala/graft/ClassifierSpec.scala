@@ -89,6 +89,54 @@ class ClassifierSpec extends SparkSpecBase {
     assert(pred == Map(1L -> "de", 2L -> "en"))
   }
 
+  test("fold serve path is bit-identical to the join path (randomized parity)") {
+    val rnd = new scala.util.Random(13)
+    val alphabets = Seq("ab", "abc ", "xyzäöü", "日本語中文", "a b\tc\nd")
+    val train = (0 until 40).map { i =>
+      val alpha = alphabets(i % alphabets.length)
+      val txt = (0 until 3 + rnd.nextInt(30))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      (s"c${i % 5}", txt)
+    }
+    for (n <- Seq(1, 2, 3)) {
+      val w = Classifier.trainCentroid(
+        train.toDF("cls", "text"), "cls", "text", n, scale = 1000L)
+      val docs = (0 until 60).map { i =>
+        val alpha = alphabets(rnd.nextInt(alphabets.length))
+        val txt =
+          if (i % 11 == 0) null
+          else if (i % 7 == 0) ""
+          else (0 until rnd.nextInt(20))
+            .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        (i.toLong, txt)
+      }.toDF("doc_id", "text")
+      val joinPath = Classifier.predictCentroid(docs, "doc_id", "text", w, n)
+        .as[(Long, String)].collect().toMap
+      val foldPath = Classifier.predictCentroidFold(docs, "doc_id", "text", w, n)
+        .as[(Long, String)].collect().toMap
+      assert(foldPath === joinPath, s"n=$n")
+    }
+  }
+
+  test("fold path excludes classes with no weight row for any doc gram") {
+    // scale=1 floors every ppm to 0 -> all weights 0. A doc matching
+    // only class-b grams must predict "b" (the join path's inner-join
+    // semantics: "a" never enters the argmax). A naive 0-filled fold
+    // would tie a/b at 0 and leak "a" — the per-gram class bitmask is
+    // what keeps the two paths identical.
+    val w = Classifier.trainCentroid(
+      Seq(("a", "xyz"), ("b", "uvw")).toDF("cls", "text"),
+      "cls", "text", n = 2, scale = 1L)
+    assert(w.agg(max(abs($"w_ppm"))).head().getLong(0) == 0L)
+    val docs = Seq((1L, "uv"), (2L, "yz"), (3L, "qq")).toDF("doc_id", "text")
+    val fold = Classifier.predictCentroidFold(docs, "doc_id", "text", w, n = 2)
+      .as[(Long, String)].collect().toMap
+    val join = Classifier.predictCentroid(docs, "doc_id", "text", w, n = 2)
+      .as[(Long, String)].collect().toMap
+    assert(join == Map(1L -> "b", 2L -> "a", 3L -> "a"))
+    assert(fold === join)
+  }
+
   test("lang classification on the spiked corpus beats 95% held-out accuracy") {
     val docs = TextEntries.langSpiked(spark, sf("sf0.001"))
     val w = Classifier.trainCentroid(

@@ -13,11 +13,14 @@ class PassageSpec extends SparkSpecBase {
   import spark.implicits._
 
   /** Sequential reference: same semantics, brute force. */
-  private def reference(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, String)] = {
+  private def reference(
+      docs: Seq[(Long, String)], k: Int,
+      keepWin: String => Boolean = _ => true): Map[Long, (Long, String)] = {
     val occs = for {
       (id, t) <- docs
       p <- 0 to (t.length - k) if t.length >= k
-    } yield (t.substring(p, p + k), id, p)
+      w = t.substring(p, p + k) if keepWin(w)
+    } yield (w, id, p)
     val keeper = occs.groupBy(_._1)
       .filter { case (_, os) => os.map(_._2).distinct.size >= 2 }
       .map { case (w, os) => w -> os.map(_._2).min }
@@ -121,5 +124,42 @@ class PassageSpec extends SparkSpecBase {
       val got = run(docs, k)
       assert(got == exp, s"trial $trial k=$k docs=$docs")
     }
+  }
+
+  test("sampled keyspace mode equals the reference restricted to the same slice") {
+    // the slice predicate is the SAME portable h32 both engines compute
+    def inSlice(bp: Int)(w: String): Boolean =
+      graft.functions.H32.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w)) % 10000 < bp
+    val rnd = new Random(99)
+    def txt(n: Int) = (0 until n).map(_ => "abcab!"(rnd.nextInt(6))).mkString
+    val base = (0 until 12).map(i => i.toLong -> txt(20 + rnd.nextInt(40)))
+    val docs = base.map { case (id, t) =>
+      if (id % 2 == 1) {
+        val donor = base(rnd.nextInt(id.toInt))._2
+        id -> (t + donor.take(math.min(donor.length, 12)))
+      } else id -> t
+    }
+    val k = 4
+    // a fat slice so SOME dup windows survive it (tiny alphabet => the
+    // window set is dense in hash space) and a thin one exercising the
+    // mostly-filtered shape; 10000 must reproduce exact mode bit-for-bit
+    for (bp <- Seq(5000, 500, 10000)) {
+      val exp = reference(docs, k, inSlice(bp))
+      val got = Passage.exciseDuplicates(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k, bp)
+        .as[(Long, Long, String)].collect()
+        .map { case (id, n, t) => id -> (n, t) }.toMap
+      assert(got == exp, s"bp=$bp")
+      if (bp == 10000) assert(got == reference(docs, k))
+    }
+    // sampled mode must still CUT something in the fat slice for the
+    // assertion above to mean anything
+    assert(reference(docs, k, inSlice(5000)).values.exists(_._1 > 0))
+    // out-of-range sampleBp refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Passage.exciseDuplicates(docs.toDF("doc_id", "text"), "doc_id", "text", k, 0)
+    }
+    assert(e.getMessage.contains("sampleBp"))
   }
 }
