@@ -22,9 +22,30 @@ object VectorEntries {
   val PqM = 4      // PQ subspaces (dims/m = 16 dims each)
   val PqKsub = 8   // centroids per subspace codebook
   val PqIters = 2  // Lloyd rounds per subspace (mirrors TrainIters)
-  val TreeK1 = 4   // two-level quantizer: level-1 cells (E44t)
-  val TreeK2 = 2   // children per cell (composite K = TreeK1·TreeK2)
   val TreeProbe = 2 // level-1 cells probed at assignment (multi-probe descent)
+
+  /** Tier-scaled quantizer sizes (r12 verdict item 2): the SemDeDup gate
+    * Ks grow with the corpus instead of staying fixture-pinned — fixed K
+    * makes cluster size (and so the within-cell pair mass) grow
+    * QUADRATICALLY with the corpus, which is why the old K=8/label-K
+    * gates were documented-inviable at sf10. The 100 TB configuration is
+    * K ≈ √n (bounded clusters: pair mass n²/K ≈ n^1.5):
+    *   - flat:  K  = max(4, ⌊√n⌋)
+    *   - tree:  k1 = k2 = max(2, ⌊√⌊√n⌋⌋)  (composite K = k1·k2 ≈ √n)
+    * Both engines evaluate the same rule on the same exact count (IEEE
+    * double sqrt + floor agree bit-for-bit for counts ≪ 2⁵³), so the
+    * oracle's unrolled Lloyd runs at the identical K per tier. */
+  def kFlat(n: Long): Int =
+    math.max(4L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+  def kQuad(n: Long): Int =
+    math.max(2L, math.floor(math.sqrt(math.floor(math.sqrt(n.toDouble)))).toLong).toInt
+  /** DuckDB twins — kdef CTEs the oracles prepend (count over the same
+    * clean training corpus the Spark lambdas count). */
+  private val kFlatSql =
+    "kdef AS (SELECT greatest(4, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS kk FROM embeddings)"
+  private val kQuadSql =
+    "kdef AS (SELECT greatest(2, CAST(floor(sqrt(floor(sqrt(CAST(count(*) AS DOUBLE))))) AS BIGINT)) AS kq FROM embeddings)"
+  private val kQ = "(SELECT kq FROM kdef)"
 
   /** E44t's trained two-level quantizer, trained ONCE per (session,
     * corpus) and shared by `emb_tree_assign` / `dedup_semantic_tree` —
@@ -36,17 +57,22 @@ object VectorEntries {
     * sharing a materialization is a cost choice, not a semantics
     * change (both queries trained on the SAME clean corpus before). */
   private val treeModelMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
-  private def treeModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, Int)]
+  /** (level1, level2, kq): the tier-scaled two-level quantizer —
+    * k1 = k2 = [[kQuad]](n) from the clean corpus count, so the tree is
+    * the configuration the 100 TB path actually uses at every tier
+    * (composite K ≈ √n; the oracle derives the same kq in its kdef CTE). */
+  private def treeModel(s: SparkSession, dir: String): (DataFrame, DataFrame, Int) = {
     // drop entries whose session is stopped so the memo can't pin
     // localCheckpoint'd frames for the JVM lifetime (r12 advice)
     treeModelMemo.keysIterator
       .filter(_._1.sparkContext.isStopped).foreach(treeModelMemo.remove)
     treeModelMemo.getOrElseUpdate((s, dir), {
+      val e = Tables.embeddings(s, dir)
+      val kq = kQuad(e.count())
       val (l1, l2) = Knn.ivfTrain2(
-        Tables.embeddings(s, dir), "vec_id", "embedding",
-        TreeK1, TreeK2, TrainIters, Dims)
-      (l1.localCheckpoint(), l2.localCheckpoint())
+        e, "vec_id", "embedding", kq, kq, TrainIters, Dims)
+      (l1.localCheckpoint(), l2.localCheckpoint(), kq)
     })
   }
 
@@ -80,16 +106,18 @@ object VectorEntries {
     * `emb_tree_assign` assigns the training corpus through it;
     * `dedup_semantic_tree` assigns the dup-augmented corpus — sharing the
     * text keeps the two oracles' quantizer identical by construction.
-    * Level-1 is emb_ivf_train's recipe at TreeK1; level-2 repeats it
-    * INSIDE each cell (join on cell instead of a cross join — each
-    * vector sees only its own cell's children). */
+    * Level-1 is emb_ivf_train's recipe at the tier-scaled kq (the kdef
+    * CTE — [[kQuad]]'s DuckDB twin); level-2 repeats it INSIDE each cell
+    * (join on cell instead of a cross join — each vector sees only its
+    * own cell's children). */
   private lazy val treeTrainCtesSql: String = {
     val sums = treeSums
     def distOf(c: String) = treeDist(c, "v")
     def distVc(c: String) = treeDist(c, "vc")
     val h = graft.text.PortableHash.duckH32("CAST(vec_id AS VARCHAR)")
-    s"""v AS MATERIALIZED (SELECT vec_id, $q AS q FROM embeddings),
-       |a0 AS (SELECT vec_id, $h % $TreeK1 AS g FROM v),
+    s"""$kQuadSql,
+       |v AS MATERIALIZED (SELECT vec_id, $q AS q FROM embeddings),
+       |a0 AS (SELECT vec_id, $h % $kQ AS g FROM v),
        |c1 AS (SELECT g, CAST(count(*) AS BIGINT) AS n, $sums
        |       FROM v JOIN a0 USING (vec_id) GROUP BY g),
        |d1 AS (SELECT v.vec_id, c1.g, (${distOf("c1")}) / CAST(c1.n * c1.n AS DOUBLE) AS dist
@@ -112,7 +140,7 @@ object VectorEntries {
        |      FROM v JOIN (SELECT vec_id, g FROM (
        |        SELECT vec_id, g, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, g ASC) AS rk
        |        FROM dc) WHERE rk = 1) cellof USING (vec_id)),
-       |b0 AS (SELECT vec_id, $h % $TreeK2 AS ch FROM vc),
+       |b0 AS (SELECT vec_id, $h % $kQ AS ch FROM vc),
        |s1 AS (SELECT cell, ch, CAST(count(*) AS BIGINT) AS n, $sums
        |       FROM vc JOIN b0 USING (vec_id) GROUP BY cell, ch),
        |e1 AS (SELECT vc.vec_id, s1.ch, (${distVc("s1")}) / CAST(s1.n * s1.n AS DOUBLE) AS dist
@@ -233,9 +261,9 @@ object VectorEntries {
     // convergence stop provably equals running them out — Lloyd fixed
     // point); the tree is trained once per gate run ([[treeModel]]).
     "emb_tree_assign" -> ((s, dir) => {
-      val (l1, l2) = treeModel(s, dir)
+      val (l1, l2, kq) = treeModel(s, dir)
       Knn.treeAssign(Tables.embeddings(s, dir), l1, l2,
-        "vec_id", "embedding", TreeK2, Dims, TreeProbe)
+        "vec_id", "embedding", kq, Dims, TreeProbe)
     }),
 
     // E7d: IVF search — queries probe their nprobe nearest centroids and
@@ -273,8 +301,18 @@ object VectorEntries {
     // centroid, pairwise cosine ONLY within the cluster, drop vectors
     // with a lower-id neighbor ≥ tau). The dup-augmented corpus
     // guarantees every copy shares its original's cluster and dies there.
+    // Centroids are one hash-init assignment round over K = kFlat(n)
+    // pseudo-labels (r12 verdict item 2: the fixture's label-K made the
+    // within-cluster pair mass quadratic in the corpus — K ≈ √n keeps
+    // clusters bounded at every tier, sf10 included)
     "dedup_semantic" -> ((s, dir) => {
-      val cents = Knn.centroidSums(Tables.embeddings(s, dir), "label", "embedding", Dims)
+      val e = Tables.embeddings(s, dir)
+      val kk = kFlat(e.count())
+      val pl = e.select(
+        (graft.text.PortableHash.h32(col("vec_id").cast("string")) % kk.toLong)
+          .as("pl"),
+        col("embedding"))
+      val cents = Knn.centroidSums(pl, "pl", "embedding", Dims)
       Knn.semanticDedup(embDup(s, dir), cents, "vec_id", "embedding", TauBp, Dims)
     }),
 
@@ -285,10 +323,10 @@ object VectorEntries {
     // greedy lower-id drop within each composite cell·k2+child cluster.
     // dedup_semantic gates the flat path; this gates the scale path.
     "dedup_semantic_tree" -> ((s, dir) => {
-      val (l1, l2) = treeModel(s, dir)
+      val (l1, l2, kq) = treeModel(s, dir)
       val corpus = embDup(s, dir)
       val assigned = Knn.treeAssign(
-        corpus, l1, l2, "vec_id", "embedding", TreeK2, Dims, TreeProbe)
+        corpus, l1, l2, "vec_id", "embedding", kq, Dims, TreeProbe)
       Knn.semanticDedupAssigned(
         corpus.join(assigned, "vec_id"), "vec_id", "embedding", "cluster", TauBp)
     }),
@@ -806,16 +844,21 @@ object VectorEntries {
          |FROM c GROUP BY vec_id""".stripMargin,
 
     // assignment CTE = emb_ivf_assign's argmin over the dup-augmented
-    // corpus, then within-cluster pairs and the greedy lower-id drop
+    // corpus, then within-cluster pairs and the greedy lower-id drop;
+    // centroids = one hash-init round over kFlat(n) pseudo-labels (kdef
+    // mirrors the Spark lambda's K ≈ √n — bounded clusters at sf10)
     "dedup_semantic" -> {
       val sums = (0 until Dims).map(i => s"CAST(sum(q[${i + 1}]) AS BIGINT) AS s_$i").mkString(", ")
       val dist = (0 until Dims)
         .map(i => s"power(c.n * v.q[${i + 1}] - c.s_$i, 2)").mkString(" + ")
-      s"""WITH corpus AS ($embDupSql),
+      val h = graft.text.PortableHash.duckH32("CAST(vec_id AS VARCHAR)")
+      s"""WITH $kFlatSql,
+         |corpus AS ($embDupSql),
          |v0 AS (SELECT vec_id, $q AS q FROM corpus),
          |v AS (SELECT vec_id, q, ${VectorOps.duckQdot("q", "q")} AS sd FROM v0),
          |c AS (SELECT label, CAST(count(*) AS BIGINT) AS n, $sums
-         |      FROM (SELECT label, $q AS q FROM embeddings) GROUP BY label),
+         |      FROM (SELECT $h % (SELECT kk FROM kdef) AS label, $q AS q
+         |            FROM embeddings) GROUP BY label),
          |d AS (SELECT v.vec_id, v.q, v.sd, c.label,
          |        ($dist) / CAST(c.n * c.n AS DOUBLE) AS dist
          |      FROM v CROSS JOIN c),
@@ -909,7 +952,7 @@ object VectorEntries {
     },
 
     // E44t: both levels unrolled — level-1 is emb_ivf_train's recipe at
-    // TreeK1; level-2 repeats it INSIDE each cell (join on cell instead
+    // the tier-scaled kq; level-2 repeats it INSIDE each cell (join on cell instead
     // of a cross join — each vector sees only its own cell's children);
     // assignment probes the top-TreeProbe level-1 cells (rk <= probe
     // over dc, the same distance table the training descent used) and
@@ -923,9 +966,9 @@ object VectorEntries {
          |vp AS (SELECT v.vec_id, v.q, pc.cell FROM v JOIN pc USING (vec_id)),
          |f AS (SELECT vp.vec_id, vp.cell, l2.ch, (${treeDist("l2", "vp")}) / CAST(l2.n * l2.n AS DOUBLE) AS dist
          |      FROM vp JOIN l2 ON vp.cell = l2.cell)
-         |SELECT vec_id, CAST(cell * $TreeK2 + ch AS BIGINT) AS cluster FROM (
+         |SELECT vec_id, CAST(cell * $kQ + ch AS BIGINT) AS cluster FROM (
          |  SELECT vec_id, cell, ch,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell * $TreeK2 + ch ASC) AS rk
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC, ch ASC) AS rk
          |  FROM f) WHERE rk = 1""".stripMargin,
 
     // E44×E44t: the tree trained on `embeddings` (shared prefix), the
@@ -947,8 +990,8 @@ object VectorEntries {
          |uf AS (SELECT uc.vec_id, uc.q, uc.sd, uc.cell, l2.ch,
          |         (${treeDist("l2", "uc")}) / CAST(l2.n * l2.n AS DOUBLE) AS dist
          |       FROM uc JOIN l2 ON uc.cell = l2.cell),
-         |asg AS (SELECT vec_id, q, sd, CAST(cell * $TreeK2 + ch AS BIGINT) AS cluster FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell * $TreeK2 + ch ASC) AS rk
+         |asg AS (SELECT vec_id, q, sd, CAST(cell * $kQ + ch AS BIGINT) AS cluster FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC, ch ASC) AS rk
          |  FROM uf) WHERE rk = 1),
          |dropped AS (
          |  SELECT DISTINCT b.vec_id

@@ -184,7 +184,9 @@ object Cli {
         "     | Cli ann append --in batch.parquet --index dir\n" +
         "     | Cli ann drift --in corpus.parquet --index dir [--top 10]\n" +
         "     | Cli ann recall --in corpus.parquet --index dir [--k 10] [--nprobe 3] " +
-        "[--sample-bp 100] [--out p]"
+        "[--sample-bp 100] [--out p]\n" +
+        "     | Cli ann tune-probe --in emb.parquet [--k1 8] [--k2 8] [--iters 2] " +
+        "[--dims 64] [--target-bp 9500] [--sample-bp 500]"
     val sub = args.headOption.getOrElse {
       System.err.println(usage); sys.exit(2); ""
     }
@@ -327,6 +329,65 @@ object Cli {
           f"(${if (pq.isDefined) "IVF+PQ" else "IVF"}, nprobe=$nprobe): " +
           f"mean=${s.getDouble(0)}%.0f bp worst=${s.getLong(1)} bp" +
           opts.get("out").map(p => s" -> $p").getOrElse(""))
+      case "tune-probe" =>
+        // The probe auto-tuner (r12 verdict item 3): smallest multi-probe
+        // p whose tree assignment agrees with the flat argmin at >=
+        // --target-bp, measured on a deterministic hash sample (the `ann
+        // recall` sample recipe — same corpus + same bp = same sample,
+        // so successive tunes are comparable). Binary search over p is
+        // SAFE because agreement is provably monotone in p
+        // (SimilaritySpec's pin), and always terminates: at p = k1 the
+        // tree probes every cell, which equals the flat argmin exactly
+        // (agreement 10000 bp by the same pin).
+        val in = opts.req("in")
+        val (id, vec) = (opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"))
+        val dims = opts.int("dims", 64)
+        val k1 = opts.int("k1", 8)
+        val k2 = opts.int("k2", 8)
+        val iters = opts.int("iters", 2)
+        val targetBp = opts.int("target-bp", 9500)
+        val sampleBp = opts.int("sample-bp", 500)
+        require(targetBp >= 0 && targetBp <= 10000,
+          s"ann tune-probe: --target-bp must be in [0, 10000], got $targetBp")
+        val corpus = spark.read.parquet(in).localCheckpoint()
+        // the tree is trained on the FULL corpus (it is the model being
+        // dialed); only the agreement MEASUREMENT rides the sample
+        val (l1, l2) = Knn.ivfTrain2(corpus, id, vec, k1, k2, iters, dims)
+        val l1c = l1.localCheckpoint(); val l2c = l2.localCheckpoint()
+        val sample = corpus.filter(
+          pmod(graft.text.PortableHash.h32(col(id).cast("string")),
+            lit(10000L)) < sampleBp).localCheckpoint()
+        val n = sample.count()
+        require(n > 0,
+          s"ann tune-probe: the $sampleBp bp sample selected no vectors — " +
+            "raise --sample-bp")
+        val flatCents = l2c.select(
+          (col("cell") * k2.toLong + col("group")).as("group") +:
+            col("n") +: (0 until dims).map(i => col(s"s_$i")): _*)
+        val flat = Knn.ivfAssign(sample, flatCents, id, vec, dims)
+          .withColumnRenamed("cluster", "__f").localCheckpoint()
+        def agreeBp(p: Int): Long = {
+          val t = Knn.treeAssign(sample, l1c, l2c, id, vec, k2, dims, p)
+          val hits = flat.join(t, id)
+            .agg(sum(when(col("__f") === col("cluster"), 1L).otherwise(0L)))
+            .head().getLong(0)
+          hits * 10000L / n
+        }
+        val measured = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+        def leg(p: Int): Long = measured.getOrElseUpdate(p, {
+          val a = agreeBp(p)
+          println(s"[ann] probe=$p agreement=$a bp (sample n=$n)")
+          a
+        })
+        var lo = 1; var hi = k1
+        while (lo < hi) {
+          val mid = lo + (hi - lo) / 2
+          if (leg(mid) >= targetBp) hi = mid else lo = mid + 1
+        }
+        val a = leg(lo)
+        println(s"[ann] tune-probe: smallest p=$lo hits target " +
+          s"$targetBp bp (measured $a bp over $n sampled vectors, " +
+          s"k1=$k1 k2=$k2; legs=${measured.map { case (p, v) => s"$p:$v" }.mkString(",")})")
       case other =>
         System.err.println(s"unknown ann subcommand '$other'\n$usage"); sys.exit(2)
     }

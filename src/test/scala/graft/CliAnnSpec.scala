@@ -110,4 +110,40 @@ class CliAnnSpec extends SparkSpecBase {
     }
     assert(e2.getMessage.contains("sample"), e2.getMessage)
   }
+
+  test("ann tune-probe returns the smallest p hitting the target agreement") {
+    val dir = sf("sf0.001")
+    val emb = s"$dir/embeddings.parquet"
+    val (k1, k2, iters, sampleBp) = (6, 2, 2, 2000)
+    // library-side truth: agreement at every p over the SAME sample and
+    // the SAME full-corpus tree, scanned linearly
+    val e = Tables.embeddings(spark, dir).localCheckpoint()
+    val (l1, l2) = Knn.ivfTrain2(e, "vec_id", "embedding", k1, k2, iters, 64)
+    val sample = e.filter(pmod(
+      graft.text.PortableHash.h32($"vec_id".cast("string")), lit(10000L)) < sampleBp)
+    val n = sample.count(); assert(n > 0)
+    val flatCents = l2.select(
+      ($"cell" * k2.toLong + $"group").as("group") +:
+        $"n" +: (0 until 64).map(i => col(s"s_$i")): _*)
+    val flat = Knn.ivfAssign(sample, flatCents, "vec_id", "embedding", 64)
+      .withColumnRenamed("cluster", "__f")
+    def agree(p: Int): Long = flat
+      .join(Knn.treeAssign(sample, l1, l2, "vec_id", "embedding", k2, 64, p), "vec_id")
+      .agg(sum(when($"__f" === $"cluster", 1L).otherwise(0L))).head().getLong(0) * 10000L / n
+    val curve = (1 to k1).map(p => p -> agree(p))
+    // full probe == flat (the binary search's termination guarantee)
+    assert(curve.last._2 == 10000L)
+    for (target <- Seq(9000, 10000)) {
+      val expected = curve.find(_._2 >= target).get._1
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) {
+        Cli.main(Array("ann", "tune-probe", "--in", emb,
+          "--k1", k1.toString, "--k2", k2.toString, "--iters", iters.toString,
+          "--target-bp", target.toString, "--sample-bp", sampleBp.toString))
+      }
+      val out = buf.toString
+      val got = "smallest p=(\\d+)".r.findFirstMatchIn(out).map(_.group(1).toInt)
+      assert(got.contains(expected), s"target=$target out=$out curve=$curve")
+    }
+  }
 }
