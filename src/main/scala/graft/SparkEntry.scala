@@ -602,8 +602,73 @@ object SparkEntry {
         Tables.orders(s, dir), perturbedOrders(s, dir), Seq("o_orderkey"),
         "orders", graft.cdc.CdcOperator.ValidateConfig(
           chunkSize = 500, orderedChunks = false, sampleBp = 4000))
+    }),
+
+    // A0k: SKEWED-pk validate (r12 verdict item 5) — the same validate
+    // pair over a fixture where 1% of all rows collapse onto ONE hot
+    // user_id (composite pk (user_id, event_id) stays unique, but every
+    // pk-keyed exchange sees the hot key's mass in one partition-key
+    // prefix). Sweep-green here at sf10 is the artifact behind SURVEY
+    // §5's AQE-skew claim: ordered chunking range-repartitions on the
+    // skewed prefix, hash chunking shuffles h32(pk) — both must stay
+    // exact under the hot key.
+    "cdc_validate_skew" -> ((s, dir) => {
+      graft.cdc.CdcOperator.validate(
+        skewedEvents(s, dir), perturbedSkewedEvents(s, dir),
+        Seq("user_id", "event_id"), "events_skew",
+        graft.cdc.CdcOperator.ValidateConfig(chunkSize = 500))
+    }),
+    "cdc_validate_hash_skew" -> ((s, dir) => {
+      graft.cdc.CdcOperator.validate(
+        skewedEvents(s, dir), perturbedSkewedEvents(s, dir),
+        Seq("user_id", "event_id"), "events_skew",
+        graft.cdc.CdcOperator.ValidateConfig(
+          chunkSize = 500, orderedChunks = false))
     })
   )
+
+  /** The skew fixture both engines derive identically: events with 1% of
+    * rows re-keyed to user_id 42 (the hot key), ts/props dropped (their
+    * physical encodings don't round-trip to identical VARCHAR in both
+    * engines) and value carried as exact µ-fixed-point (floor before the
+    * bigint cast — DuckDB's double→bigint cast rounds where Spark's
+    * truncates). */
+  private def skewedEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      when(col("event_id") % 100 === 0, 42L).otherwise(col("user_id")).as("user_id"),
+      col("event_type"),
+      floor(col("value") * lit(1000000d)).cast("long").as("value_fp"))
+
+  private val skewedEventsSql =
+    """SELECT event_id,
+      |  CASE WHEN event_id % 100 = 0 THEN 42 ELSE user_id END AS user_id,
+      |  event_type,
+      |  CAST(floor(value * 1000000) AS BIGINT) AS value_fp
+      |FROM events""".stripMargin
+
+  /** perturbedOrders' recipe on the skew fixture: drop %101 keys, +1 the
+    * %97 values, add %103 ghosts at +1e8. */
+  private def perturbedSkewedEvents(s: SparkSession, dir: String): DataFrame = {
+    val e = skewedEvents(s, dir)
+    val kept = e
+      .filter(!(col("event_id") % 101 === 0))
+      .withColumn("value_fp",
+        when(col("event_id") % 97 === 0, col("value_fp") + 1)
+          .otherwise(col("value_fp")))
+    val ghosts = e.filter(col("event_id") % 103 === 0)
+      .withColumn("event_id", col("event_id") + 100000000L)
+    kept.unionByName(ghosts)
+  }
+
+  private val perturbedSkewedEventsSql =
+    s"""WITH se AS ($skewedEventsSql)
+       |SELECT event_id, user_id, event_type,
+       |  CASE WHEN event_id % 97 = 0 THEN value_fp + 1 ELSE value_fp END AS value_fp
+       |FROM se WHERE NOT (event_id % 101 = 0)
+       |UNION ALL
+       |SELECT event_id + 100000000, user_id, event_type, value_fp
+       |FROM se WHERE event_id % 103 = 0""".stripMargin
 
   // --------------------------------------------------------------- oracles
 
@@ -1311,6 +1376,74 @@ object SparkEntry {
          |  (SELECT count(*) FROM ss) = (SELECT count(*) FROM ts) AS counts_match,
          |  (SELECT count(*) FROM chunks WHERE NOT ok) AS chunks_mismatched,
          |  (SELECT n FROM rd) AS rows_differing""".stripMargin
+    },
+
+    // A0k: the validate oracles over the hot-key fixture — identical
+    // machinery to cdc_validate/_hash with the composite (user_id,
+    // event_id) pk and the skew derivation CTEs
+    "cdc_validate_skew" -> {
+      val rowHash = graft.text.PortableHash.duckH32(
+        "concat_ws('|', " +
+          skewCols.map(c => s"COALESCE(CAST($c AS VARCHAR), chr(1)||'NULL')").mkString(", ") + ")")
+      val mism = skewCols.filterNot(skewPk.contains)
+        .map(c => s"s.$c IS DISTINCT FROM t.$c").mkString(" OR ")
+      s"""WITH src AS ($skewedEventsSql),
+         |tgt AS ($perturbedSkewedEventsSql),
+         |sp AS (SELECT $rowHash AS h, row_number() OVER (ORDER BY user_id, event_id) - 1 AS pos FROM src),
+         |tp AS (SELECT $rowHash AS h, row_number() OVER (ORDER BY user_id, event_id) - 1 AS pos FROM tgt),
+         |sa AS (SELECT CAST(floor(pos / 500.0) AS BIGINT) AS chunk_id,
+         |              count(*) AS src_rows, sum(h) AS sh FROM sp GROUP BY 1),
+         |ta AS (SELECT CAST(floor(pos / 500.0) AS BIGINT) AS chunk_id,
+         |              count(*) AS tgt_rows, sum(h) AS th FROM tp GROUP BY 1),
+         |chunks AS (
+         |  SELECT (src_rows IS NOT DISTINCT FROM tgt_rows AND sh IS NOT DISTINCT FROM th) AS ok
+         |  FROM sa FULL OUTER JOIN ta ON sa.chunk_id = ta.chunk_id),
+         |rd AS (
+         |  SELECT count(*) AS n
+         |  FROM src s FULL OUTER JOIN tgt t
+         |    ON s.user_id = t.user_id AND s.event_id = t.event_id
+         |  WHERE s.event_id IS NULL OR t.event_id IS NULL OR $mism)
+         |SELECT 'events_skew' AS tbl,
+         |  (SELECT count(*) FROM src) AS src_rows,
+         |  (SELECT count(*) FROM tgt) AS tgt_rows,
+         |  (SELECT count(*) FROM src) = (SELECT count(*) FROM tgt) AS counts_match,
+         |  (SELECT count(*) FROM chunks WHERE NOT ok) AS chunks_mismatched,
+         |  (SELECT n FROM rd) AS rows_differing""".stripMargin
+    },
+
+    "cdc_validate_hash_skew" -> {
+      val rowHash = graft.text.PortableHash.duckH32(
+        "concat_ws('|', " +
+          skewCols.map(c => s"COALESCE(CAST($c AS VARCHAR), chr(1)||'NULL')").mkString(", ") + ")")
+      val mism = skewCols.filterNot(skewPk.contains)
+        .map(c => s"s.$c IS DISTINCT FROM t.$c").mkString(" OR ")
+      val pkStr = "concat_ws('|', " + skewPk
+        .map(c => s"COALESCE(CAST($c AS VARCHAR), chr(1)||'NULL')").mkString(", ") + ")"
+      val chunkOf =
+        s"CAST(floor((${graft.text.PortableHash.duckH32(pkStr)} % 1000000) / 500.0) AS BIGINT)"
+      s"""WITH src AS ($skewedEventsSql),
+         |tgt AS ($perturbedSkewedEventsSql),
+         |sa AS (SELECT $chunkOf AS chunk_id, count(*) AS src_rows, sum($rowHash) AS sh
+         |       FROM src GROUP BY 1),
+         |ta AS (SELECT $chunkOf AS chunk_id, count(*) AS tgt_rows, sum($rowHash) AS th
+         |       FROM tgt GROUP BY 1),
+         |chunks AS (
+         |  SELECT (src_rows IS NOT DISTINCT FROM tgt_rows AND sh IS NOT DISTINCT FROM th) AS ok
+         |  FROM sa FULL OUTER JOIN ta ON sa.chunk_id = ta.chunk_id),
+         |rd AS (
+         |  SELECT count(*) AS n
+         |  FROM src s FULL OUTER JOIN tgt t
+         |    ON s.user_id = t.user_id AND s.event_id = t.event_id
+         |  WHERE s.event_id IS NULL OR t.event_id IS NULL OR $mism)
+         |SELECT 'events_skew' AS tbl,
+         |  (SELECT count(*) FROM src) AS src_rows,
+         |  (SELECT count(*) FROM tgt) AS tgt_rows,
+         |  (SELECT count(*) FROM src) = (SELECT count(*) FROM tgt) AS counts_match,
+         |  (SELECT count(*) FROM chunks WHERE NOT ok) AS chunks_mismatched,
+         |  (SELECT n FROM rd) AS rows_differing""".stripMargin
     }
   )
+
+  private val skewCols = Seq("event_id", "user_id", "event_type", "value_fp")
+  private val skewPk = Seq("user_id", "event_id")
 }

@@ -1,0 +1,156 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Rollup
+import graft.streaming.{HotKeysStream, RollupLanding, Scd2Landing}
+
+/** Streaming THROUGHPUT record (r12 verdict item 6): the three landing
+  * twins driven once over the sf1 changefeed with AvailableNow, wall
+  * clock + rows/s + landed/state sizes in one JSON line. The 16
+  * streaming surfaces are correctness-tested on small feeds (kill/
+  * restart, exactly-once, parity contracts); this is the reproducible
+  * scale data point on the same events-derived feed the batch gate
+  * uses (pk = user_id, ordered by ts, Op from event_type — 1 M rows,
+  * (user_id, ts) unique at sf1, satisfying Scd2Landing's distinct-
+  * version-time contract).
+  *
+  * Legs:
+  *  - scd2: [[Scd2Landing]] → embedded DuckDB over JDBC (the same live
+  *    wire the kill/restart spec drives) — every event a version row;
+  *    state = the landed history itself (reported as rows).
+  *  - rollup: [[RollupLanding]] → parquet landing, key = (event_type,
+  *    hour), count + sum(value·1e6 as long) — batch-id-gated
+  *    exactly-once; state = landed rollup rows.
+  *  - hotkeys: [[HotKeysStream]] sharded Misra-Gries over user_id,
+  *    Update mode into a memory sink (microbatched via
+  *    maxFilesPerTrigger so state actually carries across batches);
+  *    state = shards × ≤k counters.
+  *
+  * Usage: runMain graft.tools.StreamBench [sfDir] [shards] [k]
+  */
+object StreamBench {
+  private def loadavg(): Seq[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+      finally src.close()
+    } catch { case _: Throwable => Seq.empty }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/repo/target/sf1_r11")
+    val shards = args.lift(1).map(_.toInt).getOrElse(32)
+    val k = args.lift(2).map(_.toInt).getOrElse(16)
+    val loadStart = loadavg()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_bench").toString
+    val feedDir = s"$root/feed"
+    // the batch gate's changefeed shape (SparkEntry.eventsCdc), landed as
+    // a 16-file parquet feed so the hotkeys leg gets real microbatches
+    val feed0 = graft.util.Tables.events(spark, sfDir)
+      .withColumn("Op",
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "click", "D").otherwise("U"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "Op")
+    feed0.repartition(16).write.parquet(feedDir)
+    val landedFeed = spark.read.parquet(feedDir)
+    val nRows = landedFeed.count()
+    val schema = landedFeed.schema
+    def stream(maxFiles: Option[Int]): DataFrame = {
+      val r = spark.readStream.schema(schema)
+      maxFiles.foreach(m => r.option("maxFilesPerTrigger", m))
+      r.parquet(feedDir)
+    }
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // ---- leg 1: SCD2 history -> live embedded DuckDB over JDBC
+    val url = s"jdbc:duckdb:$root/hist.db"
+    def exec(statements: String*): Unit = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try statements.foreach(st.execute) finally st.close()
+      } finally conn.close()
+    }
+    exec(
+      graft.pg.Ddl.createSchema("graft_stream"),
+      graft.pg.Ddl.createTable("graft_stream", "history",
+        scala.collection.immutable.ListMap(
+          "event_id" -> "bigint", "ts" -> "timestamp", "user_id" -> "bigint",
+          "event_type" -> "text", "value" -> "double precision",
+          "valid_from_us" -> "bigint", "valid_to_us" -> "bigint",
+          "is_current" -> "bigint"),
+        Seq("user_id", "valid_from_us")))
+    val scd2S = timed {
+      val q = Scd2Landing.start(
+        stream(None), Seq("user_id"), Seq(col("ts"), col("event_id")), col("ts"),
+        "Op", url, "graft_stream", "history", "", "", s"$root/ckpt_scd2",
+        availableNow = true)
+      q.awaitTermination()
+    }
+    val histRows = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement()
+          .executeQuery("SELECT count(*) FROM graft_stream.history")
+        rs.next(); rs.getLong(1)
+      } finally conn.close()
+    }
+
+    // ---- leg 2: incremental rollup landing -> parquet
+    val rollupS = timed {
+      val q = RollupLanding.start(
+        spark, feedDir, schema,
+        b => b.select(
+          col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hour"),
+          lit(1L).as("one"),
+          (col("value") * 1e6).cast("long").as("value_fp")),
+        Seq("event_type", "hour"),
+        Seq(
+          Rollup.Spec("n", col("one"), Rollup.Count),
+          Rollup.Spec("value_fp_sum", col("value_fp"), Rollup.Sum)),
+        s"$root/rollup", s"$root/ckpt_rollup")
+      q.awaitTermination()
+    }
+    val rollupRows = RollupLanding.read(spark, s"$root/rollup").map(_.count()).getOrElse(0L)
+
+    // ---- leg 3: sharded Misra-Gries hot keys, Update mode, microbatched
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val hotS = timed {
+      val q = HotKeysStream.hotKeys(
+        HotKeysStream.asSharded(stream(Some(4)), "user_id", shards), k)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$root/ckpt_hot")
+        .format("memory").queryName("graft_stream_hot")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val hotState = HotKeysStream.latestPerShard(spark.table("graft_stream_hot"))
+      .filter(col("item").isNotNull).count()
+
+    val load = (loadStart ++ loadavg()).mkString("[", ",", "]")
+    println(s"""{"metric":"stream_bench","sf":"$sfDir","rows":$nRows,""" +
+      s""""scd2_s":$scd2S,"scd2_rows_per_s":${(nRows / scd2S).toLong},"scd2_history_rows":$histRows,""" +
+      s""""rollup_s":$rollupS,"rollup_rows_per_s":${(nRows / rollupS).toLong},"rollup_rows":$rollupRows,""" +
+      s""""hotkeys_s":$hotS,"hotkeys_rows_per_s":${(nRows / hotS).toLong},""" +
+      s""""hotkeys_state_counters":$hotState,"shards":$shards,"k":$k,"load":$load}""")
+    spark.stop()
+  }
+}
