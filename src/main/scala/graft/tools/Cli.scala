@@ -388,6 +388,11 @@ object Cli {
         println(s"[ann] tune-probe: smallest p=$lo hits target " +
           s"$targetBp bp (measured $a bp over $n sampled vectors, " +
           s"k1=$k1 k2=$k2; legs=${measured.map { case (p, v) => s"$p:$v" }.mkString(",")})")
+        // decade-log row (the BENCH_decade JSONL shape)
+        println(s"""{"metric":"tune_probe","in":"$in","k1":$k1,"k2":$k2,""" +
+          s""""target_bp":$targetBp,"sample_bp":$sampleBp,"sample_n":$n,""" +
+          s""""p":$lo,"agreement_bp":$a,"legs":{${
+            measured.map { case (p, v) => s""""$p":$v""" }.mkString(",")}}}""")
       case other =>
         System.err.println(s"unknown ann subcommand '$other'\n$usage"); sys.exit(2)
     }
