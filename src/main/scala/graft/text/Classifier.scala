@@ -96,8 +96,20 @@ object Classifier {
       n: Int = 2, scale: Long = 1000000L, minCount: Long = 1L): DataFrame = {
     require(n >= 1, s"Classifier.trainCentroid: n must be >= 1, got $n")
     require(minCount >= 1, s"Classifier.trainCentroid: minCount must be >= 1, got $minCount")
+    // explode positions THEN substring (the Passage.windowsOf shape):
+    // whole-stage codegen fuses Generate + Project + partial HashAggregate,
+    // so no per-doc ARRAY of window strings is ever materialized — the
+    // `explode(grams(...))` form built that array per doc first, and the
+    // array materialization dominated the training pass (the corpus-scale
+    // leg of the classifier lifecycle). Row-identical to grams(): same
+    // lowercase-then-length guard, same 1-based windows.
     val counts = docs
-      .select(col(classCol).as("cls"), explode(grams(col(textCol), n)).as("gram"))
+      .select(col(classCol).as("cls"), lower(col(textCol)).as("__t"))
+      .filter(length(col("__t")) >= n)
+      .select(col("cls"),
+        explode(sequence(lit(1), length(col("__t")) - (n - 1))).as("__i"),
+        col("__t"))
+      .select(col("cls"), col("__t").substr(col("__i"), lit(n)).as("gram"))
       .groupBy("cls", "gram")
       .agg(count(lit(1)).as("cnt"))
     val totals = counts.groupBy("cls").agg(sum(col("cnt")).as("tot"))
