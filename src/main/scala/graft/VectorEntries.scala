@@ -855,16 +855,22 @@ object VectorEntries {
       s"""WITH $kFlatSql,
          |corpus AS ($embDupSql),
          |v0 AS (SELECT vec_id, $q AS q FROM corpus),
-         |v AS (SELECT vec_id, q, ${VectorOps.duckQdot("q", "q")} AS sd FROM v0),
+         |v AS MATERIALIZED (SELECT vec_id, q, ${VectorOps.duckQdot("q", "q")} AS sd FROM v0),
          |c AS (SELECT label, CAST(count(*) AS BIGINT) AS n, $sums
          |      FROM (SELECT $h % (SELECT kk FROM kdef) AS label, $q AS q
          |            FROM embeddings) GROUP BY label),
-         |d AS (SELECT v.vec_id, v.q, v.sd, c.label,
+         |-- argmin as a hash aggregate over SLIM (vec_id, label, dist) rows:
+         |-- min(struct(dist, label)) is Spark's (dist, group) tie-break
+         |-- exactly, and the n·K distance set never materializes with the
+         |-- vector payload attached (the row_number-window form OOM'd the
+         |-- oracle at sf10's 1e8 rows — q/sd rode through the sort)
+         |d AS (SELECT v.vec_id, c.label,
          |        ($dist) / CAST(c.n * c.n AS DOUBLE) AS dist
          |      FROM v CROSS JOIN c),
-         |asg AS (SELECT vec_id, q, sd, label AS cluster FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, label ASC) AS rk
-         |  FROM d) WHERE rk = 1),
+         |am AS (SELECT vec_id, (min(struct_pack(d := dist, l := label))).l AS cluster
+         |       FROM d GROUP BY vec_id),
+         |asg AS (SELECT v.vec_id, v.q, v.sd, am.cluster
+         |        FROM v JOIN am USING (vec_id)),
          |dropped AS (
          |  SELECT DISTINCT b.vec_id
          |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
