@@ -121,10 +121,15 @@ class PlanSpec extends SparkSpecBase {
     assert(!pe.contains("SortMergeJoin"),
       s"no corpus-side sort-merge join expected:\n${pe.take(1500)}")
     assert(!pe.contains("ScalaUDF") && !pe.contains("BatchEvalPython"))
-    // classifier serving: the weight table reaches the tf rows broadcast
+    // classifier serving (fold path, r13): ONE codegen'd scan — the
+    // weight table travels inside the plan as the CentroidPredict
+    // reference object, so the serve plan has NO join, NO exchange and
+    // NO window at all (the strongest possible shape pin)
     val cp = plan("classifier_predict")
-    assert(cp.contains("BroadcastHashJoin"),
-      "the weight table must broadcast into serving")
+    assert(cp.contains("graft_centroid_predict"),
+      s"serving must go through the native fold expression:\n${cp.take(1500)}")
+    assert(!cp.contains("Exchange") && !cp.contains("Join") && !cp.contains("Window"),
+      s"fold serving must be a single scan:\n${cp.take(1500)}")
     assert(!cp.contains("ScalaUDF") && !cp.contains("BatchEvalPython"))
     // winnowing: both frames ride ONE doc-partitioned sort — exactly one
     // hash exchange in the whole plan, and the h60 digest is the native
