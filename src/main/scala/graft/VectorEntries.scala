@@ -869,7 +869,11 @@ object VectorEntries {
          |      FROM v CROSS JOIN c),
          |am AS (SELECT vec_id, (min(struct_pack(d := dist, l := label))).l AS cluster
          |       FROM d GROUP BY vec_id),
-         |asg AS (SELECT v.vec_id, v.q, v.sd, am.cluster
+         |-- MATERIALIZED: asg is referenced three times (both pair-join
+         |-- sides + the final anti-join); inlined, DuckDB re-runs the
+         |-- n·K argmin pipeline concurrently per reference and the
+         |-- combination OOMs at sf10 — materialized it is 220 k rows
+         |asg AS MATERIALIZED (SELECT v.vec_id, v.q, v.sd, am.cluster
          |        FROM v JOIN am USING (vec_id)),
          |dropped AS (
          |  SELECT DISTINCT b.vec_id
