@@ -483,14 +483,19 @@ object Cli {
     * cleaned corpus. */
   private def runPassages(args: Seq[String]): Unit = {
     val usage =
-      "usage: Cli passages --in docs.parquet --out dir [--id doc_id] [--text text] [--k 40]"
+      "usage: Cli passages --in docs.parquet --out dir [--id doc_id] [--text text] [--k 40] " +
+        "[--sample-bp 10000]"
     val opts = new Opts(args, usage)
     val spark = localSession()
     val (in, out) = (opts.req("in"), opts.req("out"))
+    // --sample-bp < 10000 = the deterministic window-keyspace screen
+    // (E51s): excision restricted to windows whose portable h32 lands in
+    // the first bp/10000 of hash space — the screening dial for huge
+    // corpora, same pattern as validate's --sample-bp
     val cleaned = graft.dedup.Passage.exciseDuplicates(
       spark.read.parquet(in),
       opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
-      opts.int("k", 40))
+      opts.int("k", 40), opts.int("sample-bp", 10000))
     cleaned.write.mode("overwrite").parquet(out)
     val stats = spark.read.parquet(out)
       .agg(count(lit(1)), sum(col("n_removed")),

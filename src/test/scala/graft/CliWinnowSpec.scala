@@ -52,5 +52,17 @@ class CliWinnowSpec extends SparkSpecBase {
     assert(got(1L) == (0L, s"aaa${passage}bbb"))
     assert(got(2L) == (20L, "xxyy"))
     assert(got(3L)._1 == 0L)
+    // --sample-bp passes through to the keyspace screen: the library
+    // call at the same bp must land the identical corpus, and the full
+    // 10000 default equals exact mode (already asserted above)
+    val outSampled = s"$root/clean_s.parquet"
+    Cli.main(Array("passages", "--in", inPath, "--out", outSampled,
+      "--k", "20", "--sample-bp", "3000"))
+    val gotS = spark.read.parquet(outSampled)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val libS = graft.dedup.Passage.exciseDuplicates(
+      spark.read.parquet(inPath), "doc_id", "text", 20, 3000)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(gotS == libS && gotS.size == 3)
   }
 }

@@ -536,6 +536,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("E52s: the fold serve path streams DIRECTLY — a scalar column, no foreachBatch") {
+    // CentroidPredict is a pure per-row expression, so serving composes
+    // with writeStream like any projection: zero state, zero shuffle,
+    // append mode — the shape foreachBatch + the join path could never
+    // give a stream. Predictions must equal the batch fold (itself
+    // parity-pinned to the join path in ClassifierSpec).
+    import graft.text.Classifier
+    val train = Seq(("de", "der und das ist der und"), ("en", "the and is that the and"))
+      .toDF("cls", "text")
+    val w = Classifier.trainCentroid(train, "cls", "text", n = 2)
+    val predCol = Classifier.centroidPredictColumn(w, col("text"), n = 2)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), predCol.as("pred"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_fold_stream").start()
+    try {
+      input.addData((1L, "der das und"), (2L, "the that and"))
+      q.processAllAvailable()
+      input.addData((3L, "und der ist"), (4L, "zzzz"))
+      q.processAllAvailable()
+      val got = spark.table("graft_fold_stream")
+        .as[(Long, String)].collect().toMap
+      val batch = Classifier.predictCentroidFold(
+        Seq((1L, "der das und"), (2L, "the that and"), (3L, "und der ist"), (4L, "zzzz"))
+          .toDF("doc_id", "text"), "doc_id", "text", w, n = 2)
+        .as[(Long, String)].collect().toMap
+      assert(got == batch && got.size == 4)
+      assert(got(1L) == "de" && got(2L) == "en")
+    } finally q.stop()
+  }
+
   test("D12s: streaming funnel equals the batch cascade on a time-ordered feed") {
     import graft.streaming.FunnelStream
     import graft.streaming.FunnelStream.{Ev, UserFunnel}
