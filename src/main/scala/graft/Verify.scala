@@ -24,7 +24,11 @@ object Verify {
     // dumped to _failures.json, and turn the exit code nonzero.
     val failures = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): coalesce collapses the whole
+        // query pipeline into ONE task (a 500 k-doc fold ran
+        // single-threaded); repartition keeps upstream parallelism and
+        // only the (small) result crosses one exchange into one file
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         None
       } catch { case e: Throwable =>

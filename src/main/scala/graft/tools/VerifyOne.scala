@@ -31,7 +31,9 @@ object VerifyOne {
     new java.io.File(outDir).mkdirs()
     names.toSeq.sorted.foreach { name =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+      // repartition(1) not coalesce(1) — same single-file contract,
+      // parallel upstream (see Verify)
+      SparkEntry.queries(name)(spark, sfDir).repartition(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
       println(f"[verify-one] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
