@@ -195,29 +195,54 @@ object Knn {
       .reduce(_ + _) / (col("n") * col("n")).cast("double")
 
   /** Rank vectors' centroids by distance, keep the `keep` nearest.
-    * Input must carry vid/qv; centroids are broadcast (K rows).
+    * Input must carry vid/qv; centroids are K rows (broadcast-sized).
     *
-    * keep=1 (the corpus-sized assignment path) is an argmin, expressed
-    * as a `min_by` AGGREGATION rather than a window: partial aggregation
-    * collapses the K-way fan-out map-side, so the shuffle carries ~one
-    * row per vector instead of K — the difference between an N-row and a
-    * K·N-row exchange at corpus scale. keep>1 (query-side probing, small
-    * by construction) keeps the window form. Ties break on (dist, group)
-    * ascending in both forms. */
+    * keep=1 (the corpus-sized assignment path) is an argmin computed by
+    * the NATIVE fold expression ([[graft.functions.NearestCentroid]]):
+    * the K-row centroid table rides the plan as a reference object and
+    * every corpus row resolves in one codegen'd K·dims loop — zero row
+    * blow-up, zero aggregate, zero exchange. (The previous min_by
+    * aggregation had the right shuffle shape but planned a
+    * SortAggregate — min_by's struct buffer is not hash-aggregable — so
+    * every assignment paid a LOCAL SORT of all n·K distance rows; the
+    * fold is bit-identical by construction, see the expression's
+    * Scaladoc, and pinned by the unchanged oracles + SimilaritySpec.)
+    * keep>1 (query-side probing, small by construction) keeps the
+    * window form. Ties break on (dist, group) ascending in both forms. */
   private def nearestCentroids(p: DataFrame, centroids: DataFrame, dims: Int, keep: Int): DataFrame = {
-    val joined = p.crossJoin(broadcast(centroids)).withColumn("__d", scaledDist2(dims))
-    if (keep == 1) {
+    lazy val maybeSet = collectCentroidSet(centroids, dims)
+    if (keep == 1 && maybeSet.isDefined) {
+      val (set, gType) = maybeSet.get
       val carried = p.columns.filterNot(_ == "vid")
-      val payload = struct(col("group") +: carried.map(col): _*)
-      joined
-        .groupBy("vid")
-        .agg(min_by(payload, struct(col("__d"), col("group"))).as("__best"))
-        .select(col("vid") +: col("__best.group").as("group") +:
-          carried.map(c => col(s"__best.$c").as(c)): _*)
+      val nearestCol = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.NearestCentroid(
+          org.apache.spark.sql.GraftBridge.expression(col("qv")), set, gType))
+      p.select(col("vid") +: nearestCol.as("group") +: carried.map(col): _*)
     } else {
+      // keep>1 probing, or an EMPTY centroid set (whose declarative
+      // cross join correctly yields zero assignments)
+      val joined = p.crossJoin(broadcast(centroids)).withColumn("__d", scaledDist2(dims))
       val w = Window.partitionBy(col("vid")).orderBy(col("__d").asc, col("group").asc)
       joined.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= keep)
     }
+  }
+
+  /** The K-row centroid table as a plan-shippable [[graft.functions.CentroidSet]]
+    * (+ the original group type — int for label centroids, long for
+    * hash/tree groups). The collect is K rows, the exact set a broadcast
+    * would ship; None for an empty table. */
+  private def collectCentroidSet(
+      centroids: DataFrame, dims: Int): Option[(graft.functions.CentroidSet, org.apache.spark.sql.types.DataType)] = {
+    val gType = centroids.schema("group").dataType
+    val rows = centroids.select(
+      col("group").cast("long") +: col("n").cast("long") +:
+        (0 until dims).map(i => col(s"s_$i").cast("long")): _*).collect()
+    if (rows.isEmpty) None
+    else Some((graft.functions.CentroidSet(
+      dims,
+      rows.map(_.getLong(0)),
+      rows.map(_.getLong(1)),
+      rows.map(r => Array.tabulate(dims)(i => r.getLong(2 + i)))), gType))
   }
 
   /** Exact nearest-centroid assignment (IVF coarse quantization) in pure
