@@ -542,26 +542,33 @@ object Knn {
       probe: Int = 1): DataFrame = {
     require(probe >= 1, s"treeAssign: probe must be >= 1, got $probe")
     val p = prepared(corpus, idCol, vecCol).select(col("vid"), col("qv"))
-    val cells =
-      if (probe == 1)
-        nearestCentroids(p, level1, dims, keep = 1)
-          .select(col("vid"), col("qv"), col("group").as("cell"))
-      else
-        p.crossJoin(broadcast(level1)).withColumn("__d", scaledDist2(dims))
-          .groupBy(col("vid"))
-          .agg(
-            slice(array_sort(collect_list(struct(col("__d"), col("group")))),
-              1, probe).as("__cells"),
-            first(col("qv")).as("qv"))
-          .select(col("vid"), col("qv"), explode(col("__cells")).as("__c"))
-          .select(col("vid"), col("qv"), col("__c.group").as("cell"))
-    val joined = cells.join(broadcast(level2), Seq("cell"))
-      .withColumn("__d", scaledDist2(dims))
-    joined.groupBy(col("vid"))
-      .agg(min_by(struct(col("cell"), col("group").as("child")),
-        struct(col("__d"), col("cell") * lit(k2.toLong) + col("group"))).as("__b"))
-      .select(col("vid").as(idCol),
-        (col("__b.cell") * lit(k2.toLong) + col("__b.child")).as("cluster"))
+    // both levels ride the plan as ONE reference object and every row
+    // resolves in a single codegen'd call — no ranking aggregate, no
+    // min_by SortAggregate, no fan-out (see TreeCentroidAssign's
+    // bit-exactness note; the declarative form this replaces is
+    // preserved in git history and pinned equal by SimilaritySpec)
+    val l1Rows = level1.select(
+      col("group").cast("long") +: col("n").cast("long") +:
+        (0 until dims).map(i => col(s"s_$i").cast("long")): _*).collect()
+    val l2Rows = level2.select(
+      col("cell").cast("long") +: col("group").cast("long") +:
+        col("n").cast("long") +:
+        (0 until dims).map(i => col(s"s_$i").cast("long")): _*).collect()
+    require(l1Rows.nonEmpty && l2Rows.nonEmpty,
+      "treeAssign: empty quantizer level — train with ivfTrain2 first")
+    val set = graft.functions.TreeCentroidSet(
+      dims, k2.toLong, probe,
+      l1Rows.map(_.getLong(0)), l1Rows.map(_.getLong(1)),
+      l1Rows.map(r => Array.tabulate(dims)(i => r.getLong(2 + i))),
+      l2Rows.map(_.getLong(0)), l2Rows.map(_.getLong(1)), l2Rows.map(_.getLong(2)),
+      l2Rows.map(r => Array.tabulate(dims)(i => r.getLong(3 + i))))
+    val assignCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.TreeCentroidAssign(
+        org.apache.spark.sql.GraftBridge.expression(col("qv")), set))
+    p.select(col("vid").as(idCol), assignCol.as("cluster"))
+      // a vector whose every probed cell is childless: the inner join's
+      // row-drop semantics, surfaced as the expression's NULL
+      .filter(col("cluster").isNotNull)
   }
 
   /** Quantizer DRIFT — the measurement behind the index-rebuild trigger
