@@ -123,6 +123,93 @@ object TreeCentroidSet {
   final val NO_CHILD: Long = Long.MinValue
 }
 
+/** Per-cell child table for the Lloyd LEVEL-2 reassignment rounds
+  * ([[graft.similarity.Knn.ivfTrain2]]): each row's argmin runs only
+  * over ITS OWN cell's current children by the (dist, child) order —
+  * the per-round min_by SortAggregate over n·k2 rows, folded into one
+  * codegen'd call like the assignment folds. */
+final case class CellChildren(
+    dims: Int,
+    childCell: Array[Long], childIds: Array[Long],
+    childNs: Array[Long], childSums: Array[Array[Long]])
+  extends Serializable {
+  require(dims >= 1 && childCell.nonEmpty, "CellChildren: empty child table")
+  require(childCell.length == childIds.length &&
+    childIds.length == childNs.length && childNs.length == childSums.length,
+    "CellChildren: ragged arrays")
+
+  @transient private lazy val childrenOf: java.util.HashMap[java.lang.Long, Array[Int]] = {
+    val m = new java.util.HashMap[java.lang.Long, Array[Int]]()
+    childCell.indices.groupBy(childCell(_)).foreach {
+      case (c, idxs) => m.put(c, idxs.toArray)
+    }
+    m
+  }
+
+  /** Argmin child of `cell` by (dist, child) ascending; NO_CHILD when
+    * the cell has no children (the old inner join's row-drop, surfaced
+    * — cannot occur for a cell that contributed to the sums). */
+  def nearestChild(qv: ArrayData, cell: Long): Long = {
+    val idxs = childrenOf.get(cell)
+    if (idxs == null) return TreeCentroidSet.NO_CHILD
+    var bestD = Double.PositiveInfinity
+    var bestC = Long.MaxValue
+    var x = 0
+    while (x < idxs.length) {
+      val ci = idxs(x)
+      var sum = 0.0
+      var i = 0
+      val n = childNs(ci)
+      val s = childSums(ci)
+      while (i < dims) {
+        sum += Math.pow((n * qv.getLong(i) - s(i)).toDouble, 2.0)
+        i += 1
+      }
+      val d = sum / (n * n).toDouble
+      val c = childIds(ci)
+      if (d < bestD || (d == bestD && c < bestC)) { bestD = d; bestC = c }
+      x += 1
+    }
+    bestC
+  }
+}
+
+/** `nearestChild(qv, cell)` over a plan-shipped [[CellChildren]]. */
+case class NearestChild(left: Expression, right: Expression, model: CellChildren)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_child requires (array<bigint>, bigint), got (${l.catalogString}, ${r.catalogString})")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_child"
+
+  override protected def nullSafeEval(qv: Any, cell: Any): Any = {
+    val v = model.nearestChild(qv.asInstanceOf[ArrayData], cell.asInstanceOf[Long])
+    if (v == TreeCentroidSet.NO_CHILD) null else java.lang.Long.valueOf(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("cellChildren", model, classOf[CellChildren].getName)
+    val lGen = left.genCode(ctx)
+    val rGen = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${lGen.code}
+      ${rGen.code}
+      long ${ev.value} = (${lGen.isNull} || ${rGen.isNull})
+        ? ${TreeCentroidSet.NO_CHILD}L
+        : $m.nearestChild(${lGen.value}, ${rGen.value});
+      boolean ${ev.isNull} = ${ev.value} == ${TreeCentroidSet.NO_CHILD}L;""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestChild =
+    copy(left = newLeft, right = newRight)
+}
+
 case class TreeCentroidAssign(child: Expression, model: TreeCentroidSet)
     extends UnaryExpression {
 

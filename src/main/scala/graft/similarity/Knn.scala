@@ -498,15 +498,28 @@ object Knn {
         .agg(count(lit(1)).as("n"),
           (0 until dims).map(i => sum(element_at(col("qv"), i + 1)).as(s"s_$i")): _*)
     for (_ <- 0 until iters) {
-      val cents = sums(assign).withColumnRenamed("child", "group")
-      // reassign within the OWN cell only: the broadcast join key is the
-      // cell, so each vector sees just its k2 children
-      val joined = cells.join(broadcast(cents), Seq("cell"))
-        .withColumn("__d", scaledDist2(dims))
-      assign = joined.groupBy(col("vid"))
-        .agg(min_by(struct(col("cell"), col("group").as("child")),
-          struct(col("__d"), col("group"))).as("__b"))
-        .select(col("vid"), col("__b.cell").as("cell"), col("__b.child").as("child"))
+      // reassign within the OWN cell only, via the native per-row child
+      // argmin (graft.functions.NearestChild) — the per-round join +
+      // min_by SortAggregate over n·k2 rows is gone; the per-round
+      // child table ships as a reference object (K-row collect, the
+      // same rows the broadcast moved). (dist, child) tie-break as the
+      // old struct(__d, group) min_by. A cell that contributed to the
+      // sums always has children, so the null filter is a no-op guard.
+      val rows = sums(assign).select(
+        col("cell").cast("long") +: col("child").cast("long") +:
+          col("n").cast("long") +:
+          (0 until dims).map(i => col(s"s_$i").cast("long")): _*).collect()
+      val cs = graft.functions.CellChildren(
+        dims,
+        rows.map(_.getLong(0)), rows.map(_.getLong(1)), rows.map(_.getLong(2)),
+        rows.map(r => Array.tabulate(dims)(i => r.getLong(3 + i))))
+      val childCol = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.NearestChild(
+          org.apache.spark.sql.GraftBridge.expression(col("qv")),
+          org.apache.spark.sql.GraftBridge.expression(col("cell")), cs))
+      assign = cells
+        .select(col("vid"), col("cell"), childCol.as("child"))
+        .filter(col("child").isNotNull)
         .localCheckpoint()
     }
     (l1, sums(assign).withColumnRenamed("child", "group"))
