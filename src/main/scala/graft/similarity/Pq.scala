@@ -75,13 +75,20 @@ object Pq {
         (0 until dsub).map(i => tdiv(col(s"s_$i"), col("n")).as(s"c_$i")): _*)
 
   /** Reassign every (vid, sub) to its nearest centroid — broadcast argmin
-    * over the m·ksub codebook rows, min_by aggregation shape (combines
-    * map-side; ties break (dist, cluster) ascending). */
+    * over the m·ksub codebook rows, combining map-side; ties break
+    * (dist, cluster) ascending. The ordering PACKS into one long —
+    * dist2 is an exact nonnegative int64 and cluster < PackK — so the
+    * aggregate is a plain hash `min` (a min_by struct buffer is not
+    * hash-aggregable and planned a SortAggregate over every corpus·ksub
+    * candidate row). Exact while dist2 < 2⁶³/PackK ≈ 1.4e14, i.e.
+    * |x| ≤ ~2·10³ floats at dsub ≤ 64 — the same magnitude contract the
+    * int64 dist2 itself already carries for unit-scale embeddings. */
+  private val PackK = 65536L
   private def assignTo(sv: DataFrame, codebook: DataFrame, dsub: Int): DataFrame =
     sv.join(broadcast(codebook), Seq("sub"))
-      .withColumn("__d", dist2(col("sq"), dsub))
+      .withColumn("__p", dist2(col("sq"), dsub) * lit(PackK) + col("cluster"))
       .groupBy(col("vid"), col("sub"))
-      .agg(min_by(col("cluster"), struct(col("__d"), col("cluster"))).as("group"))
+      .agg(pmod(min(col("__p")), lit(PackK)).as("group"))
 
   /** Train the PQ codebooks: `iters` Lloyd rounds per subspace from a
     * deterministic hash init (`h32(vid:sub) % ksub`), exactly the
@@ -102,6 +109,7 @@ object Pq {
       corpus: DataFrame, idCol: String, qvec: Column,
       m: Int, ksub: Int, iters: Int, dims: Int): DataFrame = {
     require(ksub >= 1, s"PQ: ksub must be >= 1, got $ksub")
+    require(ksub <= PackK, s"PQ: ksub must be <= $PackK (code packing), got $ksub")
     val dsub = dims / m
     val sv = subvectorsQ(corpus, idCol, qvec, m, dims).localCheckpoint()
     var assign = sv.select(col("vid"), col("sub"),
