@@ -141,6 +141,28 @@ class PlanSpec extends SparkSpecBase {
     assert(!wn.contains("ScalaUDF") && !wn.contains("BatchEvalPython"))
   }
 
+  test("E7c/E44t/E45: vector assignment plans are native folds — no SortAggregate") {
+    // flat argmin: the centroid table rides the plan; the old min_by
+    // struct buffer planned a SortAggregate over all n·K distance rows
+    val ia = plan("emb_ivf_assign")
+    assert(ia.contains("graft_nearest_centroid"),
+      s"ivfAssign must go through the native argmin:\n${ia.take(1500)}")
+    assert(!ia.contains("SortAggregate"),
+      s"no n·K local sort in assignment:\n${ia.take(1500)}")
+    // two-level tree: both levels fold into one call — the serve plan
+    // has no join/aggregate at all beyond the corpus scan
+    val ta = plan("emb_tree_assign")
+    assert(ta.contains("graft_tree_assign"),
+      s"treeAssign must go through the native fold:\n${ta.take(1500)}")
+    assert(!ta.contains("SortAggregate") && !ta.contains("ObjectHashAggregate"),
+      s"no ranking/argmin aggregate in tree assignment:\n${ta.take(1500)}")
+    // PQ encode: the (dist, cluster) ordering packs into one long, so
+    // the subspace argmin is a plain hash min
+    val pq = plan("emb_pq_codes")
+    assert(!pq.contains("SortAggregate"),
+      s"PQ encode must hash-aggregate the packed argmin:\n${pq.take(2000)}")
+  }
+
   test("E25: segment dedup joins on the h60 fingerprint, not segment text") {
     val p = plan("dedup_segments")
     // the keeper join's exchanges hash-partition on the __h hash column
