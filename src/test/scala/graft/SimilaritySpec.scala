@@ -465,6 +465,63 @@ class SimilaritySpec extends SparkSpecBase {
     }.getMessage.contains("probe"))
   }
 
+  test("E7c/E44t: native argmin folds equal the declarative forms (randomized, ties included)") {
+    // the pre-r13 declarative forms (crossJoin + min_by / ranking +
+    // min_by) reconstructed here as the reference; the folds must match
+    // bit-for-bit, INCLUDING on engineered distance ties (a duplicated
+    // centroid under two group ids — the (dist, group) tie-break must
+    // always pick the smaller id, so the duplicate id never appears)
+    import graft.similarity.VectorOps
+    val rnd = new scala.util.Random(31)
+    val dims = 8
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.fill(dims)((rnd.nextGaussian() * 2).toFloat).toSeq)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    def distExpr = (0 until dims)
+      .map(i => pow(col("n") * element_at(col("qv"), i + 1) - col(s"s_$i"), 2))
+      .reduce(_ + _) / (col("n") * col("n")).cast("double")
+    val pPrep = corpus.select(col("vec_id").as("vid"),
+      VectorOps.quantize(col("embedding")).as("qv"))
+    // ---- flat: centroids with group 0 DUPLICATED as group 99
+    val base = Knn.centroidSums(
+      corpus.withColumn("g", pmod(col("vec_id"), lit(5L))), "g", "embedding", dims)
+    val cents = base.unionByName(
+      base.filter(col("group") === 0L).withColumn("group", lit(99L)))
+    val fold = Knn.ivfAssign(corpus, cents, "vec_id", "embedding", dims)
+      .as[(Long, Long)].collect().toMap
+    val ref = pPrep.crossJoin(broadcast(cents)).withColumn("__d", distExpr)
+      .groupBy("vid")
+      .agg(min_by(col("group"), struct(col("__d"), col("group"))).as("cluster"))
+      .as[(Long, Long)].collect().toMap
+    assert(fold == ref && fold.size == 120)
+    // the tie was really exercised and broke to the smaller id
+    assert(ref.values.exists(_ == 0L) && !ref.values.exists(_ == 99L))
+    // ---- tree: every probe level vs the declarative ranking + min_by
+    val (k1, k2) = (3, 2)
+    val (l1, l2) = Knn.ivfTrain2(corpus, "vec_id", "embedding", k1, k2, 2, dims)
+    for (probe <- 1 to k1) {
+      val foldT = Knn.treeAssign(corpus, l1, l2, "vec_id", "embedding", k2, dims, probe)
+        .as[(Long, Long)].collect().toMap
+      val cells = pPrep.crossJoin(broadcast(l1)).withColumn("__d", distExpr)
+        .groupBy(col("vid"))
+        .agg(
+          slice(array_sort(collect_list(struct(col("__d"), col("group")))),
+            1, probe).as("__cells"),
+          first(col("qv")).as("qv"))
+        .select(col("vid"), col("qv"), explode(col("__cells")).as("__c"))
+        .select(col("vid"), col("qv"), col("__c.group").as("cell"))
+      val refT = cells.join(broadcast(l2), Seq("cell")).withColumn("__d", distExpr)
+        .groupBy(col("vid"))
+        .agg(min_by(struct(col("cell"), col("group").as("child")),
+          struct(col("__d"), col("cell") * lit(k2.toLong) + col("group"))).as("__b"))
+        .select(col("vid"),
+          (col("__b.cell") * lit(k2.toLong) + col("__b.child")).as("cluster"))
+        .as[(Long, Long)].collect().toMap
+      assert(foldT == refT, s"probe=$probe")
+    }
+  }
+
   test("E6: brute-force kNN self-excluded, ranked, exactly k rows per query") {
     val dir = sf("sf0.001")
     val e = Tables.embeddings(spark, dir)
