@@ -208,7 +208,13 @@ object Knn {
     * fold is bit-identical by construction, see the expression's
     * Scaladoc, and pinned by the unchanged oracles + SimilaritySpec.)
     * keep>1 (query-side probing, small by construction) keeps the
-    * window form. Ties break on (dist, group) ascending in both forms. */
+    * window form. Ties break on (dist, group) ascending in both forms.
+    *
+    * PRECONDITION: `vid` is unique in `p`. The fold path maps one input
+    * row to one output row; a duplicated vid yields duplicated (equal)
+    * assignment rows where the historical min_by groupBy collapsed them
+    * — callers own the contract (every graft corpus carries a unique
+    * id; dedupe vids first if yours doesn't). */
   private def nearestCentroids(p: DataFrame, centroids: DataFrame, dims: Int, keep: Int): DataFrame = {
     lazy val maybeSet = collectCentroidSet(centroids, dims)
     if (keep == 1 && maybeSet.isDefined) {
@@ -219,25 +225,50 @@ object Knn {
           org.apache.spark.sql.GraftBridge.expression(col("qv")), set, gType))
       p.select(col("vid") +: nearestCol.as("group") +: carried.map(col): _*)
     } else {
-      // keep>1 probing, or an EMPTY centroid set (whose declarative
-      // cross join correctly yields zero assignments)
+      // keep>1 probing, an EMPTY centroid set (whose declarative cross
+      // join correctly yields zero assignments), or a centroid table
+      // past the plan-footprint cap (collectCentroidSet returns None —
+      // the broadcast window form is the bit-identical fallback: same
+      // scaled int64 distances, same (dist, group) tie-break)
       val joined = p.crossJoin(broadcast(centroids)).withColumn("__d", scaledDist2(dims))
       val w = Window.partitionBy(col("vid")).orderBy(col("__d").asc, col("group").asc)
       joined.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= keep)
     }
   }
 
+  /** Hard cap on centroid tables serialized INTO the plan (the
+    * NearestCentroid / TreeCentroidAssign reference objects). K·dims
+    * longs are tiny by construction (K ≈ √n tops out ~10⁴ at 10⁸
+    * vectors → ~5 MB), but nothing used to stop a caller passing an
+    * unbounded "centroid" table and bloating every task binary
+    * silently; past the cap the flat path falls back to the broadcast
+    * window form and [[treeAssign]] refuses loudly. */
+  val CentroidPlanMaxBytes: Long = 64L << 20
+
   /** The K-row centroid table as a plan-shippable [[graft.functions.CentroidSet]]
     * (+ the original group type — int for label centroids, long for
     * hash/tree groups). The collect is K rows, the exact set a broadcast
-    * would ship; None for an empty table. */
+    * would ship; None for an empty table OR one past
+    * [[CentroidPlanMaxBytes]] (callers fall back to the broadcast
+    * window form, which ships the same rows per-executor instead of
+    * per-plan). */
   private def collectCentroidSet(
       centroids: DataFrame, dims: Int): Option[(graft.functions.CentroidSet, org.apache.spark.sql.types.DataType)] = {
     val gType = centroids.schema("group").dataType
+    // size check AFTER the collect (rows.length, not a count() action —
+    // a pre-count would re-execute the whole centroid lineage; the
+    // collect moves the same rows the broadcast fallback would)
     val rows = centroids.select(
       col("group").cast("long") +: col("n").cast("long") +:
         (0 until dims).map(i => col(s"s_$i").cast("long")): _*).collect()
     if (rows.isEmpty) None
+    else if (rows.length.toLong * (dims + 2L) * 8L > CentroidPlanMaxBytes) {
+      System.err.println(
+        s"[graft] nearestCentroids: ${rows.length} centroids × $dims dims " +
+          s"exceeds the plan-footprint cap ($CentroidPlanMaxBytes B) — " +
+          "using the broadcast window form")
+      None
+    }
     else Some((graft.functions.CentroidSet(
       dims,
       rows.map(_.getLong(0)),
@@ -567,8 +598,19 @@ object Knn {
       col("cell").cast("long") +: col("group").cast("long") +:
         col("n").cast("long") +:
         (0 until dims).map(i => col(s"s_$i").cast("long")): _*).collect()
-    require(l1Rows.nonEmpty && l2Rows.nonEmpty,
-      "treeAssign: empty quantizer level — train with ivfTrain2 first")
+    // empty quantizer level (e.g. trained on an empty corpus): every
+    // vector's probed cells are childless, so the assignment is empty —
+    // the historical broadcast-join form's empty-in/empty-out behavior,
+    // preserved instead of a require()
+    if (l1Rows.isEmpty || l2Rows.isEmpty)
+      return p.select(col("vid").as(idCol), lit(0L).as("cluster"))
+        .filter(lit(false))
+    require(
+      (l1Rows.length.toLong + l2Rows.length.toLong) * (dims + 3L) * 8L
+        <= CentroidPlanMaxBytes,
+      s"treeAssign: quantizer tables (${l1Rows.length} cells + " +
+        s"${l2Rows.length} children × $dims dims) exceed the plan-footprint " +
+        s"cap ($CentroidPlanMaxBytes B) — retrain with smaller k1·k2")
     val set = graft.functions.TreeCentroidSet(
       dims, k2.toLong, probe,
       l1Rows.map(_.getLong(0)), l1Rows.map(_.getLong(1)),

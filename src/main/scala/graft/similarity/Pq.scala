@@ -82,13 +82,29 @@ object Pq {
     * hash-aggregable and planned a SortAggregate over every corpus·ksub
     * candidate row). Exact while dist2 < 2⁶³/PackK ≈ 1.4e14, i.e.
     * |x| ≤ ~2·10³ floats at dsub ≤ 64 — the same magnitude contract the
-    * int64 dist2 itself already carries for unit-scale embeddings. */
+    * int64 dist2 itself already carries for unit-scale embeddings, and
+    * ENFORCED per candidate row: a dist2 beyond the packed range raises
+    * instead of wrapping negative and returning silently wrong codes. */
   private val PackK = 65536L
-  private def assignTo(sv: DataFrame, codebook: DataFrame, dsub: Int): DataFrame =
+  // largest dist2 the pack can carry without wrapping: dist2·PackK +
+  // cluster must stay < 2⁶³. Exceeding it is a DATA contract violation
+  // (quantized magnitudes ≳ 2·10³ at dsub ≤ 64) that non-ANSI Spark
+  // would otherwise turn into a silently-wrong argmin, so the guard is
+  // enforced per candidate row — one long compare inside the same
+  // codegen'd projection, no extra pass (measured in the BENCH suite's
+  // PQ rows: noise-band).
+  private val MaxPackDist2 = (Long.MaxValue - (PackK - 1)) / PackK
+  private def assignTo(sv: DataFrame, codebook: DataFrame, dsub: Int): DataFrame = {
+    val d = dist2(col("sq"), dsub)
+    val guarded = when(d <= lit(MaxPackDist2), d).otherwise(raise_error(concat(
+      lit(s"PQ.assignTo: dist2 exceeds the packed-argmin range (2^63/$PackK); " +
+        "quantized sub-vector magnitudes are outside the int64 contract: "),
+      d.cast("string"))))
     sv.join(broadcast(codebook), Seq("sub"))
-      .withColumn("__p", dist2(col("sq"), dsub) * lit(PackK) + col("cluster"))
+      .withColumn("__p", guarded * lit(PackK) + col("cluster"))
       .groupBy(col("vid"), col("sub"))
       .agg(pmod(min(col("__p")), lit(PackK)).as("group"))
+  }
 
   /** Train the PQ codebooks: `iters` Lloyd rounds per subspace from a
     * deterministic hash init (`h32(vid:sub) % ksub`), exactly the

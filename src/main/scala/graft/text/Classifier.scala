@@ -168,6 +168,30 @@ object Classifier {
       .select(col("id").as(idCol), coalesce(col("pred"), col("fb")).as("pred"))
   }
 
+  /** Hard cap on the serialized fold model riding the plan (weights +
+    * masks + gram strings). Above it the one-scan fold stops being "the
+    * same mass the broadcast join ships" and starts bloating every task
+    * binary silently — [[predictCentroidFold]] falls back to the
+    * parity-pinned broadcast-join path instead, and [[foldModel]]
+    * refuses loudly. 64 MB mirrors Spark's own broadcast-size warnings;
+    * a minCount-floored model is 3-4 orders of magnitude under it. */
+  val FoldModelMaxBytes: Long = 64L << 20
+
+  /** One cheap vocab-sized aggregate estimating the fold model's
+    * plan-shipped footprint WITHOUT collecting it: distinct classes and
+    * the dominant byte terms (per-gram weight row of C longs + mask +
+    * the gram string twice — array + hash index). */
+  def foldModelStats(weights: DataFrame): (Long, Long) = {
+    val r = weights.agg(
+      countDistinct(col("cls")).as("c"),
+      countDistinct(col("gram")).as("g"),
+      sum(octet_length(col("gram"))).as("gb")).head()
+    val c = r.getLong(0)
+    val g = r.getLong(1)
+    val gramBytes = if (r.isNullAt(2)) 0L else r.getLong(2)
+    (c, g * (c * 8L + 8L + 48L) + gramBytes * 2L + c * 64L)
+  }
+
   /** Build the plan-shipped fold model from a trained weight table.
     *
     * The collect is VOCAB-sized, never corpus-sized — the exact row set
@@ -175,9 +199,28 @@ object Classifier {
     * the minCount floor; measured saturating 2030→9897 rows over a 100×
     * corpus decade). Classes are sorted in UTF8-binary order so index 0
     * is the fallback/tie-break class, matching the join path's
-    * `min(cls)` exactly. */
-  def foldModel(weights: DataFrame, n: Int): graft.functions.CentroidFoldModel = {
+    * `min(cls)` exactly.
+    *
+    * Caps, both loud: ≤ 64 classes (the competing-class bitmask is one
+    * Long) and ≤ [[FoldModelMaxBytes]] plan footprint — an
+    * open-vocabulary model (minCount=1 on a big corpus) must use
+    * [[predictCentroid]], which broadcasts per-query instead of
+    * serializing into every task binary. [[predictCentroidFold]] makes
+    * that fallback automatically. */
+  def foldModel(
+      weights: DataFrame, n: Int,
+      maxBytes: Long = FoldModelMaxBytes): graft.functions.CentroidFoldModel = {
     val rows = weights.select("cls", "gram", "w_ppm").collect()
+    locally {
+      val classes = rows.iterator.map(_.getString(0)).toSet.size.toLong
+      val grams = rows.iterator.map(_.getString(1)).toSet
+      val bytes = grams.size.toLong * (classes * 8L + 8L + 48L) +
+        grams.iterator.map(_.getBytes("UTF-8").length.toLong).sum * 2L
+      require(bytes <= maxBytes,
+        s"Classifier.foldModel: model would ship ~$bytes bytes in the plan " +
+          s"(cap $maxBytes) — open vocabulary? Train with a minCount " +
+          "floor, or serve via predictCentroid (the broadcast-join path)")
+    }
     val classes = rows.iterator.map(_.getString(0)).toArray.distinct
       .sortWith((a, b) =>
         org.apache.spark.unsafe.types.UTF8String.fromString(a)
@@ -200,18 +243,40 @@ object Classifier {
     * under `weights`, computed in one codegen'd pass with NO explode,
     * join, shuffle, or window — see [[graft.functions.CentroidPredict]]
     * for the exact-equivalence argument (property-pinned vs
-    * [[predictCentroid]] in ClassifierSpec). */
+    * [[predictCentroid]] in ClassifierSpec). Carries [[foldModel]]'s
+    * caps (≤ 64 classes, ≤ [[FoldModelMaxBytes]] plan footprint) — a
+    * Column can't fall back to a join, so past the caps this THROWS;
+    * use [[predictCentroidFold]] for the automatic fallback. */
   def centroidPredictColumn(
-      weights: DataFrame, textCol: Column, n: Int = 2): Column =
+      weights: DataFrame, textCol: Column, n: Int = 2,
+      maxModelBytes: Long = FoldModelMaxBytes): Column =
     org.apache.spark.sql.GraftBridge.column(
       graft.functions.CentroidPredict(
-        org.apache.spark.sql.GraftBridge.expression(textCol), foldModel(weights, n)))
+        org.apache.spark.sql.GraftBridge.expression(textCol),
+        foldModel(weights, n, maxModelBytes)))
 
   /** Drop-in fold-path twin of [[predictCentroid]]: same (idCol, pred)
-    * output, one corpus scan instead of explode + two shuffles. */
+    * output, one corpus scan instead of explode + two shuffles.
+    *
+    * Auto-fallback: when the trained model exceeds the fold caps
+    * (> 64 classes — the bitmask is one Long — or >
+    * [[FoldModelMaxBytes]] estimated plan footprint), serves via the
+    * bit-identical [[predictCentroid]] broadcast-join path instead,
+    * with a stderr notice. The pre-check is one vocab-sized aggregate
+    * ([[foldModelStats]]), never a corpus pass. */
   def predictCentroidFold(
       docs: DataFrame, idCol: String, textCol: String,
-      weights: DataFrame, n: Int = 2): DataFrame =
-    docs.select(col(idCol),
-      centroidPredictColumn(weights, col(textCol), n).as("pred"))
+      weights: DataFrame, n: Int = 2,
+      maxModelBytes: Long = FoldModelMaxBytes): DataFrame = {
+    val (classes, bytes) = foldModelStats(weights)
+    if (classes > 64 || bytes > maxModelBytes) {
+      System.err.println(
+        s"[graft] predictCentroidFold: model outside fold caps " +
+          s"($classes classes, ~$bytes bytes vs 64 / $maxModelBytes) — " +
+          "serving via the broadcast-join path (predictCentroid)")
+      predictCentroid(docs, idCol, textCol, weights, n)
+    } else
+      docs.select(col(idCol),
+        centroidPredictColumn(weights, col(textCol), n, maxModelBytes).as("pred"))
+  }
 }

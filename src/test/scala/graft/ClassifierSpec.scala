@@ -137,6 +137,49 @@ class ClassifierSpec extends SparkSpecBase {
     assert(fold === join)
   }
 
+  test("fold caps: >64 classes and over-byte models fall back to the join path (parity at the boundary)") {
+    // 70 classes: the Long bitmask can't hold them — predictCentroidFold
+    // must auto-fall-back to predictCentroid and return the identical map
+    val manyCls = (0 until 70).map(i => (f"c$i%02d", s"t$i text $i body"))
+    val wMany = Classifier.trainCentroid(
+      manyCls.toDF("cls", "text"), "cls", "text", n = 2)
+    val docs = (0 until 30).map(i => (i.toLong, s"t${i % 70} text")).toDF("doc_id", "text")
+    val foldMany = Classifier.predictCentroidFold(docs, "doc_id", "text", wMany, n = 2)
+      .as[(Long, String)].collect().toMap
+    val joinMany = Classifier.predictCentroid(docs, "doc_id", "text", wMany, n = 2)
+      .as[(Long, String)].collect().toMap
+    assert(foldMany === joinMany)
+    // the Column form can't fall back — it refuses loudly instead
+    assert(intercept[IllegalArgumentException] {
+      Classifier.foldModel(wMany, n = 2)
+    }.getMessage.contains("64"))
+
+    // byte cap: same weights, cap squeezed under the model's footprint —
+    // the fold must serve through the join path and stay bit-identical
+    val w = Classifier.trainCentroid(
+      Seq(("a", "der hund und die katze"), ("b", "the dog and the cat"))
+        .toDF("cls", "text"), "cls", "text", n = 2)
+    val docs2 = Seq((1L, "der und"), (2L, "the and"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val (cls, bytes) = Classifier.foldModelStats(w)
+    assert(cls == 2L && bytes > 0L)
+    val foldCapped = Classifier.predictCentroidFold(
+      docs2, "doc_id", "text", w, n = 2, maxModelBytes = bytes - 1)
+      .as[(Long, String)].collect().toMap
+    val join = Classifier.predictCentroid(docs2, "doc_id", "text", w, n = 2)
+      .as[(Long, String)].collect().toMap
+    assert(foldCapped === join)
+    // exactly AT the cap the fold path still serves (boundary inclusive)
+    val foldAt = Classifier.predictCentroidFold(
+      docs2, "doc_id", "text", w, n = 2, maxModelBytes = bytes)
+      .as[(Long, String)].collect().toMap
+    assert(foldAt === join)
+    // and foldModel itself enforces the same cap loudly
+    assert(intercept[IllegalArgumentException] {
+      Classifier.foldModel(w, n = 2, maxBytes = 1L)
+    }.getMessage.contains("bytes"))
+  }
+
   test("lang classification on the spiked corpus beats 95% held-out accuracy") {
     val docs = TextEntries.langSpiked(spark, sf("sf0.001"))
     val w = Classifier.trainCentroid(

@@ -522,6 +522,51 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("E44t: treeAssign on an empty quantizer level is empty-in/empty-out, not a refusal") {
+    // training on an empty corpus yields empty levels; assignment must
+    // return an empty (idCol, cluster) frame — the historical
+    // broadcast-join form's behavior — instead of throwing
+    val l1Cols = Seq($"group", $"n") ++ (0 until 4).map(i => col(s"s_$i"))
+    val l2Cols = Seq($"cell", $"group", $"n") ++ (0 until 4).map(i => col(s"s_$i"))
+    val emptyL1 = Seq((0L, 1L, 0L, 0L, 0L, 0L))
+      .toDF("group", "n", "s_0", "s_1", "s_2", "s_3")
+      .filter(lit(false)).select(l1Cols: _*)
+    val fullL2 = Seq((0L, 0L, 1L, 0L, 0L, 0L, 0L))
+      .toDF("cell", "group", "n", "s_0", "s_1", "s_2", "s_3")
+    val emptyL2 = fullL2.filter(lit(false)).select(l2Cols: _*)
+    val corpus = Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    for ((l1, l2) <- Seq(
+        (emptyL1, emptyL2),
+        (emptyL1, fullL2),
+        (Seq((0L, 1L, 0L, 0L, 0L, 0L)).toDF("group", "n", "s_0", "s_1", "s_2", "s_3"), emptyL2))) {
+      val out = Knn.treeAssign(corpus, l1, l2, "vec_id", "embedding", 2, 4)
+      assert(out.columns.toSeq == Seq("vec_id", "cluster"))
+      assert(out.count() == 0L)
+    }
+  }
+
+  test("E45: packed argmin refuses loudly when dist2 exceeds the pack range") {
+    import graft.similarity.Pq
+    // quantized magnitudes of ~1e9 per dim put dist2 ~1e18 past the
+    // 2^63/65536 ≈ 1.4e14 packing bound — without the guard the pack
+    // wraps negative and returns silently wrong codes (ADVICE r13)
+    val sane = (0L until 8L).map(i =>
+      (i, Array.fill(4)(if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = Pq.train(sane, "vec_id", "embedding", m = 2, ksub = 2, iters = 1, dims = 4)
+    val huge = Seq((99L, Array(1e6f, 1e6f, 1e6f, 1e6f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pq.encode(huge, cb, "vec_id", "embedding", m = 2, dims = 4).collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(chain.contains("packed-argmin"), s"unexpected: $chain")
+    // and the guard is inert for in-contract data: same codes as before
+    val codes = Pq.encode(sane, cb, "vec_id", "embedding", 2, 4)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(codes.values.forall(_.length == 2))
+  }
+
   test("E6: brute-force kNN self-excluded, ranked, exactly k rows per query") {
     val dir = sf("sf0.001")
     val e = Tables.embeddings(spark, dir)
