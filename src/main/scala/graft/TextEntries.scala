@@ -533,12 +533,12 @@ object TextEntries {
               .as("ntok")),
         "source", col("ntok"), SrcDen, SrcK)),
 
-    // E33: deflate-compressibility quality signal — codec-boundary
-    // mapPartitions, no SQL oracle (DuckDB has no deflate): the driver
-    // records the weaker rows-only check; CompressibilitySpec pins
-    // ordering and determinism
+    // E33: deflate-compressibility, oracle-checkable face — DuckDB has
+    // no deflate (ratio_bp rides CompressibilitySpec), but raw_bytes is
+    // real cross-engine arithmetic (strlen) and the lossless round-trip
+    // + worst-case-bound contracts are verified in-task per doc
     "text_compress" -> ((s, dir) =>
-      graft.text.Compressibility.compressionStats(
+      graft.text.Compressibility.compressionCheck(
         Tables.documents(s, dir), "doc_id", "text")),
 
     // E30: PII redaction — emails/IPs/phones scrubbed to typed sentinels
@@ -619,27 +619,43 @@ object TextEntries {
         k = Bm25K)
     }),
 
-    // E49: distributed BPE merge learning — rows-only by documented
-    // design (the greedy in-word fold has no RE2-portable SQL twin;
-    // correctness rides BpeSpec's sequential-reference equivalence)
+    // E49: distributed BPE merge learning, oracle-checkable face — the
+    // greedy in-word fold has no RE2-portable SQL twin (the raw merge
+    // list rides BpeSpec's sequential-reference equivalence), so the
+    // gate verifies the REPLAY invariant in-query: every round's trained
+    // pair count re-derived from the word table via merges 1..r−1 must
+    // match exactly, plus rule well-formedness (each side is a char or
+    // an earlier merge's output) and the minCount floor
     "text_bpe_train" -> ((s, dir) => {
       import s.implicits._
-      graft.text.Bpe.train(
-        Tables.documents(s, dir).select("text"), "text",
-        rounds = BpeRounds, minCount = 5L)
-        .toDF()
-        .select(col("round"), col("left"), col("right"), col("pairCount").as("pair_count"))
+      val docs = Tables.documents(s, dir).select("text")
+      val merges = graft.text.Bpe.train(docs, "text", rounds = BpeRounds, minCount = 5L)
+      val replay = graft.text.Bpe.replayCounts(docs, "text", merges)
+      val produced = scala.collection.mutable.Set.empty[String]
+      merges.zipWithIndex.map { case (m, i) =>
+        val wellformed = m.left.nonEmpty && m.right.nonEmpty &&
+          (m.left.length == 1 || produced(m.left)) &&
+          (m.right.length == 1 || produced(m.right))
+        produced += (m.left + m.right)
+        (m.round.toLong, wellformed, m.pairCount >= 5L, replay(i) == m.pairCount)
+      }.toDF("round", "ok_wellformed", "ok_floor", "ok_replay")
     }),
 
-    // E49e: BPE ENCODE — the serve half of the tokenizer lifecycle: the
-    // corpus re-tokenized through rules learned on itself, summarized as
-    // symbols-per-doc. Rows-only like text_bpe_train (same fold, no SQL
-    // twin); correctness rides BpeSpec's encode ≡ training-state proof
+    // E49e: BPE ENCODE, oracle-checkable face — the decode identity IS
+    // SQL-expressible: concatenating a doc's symbols must reproduce its
+    // normalized text with spaces removed, and the word count is real
+    // cross-engine arithmetic; symbol-count bounds are checked in-query
     "text_bpe_encode" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val merges = graft.text.Bpe.train(docs, "text", rounds = BpeRounds, minCount = 5L)
+      val words = size(filter(TextOps.tokens(col("text")), t => t =!= ""))
       graft.text.Bpe.encode(docs, "text", merges)
-        .select(col("doc_id"), size(col("bpe_syms")).cast("long").as("n_syms"))
+        .select(col("doc_id"),
+          array_join(col("bpe_syms"), "").as("decoded"),
+          words.cast("long").as("n_words"),
+          (size(col("bpe_syms")) >= words &&
+            size(col("bpe_syms")) <= length(array_join(col("bpe_syms"), "")))
+            .as("ok_bounds"))
     }),
 
     // E51: cross-document duplicated-passage excision (exact substring
@@ -893,6 +909,28 @@ object TextEntries {
          |WHERE rk <= $Bm25K""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // E33: booleans are in-task-verified invariants (no deflate twin);
+    // raw_bytes is real cross-engine arithmetic (UTF-8 byte length)
+    "text_compress" ->
+      """SELECT doc_id, CAST(coalesce(strlen(text), 0) AS BIGINT) AS raw_bytes,
+        |  true AS ok_roundtrip, true AS ok_bounds
+        |FROM documents""".stripMargin,
+
+    // E49: the replay/wellformed/floor invariants are in-query-verified
+    // (no sequential-fold twin); the row spine pins rounds learned
+    "text_bpe_train" ->
+      s"""SELECT CAST(r.range + 1 AS BIGINT) AS round, true AS ok_wellformed,
+         |  true AS ok_floor, true AS ok_replay
+         |FROM range($BpeRounds) r""".stripMargin,
+
+    // E49e: decoded text and word count are REAL cross-engine values —
+    // the decode identity makes them recomputable from the raw text
+    "text_bpe_encode" ->
+      s"""SELECT doc_id, replace($normSql, ' ', '') AS decoded,
+         |  CAST(len(list_filter($toksSql, x -> x <> '')) AS BIGINT) AS n_words,
+         |  true AS ok_bounds
+         |FROM documents""".stripMargin,
+
     "text_tokens" ->
       s"""SELECT doc_id,
          |  len(regexp_split_to_array(text, '\\s+')) AS n_ws_tokens,

@@ -413,17 +413,14 @@ object VectorEntries {
         "vec_id", "embedding", K, PqM, Dims, NProbe)
     }),
 
-    // E50: PCA spectrum — rows-only by documented design (no DuckDB
-    // eigensolver; correctness rides PcaSpec). Deterministic: exact
-    // integer moments + fixed Jacobi sweeps, floored to milli
-    "emb_pca_spectrum" -> ((s, dir) => {
-      import s.implicits._
-      val m = graft.similarity.Pca.fit(Tables.embeddings(s, dir), "embedding", Dims, 16)
-      m.eigenvalues.zipWithIndex.map { case (ev, i) =>
-        (i.toLong + 1, math.floor(ev).toLong,
-          math.floor(ev * 10000.0 / m.totalVariance).toLong)
-      }.toSeq.toDF("component", "eigenvalue_milli2", "explained_bp")
-    }),
+    // E50: PCA spectrum, oracle-checkable face — DuckDB has no
+    // eigensolver (raw eigenvalues ride PcaSpec), but it CAN recompute
+    // the exact-integer covariance trace from the raw vectors, and the
+    // eigen INVARIANTS (unit, orthogonal, Cv=λv residual, PSD, trace
+    // preservation) are verified in-query per component
+    "emb_pca_spectrum" -> ((s, dir) =>
+      graft.similarity.Pca.spectrumChecked(
+        Tables.embeddings(s, dir), "embedding", Dims, 16)),
 
     // E46: quantizer drift — trained centroids (full corpus, by label)
     // vs the current members (every 10th vector gone, label 7 vanished
@@ -752,6 +749,24 @@ object VectorEntries {
        |WHERE rnk <= $K""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // E50: the eigen invariants are literal trues (verified in-query —
+    // DuckDB has no eigensolver), but trace_q is REAL cross-engine
+    // arithmetic: n²·trace(cov) = Σ_d (n·Σq_d² − (Σq_d)²) recomputed
+    // from the raw vectors in exact integers
+    "emb_pca_spectrum" ->
+      s"""WITH g AS (SELECT unnest(generate_series(1, $Dims)) AS i),
+         |q0 AS (SELECT $q AS qv FROM embeddings),
+         |per AS (SELECT g.i AS dim, CAST(count(*) AS BIGINT) AS n,
+         |          CAST(sum(qv[g.i]*qv[g.i]) AS BIGINT) AS sxx,
+         |          CAST(sum(qv[g.i]) AS BIGINT) AS sx
+         |        FROM q0 CROSS JOIN g GROUP BY 1),
+         |tr AS (SELECT CAST(sum(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx) AS BIGINT) AS trace_q
+         |       FROM per)
+         |SELECT CAST(c.c AS BIGINT) AS component,
+         |  true AS ok_unit, true AS ok_orth, true AS ok_eig,
+         |  true AS ok_psd, true AS ok_trace, tr.trace_q
+         |FROM (SELECT unnest(generate_series(1, 16)) AS c) c CROSS JOIN tr""".stripMargin,
+
     // the trained PQ codebook itself — sub, cluster, n, truncated-mean
     // coordinates; every Lloyd round is unrolled in the CTE
     "emb_pq_train" ->

@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   * Fitting on a 100 TB corpus usually composes with a deterministic
   * sample ([[graft.text.TextOps.stratifiedSample]]) — the covariance of
   * a 0.1 % hash sample is statistically indistinguishable and the fit
-  * pass drops 1000×. No SQL oracle: eigendecomposition has no DuckDB
-  * twin; correctness rides PcaSpec (known-axes fixtures, orthonormality,
-  * spectrum ordering, reconstruction, determinism) and the spectrum
-  * query is rows-only (E33 pattern).
+  * pass drops 1000×. Eigendecomposition has no DuckDB twin, so the raw
+  * spectrum is test-verified (PcaSpec: known-axes fixtures,
+  * orthonormality, spectrum ordering, reconstruction, determinism); the
+  * DRIVER gate runs [[spectrumChecked]] instead — the eigen invariants
+  * as in-query booleans plus the exact-integer trace that a second
+  * engine CAN recompute from the raw vectors.
   */
 object Pca {
 
@@ -125,6 +127,12 @@ object Pca {
   def fit(corpus: DataFrame, vecCol: String, dims: Int, k: Int): Model = {
     require(k >= 1 && k <= dims, s"Pca.fit: k must be in [1, $dims], got $k")
     val (n, s, ss) = moments(corpus, vecCol, dims)
+    fitFromMoments(n, s, ss, dims, k)._1
+  }
+
+  private def fitFromMoments(
+      n: Long, s: Array[Long], ss: Array[Array[Long]],
+      dims: Int, k: Int): (Model, Array[Array[Double]]) = {
     require(n >= 2, s"Pca.fit: need at least 2 vectors, got $n")
     val mean = s.map(_.toDouble / n)
     // covariance (population): E[xy] − E[x]E[y], all from exact sums
@@ -138,8 +146,62 @@ object Pca {
       if (comp(m) < 0) comp.map(x => -x) else comp
     }.toArray
     // total variance = the covariance trace, for explained-fraction reads
-    Model(mean, comps, order.map(eig(_)).toArray,
-      (0 until dims).map(i => cov(i)(i)).sum)
+    (Model(mean, comps, order.map(eig(_)).toArray,
+      (0 until dims).map(i => cov(i)(i)).sum), cov)
+  }
+
+  /** The spectrum as an ORACLE-CHECKABLE invariant table — the driver-
+    * gate face of [[fit]] (the raw eigenvalues have no DuckDB twin, but
+    * every property that makes them eigenvalues does). One row per
+    * component:
+    *
+    *  - `trace_q` = Σ_d (n·Σx_d² − (Σx_d)²) — n²·trace(covariance) as an
+    *    EXACT int64 over the same milli-quantized moments the fit uses.
+    *    A second engine recomputes it from the raw vectors and the hash
+    *    compare is bit-exact — this pins the one-pass moment aggregate
+    *    (the only corpus-scale work of the fit) cross-engine;
+    *  - `ok_unit` / `ok_orth`: the component is unit-norm and orthogonal
+    *    to every earlier one;
+    *  - `ok_eig`: ‖C·v − λ·v‖ small relative to the trace — v really is
+    *    an eigenvector of the fitted covariance with eigenvalue λ, the
+    *    property a wrong Jacobi could not fake;
+    *  - `ok_psd`: λ ≥ −tol (a covariance is PSD);
+    *  - `ok_trace`: Σ of ALL dims eigenvalues equals the trace (Jacobi
+    *    rotations preserve it — a convergence/corruption tripwire).
+    *
+    * Exact while n·Σx² < 2⁶³ (≈10⁹ unit-scale vectors) — guarded. */
+  def spectrumChecked(corpus: DataFrame, vecCol: String, dims: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (n, s, ss) = moments(corpus, vecCol, dims)
+    val (model, cov) = fitFromMoments(n, s, ss, dims, k)
+    val traceQBig = (0 until dims)
+      .map(d => BigInt(n) * BigInt(ss(d)(d)) - BigInt(s(d)) * BigInt(s(d))).sum
+    require(traceQBig.isValidLong,
+      s"Pca.spectrumChecked: n²·trace ($traceQBig) exceeds int64 — corpus too " +
+        "large for the exact cross-engine check; gate on a hash sample")
+    val trace = (0 until dims).map(i => cov(i)(i)).sum
+    val tol = 1e-6 * math.max(trace, 1.0)
+    val (eigAll, _) = jacobi(cov)
+    val okTrace = math.abs(eigAll.sum - trace) <= tol
+    // eigenvalue of component j: recovered as vᵀCv (exactly λ for a true
+    // eigenvector; the residual check below is what certifies that)
+    val rows = model.components.zipWithIndex.map { case (v, j) =>
+      val lambda = model.eigenvalues(j)
+      val unit = math.abs(v.map(x => x * x).sum - 1.0) <= 1e-9
+      val orth = (0 until j).forall { jj =>
+        math.abs(v.zip(model.components(jj)).map { case (a, b) => a * b }.sum) <= 1e-9
+      }
+      val resid = math.sqrt((0 until dims).map { i =>
+        val cvi = (0 until dims).map(d => cov(i)(d) * v(d)).sum
+        val r = cvi - lambda * v(i)
+        r * r
+      }.sum)
+      (j.toLong + 1, unit, orth, resid <= tol, lambda >= -tol, okTrace,
+        traceQBig.toLong)
+    }.toSeq
+    rows.toDF("component", "ok_unit", "ok_orth", "ok_eig", "ok_psd",
+      "ok_trace", "trace_q")
   }
 
   /** Project: out = array(k doubles), component j = Σ_i (x_i·1000 −

@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: ties in pair counts break lexicographically, the fold is
   * deterministic, so the learned merge list is a pure function of the
-  * corpus. No DuckDB oracle — the greedy in-word fold needs sequential
-  * state no RE2-portable SQL expresses (lookbehind is Java-only), so the
-  * gate records rows-only (the E33 pattern) and correctness rides the
-  * randomized equivalence test against a sequential reference
-  * implementation (BpeSpec).
+  * corpus. The greedy in-word fold has no sequential-state SQL twin
+  * (lookbehind is Java-only), so the raw merge list is test-verified by
+  * the randomized equivalence test against a sequential reference
+  * implementation (BpeSpec); the DRIVER gate checks the in-query
+  * invariants instead — [[replayCounts]] (every round's trained pair
+  * count re-derived from the word table) and the encode-side decode
+  * identity (concatenating a doc's symbols reproduces its normalized
+  * text, which a second engine CAN recompute).
   */
 object Bpe {
 
@@ -113,6 +116,37 @@ object Bpe {
   def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] = {
     import spark.implicits._
     spark.read.parquet(path).as[Merge].collect().sortBy(_.round).toSeq
+  }
+
+  /** Replay verification of a learned merge list — the driver-gate
+    * invariant that certifies training WITHOUT a sequential-fold SQL
+    * twin: because training round r counts adjacent pairs in the state
+    * reached by merges 1..r−1, re-deriving that count from the word
+    * table (apply merges 1..r−1, count adjacent (left_r, right_r)
+    * positions, weight by word count) must reproduce `pairCount_r`
+    * EXACTLY for every round. A wrong fold, a wrong argmax, or a
+    * corrupted rule list breaks the equality somewhere.
+    *
+    * Cost: one pass over the VOCAB-sized word table with R fold chains
+    * in a single projection (rounds² fold steps per word — bounded by
+    * rounds·|word|, never corpus-scale). Returns one row per merge:
+    * (round, replay_count). */
+  def replayCounts(
+      corpus: DataFrame, textCol: String, merges: Seq[Merge]): Array[Long] = {
+    if (merges.isEmpty) return Array.empty
+    val words = wordTable(corpus, textCol)
+    val cols = merges.zipWithIndex.map { case (m, i) =>
+      val state = merges.take(i).foldLeft(col("syms"))(
+        (acc, mm) => mergeFold(acc, mm.left, mm.right))
+      val pairsInWord = when(size(state) < 2, lit(0L)).otherwise(
+        aggregate(sequence(lit(1), size(state) - 1), lit(0L),
+          (acc, j) => acc + when(
+            element_at(state, j) === lit(m.left) &&
+              element_at(state, j + 1) === lit(m.right), 1L).otherwise(0L)))
+      sum(col("cnt") * pairsInWord).as(s"replay_${m.round}")
+    }
+    val row = words.agg(cols.head, cols.tail: _*).head()
+    Array.tabulate(merges.length)(i => row.getLong(i))
   }
 
   def encode(

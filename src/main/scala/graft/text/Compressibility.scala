@@ -62,4 +62,63 @@ object Compressibility {
       }
     }.toDF(idCol, "raw_bytes", "deflate_bytes", "ratio_bp")
   }
+
+  /** The ORACLE-CHECKABLE face of the operator for the driver gate
+    * (deflate_bytes has no DuckDB twin, but the properties that make it
+    * a correct compression do): per document,
+    *
+    *  - `raw_bytes` — the UTF-8 byte length actually fed to the
+    *    deflater, recomputable by a second engine (`strlen`), so the
+    *    hash compare genuinely pins the input side cross-engine;
+    *  - `ok_roundtrip` — inflate(deflate(text)) reproduces the exact
+    *    input bytes (the lossless contract, verified in-task);
+    *  - `ok_bounds` — 0 < deflate_bytes ≤ raw + 5·⌈raw/16383⌉ + 8
+    *    (deflate's stored-block worst case), and the empty-text
+    *    sentinel is exactly (0, 0, 10000).
+    *
+    * Same codec path and cost shape as [[compressionStats]] (one
+    * Deflater + one Inflater per partition, map-only, nothing but
+    * scalars survive the task). Null text scores as empty. */
+  def compressionCheck(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed: Dataset[(Long, String)] =
+      df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)]
+    typed.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(DeflateLevel, true)
+      val inflater = new java.util.zip.Inflater(true)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit] { _ =>
+          deflater.end(); inflater.end()
+        })
+      val scratch = new Array[Byte](64 * 1024)
+      rows.map { case (id, text) =>
+        val raw =
+          if (text == null) Array.emptyByteArray
+          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (raw.length == 0) (id, 0L, true, true)
+        else {
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 16)
+          while (!deflater.finished())
+            out.write(scratch, 0, deflater.deflate(scratch))
+          val compressed = out.toByteArray
+          inflater.reset()
+          inflater.setInput(compressed)
+          val back = new java.io.ByteArrayOutputStream(raw.length)
+          while (!inflater.finished())
+            back.write(scratch, 0, inflater.inflate(scratch))
+          val okRoundtrip = java.util.Arrays.equals(back.toByteArray, raw)
+          val worstCase = raw.length.toLong + 5L * ((raw.length + 16382) / 16383) + 8L
+          (id, raw.length.toLong,
+            okRoundtrip,
+            compressed.length > 0 && compressed.length <= worstCase)
+        }
+      }
+    }.toDF(idCol, "raw_bytes", "ok_roundtrip", "ok_bounds")
+  }
 }

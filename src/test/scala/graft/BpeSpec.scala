@@ -88,6 +88,26 @@ class BpeSpec extends SparkSpecBase {
     }
   }
 
+  test("E49: replayCounts reproduces every trained pair count; a corrupted rule list breaks it") {
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lowest") ++ Seq.fill(3)("newer"))
+      .toDF("text")
+    val merges = Bpe.train(corpus, "text", rounds = 5, minCount = 2)
+    assert(merges.nonEmpty)
+    val replay = Bpe.replayCounts(corpus, "text", merges)
+    assert(replay.toSeq == merges.map(_.pairCount),
+      s"replay ${replay.toSeq} vs trained ${merges.map(_.pairCount)}")
+    // swap the first two rules: the replayed state for rule 2 is wrong,
+    // so at least one count must diverge — the invariant really bites
+    if (merges.length >= 2) {
+      val swapped = Seq(merges(1), merges(0)) ++ merges.drop(2)
+      val bad = Bpe.replayCounts(corpus, "text", swapped)
+      assert(bad.toSeq != swapped.map(_.pairCount),
+        "replay failed to detect a reordered rule list")
+    }
+    // empty rule list is a no-op, not an error
+    assert(Bpe.replayCounts(corpus, "text", Seq.empty).isEmpty)
+  }
+
   test("E49: stops when the best pair falls under minCount; rounds=0 learns nothing") {
     val corpus = Seq("ab", "cd", "ef").toDF("text") // every pair count 1
     assert(Bpe.train(corpus, "text", rounds = 5, minCount = 2).isEmpty)

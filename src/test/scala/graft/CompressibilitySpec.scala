@@ -38,4 +38,20 @@ class CompressibilitySpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long)].collect().head
     assert(n == ((1L, 0L, 0L, 10000L)))
   }
+
+  test("E33: compressionCheck — round-trip and bounds hold; raw_bytes is the UTF-8 length") {
+    val docs = Seq(
+      (1L, "plain ascii doc " * 40),
+      (2L, "umlauts äöü and 日本語 bytes"), // multi-byte UTF-8: chars ≠ bytes
+      (3L, ""),
+      (4L, null: String),
+      (5L, Seq.fill(500)("spam").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Compressibility.compressionCheck(docs, "doc_id", "text")
+      .as[(Long, Long, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got.values.forall(r => r._3 && r._4), s"invariants failed: $got")
+    assert(got(1L)._2 == "plain ascii doc ".getBytes("UTF-8").length * 40L)
+    assert(got(2L)._2 == "umlauts äöü and 日本語 bytes".getBytes("UTF-8").length.toLong)
+    assert(got(3L)._2 == 0L && got(4L)._2 == 0L)
+  }
 }

@@ -134,4 +134,26 @@ class PcaSpec extends SparkSpecBase {
     assert(a.components.map(_.toSeq).toSeq == b.components.map(_.toSeq).toSeq)
     assert(a.mean.toSeq == b.mean.toSeq)
   }
+
+  test("E50: spectrumChecked — every invariant green; trace_q equals the brute-force integer trace") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val rows = Pca.spectrumChecked(e, "embedding", 64, 8)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 8L))
+    rows.foreach { r =>
+      assert(r._2 && r._3 && r._4 && r._5 && r._6, s"invariant failed: $r")
+    }
+    // brute-force n²·trace from the raw vectors, all BigInt — the same
+    // number the DuckDB oracle recomputes
+    val vecs = e.select($"embedding").as[Seq[Float]].collect()
+      .map(_.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray)
+    val n = BigInt(vecs.length)
+    val trace = (0 until 64).map { d =>
+      val sx = vecs.map(v => BigInt(v(d))).sum
+      val sxx = vecs.map(v => BigInt(v(d)) * BigInt(v(d))).sum
+      n * sxx - sx * sx
+    }.sum
+    assert(rows.forall(_._7 == trace.toLong), s"trace_q ${rows.head._7} != $trace")
+  }
 }
