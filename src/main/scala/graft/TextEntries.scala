@@ -676,6 +676,16 @@ object TextEntries {
         Tables.documents(s, dir).select("doc_id", "text"),
         "doc_id", "text", PassageK, PassageSampleBp)),
 
+    // E51w: the E53→E51 COMPOSITION the 100 TB path runs — winnow
+    // fingerprints route docs sharing any ≥ wk+ww−1-char passage into a
+    // candidate subcorpus; full excision runs over candidates only.
+    // k=40 ≥ 20+8−1 ⇒ bit-equal to the unscreened dedup_passages (the
+    // composed recall contract, oracle-pinned)
+    "dedup_passages_winnowed" -> ((s, dir) =>
+      graft.dedup.Passage.exciseDuplicatesWinnowed(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", PassageK, WinnowK, WinnowW)),
+
     // E53: winnowing fingerprints (MOSS) — each doc's guaranteed-recall
     // sketch at ~2/(w+1) density; the sublinear screen in front of E51
     "text_winnow" -> ((s, dir) =>
@@ -1241,15 +1251,25 @@ object TextEntries {
     * space — the sf10-disk-feasible variant of the same string-exact
     * semantics (the filter shrinks the grouped sort 10000/bp× while the
     * full corpus still streams through both engines). */
-  private def dedupPassagesSqlAt(sampleBp: Int) = {
+  private def dedupPassagesSqlAt(sampleBp: Int) =
+    dedupPassagesSqlOver(
+      "corpus AS (SELECT doc_id, text FROM documents)", "corpus", sampleBp)
+
+  /** The excision stack parameterized on its WINDOW SOURCE: `winSrc` is
+    * the CTE windows are enumerated from (the candidate subcorpus in
+    * the winnow-screened composition), while the final pass-through
+    * SELECT always covers the full `corpus` — non-candidates come back
+    * untouched, exactly like the Spark side's anti-join leg. */
+  private def dedupPassagesSqlOver(
+      corpusDef: String, winSrc: String, sampleBp: Int) = {
     val k = PassageK
     val screen =
       if (sampleBp >= 10000) ""
       else s" WHERE ${graft.text.PortableHash.duckH32(s"substr(text, pos, $k)")} % 10000 < $sampleBp"
-    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+    s"""WITH $corpusDef,
        |pos AS (
        |  SELECT doc_id, text, unnest(generate_series(1, length(text) - ${k - 1})) AS pos
-       |  FROM corpus WHERE length(text) >= $k),
+       |  FROM $winSrc WHERE length(text) >= $k),
        |w AS (SELECT doc_id, pos, substr(text, pos, $k) AS win FROM pos$screen),
        |dup AS (
        |  SELECT win, min(doc_id) AS keeper FROM w
@@ -1415,6 +1435,19 @@ object TextEntries {
 
   private def oracleSql2: Map[String, String] = Map(
     "dedup_passages" -> dedupPassagesSql,
+
+    // E51w: the winnow screen mirrored in SQL — candidate docs share a
+    // fingerprint with another doc; the excision stack then enumerates
+    // windows from the candidate subcorpus only, pass-through over all
+    "dedup_passages_winnowed" -> dedupPassagesSqlOver(
+      s"""corpus AS (SELECT doc_id, text FROM documents),
+         |${winnowFpsStack("corpus", "w")},
+         |wshared AS (
+         |  SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM wfps)
+         |  GROUP BY fp HAVING count(*) >= 2),
+         |wcand AS (SELECT DISTINCT doc_id FROM wfps JOIN wshared USING (fp)),
+         |ccorpus AS (SELECT corpus.doc_id, corpus.text FROM corpus JOIN wcand USING (doc_id))""".stripMargin,
+      "ccorpus", 10000),
     "dedup_passages_sampled" -> dedupPassagesSqlAt(PassageSampleBp),
 
     // E55: add-one bigram LM; ln collapsed to integer nats×10⁴ per

@@ -120,6 +120,46 @@ object Passage {
       st => concat(st.getField("acc"),
         t.substr(st.getField("last"), length(t) - st.getField("last") + 1)))
 
+  /** Winnow-SCREENED excision — the composition the 100 TB path runs
+    * (SURVEY §2: E53 is "the screen you'd build in front of E51"):
+    * instead of shuffling every k-char window hash of every doc, the
+    * corpus first pays only the winnowed fingerprint pass (density
+    * 2/(w+1) of the window mass), docs sharing ≥ 1 fingerprint with
+    * any other doc become the CANDIDATE subcorpus, and the full
+    * [[exciseDuplicates]] machinery runs over candidates only.
+    * Non-candidates pass through untouched.
+    *
+    * Recall contract: the winnowing guarantee (Schleimer 2003) says two
+    * docs sharing any substring of length ≥ wk+ww−1 share a selected
+    * fingerprint — so with k ≥ wk+ww−1 (enforced) EVERY host of every
+    * duplicated k-window is a candidate, the keeper choice sees the
+    * same host set, and the composed result is BIT-EQUAL to the
+    * unscreened operator (pinned in PassageSpec and by the driver
+    * oracle, which mirrors the composition). What the screen buys at
+    * scale: the all-windows shuffle is paid only by the duplicated
+    * fraction of the corpus, not all of it. */
+  def exciseDuplicatesWinnowed(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, wk: Int, ww: Int): DataFrame = {
+    require(k >= wk + ww - 1,
+      s"Passage.exciseDuplicatesWinnowed: excision window k=$k below the " +
+        s"winnow guarantee wk+ww-1=${wk + ww - 1} — the screen would drop " +
+        "real duplicates; raise k or shrink (wk, ww)")
+    val fps = graft.text.Winnow.fingerprints(docs, idCol, textCol, wk, ww)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    // postings are distinct (id, fp): count(*) per fp = distinct hosts
+    val shared = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("fp")
+    val cand = fps.join(shared, "fp").select("id").distinct()
+      .select(col("id").as(idCol))
+    val excised =
+      exciseDuplicates(docs.join(cand, Seq(idCol), "left_semi"), idCol, textCol, k)
+    val untouched = docs.join(cand, Seq(idCol), "left_anti")
+      .select(col(idCol), lit(0L).as("n_removed"),
+        col(textCol).as("text_clean"))
+    excised.unionByName(untouched)
+  }
+
   /** Excise duplicated passages: returns one row per input doc with
     * `n_removed` (chars cut, 0 if untouched) and `text_clean`. */
   def exciseDuplicates(

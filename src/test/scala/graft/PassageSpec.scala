@@ -126,6 +126,37 @@ class PassageSpec extends SparkSpecBase {
     }
   }
 
+  test("E51w: winnow-screened excision is bit-equal to the unscreened operator when k >= wk+ww-1") {
+    // randomized corpora with spliced shared passages LONGER than the
+    // winnow guarantee (k ≥ wk+ww−1 ⇒ every dup host is a candidate);
+    // some splices shorter than k stay un-excised in BOTH forms
+    val rnd = new Random(7)
+    val (wk, ww) = (4, 3)
+    val k = wk + ww - 1 + rnd.nextInt(3) // 6..8, always >= the guarantee
+    def txt(n: Int) = (0 until n).map(_ => "abcdab! "(rnd.nextInt(8))).mkString
+    val base = (0 until 14).map(i => i.toLong -> txt(10 + rnd.nextInt(50)))
+    val docs = base.map { case (id, t) =>
+      if (id % 3 == 1 && id > 0) {
+        val donor = base(rnd.nextInt(id.toInt))._2
+        id -> (t + donor.take(math.min(donor.length, k + 2 + rnd.nextInt(10))))
+      } else id -> t
+    }
+    val full = run(docs, k)
+    val screened = Passage.exciseDuplicatesWinnowed(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k, wk, ww)
+      .as[(Long, Long, String)].collect()
+      .map { case (id, n, t) => id -> (n, t) }.toMap
+    assert(screened == full)
+    // and something was actually excised, so the equality isn't vacuous
+    assert(full.values.exists(_._1 > 0L), s"no dup mass in fixture: $docs")
+    // guarantee violation refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Passage.exciseDuplicatesWinnowed(
+        docs.toDF("doc_id", "text"), "doc_id", "text", wk + ww - 2, wk, ww)
+    }
+    assert(e.getMessage.contains("guarantee"))
+  }
+
   test("sampled keyspace mode equals the reference restricted to the same slice") {
     // the slice predicate is the SAME portable h32 both engines compute
     def inSlice(bp: Int)(w: String): Boolean =
