@@ -111,6 +111,31 @@ object StreamBench {
       } finally conn.close()
     }
 
+    // ---- leg 1b: the ENGINE half of leg 1, wire excluded (r13 verdict
+    // item 3): identical stream, identical per-batch SCD2 computation
+    // INCLUDING statement rendering (Scd2Landing.statements — everything
+    // up to but not including executeBatch), landed as parquet appends.
+    // leg 1's rows/s is the single-writer embedded-JDBC wire; this is
+    // what the engine itself sustains on the same feed — the number
+    // that scales with executors while the wire scales with the target
+    // database.
+    val scd2EngineS = timed {
+      val q = stream(None).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt_scd2eng")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          Scd2Landing.statements(
+            b, Seq("user_id"), Seq(col("ts"), col("event_id")), col("ts"),
+            "Op", "graft_stream", "history")
+            .toDF("stmt").write.mode("append").parquet(s"$root/scd2_engine")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val engineStmts = spark.read.parquet(s"$root/scd2_engine").count()
+
     // ---- leg 2: incremental rollup landing -> parquet
     val rollupS = timed {
       val q = RollupLanding.start(
@@ -148,6 +173,7 @@ object StreamBench {
     val load = (loadStart ++ loadavg()).mkString("[", ",", "]")
     println(s"""{"metric":"stream_bench","sf":"$sfDir","rows":$nRows,""" +
       s""""scd2_s":$scd2S,"scd2_rows_per_s":${(nRows / scd2S).toLong},"scd2_history_rows":$histRows,""" +
+      s""""scd2_engine_s":$scd2EngineS,"scd2_engine_rows_per_s":${(nRows / scd2EngineS).toLong},"scd2_engine_stmts":$engineStmts,""" +
       s""""rollup_s":$rollupS,"rollup_rows_per_s":${(nRows / rollupS).toLong},"rollup_rows":$rollupRows,""" +
       s""""hotkeys_s":$hotS,"hotkeys_rows_per_s":${(nRows / hotS).toLong},""" +
       s""""hotkeys_state_counters":$hotState,"shards":$shards,"k":$k,"load":$load}""")
