@@ -145,6 +145,10 @@ object TextEntries {
   // span length, the role the suffix-array threshold plays in Lee 2022
   val PassageK = 40
   val PassageSampleBp = 200 // E51s: 2% window keyspace — sf10-oracle-feasible
+  // E2s-gate: 2% shingle-keyspace candidate screen for the pair family —
+  // the third-decade (sf100) oracle-feasibility dial; production pair
+  // queries stay unsampled
+  val NgramSampleBp = 200
   // winnowing (E53): k-gram size and frame width — detection guaranteed
   // for shared spans >= k+w-1 = 27 chars at ~2/(w+1) fingerprint density
   val WinnowK = 20
@@ -263,6 +267,15 @@ object TextEntries {
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsNear(s, dir), "doc_id", "text", Tau)),
 
+    // E2-gate: the SAMPLED-CANDIDACY screen — candidates only from a
+    // deterministic 2% slice of the shingle keyspace, metric still exact
+    // over all shingles. The E51s keyspace-screen generalized to the
+    // pair family: the third-decade (sf100) correctness gate where the
+    // full pair oracle is resource-bound
+    "dedup_ngram_sampled" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsSampled(
+        docsNear(s, dir), "doc_id", "text", Tau, NgramSampleBp)),
+
     // E38: containment near-dup — the metric that catches a short doc
     // embedded whole in a long one (excerpt/boilerplate supersets),
     // same inverted-index machinery and skew cap as dedup_ngram
@@ -288,6 +301,19 @@ object TextEntries {
     "dedup_components" -> ((s, dir) => {
       val docs = docsNear(s, dir)
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Tau)
+      Dedup.connectedComponents(
+        pairs.select("id_a", "id_b"), docs.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp").as("component_id"))
+    }),
+
+    // E2d-gate: components over the SAMPLED pair screen — same closure,
+    // candidate edges from the 2% shingle slice; the sf100 gate twin of
+    // dedup_components (sampled edges ⊆ full edges, so these components
+    // REFINE the full partition — pinned in DedupSpec)
+    "dedup_components_sampled" -> ((s, dir) => {
+      val docs = docsNear(s, dir)
+      val pairs = Dedup.ngramJaccardPairsSampled(
+        docs, "doc_id", "text", Tau, NgramSampleBp)
       Dedup.connectedComponents(
         pairs.select("id_a", "id_b"), docs.select(col("doc_id").as("id")))
         .select(col("id").as("doc_id"), col("comp").as("component_id"))
@@ -866,6 +892,24 @@ object TextEntries {
           .otherwise("test").as("split"))
     }),
 
+    // E2c-lp-gate: the leak-proof split over the SAMPLED component
+    // labels — the sf100 gate twin of data_split_leakproof (the screen
+    // changes which clusters merge, never the split rule)
+    "data_split_leakproof_sampled" -> ((s, dir) => {
+      val docs = docsNear(s, dir)
+      val pairs = Dedup.ngramJaccardPairsSampled(
+        docs, "doc_id", "text", Tau, NgramSampleBp)
+      val comp = Dedup.connectedComponents(
+        pairs.select("id_a", "id_b"), docs.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp").as("component_id"))
+      val bucket = graft.text.PortableHash.h32(
+        concat(lit("split:"), col("component_id").cast("string"))) % 100
+      comp.select(
+        col("doc_id"), col("component_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+    }),
+
     // pipeline staple: deterministic train/val/test assignment by portable
     // hash bucket (stable across runs and engines, no RNG state)
     "data_split" -> ((s, dir) => {
@@ -989,6 +1033,12 @@ object TextEntries {
     // mirrors the default skew cap: candidates only from shingles with
     // df <= DefaultMaxDf; exact Jaccard still scored over ALL shingles
     "dedup_ngram" -> dedupNgramSql,
+
+    "dedup_ngram_sampled" -> dedupNgramSampledSql,
+
+    "dedup_components_sampled" ->
+      s"""${closureOverPairsSql(dedupNgramSampledSql)}
+         |SELECT doc_id, component_id FROM comp""".stripMargin,
 
     // same candidate machinery, containment denominator: least(n_a, n_b)
     "dedup_containment" -> dedupContainmentSql,
@@ -1191,6 +1241,63 @@ object TextEntries {
 
   private lazy val dedupNgramSql =
     ngramPairsSqlOver(docsNearSql, "sa.n + sb.n - common", "jaccard_bp", Tau)
+
+  /** E2-gate oracle: candidacy restricted to the deterministic
+    * `NgramSampleBp`/10000 slice of the shingle keyspace (h32 over the
+    * h60 key's decimal rendering — the slice picks WHOLE shingles, so
+    * both engines enumerate the identical candidate set), df cap read on
+    * the sliced postings (slice keeps a shingle's true df intact), exact
+    * intersect/sizes over ALL shingles of candidate docs only — which is
+    * what keeps this oracle feasible at sf100 where the full pair
+    * oracle's explosion is resource-bound. `post` is MATERIALIZED: it
+    * feeds three consumers and DuckDB re-executes inlined CTEs per
+    * pipeline (the sf10-sweep lesson). */
+  private lazy val dedupNgramSampledSql = {
+    val screen = PortableHash.duckH32("'sngram:'||CAST(s AS VARCHAR)") +
+      s" % 10000 < $NgramSampleBp"
+    s"""WITH corpus AS ($docsNearSql),
+       |post AS MATERIALIZED (${hashedPostOverSql("corpus")}),
+       |spost AS (SELECT doc_id, s FROM post WHERE $screen),
+       |byS AS (SELECT count(*) AS df,
+       |          list(doc_id ORDER BY doc_id) AS ds FROM spost GROUP BY s),
+       |cand AS (SELECT DISTINCT p['a'] AS id_a, p['b'] AS id_b FROM (
+       |    SELECT unnest(flatten(list_transform(ds, x ->
+       |      list_transform(list_filter(ds, y -> y > x),
+       |                     y -> {'a': x, 'b': y})))) AS p
+       |    FROM byS WHERE df <= ${Dedup.DefaultMaxDf})),
+       |cdocs AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT id_a AS doc_id FROM cand
+       |    UNION ALL SELECT id_b AS doc_id FROM cand)),
+       |dl AS (SELECT doc_id, list(s) AS ss
+       |       FROM post JOIN cdocs USING (doc_id) GROUP BY doc_id),
+       |agg AS (SELECT id_a, id_b,
+       |          CAST(length(list_intersect(da.ss, db.ss)) AS BIGINT) AS common
+       |        FROM cand JOIN dl da ON da.doc_id = id_a
+       |                  JOIN dl db ON db.doc_id = id_b),
+       |sizes AS (SELECT doc_id, count(*) AS n
+       |          FROM post JOIN cdocs USING (doc_id) GROUP BY doc_id)
+       |SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b,
+       |  CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) AS jaccard_bp
+       |FROM agg JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(floor(common * 10000.0 / (sa.n + sb.n - common)) AS BIGINT) >= $Tau""".stripMargin
+  }
+
+  /** Transitive closure + labels over an arbitrary pair SQL — shared by
+    * the sampled gate twins of dedup_components / data_split_leakproof
+    * (the unsampled originals keep their verbatim SQL: the driver hashes
+    * oracle text, so rewriting them risks a no-op diff churn). */
+  private def closureOverPairsSql(pairsSql: String): String =
+    s"""WITH RECURSIVE e0 AS MATERIALIZED (SELECT id_a, id_b FROM ($pairsSql)),
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM e0
+       |          UNION SELECT id_b, id_a FROM e0),
+       |nodes AS MATERIALIZED (SELECT doc_id AS id FROM ($docsNearSql)),
+       |reach(id, anc) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (
+       |  SELECT id AS doc_id, CAST(min(anc) AS BIGINT) AS component_id
+       |  FROM reach GROUP BY id)""".stripMargin
 
   /** E59 oracle: UNCAPPED exact all-pairs — the prefix filter is
     * lossless, so its answer must equal the no-cap ground truth (the
@@ -2007,6 +2114,19 @@ object TextEntries {
          |       WHEN $bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin
+    },
+
+    // the sf100 gate twin: same split rule over the sampled-screen
+    // component labels
+    "data_split_leakproof_sampled" -> {
+      val bucket = PortableHash.duckH32(
+        "'split:'||CAST(component_id AS VARCHAR)") + " % 100"
+      s"""${closureOverPairsSql(dedupNgramSampledSql)}
+         |SELECT doc_id, component_id,
+         |  CASE WHEN $bucket < 80 THEN 'train'
+         |       WHEN $bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM comp""".stripMargin
     },
 
     // same transitive closure as dedup_components, split hashed on the

@@ -113,6 +113,54 @@ object Dedup {
       .filter(col("jaccard_bp") >= tauBp)
       .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
 
+  /** SAMPLED-CANDIDACY variant of [[ngramJaccardPairs]]: candidate pairs
+    * come only from shingles whose portable h32 lands in the first
+    * `sampleBp`/10000 of hash space (AND under the df cap); the Jaccard
+    * of every surviving candidate is still exact over ALL shingles. The
+    * same deterministic keyspace-screen trick as the E51s passage gate
+    * ([[graft.dedup.Passage]] `sampleBp`), generalized to the inverted-
+    * index pair family: because the slice selects WHOLE shingles (every
+    * posting of a sliced shingle is kept), both engines enumerate the
+    * identical candidate set and the compare stays exact — while the
+    * candidate-generation mass (and an independent oracle's pair
+    * explosion) shrinks ~10000/sampleBp×. A near-dup pair sharing m
+    * shingles is screened with P ≈ 1−(1−bp/10000)^m — the scale-gate
+    * recall contract, NOT a production recall loss (the production
+    * queries run unsampled; this is the oracle-feasibility dial for
+    * third-decade correctness gates, where the full pair oracle is
+    * resource-bound).
+    *
+    * The slice keeps a shingle's true document frequency intact (whole
+    * shingles in or out), so the df cap reads identically on the sliced
+    * postings — hot boilerplate that survives the slice is still capped
+    * out of candidacy, exactly like the unsampled operator. */
+  def ngramJaccardPairsSampled(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tauBp: Long,
+      sampleBp: Int,
+      w: Int = 3,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
+    require(sampleBp >= 1 && sampleBp <= 10000,
+      s"ngramJaccardPairsSampled: sampleBp must be in [1, 10000], got $sampleBp")
+    if (sampleBp == 10000) ngramJaccardPairs(df, idCol, textCol, tauBp, w, maxDf)
+    else {
+      val post = hashedPostings(df, idCol, textCol, w).cache()
+      val sliced = post.filter(
+        PortableHash.h32(concat(lit("sngram:"), col("__sh").cast("string")))
+          % 10000 < sampleBp)
+      val hot = sliced.groupBy("__sh").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select("__sh")
+      val cool = sliced.join(broadcast(hot), Seq("__sh"), "left_anti")
+      val candidates = cool.select(col("__id").as("id_a"), col("__sh"))
+        .join(cool.select(col("__id").as("id_b"), col("__sh")), "__sh")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      verifiedJaccard(candidates, post, tauBp)
+    }
+  }
+
   /** All pairs (id_a < id_b) with Jaccard ≥ tauBp/10000 via PREFIX
     * FILTERING (Bayardo/Ma/Srikant "All Pairs", Chaudhuri SSJoin) — the
     * LOSSLESS scale strategy next to [[ngramJaccardPairs]]'s maxDf cap:

@@ -310,6 +310,57 @@ class TextDedupSpec extends SparkSpecBase {
     assert(capped.head._3 == 10000L) // hot shingles still counted in Jaccard
   }
 
+  test("E2-gate: sampled candidacy is a subset screen with exact scores; bp=10000 is the identity") {
+    // randomized corpus: near-dup pairs (base doc + tailed copy) plus
+    // unrelated docs — the docsNear shape the gate runs on
+    val rnd = new scala.util.Random(42)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu", "xi", "pi", "rho")
+    val base = (0L until 40L).map { i =>
+      (i, Seq.fill(12 + rnd.nextInt(20))(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val spiked = base ++ base.filter(_._1 % 3 == 0)
+      .map { case (i, t) => (i + 1000L, t + " dup tail marker") }
+    val df = spiked.toDF("doc_id", "text")
+    val full = Dedup.ngramJaccardPairs(df, "doc_id", "text", tauBp = 6000)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // a generous slice so the tiny corpus keeps some candidates
+    val sampled = Dedup.ngramJaccardPairsSampled(
+        df, "doc_id", "text", tauBp = 6000, sampleBp = 3000)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // subset screen: every sampled row appears VERBATIM in the full
+    // answer (the slice changes candidacy, never the exact metric)
+    assert(sampled.subsetOf(full), s"sampled rows not in full: ${sampled -- full}")
+    assert(sampled.nonEmpty, "slice killed every candidate — test corpus too small")
+    // bp=10000 keeps the whole keyspace: identical to the unsampled op
+    val identity = Dedup.ngramJaccardPairsSampled(
+        df, "doc_id", "text", tauBp = 6000, sampleBp = 10000)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(identity == full)
+    // sampled components REFINE the full partition: sampled edges are a
+    // subset, so no sampled cluster may span two full clusters
+    val ids = df.select(col("doc_id").as("id"))
+    val fullComp = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(df, "doc_id", "text", tauBp = 6000)
+          .select("id_a", "id_b"), ids)
+      .select(col("id"), col("comp").as("full_comp"))
+    val sampComp = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairsSampled(
+          df, "doc_id", "text", tauBp = 6000, sampleBp = 3000)
+          .select("id_a", "id_b"), ids)
+      .select(col("id"), col("comp").as("samp_comp"))
+    val straddlers = sampComp.join(fullComp, "id")
+      .groupBy("samp_comp")
+      .agg(countDistinct("full_comp").as("n"))
+      .filter(col("n") > 1)
+      .count()
+    assert(straddlers == 0L,
+      s"$straddlers sampled cluster(s) straddle full clusters — not a refinement")
+  }
+
   test("ngram maxDf cap: constructing the DataFrame launches zero Spark jobs") {
     val df = Seq(
       (1L, "a a a x y z"), (2L, "a a a x y z"), (3L, "a a a q r s")
