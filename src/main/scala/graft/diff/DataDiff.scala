@@ -102,13 +102,13 @@ object DataDiff {
     val parts = spark.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(parts, pk.map(col): _*)
       .sortWithinPartitions(pk.map(col): _*)
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField(posCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(indexed, schema)
+    // internal-row zip (GraftBridge): the old `.rdd.zipWithIndex()` +
+    // `createDataFrame(Row.fromSeq)` route decoded every UnsafeRow to
+    // boxed objects and re-encoded it through per-row reflection — in
+    // BOTH of zipWithIndex's passes (guide §1.4's format-conversion tax).
+    // Order semantics are unchanged; pk uniqueness (the operator's
+    // existing contract) is what makes the position deterministic.
+    org.apache.spark.sql.GraftBridge.zipWithPosition(sorted, posCol)
   }
 
   /** Reference-fidelity chunk compare: chunk N = rows
@@ -141,7 +141,14 @@ object DataDiff {
       chunkSize: Long,
       startPosition: Long = 0L): DataFrame = {
     def sideAgg(df: DataFrame, n: String, h: String, lo: String, hi: String) = {
-      withOrderedPosition(df.withColumn("__h", rowHash(df.columns.toSeq)), pk, "__pos")
+      // project to pk + row hash BEFORE the range exchange + sort + zip:
+      // the hash already condenses every column, so carrying the full row
+      // through the position machinery only widens the shuffle (guide
+      // §2.3 "project before the exchange" — on a 9-column orders side
+      // this shrinks the sorted/zipped row to pk + one long)
+      val slim = df.withColumn("__h", rowHash(df.columns.toSeq))
+        .select(pk.map(col) :+ col("__h"): _*)
+      withOrderedPosition(slim, pk, "__pos")
         .filter(col("__pos") >= startPosition)
         .withColumn("__chunk", floor(col("__pos") / chunkSize.toDouble).cast("long"))
         .withColumn("__pk", struct(pk.map(col): _*))

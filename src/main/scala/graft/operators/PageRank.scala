@@ -70,8 +70,18 @@ object PageRank {
       iters: Int,
       scaleFp: Long): (DataFrame, Int) = {
     val spark = edges.sparkSession
+    // Pregel partitioning (guide §2.4 — remove shuffles outright): the
+    // edge list is hash-partitioned by `src` ONCE and localCheckpoint
+    // preserves that layout in the LogicalRDD, so each round's edge join
+    // reuses it. `deg` aggregates on the same key (no exchange) and the
+    // round's rank-side join output is hash(src)-partitioned too — the
+    // only per-round edge-mass exchange left is the groupBy(dst), the
+    // one Pregel fundamentally requires. (The old shape re-exchanged the
+    // edge list on EVERY round: iters × edge-mass shuffles.)
+    val parts = spark.sessionState.conf.numShufflePartitions
     val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .repartition(parts, col("src"))
       .localCheckpoint()
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     val n = deg.count()
@@ -86,28 +96,20 @@ object PageRank {
         .select(col("src"), expr("r div deg").as("c"))
       val s = und.join(rd, Seq("src")).groupBy("dst").agg(sum(col("c")).as("sm"))
       val next0 = s.select(col("dst").as("id"), (lit(base) + expr("85 * sm div 100")).as("r"))
-      // convergence signal inside the round's own job: join the previous
-      // rank in (node-sized) and count disagreements in an accumulator
-      // while localCheckpoint materializes — no second action per round.
-      // The mapPartitions hop exists only to feed the accumulator (a
-      // side channel no Column expression reaches); rows are (id, r).
-      val changed = spark.sparkContext.longAccumulator("graft.pagerank.changed")
       // inner join is lossless ONLY because `und` holds both directions
       // (undirected precondition): every node re-appears as a dst each
       // round, so next0's node set equals r's. On a directed edge list
       // this would silently drop sink nodes from the rank state.
+      // The convergence signal reads the round's OWN materialization:
+      // __old rides the checkpointed (node-sized, in-memory) rows and the
+      // disagreement test is a scan of that cache — no plan re-runs, no
+      // external-Row decode hop (the old accumulator-feeding mapPartitions
+      // deserialized every node row AND erased the join's partitioning,
+      // forcing a rank-side exchange back in each round).
       val joined = next0.join(r.select(col("id"), col("r").as("__old")), "id")
-      val outSchema = StructType(Seq(
-        joined.schema("id"), StructField("r", LongType, nullable = false)))
-      val next = joined.mapPartitions { rows =>
-        rows.map { row =>
-          if (row.getLong(1) != row.getLong(2)) changed.add(1L)
-          org.apache.spark.sql.Row(row.get(0), row.getLong(1))
-        }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
-        .toDF().localCheckpoint()
-      converged = changed.value == 0L
-      r = next
+        .localCheckpoint()
+      converged = joined.filter(col("r") =!= col("__old")).isEmpty
+      r = joined.select("id", "r")
       it += 1
     }
     (r.withColumnRenamed("id", "src").join(deg, Seq("src"))

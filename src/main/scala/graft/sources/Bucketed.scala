@@ -17,9 +17,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketed {
 
   /** Write `df` as a parquet table bucketed AND sorted by `keys`: joins
-    * co-locate by bucket and skip the sort of a sort-merge join. */
+    * co-locate by bucket and skip the sort of a sort-merge join.
+    *
+    * The input is repartitioned onto the bucket function first —
+    * `repartition(buckets, keys)` uses the same murmur3-mod-n partition id
+    * the bucketed writer assigns, so each write task holds exactly ONE
+    * bucket and the table lands as `buckets` well-sized files instead of
+    * (input partitions × buckets) shards (guide §6: small files hurt twice
+    * — driver listing AND per-file open cost on every later serve scan;
+    * measured 32×8 = 256 files per index table at the local bench shape).
+    * Correctness is unaffected either way — the writer assigns buckets
+    * per row; the repartition only co-locates them. */
   def write(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
-    df.write
+    df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
@@ -66,7 +77,9 @@ object Bucketed {
   def append(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) dropWithLocation(spark, table)
-    df.write
+    // same one-file-per-bucket alignment as [[write]]
+    df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write
       .mode("append")
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)

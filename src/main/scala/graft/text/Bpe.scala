@@ -127,26 +127,38 @@ object Bpe {
     * EXACTLY for every round. A wrong fold, a wrong argmax, or a
     * corrupted rule list breaks the equality somewhere.
     *
-    * Cost: one pass over the VOCAB-sized word table with R fold chains
-    * in a single projection (rounds² fold steps per word — bounded by
-    * rounds·|word|, never corpus-scale). Returns one row per merge:
-    * (round, replay_count). */
+    * Cost: rounds passes over the VOCAB-sized word table — each round
+    * counts its pair in the incrementally-replayed state, then applies
+    * ONE fold and checkpoints (exactly train's per-round shape; never
+    * corpus-scale). The replay still derives its own fold chain from the
+    * raw word table — nothing is shared with train's materializations —
+    * but the chain is built state-by-state instead of from-scratch per
+    * round: the from-scratch form put rounds²/2 nested `aggregate` folds
+    * into one projection, which at BpeRounds=24 measured 12.2 s against
+    * train's own 1.9 s for the same arithmetic (r14 bench, guide §1.2:
+    * fix the algorithm, not the constant). Returns one count per merge,
+    * in round order. */
   def replayCounts(
       corpus: DataFrame, textCol: String, merges: Seq[Merge]): Array[Long] = {
     if (merges.isEmpty) return Array.empty
-    val words = wordTable(corpus, textCol)
-    val cols = merges.zipWithIndex.map { case (m, i) =>
-      val state = merges.take(i).foldLeft(col("syms"))(
-        (acc, mm) => mergeFold(acc, mm.left, mm.right))
-      val pairsInWord = when(size(state) < 2, lit(0L)).otherwise(
-        aggregate(sequence(lit(1), size(state) - 1), lit(0L),
+    var words = wordTable(corpus, textCol).localCheckpoint()
+    val out = Array.newBuilder[Long]
+    merges.zipWithIndex.foreach { case (m, i) =>
+      val pairsInWord = when(size(col("syms")) < 2, lit(0L)).otherwise(
+        aggregate(sequence(lit(1), size(col("syms")) - 1), lit(0L),
           (acc, j) => acc + when(
-            element_at(state, j) === lit(m.left) &&
-              element_at(state, j + 1) === lit(m.right), 1L).otherwise(0L)))
-      sum(col("cnt") * pairsInWord).as(s"replay_${m.round}")
+            element_at(col("syms"), j) === lit(m.left) &&
+              element_at(col("syms"), j + 1) === lit(m.right), 1L).otherwise(0L)))
+      out += words.agg(coalesce(sum(col("cnt") * pairsInWord), lit(0L)))
+        .head().getLong(0)
+      // advance the replayed state — skipped after the last round (no
+      // later count reads it)
+      if (i < merges.length - 1)
+        words = words
+          .withColumn("syms", mergeFold(col("syms"), m.left, m.right))
+          .localCheckpoint()
     }
-    val row = words.agg(cols.head, cols.tail: _*).head()
-    Array.tabulate(merges.length)(i => row.getLong(i))
+    out.result()
   }
 
   def encode(

@@ -1,0 +1,100 @@
+package graft.tools
+
+import graft.util.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Optimization-round micro-profiler: time named sub-pipelines of the hot
+  * operators with the noop sink (guide §1.4) inside ONE JVM so stage
+  * ratios are comparable (cross-invocation absolute numbers on this host
+  * swing 2×+; see BASELINE.md variance protocol). Not a declared query —
+  * measurement instrumentation only. */
+object Profile {
+  private def time(spark: SparkSession, name: String)(df: => DataFrame): Unit = {
+    spark.sparkContext.setJobDescription(name)
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    println(f"PROFILE $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    spark.sparkContext.setJobDescription(null)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val docs = Tables.documents(spark, sfDir)
+    val sel = if (args.isEmpty) Set.empty[String] else args.toSet
+    def on(n: String) = sel.isEmpty || sel.contains(n)
+    val reps = sys.env.getOrElse("PROFILE_REPS", "2").toInt
+    for (_ <- 1 to reps) {
+      if (on("docs_scan")) time(spark, "docs_scan")(docs)
+      if (on("docs_tokens")) time(spark, "docs_tokens")(
+        docs.select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("t")))
+      if (on("postings_raw")) time(spark, "postings_raw")(
+        docs.select(col("doc_id").as("__id"), graft.text.TextOps.tokens(col("text")).as("__t"))
+          .select(col("__id"),
+            explode(graft.text.TextOps.shinglesFromTokens(col("__t"), 3)).as("__sh")))
+      if (on("postings_hashed_nodistinct")) time(spark, "postings_hashed_nodistinct")(
+        docs.select(col("doc_id").as("__id"), graft.text.TextOps.tokens(col("text")).as("__t"))
+          .select(col("__id"),
+            explode(graft.text.TextOps.shinglesFromTokens(col("__t"), 3)).as("__sh"))
+          .select(col("__id"), graft.text.PortableHash.h60(col("__sh")).as("__sh")))
+      if (on("postings_distinct")) time(spark, "postings_distinct")(
+        graft.text.TextOps.hashedShinglePostings(docs, "doc_id", "text", 3))
+      if (on("ngram_pairs")) time(spark, "ngram_pairs")(
+        graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 6000L))
+      if (on("winnow_windows")) time(spark, "winnow_windows")(
+        graft.dedup.Passage.windowsOf(docs, "doc_id", "text", 20))
+      if (on("winnow_hashed")) time(spark, "winnow_hashed")(
+        graft.dedup.Passage.windowsOf(docs, "doc_id", "text", 20)
+          .select(col("id"), col("pos"), graft.text.PortableHash.h60(col("win")).as("h")))
+      if (on("winnow_fps")) time(spark, "winnow_fps")(
+        graft.text.Winnow.fingerprints(docs, "doc_id", "text", 20, 8))
+      // --- overlapPairs stage breakdown (replicated from Dedup) ---
+      lazy val post = graft.text.TextOps.hashedShinglePostings(docs, "doc_id", "text", 3).cache()
+      lazy val hot = post.groupBy("__sh").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > 128L).select("__sh")
+      lazy val coolPost = post.join(broadcast(hot), Seq("__sh"), "left_anti")
+      if (on("p_hot")) time(spark, "p_hot")(hot)
+      if (on("p_cool_common")) time(spark, "p_cool_common")(
+        coolPost.select(col("__id").as("id_a"), col("__sh"))
+          .join(coolPost.select(col("__id").as("id_b"), col("__sh")), "__sh")
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("common_cool")))
+      if (on("p_cool_common_arr")) time(spark, "p_cool_common_arr")(
+        coolPost.groupBy("__sh").agg(sort_array(collect_list(col("__id"))).as("ids"))
+          .filter(size(col("ids")) >= 2)
+          .select(explode(flatten(transform(col("ids"), (x, i) =>
+            transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+              y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+          .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+          .agg(count(lit(1)).as("common_cool")))
+      if (on("p_pairs_full")) time(spark, "p_pairs_full")(
+        graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 6000L))
+      if (on("p_counts")) {
+        val docsN = docs.count()
+        val postN = post.count()
+        val shN = post.select("__sh").distinct().count()
+        val coolN = coolPost.count()
+        val candN = coolPost.select(col("__id").as("id_a"), col("__sh"))
+          .join(coolPost.select(col("__id").as("id_b"), col("__sh")), "__sh")
+          .filter(col("id_a") < col("id_b")).count()
+        val pairN = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 6000L).count()
+        println(s"PROFILE counts docs=$docsN post=$postN sh=$shN cool=$coolN cooccur=$candN pairs=$pairN")
+      }
+      if (sel.nonEmpty && (on("p_hot") || on("p_cool_common") || on("p_cool_common_arr") || on("p_counts")))
+        post.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -34,4 +34,36 @@ object GraftBridge {
     if (!cs.experimental.extraStrategies.contains(s))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
+
+  /** Append a 0-based global position column in the DataFrame's CURRENT
+    * partition/row order, staying on InternalRows end to end.
+    *
+    * The public-API route (`df.rdd.zipWithIndex()` + `createDataFrame`)
+    * pays the internal→external format conversion the optimization guide
+    * warns about (§1.4): every UnsafeRow is decoded to a boxed external
+    * Row, a Seq is rebuilt per row, and `createDataFrame` re-encodes each
+    * field through per-row CatalystTypeConverters — and BOTH of
+    * zipWithIndex's passes (the partition-size count job and the real
+    * one) pay the decode. Here both passes iterate raw UnsafeRows; the
+    * output row is one buffer copy plus a 2-field wrapper.
+    *
+    * zipWithIndex semantics (the per-partition size job, the offset
+    * arithmetic, the resulting order) are IDENTICAL — callers must
+    * already ensure the input order is deterministic (unique sort key). */
+  def zipWithPosition(df: DataFrame, posCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val schema = StructType(df.schema.fields :+
+      StructField(posCol, LongType, nullable = false))
+    val indexed = df.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
+      it.map { case (row, i) =>
+        // row.copy(): the scan/sort reuses its UnsafeRow buffer per
+        // partition; downstream operators may buffer references
+        new JoinedRow(row.copy(), new GenericInternalRow(Array[Any](i))): InternalRow
+      }
+    }
+    cs.internalCreateDataFrame(indexed, schema)
+  }
 }
