@@ -479,8 +479,16 @@ object Knn {
 
   /** Shared SemDeDup core over an assigned (vid, qv, self_dot, cluster)
     * frame: within-cluster pairs, drop any vector with a lower-id
-    * same-cluster neighbor at ≥ tauBp cosine. */
-  private def semanticDropCore(assigned: DataFrame, tauBp: Long): DataFrame = {
+    * same-cluster neighbor at ≥ tauBp cosine.
+    *
+    * The assigned frame is consumed THREE times (both pair legs + the
+    * final anti-join), and for the tree path it carries the multi-probe
+    * descent — the r14 before-plan re-ran the whole assignment per leg
+    * (40 uncached corpus scans in dedup_semantic_tree). Cached here: it
+    * is the SemDeDup working set (vid, quantized vec, cluster), the
+    * frame a production run would materialize anyway. */
+  private def semanticDropCore(assigned0: DataFrame, tauBp: Long): DataFrame = {
+    val assigned = assigned0.cache()
     val l = assigned.select(col("cluster"), col("vid").as("id_a"),
       col("qv").as("qa"), col("self_dot").as("da"))
     val r = assigned.select(col("cluster"), col("vid").as("id_b"),

@@ -82,8 +82,14 @@ object Winnow {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Long,
       maxDf: Long = graft.dedup.Dedup.DefaultMaxDf): DataFrame = {
+    // the sketch is consumed by BOTH the df cap and the pair join (whose
+    // self-join legs re-derive it again): cache it — it is the ~2/(w+1)
+    // winnowed fraction of the window mass, the artifact writeIndex
+    // persists at scale — instead of re-running the corpus-mass
+    // fingerprint pass (windows + md5 + frame minima) once per consumer
+    // (the r14 before-plan scanned the corpus 8× with zero reuse)
     val fps = fingerprints(docs, idCol, textCol, k, w)
-      .select(col(idCol).as("id"), col("fp")).distinct()
+      .select(col(idCol).as("id"), col("fp")).distinct().cache()
     val cold = fps.groupBy("fp")
       .agg(countDistinct(col("id")).as("df"))
       .filter(col("df") <= maxDf)
@@ -121,9 +127,11 @@ object Winnow {
     // compressed shuffle-stat, not the hydrated relation) measured an
     // OOM at the sf10 decade leg, and at 100 TB no side of these joins
     // fits anywhere; only the group-count-sized `sizes` may broadcast
+    // cached: consumed by sizes AND both pair-join legs — the before-plan
+    // re-ran the whole fingerprint pass per consumer (16 corpus scans)
     val fps = fingerprints(docs, idCol, textCol, k, w)
       .join(docs.select(col(idCol), col(groupCol).as("__g")).hint("merge"), idCol)
-      .select(col("__g"), col("fp")).distinct()
+      .select(col("__g"), col("fp")).distinct().cache()
     val sizes = fps.groupBy("__g").agg(count(lit(1)).as("n"))
     val common = fps.as("a").hint("merge").join(fps.as("b").hint("merge"),
         col("a.fp") === col("b.fp") && col("a.__g") < col("b.__g"))
@@ -159,13 +167,16 @@ object Winnow {
       name: String, buckets: Int, k: Int, w: Int,
       maxDf: Long = graft.dedup.Dedup.DefaultMaxDf): Unit = {
     val spark = corpus.sparkSession
+    // cached: the df cap and the written join both read it (build-time
+    // only; unpersisted after the write lands)
     val fps = fingerprints(corpus, idCol, textCol, k, w)
-      .select(col(idCol).as("__id"), col("fp").as("__fp")).distinct()
+      .select(col(idCol).as("__id"), col("fp").as("__fp")).distinct().cache()
     val cold = fps.groupBy("__fp")
       .agg(countDistinct(col("__id")).as("df"))
       .filter(col("df") <= maxDf).select("__fp")
     graft.sources.Bucketed.overwrite(
       fps.join(cold, "__fp"), s"${name}_fps", buckets, Seq("__fp"))
+    fps.unpersist()
     graft.sources.Bucketed.overwritePlain(
       spark.range(1).select(
         lit(k.toLong).as("k"), lit(w.toLong).as("w"),
