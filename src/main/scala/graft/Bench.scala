@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
   /** 1/5/15-min load averages — recorded into the output JSON so a bench
     * artifact is self-adjudicating: totals on this host swing 2-4× with
@@ -49,7 +50,23 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val load = (loadStart ++ loadavg()).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","load":$load}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","load":$load}"""
+    println(full)
+    // The full per-query line for 153 queries is ~4.6 KB; a caller that
+    // tails only the last N chars of output sees it head-truncated and
+    // unparseable (every BENCH_r*.json through r14 has parsed:null for
+    // exactly this reason). So ALSO persist the full JSON to a file and
+    // print a compact self-contained line LAST — small enough for any
+    // tail window, same "metric"/"value"/"unit"/"sf" keys as the full
+    // line so either one parses to the suite total.
+    try {
+      val out = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
+      Files.write(out, (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}")
+    }
+    val nErr = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":$nErr,"sf":"$sfDir","load":$load,"queries_file":"bench_last.json"}""")
     spark.stop()
   }
 }
