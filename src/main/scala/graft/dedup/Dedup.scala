@@ -146,7 +146,7 @@ object Dedup {
       s"ngramJaccardPairsSampled: sampleBp must be in [1, 10000], got $sampleBp")
     if (sampleBp == 10000) ngramJaccardPairs(df, idCol, textCol, tauBp, w, maxDf)
     else {
-      val post = hashedPostings(df, idCol, textCol, w).cache()
+      val post = hashedPostings(df, idCol, textCol, w).localCheckpoint()
       val sliced = post.filter(
         PortableHash.h32(concat(lit("sngram:"), col("__sh").cast("string")))
           % 10000 < sampleBp)
@@ -187,7 +187,7 @@ object Dedup {
       tauBp: Long,
       w: Int = 3): DataFrame = {
     require(tauBp > 0 && tauBp <= 10000, s"tauBp must be in (0, 10000], got $tauBp")
-    val post = hashedPostings(df, idCol, textCol, w).cache()
+    val post = hashedPostings(df, idCol, textCol, w).localCheckpoint()
     // df for SHARED shingles only (df ≥ 2), left-joined with default 1:
     // on a real corpus most shingles are singletons, and joining the full
     // df table back would sort a postings-sized side against a near-
@@ -286,7 +286,20 @@ object Dedup {
       textCol: String,
       w: Int,
       maxDf: Long): DataFrame = {
-    val post = hashedPostings(df, idCol, textCol, w).cache()
+    // NO materialization (no cache, no checkpoint): the postings feed up
+    // to five consumers, but all five subtrees are canonically identical
+    // up to their exchanges, so ReuseExchange/AQE stage reuse computes
+    // the expensive map stage (scan → tokenize → shingle → md5) ONCE and
+    // every consumer re-reads the same shuffle files — the behavior a
+    // cache() bought, without its costs: a cache() entry from a lazy
+    // plan-builder has no unpersist hook, accumulates in CacheManager
+    // across a 153-query session, and lets a later same-plan query
+    // silently hit an earlier query's cache; an eager localCheckpoint
+    // would fire jobs at plan-construction time, breaking the lazy-API
+    // contract (pinned: "constructing the DataFrame launches zero
+    // jobs"). Shuffle-file reuse is also the shape that survives 100 TB,
+    // where corpus postings exceed any storage-memory budget.
+    val post = hashedPostings(df, idCol, textCol, w)
     if (maxDf == Long.MaxValue) {
       // exact all-pairs: count common shingles directly in the inverted-
       // index join — one pass, no candidate re-join
@@ -324,18 +337,30 @@ object Dedup {
         .filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("common_cool"))
-      val hotPost = post.join(broadcast(hot), Seq("__sh"), "left_semi")
-      val hotCommon = coolCommon.select("id_a", "id_b")
-        .join(hotPost.select(col("__id").as("id_a"), col("__sh")), "id_a")
-        .join(hotPost.select(col("__id").as("id_b"), col("__sh")), Seq("id_b", "__sh"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("common_hot"))
+      // ONE doc-keyed side table answers everything the candidate pairs
+      // still need: the doc's distinct-shingle count AND its (sorted)
+      // hot shingles, so the hot-shingle correction is an inline
+      // array_intersect on the joined pair row. The old shape re-joined
+      // the pair set four more times (candidates×hotPost by id_a, then
+      // by (id_b, __sh), a groupBy back to pairs, a left join onto
+      // coolCommon) plus two separate sizes joins — six pair-mass
+      // exchanges where two suffice (guide §2.4). Per-doc hot arrays are
+      // bounded by the number of boilerplate shingles a doc contains
+      // (small by construction — hot shingles are the rare df > maxDf
+      // tail), and intersecting two sorted distinct arrays counts
+      // exactly the pair's hot co-occurrences, as the old join did.
+      val hotArr = post.join(broadcast(hot), Seq("__sh"), "left_semi")
+        .groupBy("__id").agg(sort_array(collect_list(col("__sh"))).as("__hsh"))
       val sizes = post.groupBy("__id").agg(count(lit(1)).as("__n"))
+      val side = sizes.join(hotArr, Seq("__id"), "left")
       coolCommon
-        .join(hotCommon, Seq("id_a", "id_b"), "left")
-        .withColumn("common", col("common_cool") + coalesce(col("common_hot"), lit(0L)))
-        .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "n_b"), "id_b")
+        .join(side.select(col("__id").as("id_a"), col("__n").as("n_a"),
+          col("__hsh").as("__ha")), "id_a")
+        .join(side.select(col("__id").as("id_b"), col("__n").as("n_b"),
+          col("__hsh").as("__hb")), "id_b")
+        .withColumn("common", col("common_cool") +
+          when(col("__ha").isNull || col("__hb").isNull, lit(0L))
+            .otherwise(size(array_intersect(col("__ha"), col("__hb"))).cast("long")))
         .select("id_a", "id_b", "common", "n_a", "n_b")
     }
   }
@@ -420,9 +445,9 @@ object Dedup {
     // postings computed once and cached: signatures, sizes, and the verify
     // join all read the same materialization — h60-keyed, so every shuffle
     // and the cache itself carry 8-byte ints, never shingle strings
-    val post = hashedPostings(df, idCol, textCol, w).cache()
+    val post = hashedPostings(df, idCol, textCol, w).localCheckpoint()
     val banded = bandedBuckets(
-      minhashSignaturesFromPostings(post, numPerm), numPerm, bands).cache()
+      minhashSignaturesFromPostings(post, numPerm), numPerm, bands).localCheckpoint()
     val l = banded.select(col("band"), col("bucket"), col("__id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("__id").as("id_b"))
     val candidates = l.join(r, Seq("band", "bucket"))
@@ -480,7 +505,7 @@ object Dedup {
     requireIndexMeta(spark, s"${name}_meta", "w" -> w.toLong)
     requireIndexMeta(spark, s"${name}_minhash_meta",
       "num_perm" -> numPerm.toLong, "bands" -> bands.toLong)
-    val bPost = hashedPostings(batch, idCol, textCol, w).cache()
+    val bPost = hashedPostings(batch, idCol, textCol, w).localCheckpoint()
     val bBanded = bandedBuckets(
       minhashSignaturesFromPostings(bPost, numPerm), numPerm, bands)
     val bSizes = bPost.groupBy("__id").agg(count(lit(1)).as("n_batch"))
@@ -558,7 +583,7 @@ object Dedup {
   def incrementalNgramPairs(
       corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, tauBp: Long, w: Int = 3): DataFrame = {
-    val bPost = hashedPostings(batch, idCol, textCol, w).cache()
+    val bPost = hashedPostings(batch, idCol, textCol, w).localCheckpoint()
     // corpus side: semi-join on the RAW shingle strings BEFORE hashing —
     // probing a broadcast set is cheaper than md5, so the full corpus
     // scan pays tokenize+probe only and the (expensive) h60 runs on the
@@ -570,13 +595,13 @@ object Dedup {
       .join(broadcast(bShingles), Seq("__sh"), "left_semi")
       .select(col("__id"), PortableHash.h60(col("__sh")).as("__sh"))
       .distinct()
-      .cache()
+      .localCheckpoint()
     val bSizes = bPost.groupBy("__id").agg(count(lit(1)).as("n_batch"))
     val common = bPost.select(col("__id").as("batch_id"), col("__sh"))
       .join(cPost.select(col("__id").as("corpus_id"), col("__sh")), "__sh")
       .groupBy("batch_id", "corpus_id")
       .agg(count(lit(1)).as("common"))
-      .cache()
+      .localCheckpoint()
     // full |shingles(corpus doc)| is needed for exact Jaccard, but only
     // for CANDIDATE docs: re-shingle just those documents (a semi-join on
     // candidate ids prunes the corpus scan) instead of aggregating the
@@ -831,7 +856,7 @@ object Dedup {
       spark: SparkSession, name: String, batch: DataFrame,
       idCol: String, textCol: String, tauBp: Long, w: Int = 3): DataFrame = {
     requireIndexMeta(spark, s"${name}_meta", "w" -> w.toLong)
-    val bPost = hashedPostings(batch, idCol, textCol, w).cache()
+    val bPost = hashedPostings(batch, idCol, textCol, w).localCheckpoint()
     val bSizes = bPost.groupBy("__id").agg(count(lit(1)).as("n_batch"))
     // one serve join per index leg (base, and the append delta when
     // present), results concatenated: each leg's postings/sizes read
@@ -1180,7 +1205,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, w: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding only guarantees recall for hamming <= 3")
-    val sh = simhash(df, idCol, textCol, w).cache()
+    val sh = simhash(df, idCol, textCol, w).localCheckpoint()
     val chunks = Seq(
       shiftright(col("sim_hi"), 16), col("sim_hi") % 65536,
       shiftright(col("sim_lo"), 16), col("sim_lo") % 65536)

@@ -146,26 +146,29 @@ object Passage {
         s"winnow guarantee wk+ww-1=${wk + ww - 1} — the screen would drop " +
         "real duplicates; raise k or shrink (wk, ww)")
     // the winnow sketch feeds the shared-fp screen AND the candidate
-    // join; cache it (≈2/(ww+1) of the window mass — the screen's whole
-    // point is that this is the SMALL derivative) instead of re-running
-    // the fingerprint pass per consumer. `cand` is doc-id-sized and read
-    // by both the semi- and anti-join legs below — cache it too (the
-    // before-plan re-derived the entire screen for each leg: 30 corpus
-    // scans for the composed query)
+    // join; localCheckpoint it (≈2/(ww+1) of the window mass — the
+    // screen's whole point is that this is the SMALL derivative) instead
+    // of re-running the fingerprint pass per consumer. `cand` is
+    // doc-id-sized and read by both the semi- and anti-join legs below —
+    // checkpoint it too (the r14 before-plan re-derived the entire
+    // screen for each leg: 30 corpus scans for the composed query).
+    // Eager localCheckpoint, NOT cache(): no unpersist hook exists in a
+    // lazy plan-builder, and checkpointed blocks are ContextCleaner-
+    // collected once the query's RDD is unreachable
     val fps = graft.text.Winnow.fingerprints(docs, idCol, textCol, wk, ww)
-      .select(col(idCol).as("id"), col("fp")).distinct().cache()
+      .select(col(idCol).as("id"), col("fp")).distinct().localCheckpoint()
     // postings are distinct (id, fp): count(*) per fp = distinct hosts
     val shared = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("fp")
     val cand = fps.join(shared, "fp").select("id").distinct()
-      .select(col("id").as(idCol)).cache()
+      .select(col("id").as(idCol)).localCheckpoint()
     // the candidate SUBCORPUS is read 4× inside exciseDuplicates (two
     // dup-window passes, the occurrence pass, the final rebuild join) —
-    // cache it once: it is the duplicated fraction of the corpus, the
-    // working set this screen exists to shrink, so its cache is the
-    // scale-intended materialization (vs. re-running semi-join + scan
-    // per pass)
-    val candidates = docs.join(cand, Seq(idCol), "left_semi").cache()
+    // checkpoint it once: it is the duplicated fraction of the corpus,
+    // the working set this screen exists to shrink, so materializing it
+    // is the scale-intended shape (vs. re-running semi-join + scan per
+    // pass)
+    val candidates = docs.join(cand, Seq(idCol), "left_semi").localCheckpoint()
     val excised = exciseDuplicates(candidates, idCol, textCol, k)
     val untouched = docs.join(cand, Seq(idCol), "left_anti")
       .select(col(idCol), lit(0L).as("n_removed"),

@@ -38,14 +38,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * stopping is PROVABLY equal to running them out — which is why the
   * fixed-round unrolled oracle stays exact. The changed-row signal
   * rides the round's OWN materialization: the previous rank joins into
-  * the next-rank plan (node-sized, co-keyed) and a long accumulator
-  * counts disagreements while `localCheckpoint` materializes — each
-  * round is ONE job, with no separate join+isEmpty action after it.
-  * Accumulator semantics are safe here: a task retry can only
-  * OVER-count changes, which at worst runs one more round — and any
-  * extra round reproduces the fixed point bit-for-bit. On regular
-  * graphs (every near-dup clique, for one) the fixed point arrives in
-  * 2-3 rounds and the remaining edge joins are skipped.
+  * the next-rank plan (node-sized, co-keyed, the join output carries
+  * both r' and the previous r as `__old`), `localCheckpoint`
+  * materializes that joined frame, and the disagreement test is a
+  * `filter(r =!= __old).isEmpty` scan of the round's own checkpointed
+  * (node-sized, in-memory) rows — no plan re-runs, and no external-Row
+  * decode hop (an accumulator-feeding mapPartitions would deserialize
+  * every node row AND erase the join's partitioning, forcing a
+  * rank-side exchange back in each round). On regular graphs (every
+  * near-dup clique, for one) the fixed point arrives in 2-3 rounds and
+  * the remaining edge joins are skipped.
   *
   * Precondition: `edges` holds each undirected pair once (a < b), as the
   * dedup pair generators emit them.

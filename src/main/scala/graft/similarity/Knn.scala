@@ -484,11 +484,13 @@ object Knn {
     * The assigned frame is consumed THREE times (both pair legs + the
     * final anti-join), and for the tree path it carries the multi-probe
     * descent — the r14 before-plan re-ran the whole assignment per leg
-    * (40 uncached corpus scans in dedup_semantic_tree). Cached here: it
-    * is the SemDeDup working set (vid, quantized vec, cluster), the
-    * frame a production run would materialize anyway. */
+    * (40 uncached corpus scans in dedup_semantic_tree). localCheckpointed
+    * here (eager; ContextCleaner-cleaned, unlike a cache() entry, which
+    * a lazy plan-builder can never unpersist): it is the SemDeDup
+    * working set (vid, quantized vec, cluster), the frame a production
+    * run would materialize anyway. */
   private def semanticDropCore(assigned0: DataFrame, tauBp: Long): DataFrame = {
-    val assigned = assigned0.cache()
+    val assigned = assigned0.localCheckpoint()
     val l = assigned.select(col("cluster"), col("vid").as("id_a"),
       col("qv").as("qa"), col("self_dot").as("da"))
     val r = assigned.select(col("cluster"), col("vid").as("id_b"),

@@ -27,7 +27,16 @@ object Bucketed {
     * — driver listing AND per-file open cost on every later serve scan;
     * measured 32×8 = 256 files per index table at the local bench shape).
     * Correctness is unaffected either way — the writer assigns buckets
-    * per row; the repartition only co-locates them. */
+    * per row; the repartition only co-locates them.
+    *
+    * Sizing contract: the repartition caps write parallelism at exactly
+    * `buckets` tasks, each holding one whole bucket — so bucket count
+    * must be sized to the table (≈ one target-file-size chunk per
+    * bucket, 128 MB - 1 GB). A large table written with a small bucket
+    * count funnels the write through a few tasks (slow write, per-task
+    * spill); raise `buckets` with table size rather than dropping the
+    * alignment, since the same bucket count also bounds every later
+    * co-located join's parallelism. */
   def write(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
     df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
       .write

@@ -83,13 +83,17 @@ object Winnow {
       k: Int, w: Int, minShared: Long,
       maxDf: Long = graft.dedup.Dedup.DefaultMaxDf): DataFrame = {
     // the sketch is consumed by BOTH the df cap and the pair join (whose
-    // self-join legs re-derive it again): cache it — it is the ~2/(w+1)
-    // winnowed fraction of the window mass, the artifact writeIndex
-    // persists at scale — instead of re-running the corpus-mass
-    // fingerprint pass (windows + md5 + frame minima) once per consumer
-    // (the r14 before-plan scanned the corpus 8× with zero reuse)
+    // self-join legs would re-derive it again): localCheckpoint it — it
+    // is the ~2/(w+1) winnowed fraction of the window mass, the artifact
+    // writeIndex persists at scale — instead of re-running the
+    // corpus-mass fingerprint pass (windows + md5 + frame minima) once
+    // per consumer (the r14 before-plan scanned the corpus 8× with zero
+    // reuse). Eager localCheckpoint, NOT cache(): a cache() entry from a
+    // lazy plan-builder has no unpersist hook and accumulates in
+    // CacheManager across a long session; checkpointed blocks are
+    // ContextCleaner-collected once the query's RDD is unreachable
     val fps = fingerprints(docs, idCol, textCol, k, w)
-      .select(col(idCol).as("id"), col("fp")).distinct().cache()
+      .select(col(idCol).as("id"), col("fp")).distinct().localCheckpoint()
     val cold = fps.groupBy("fp")
       .agg(countDistinct(col("id")).as("df"))
       .filter(col("df") <= maxDf)
@@ -126,12 +130,14 @@ object Winnow {
     // is corpus-mass — a runtime broadcast conversion (AQE reads a
     // compressed shuffle-stat, not the hydrated relation) measured an
     // OOM at the sf10 decade leg, and at 100 TB no side of these joins
-    // fits anywhere; only the group-count-sized `sizes` may broadcast
-    // cached: consumed by sizes AND both pair-join legs — the before-plan
-    // re-ran the whole fingerprint pass per consumer (16 corpus scans)
+    // fits anywhere; only the group-count-sized `sizes` may broadcast.
+    // localCheckpointed (eager, ContextCleaner-cleaned — see
+    // candidatePairs): consumed by sizes AND both pair-join legs — the
+    // r14 before-plan re-ran the whole fingerprint pass per consumer
+    // (16 corpus scans)
     val fps = fingerprints(docs, idCol, textCol, k, w)
       .join(docs.select(col(idCol), col(groupCol).as("__g")).hint("merge"), idCol)
-      .select(col("__g"), col("fp")).distinct().cache()
+      .select(col("__g"), col("fp")).distinct().localCheckpoint()
     val sizes = fps.groupBy("__g").agg(count(lit(1)).as("n"))
     val common = fps.as("a").hint("merge").join(fps.as("b").hint("merge"),
         col("a.fp") === col("b.fp") && col("a.__g") < col("b.__g"))

@@ -5,8 +5,18 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Optimization-round instrumentation: dump `.explain("formatted")` for
-  * every declared query (or an argv subset) WITHOUT executing them —
-  * plan-shape evidence for plans/r14/<query>_{before,after}.txt.
+  * every declared query (or an argv subset) without running the final
+  * action — plan-shape evidence for plans/rNN/<query>_{before,after}.txt.
+  *
+  * Caveat: "no action" holds only for fully-lazy queries. Several
+  * declared queries do EAGER work at DataFrame-construction time
+  * (PageRank's iteration loop with per-round localCheckpoint, BPE
+  * training's per-round collects, withOrderedPosition's zipWithIndex
+  * partition-count job, the *_indexed/_incremental index builds), so a
+  * dump of those runs most of the query at SPARK_GRAFT_SF_DIR scale —
+  * point SPARK_GRAFT_SF_DIR at a small dataset when only the shape
+  * matters. Unknown query-name args are reported to stderr instead of
+  * being silently ignored.
   *
   * Session conf mirrors Bench exactly so the captured plan is the plan
   * the bench runs (same shuffle partitions, AQE, timezone).
@@ -29,7 +39,12 @@ object PlanDump {
     new java.io.File(outDir).mkdirs()
     val selected =
       if (args.length == 1) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(args.drop(1).toSet).toMap
+      else {
+        val asked = args.drop(1).toSet
+        asked.diff(SparkEntry.queries.keySet).toSeq.sorted.foreach(q =>
+          System.err.println(s"[plandump] unknown query name: $q"))
+        SparkEntry.queries.view.filterKeys(asked).toMap
+      }
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)

@@ -59,6 +59,33 @@ object Profile {
           .select(col("id"), col("pos"), graft.text.PortableHash.h60(col("win")).as("h")))
       if (on("winnow_fps")) time(spark, "winnow_fps")(
         graft.text.Winnow.fingerprints(docs, "doc_id", "text", 20, 8))
+      // map-only winnow candidate (no exchange, no sort, no window): all
+      // per-doc arithmetic as array HOFs — A/B against the window form
+      if (on("winnow_fps_maponly")) time(spark, "winnow_fps_maponly") {
+        val (k, w) = (20, 8)
+        val t = col("text")
+        docs.filter(length(t) >= k + w - 1)
+          .select(col("doc_id"), t.as("__t"))
+          .select(col("doc_id"),
+            transform(sequence(lit(1), length(col("__t")) - (k - 1)),
+              p => graft.text.PortableHash.h60(col("__t").substr(p, lit(k)))).as("__hs"))
+          .select(col("doc_id"), col("__hs"),
+            transform(sequence(lit(1), size(col("__hs")) - (w - 1)),
+              i => array_min(slice(col("__hs"), i, lit(w)))).as("__mins"))
+          .select(col("doc_id"),
+            explode(filter(
+              transform(sequence(lit(1), size(col("__hs"))),
+                p => struct(p.as("pos"), element_at(col("__hs"), p).as("fp"))),
+              s => {
+                val p = s.getField("pos")
+                val lo = greatest(p - (w - 1), lit(1))
+                val hi = least(p, size(col("__hs")) - (w - 1))
+                exists(slice(col("__mins"), lo, hi - lo + 1),
+                  m => m === s.getField("fp"))
+              })).as("pf"))
+          .select(col("doc_id"), col("pf.pos").cast("long").as("pos"),
+            col("pf.fp").as("fp"))
+      }
       // --- overlapPairs stage breakdown (replicated from Dedup) ---
       lazy val post = graft.text.TextOps.hashedShinglePostings(docs, "doc_id", "text", 3).cache()
       lazy val hot = post.groupBy("__sh").agg(count(lit(1)).as("__df"))
@@ -92,7 +119,11 @@ object Profile {
         val pairN = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 6000L).count()
         println(s"PROFILE counts docs=$docsN post=$postN sh=$shN cool=$coolN cooccur=$candN pairs=$pairN")
       }
-      if (sel.nonEmpty && (on("p_hot") || on("p_cool_common") || on("p_cool_common_arr") || on("p_counts")))
+      // unpersist whenever post was materialized this rep (also in the
+      // default all-stages run): a fresh copy is cached per rep, and with
+      // PROFILE_REPS>1 the leaked copies evict each other and skew the
+      // very stage ratios the tool exists to compare
+      if (on("p_hot") || on("p_cool_common") || on("p_cool_common_arr") || on("p_counts"))
         post.unpersist()
     }
     spark.stop()
