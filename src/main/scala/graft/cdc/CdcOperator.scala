@@ -376,8 +376,14 @@ object CdcOperator {
       if (cfg.orderedChunks) {
         // reference semantics: chunkSize ROWS per chunk in pk order,
         // startPosition skips rows (cdc_operator.rs:247-293)
+        // localCheckpoint, not cache(): validate() is already eager (the
+        // rows-on-mismatch gate materializes the report below), the
+        // returned counts/badChunks legs keep reading it after this
+        // function returns, and a cache() entry would outlive the query
+        // in CacheManager with no unpersist hook; checkpointed blocks
+        // are ContextCleaner-collected with the query's RDD
         val ch = DataDiff.orderedChunkDiffRanges(
-          vSource, vTarget, pk, cfg.chunkSize, cfg.startPosition).cache()
+          vSource, vTarget, pk, cfg.chunkSize, cfg.startPosition).localCheckpoint()
         // evaluated once, on first use (i.e. only when chunks DID
         // mismatch), then shared by both side restrictions
         lazy val merged = mergedOnDriver(ch, MergeCollectLimit.toInt)
@@ -397,8 +403,10 @@ object CdcOperator {
         // 'NULL' sentinel (concat_ws skips nulls silently, which would
         // merge chunks of different-arity NULL tuples); the oracle
         // mirrors the same literal.
+        // localCheckpoint, not cache() — same lifecycle rationale as the
+        // ordered branch above
         val ch = DataDiff.chunkDiff(vSource, vTarget, hashChunkOf)
-          .filter(col("chunk_id") >= cfg.startPosition).cache()
+          .filter(col("chunk_id") >= cfg.startPosition).localCheckpoint()
         val badIds = ch.filter(!col("chunks_match"))
           .select(col("chunk_id").as("__chunk"))
         (ch, df => df.withColumn("__chunk", hashChunkOf)

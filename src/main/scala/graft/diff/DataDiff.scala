@@ -148,13 +148,30 @@ object DataDiff {
       // this shrinks the sorted/zipped row to pk + one long)
       val slim = df.withColumn("__h", rowHash(df.columns.toSeq))
         .select(pk.map(col) :+ col("__h"): _*)
-      withOrderedPosition(slim, pk, "__pos")
+      val positioned = withOrderedPosition(slim, pk, "__pos")
         .filter(col("__pos") >= startPosition)
         .withColumn("__chunk", floor(col("__pos") / chunkSize.toDouble).cast("long"))
-        .withColumn("__pk", struct(pk.map(col): _*))
-        .groupBy("__chunk")
-        .agg(count(lit(1)).as(n), sum(col("__h")).as(h),
-          min(col("__pk")).as(lo), max(col("__pk")).as(hi))
+      // single-column pk (the common case): min/max on the RAW column —
+      // primitive aggregation buffers keep the per-chunk agg a
+      // HashAggregate with map-side partials, so the exchange carries
+      // ~one partial row per (chunk × partition). min/max over a STRUCT
+      // is not hash-aggregable (immutable buffer type) and forces a
+      // SortAggregate + extra sort of the whole positioned frame;
+      // composite pks still pay it, single-field structs provably
+      // satisfy struct(min(a)) = min(struct(a)).
+      if (pk.size == 1)
+        positioned.groupBy("__chunk")
+          .agg(count(lit(1)).as(n), sum(col("__h")).as(h),
+            min(col(pk.head)).as("__lo1"), max(col(pk.head)).as("__hi1"))
+          .select(col("__chunk"), col(n), col(h),
+            struct(col("__lo1").as(pk.head)).as(lo),
+            struct(col("__hi1").as(pk.head)).as(hi))
+      else
+        positioned
+          .withColumn("__pk", struct(pk.map(col): _*))
+          .groupBy("__chunk")
+          .agg(count(lit(1)).as(n), sum(col("__h")).as(h),
+            min(col("__pk")).as(lo), max(col("__pk")).as(hi))
     }
     val s = sideAgg(source, "src_rows", "__sh", "src_lo", "src_hi")
     val t = sideAgg(target, "tgt_rows", "__th", "tgt_lo", "tgt_hi")

@@ -81,11 +81,19 @@ object PageRank {
     // one Pregel fundamentally requires. (The old shape re-exchanged the
     // edge list on EVERY round: iters × edge-mass shuffles.)
     val parts = spark.sessionState.conf.numShufflePartitions
-    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .repartition(parts, col("src"))
-      .localCheckpoint()
-    val deg = und.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    // localCheckpointHashPartitioned, NOT plain localCheckpoint: under
+    // AQE a Dataset checkpoint reads back as UnknownPartitioning, so the
+    // "partition once, join every round exchange-free" design silently
+    // degraded to one edge-mass exchange PER ROUND (r15 pin caught it);
+    // the bridge helper declares the hash(src) layout it materializes
+    val und = org.apache.spark.sql.GraftBridge.localCheckpointHashPartitioned(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst"))),
+      Seq("src"), parts)
+    // deg inherits und's layout; declaring it keeps the per-round rd join
+    // exchange-free on the deg side too (node-sized, one-time cost)
+    val deg = org.apache.spark.sql.GraftBridge.localCheckpointHashPartitioned(
+      und.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"), parts)
     val n = deg.count()
     if (n == 0) return (emptyResult(spark), 0)
     val perNode = scaleFp / n

@@ -69,13 +69,18 @@ object Triangles {
       .join(deg.select(col("id").as("b"), col("degree").as("__db")), "b")
     def rank(d: String, n: String) = struct(col(d).as("d"), col(n).as("n"))
     val aFirst = rank("__da", "a") < rank("__db", "b")
-    val oriented = stamped.select(
-      when(aFirst, col("a")).otherwise(col("b")).as("u"),
-      when(aFirst, col("b")).otherwise(col("a")).as("v"),
-      when(aFirst, rank("__db", "b")).otherwise(rank("__da", "a")).as("__rv"))
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val oriented = org.apache.spark.sql.GraftBridge.localCheckpointHashPartitioned(
+      stamped.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, rank("__db", "b")).otherwise(rank("__da", "a")).as("__rv")),
       // three consumers (both wedge legs + the close join): pay the
-      // degree-stamping joins once
-      .localCheckpoint()
+      // degree-stamping joins once, and DECLARE the hash(u) layout so the
+      // wedge self-join reads both legs exchange-free (a plain
+      // localCheckpoint loses the layout under AQE and both legs
+      // re-exchange the oriented edge mass)
+      Seq("u"), parts)
 
     val wedges = oriented.as("x")
       .join(oriented.as("y"),

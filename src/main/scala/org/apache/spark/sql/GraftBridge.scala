@@ -66,4 +66,42 @@ object GraftBridge {
     }
     cs.internalCreateDataFrame(indexed, schema)
   }
+
+  /** Eager local checkpoint that KEEPS a hash layout: repartition by
+    * `keys` into `numPartitions`, materialize, and return a DataFrame
+    * whose LogicalRDD DECLARES HashPartitioning(keys, numPartitions) —
+    * so every later equi-join or aggregation on `keys` plans with no
+    * exchange on this side.
+    *
+    * Dataset.localCheckpoint is supposed to carry the physical plan's
+    * partitioning into the LogicalRDD, but under AQE the adaptive root
+    * reports UnknownPartitioning, so every checkpoint reads back
+    * layout-less and each downstream consumer re-exchanges it (observed:
+    * PageRank's per-round edge join re-shuffled the checkpointed edge
+    * list every round). This helper declares the layout it just
+    * produced; the declaration is sound because `repartition(n, keys)`
+    * IS murmur3(keys) % n row placement, and the partition-count guard
+    * below turns any future AQE interference into a loud failure instead
+    * of a silently wrong co-partitioned join. */
+  def localCheckpointHashPartitioned(
+      df: DataFrame, keys: Seq[String], numPartitions: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.LogicalRDD
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val shuffled = df.repartition(numPartitions, keys.map(df.apply): _*)
+    val qe = shuffled.queryExecution
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count() // eager, like Dataset.localCheckpoint(eager = true)
+    require(rdd.getNumPartitions == numPartitions,
+      s"localCheckpointHashPartitioned: expected $numPartitions partitions, " +
+        s"got ${rdd.getNumPartitions} — the declared hash layout would be wrong")
+    val resolver = cs.sessionState.analyzer.resolver
+    val attrs = qe.analyzed.output
+    val exprs = keys.map(k => attrs.find(a => resolver(a.name, k)).getOrElse(
+      throw new IllegalArgumentException(
+        s"localCheckpointHashPartitioned: no column '$k' in ${attrs.map(_.name)}")))
+    classic.Dataset.ofRows(cs,
+      LogicalRDD(attrs, rdd, HashPartitioning(exprs, numPartitions))(cs))
+  }
 }

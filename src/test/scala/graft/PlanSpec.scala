@@ -554,6 +554,86 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("ordered-position chunking: slim zip input, hash-aggregable chunk stats (single pk)") {
+    import org.apache.spark.sql.functions._
+    val o = graft.util.Tables.orders(spark, sf("sf0.001"))
+    val p = graft.diff.DataDiff
+      .orderedChunkDiffRanges(o, o.limit(100), Seq("o_orderkey"), 50)
+      .queryExecution.explainString(FormattedMode)
+    // r14 win, pinned: the zip carries pk + row-hash ONLY — the full
+    // 9-column orders row must never ride the range exchange / sort / zip
+    assert(p.contains("Scan ExistingRDD"), s"zip boundary missing:\n${p.take(1200)}")
+    assert(p.contains("__pos") && p.contains("__h"))
+    assert(!p.contains("o_orderpriority") && !p.contains("o_totalprice"),
+      "zip input must be projected to pk + row hash before the exchange")
+    // r15 win, pinned: a single-column pk aggregates its chunk bounds on
+    // the RAW column (primitive buffers → HashAggregate with map-side
+    // partials); min/max over a pk STRUCT would force a SortAggregate +
+    // an extra sort of the whole positioned frame
+    assert(!p.contains("SortAggregate"),
+      s"single-pk chunk agg must stay hash-aggregable:\n${p.take(1500)}")
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      "chunk bounds must combine map-side")
+  }
+
+  test("pagerank shape: partition-declaring checkpoint — co-keyed agg and join are exchange-free") {
+    import org.apache.spark.sql.functions._
+    // the PageRank/Triangles edge layout rests on this: the edge list is
+    // repartition(src)-ed ONCE and the checkpoint DECLARES that layout,
+    // so every round's deg aggregation and edge join add no exchange on
+    // the checkpointed side. A plain Dataset.localCheckpoint loses the
+    // layout under AQE (UnknownPartitioning — this pin was added the day
+    // that was discovered); GraftBridge.localCheckpointHashPartitioned
+    // is the fix, and this test fails if Spark ever invalidates it.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val und = org.apache.spark.sql.GraftBridge.localCheckpointHashPartitioned(
+      spark.range(200)
+        .select(col("id").as("src"), ((col("id") + 7) % 100).as("dst")),
+      Seq("src"), parts)
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val dp = deg.queryExecution.explainString(FormattedMode)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(dp).isEmpty,
+      s"deg aggregation must reuse the checkpointed partitioning:\n$dp")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = und.join(deg, Seq("src"))
+      val jp = joined.queryExecution.explainString(FormattedMode)
+      assert("\\(\\d+\\) Exchange".r.findAllIn(jp).isEmpty,
+        s"the per-round edge join must not re-exchange either side:\n$jp")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("bucketed write/append land exactly one file set per bucket") {
+    import graft.sources.Bucketed
+    import org.apache.spark.sql.functions._
+    // the r14 writer alignment claim, asserted on the actual file list:
+    // repartition onto the writer's own bucket function means `buckets`
+    // files per write, not (input partitions × buckets) shards
+    def files(table: String): Seq[String] = {
+      val loc = new java.net.URI(
+        spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+          .location.toString).getPath
+      new java.io.File(loc).listFiles.toSeq.map(_.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+    }
+    try {
+      val df = spark.range(1000)
+        .select(col("id").as("k"), (col("id") % 97).as("v"))
+        .repartition(32) // many input partitions — the unaligned shape
+      Bucketed.write(df, "fc_t", buckets = 8, keys = Seq("k"))
+      assert(files("fc_t").size == 8,
+        s"write must land one file per bucket, got ${files("fc_t").size}")
+      Bucketed.append(
+        spark.range(1000, 1500).select(col("id").as("k"), (col("id") % 97).as("v"))
+          .repartition(16),
+        "fc_t", buckets = 8, keys = Seq("k"))
+      assert(files("fc_t").size <= 16,
+        s"append must add at most one file set per bucket, got ${files("fc_t").size}")
+    } finally spark.sql("DROP TABLE IF EXISTS fc_t")
+  }
+
   test("dedup_ngram_prefix: every join is key-equi, never a fan-out theta join") {
     // the lossless path's scale claim rests on ALL pair work being
     // hash-partitionable: the prefix-prefix self-join keys on the shared
