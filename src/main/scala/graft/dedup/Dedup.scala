@@ -66,20 +66,25 @@ object Dedup {
   private[dedup] def hashedPostings(df: DataFrame, idCol: String, textCol: String, w: Int) =
     TextOps.hashedShinglePostings(df, idCol, textCol, w)
 
-  /** Exact Jaccard scoring of candidate pairs against full postings:
-    * common counts come from a candidate-bounded join, sizes from the
-    * postings; output filtered at tauBp. */
+  /** Exact Jaccard scoring of candidate pairs against full postings —
+    * the sorted-array form [[ngramJaccardPairsPrefix]] pioneered: each
+    * doc's sorted distinct shingle array joins in ONCE per side
+    * (pair-count rows carrying ~n·8 bytes) and a codegen'd
+    * array_intersect computes common. The previous row-form fanned each
+    * candidate out by its full postings list (candidate × postings rows
+    * through a two-step join + a pair groupBy) and then joined doc sizes
+    * twice more — four pair-mass exchanges where two suffice, plus the
+    * fan-out mass itself. */
   private def verifiedJaccard(
       candidates: DataFrame, post: DataFrame, tauBp: Long): DataFrame = {
-    val sizes = post.groupBy("__id").agg(count(lit(1)).as("__n"))
-    val common = candidates
-      .join(post.select(col("__id").as("id_a"), col("__sh")), "id_a")
-      .join(post.select(col("__id").as("id_b"), col("__sh")), Seq("id_b", "__sh"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "n_b"), "id_b")
+    val docArrs = post.groupBy("__id")
+      .agg(sort_array(collect_list(col("__sh"))).as("__arr"))
+    candidates
+      .join(docArrs.select(col("__id").as("id_a"), col("__arr").as("__arr_a")), "id_a")
+      .join(docArrs.select(col("__id").as("id_b"), col("__arr").as("__arr_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("__arr_a"), col("__arr_b"))).cast("long"))
+      .withColumn("n_a", size(col("__arr_a")).cast("long"))
+      .withColumn("n_b", size(col("__arr_b")).cast("long"))
       .withColumn("jaccard_bp",
         TextOps.bp(col("common"), col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard_bp") >= tauBp)

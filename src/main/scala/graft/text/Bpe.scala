@@ -43,7 +43,7 @@ object Bpe {
     * with the merged symbol. A token merged in this round equals a+b and
     * can never re-trigger (a+b ≠ a), which is exactly the non-overlap
     * rule of sequential BPE. */
-  private[text] def mergeFold(syms: Column, a: String, b: String): Column =
+  private[graft] def mergeFold(syms: Column, a: String, b: String): Column =
     aggregate(
       syms,
       array().cast("array<string>"),
@@ -127,43 +127,54 @@ object Bpe {
     * EXACTLY for every round. A wrong fold, a wrong argmax, or a
     * corrupted rule list breaks the equality somewhere.
     *
-    * Cost: rounds passes over the VOCAB-sized word table — each round
-    * counts its pair in the incrementally-replayed state, then applies
-    * ONE fold and checkpoints (exactly train's per-round shape; never
-    * corpus-scale). The replay still derives its own fold chain from the
-    * raw word table — nothing is shared with train's materializations —
-    * but the chain is built state-by-state instead of from-scratch per
-    * round: the from-scratch form put rounds²/2 nested `aggregate` folds
-    * into one projection, which at BpeRounds=24 measured 12.2 s against
-    * train's own 1.9 s for the same arithmetic (r14 bench, guide §1.2:
-    * fix the algorithm, not the constant). Returns one count per merge,
-    * in round order. */
+    * Cost: ONE job over the VOCAB-sized word table. Unlike training —
+    * where each round's argmax is a global decision that forces an
+    * action per round — the replay knows every rule upfront, so the
+    * whole per-word trajectory (count pair r in the state after merges
+    * 1..r−1, apply fold r, repeat) is expressible as a CHAIN OF
+    * PROJECTIONS over the word table, with each round's count landing in
+    * its own column and one final aggregation summing all rounds'
+    * weighted counts at once. The r14 shape ran 2·rounds jobs (a count
+    * action + a localCheckpoint materialization per round) whose
+    * fixed job overhead dominated at vocab scale; the r13 shape was
+    * worse still (rounds²/2 nested folds in one projection, 12.2 s at
+    * rounds=24 — guide §1.2). Chained single-name projections keep the
+    * plan LINEAR in rounds: each step references the previous step's
+    * attribute, so no fold subtree is ever duplicated. Returns one
+    * count per merge, in round order. */
   def replayCounts(
       corpus: DataFrame, textCol: String, merges: Seq[Merge]): Array[Long] = {
     if (merges.isEmpty) return Array.empty
-    var words = wordTable(corpus, textCol).localCheckpoint()
-    val out = Array.newBuilder[Long]
+    def pairsInWord(m: Merge) = when(size(col("__s")) < 2, lit(0L)).otherwise(
+      aggregate(sequence(lit(1), size(col("__s")) - 1), lit(0L),
+        (acc, j) => acc + when(
+          element_at(col("__s"), j) === lit(m.left) &&
+            element_at(col("__s"), j + 1) === lit(m.right), 1L).otherwise(0L)))
+    var words = wordTable(corpus, textCol).withColumn("__s", col("syms"))
     merges.zipWithIndex.foreach { case (m, i) =>
-      val pairsInWord = when(size(col("syms")) < 2, lit(0L)).otherwise(
-        aggregate(sequence(lit(1), size(col("syms")) - 1), lit(0L),
-          (acc, j) => acc + when(
-            element_at(col("syms"), j) === lit(m.left) &&
-              element_at(col("syms"), j + 1) === lit(m.right), 1L).otherwise(0L)))
-      out += words.agg(coalesce(sum(col("cnt") * pairsInWord), lit(0L)))
-        .head().getLong(0)
+      words = words.withColumn(s"__c$i", pairsInWord(m))
       // advance the replayed state — skipped after the last round (no
       // later count reads it)
       if (i < merges.length - 1)
-        words = words
-          .withColumn("syms", mergeFold(col("syms"), m.left, m.right))
-          .localCheckpoint()
+        words = words.withColumn("__s", mergeFold(col("__s"), m.left, m.right))
     }
-    out.result()
+    val row = words.agg(
+      coalesce(sum(col("cnt") * col("__c0")), lit(0L)),
+      (1 until merges.length).map(i =>
+        coalesce(sum(col("cnt") * col(s"__c$i")), lit(0L))): _*).head()
+    Array.tabulate(merges.length)(row.getLong)
   }
 
   def encode(
       df: DataFrame, textCol: String, merges: Seq[Merge],
       out: String = "bpe_syms"): DataFrame =
+    // deliberately `rounds` STATICALLY nested folds per token, not one
+    // double fold over a literal rule array: higher-order functions are
+    // interpreted either way, and the r15 A/B (Profile bpe_encode_flat
+    // vs bpe_encode_nested, sf0.1/32c, 3 reps in one JVM) measured the
+    // rule-array form 15-20% SLOWER — per-element struct field reads and
+    // a re-evaluated concat(l, r) cost more than the deep-but-constant-
+    // folded nested tree saves
     df.withColumn("__toks", filter(TextOps.tokens(col(textCol)), t => t =!= ""))
       .withColumn(out,
         flatten(transform(col("__toks"),

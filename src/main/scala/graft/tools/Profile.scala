@@ -86,6 +86,40 @@ object Profile {
           .select(col("doc_id"), col("pf.pos").cast("long").as("pos"),
             col("pf.fp").as("fp"))
       }
+      // --- BPE encode form A/B (shared pre-trained rules, one JVM) ---
+      lazy val bpeMerges = graft.text.Bpe.train(docs, "text", rounds = 20, minCount = 5L)
+      if (on("bpe_encode_flat")) time(spark, "bpe_encode_flat") {
+        // the REJECTED r15 candidate: one double fold over a literal rule
+        // array (O(1) expression size) — measured 15-20% slower than the
+        // nested form because HOFs are interpreted either way and the
+        // per-element struct reads + re-evaluated concat(l, r) dominate
+        def mergeFoldDyn(syms: org.apache.spark.sql.Column,
+            a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(syms, array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === a && x === b,
+              concat(slice(acc, lit(1), size(acc) - 1), array(concat(a, b))))
+              .otherwise(concat(acc, array(x))))
+        val rules = array(bpeMerges.map(m =>
+          struct(lit(m.left).as("l"), lit(m.right).as("r"))): _*)
+        docs.select(col("doc_id"), col("text"))
+          .withColumn("__toks", filter(graft.text.TextOps.tokens(col("text")), t => t =!= ""))
+          .withColumn("bpe_syms",
+            flatten(transform(col("__toks"), w =>
+              aggregate(rules, split(w, ""),
+                (acc, rule) => mergeFoldDyn(acc, rule.getField("l"), rule.getField("r"))))))
+          .drop("__toks")
+      }
+      if (on("bpe_encode_nested")) time(spark, "bpe_encode_nested") {
+        // the pre-r15 form: `rounds` statically nested folds per token
+        val d = docs.select(col("doc_id"), col("text"))
+          .withColumn("__toks", filter(graft.text.TextOps.tokens(col("text")), t => t =!= ""))
+        d.withColumn("bpe_syms",
+          flatten(transform(col("__toks"),
+            w => bpeMerges.foldLeft(split(w, ""): org.apache.spark.sql.Column)(
+              (acc, m) => graft.text.Bpe.mergeFold(acc, m.left, m.right)))))
+          .drop("__toks")
+      }
       // --- overlapPairs stage breakdown (replicated from Dedup) ---
       lazy val post = graft.text.TextOps.hashedShinglePostings(docs, "doc_id", "text", 3).cache()
       lazy val hot = post.groupBy("__sh").agg(count(lit(1)).as("__df"))
